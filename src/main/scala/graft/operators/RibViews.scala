@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.filter.{FilterCompiler, FilterParser, RouteFilter}
+import graft.functions.IpFns
+
+/** Derived views over the append-only route-event log — the engine's
+  * re-expression of the reference's mutable nested history maps
+  * (reference: src/bgprib.rs:310-436).
+  *
+  * Everything is a keyed window or aggregation: shuffles partition on the
+  * route key, so the plan scales horizontally — no global state anywhere
+  * except final top-k/pagination, which is bounded by the page size.
+  */
+object RibViews {
+
+  /** The identity of one history ring: (rib, NLRI incl. wrappers, session,
+    * path) — the reference's 4-level map path (src/bgprib.rs:385-426). */
+  val keyCols: Seq[String] =
+    Seq("rib", "prefix", "rd", "labels", "l2", "mvpn", "evpn", "mdt_group",
+      "session_id", "path_id")
+
+  private def sortCols(df: DataFrame, desc0: Boolean): Seq[Column] = {
+    val base = if (df.columns.contains("event_id")) Seq(col("ts"), col("event_id"))
+    else Seq(col("ts"))
+    if (desc0) base.map(_.desc) else base
+  }
+
+  private def keyWindowDesc(df: DataFrame) =
+    Window.partitionBy(keyCols.map(col): _*).orderBy(sortCols(df, desc0 = true): _*)
+
+  private def keyWindowAsc(df: DataFrame) =
+    Window.partitionBy(keyCols.map(col): _*).orderBy(sortCols(df, desc0 = false): _*)
+
+  /** "The RIB": newest record per history ring, active only — the latest
+    * state the reference holds in RAM (src/bgprib.rs:599-618). */
+  def current(df: DataFrame): DataFrame =
+    df.withColumn("__rn", row_number().over(keyWindowDesc(df)))
+      .where(col("__rn") === 1 && col("active"))
+      .drop("__rn")
+
+  /** Bounded history ring: newest `depth` records per key — the reference's
+    * `shrink_hist` retention (A5, src/bgprib.rs:326-341). */
+  def retained(df: DataFrame, depth: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(keyWindowDesc(df)))
+      .where(col("__rn") <= depth)
+      .drop("__rn")
+
+  /** OnlyDiffer history mode: keep a record only when attrs or active-flag
+    * changed vs the previous record of the same key (A4,
+    * src/bgprib.rs:663-679, 772-789). */
+  def onlyDiffer(df: DataFrame): DataFrame = {
+    val w = keyWindowAsc(df)
+    df.withColumn("__ph", lag(col("attrs_hash"), 1).over(w))
+      .withColumn("__pa", lag(col("active"), 1).over(w))
+      .where(col("__ph").isNull ||
+        col("__ph") =!= col("attrs_hash") || col("__pa") =!= col("active"))
+      .drop("__ph", "__pa")
+  }
+
+  /** Per-history-entry response filter `filter_ah` (P7,
+    * src/ribservice.rs:72-89): onlyactive + half-open change-time bounds
+    * (ts > after, ts < before), in epoch millis. */
+  def responseFilter(df: DataFrame, onlyActive: Boolean,
+      changedAfterMs: Option[Long], changedBeforeMs: Option[Long]): DataFrame = {
+    var out = df
+    if (onlyActive) out = out.where(col("active"))
+    changedAfterMs.foreach(a => out = out.where(unix_millis(col("ts")) > a))
+    changedBeforeMs.foreach(b => out = out.where(unix_millis(col("ts")) < b))
+    out
+  }
+
+  /** P5 existential history match: keep the history rings whose recent
+    * entries (the newest `maxdepth` of the response-filtered stream, with
+    * the reference's skip-count quirk: the skip amount is computed from the
+    * UNFILTERED ring length, src/ribfilter.rs:581-619) contain at least one
+    * entry matching the compiled filter. Returns the matching rows of `df`
+    * (all history of matching keys). */
+  def historyExists(df: DataFrame, filter: RouteFilter, maxDepth: Int = 10,
+      onlyActive: Boolean = false, changedAfterMs: Option[Long] = None,
+      changedBeforeMs: Option[Long] = None): DataFrame = {
+    val wAll = keyWindowAsc(df)
+    var passes: Column = lit(true)
+    if (onlyActive) passes = passes && col("active")
+    changedAfterMs.foreach(a => passes = passes && unix_millis(col("ts")) > a)
+    changedBeforeMs.foreach(b => passes = passes && unix_millis(col("ts")) < b)
+    val nAll = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
+    // rank among passing entries, ascending ts (0 for non-passing rows)
+    val rnPass = sum(when(passes, 1).otherwise(0)).over(
+      wAll.rowsBetween(Window.unboundedPreceding, 0))
+    val inDepth = passes && (rnPass > nAll - maxDepth)
+    val entryMatch = inDepth && (FilterCompiler.matchRoute(filter) <=> lit(true))
+    val keyMatch = max(when(entryMatch, 1).otherwise(0))
+      .over(Window.partitionBy(keyCols.map(col): _*))
+    df.withColumn("__m", keyMatch).where(col("__m") === 1).drop("__m")
+  }
+
+  /** Subnet scan (Q1): accepted rows for a filter string — containment
+    * expressed as a pushed-down predicate; the reference's BTreeMap range
+    * pruning becomes Parquet min/max skipping on the sortable prefix
+    * columns (src/ribfilter.rs:559-619). */
+  def scan(df: DataFrame, filter: String): DataFrame =
+    df.where(FilterCompiler.accept(filter))
+
+  /** Supernet scan (Q2, src/ribfilter.rs:620-683). */
+  def scanSuper(df: DataFrame, filter: String): DataFrame =
+    df.where(FilterCompiler.acceptSuper(filter))
+
+  /** Route-key specificity (reference `len()`: prefixlen + 64 per RD + 24
+    * per label, src/ribfilter.rs:469-494). */
+  def keyLen: Column = IpFns.keyLen(col("prefix"), col("rd"), col("labels"))
+
+  /** Q5: supernets of the filter target sorted most-specific-first, top k —
+    * the empty-page fallback (src/bgpsvc.rs:638-658). TakeOrderedAndProject
+    * physically: no global sort materialization. */
+  def supernetTopK(df: DataFrame, filter: String, k: Int): DataFrame =
+    scanSuper(df, filter)
+      .select((keyCols :+ "prefix_str").map(col) :+ keyLen.as("key_len"): _*)
+      .dropDuplicates(keyCols)
+      .orderBy(col("key_len").desc +: nlriOrder: _*)
+      .limit(k)
+
+  /** Deterministic NLRI ordering (Q7): unsigned 128-bit order of the
+    * network address, then specificity and wrappers — the engine's stable
+    * iteration contract matching BTreeMap key order semantics. */
+  def nlriOrder: Seq[Column] = Seq(
+    col("prefix").isNull.cast("int"),
+    col("prefix.version"),
+    IpFns.sortable(col("prefix.ip_hi")),
+    IpFns.sortable(col("prefix.ip_lo")),
+    col("prefix.prefix_len"),
+    col("rd.rdh"), col("rd.rdl"),
+    col("labels").cast("array<int>").getItem(0),
+    col("session_id"), col("path_id"))
+
+  /** Q4 pagination over a deterministic order (skip/limit,
+    * src/bgpsvc.rs:625-630). */
+  def page(df: DataFrame, skip: Int, limit: Int): DataFrame = {
+    val w = Window.orderBy(nlriOrder: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > skip && col("__rn") <= skip + limit)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General relational query surface over the driver testdata — exercises the
+  * engine layers every RIB query is built from (scan → filter → join → agg →
+  * window → sort/limit) and doubles as the bench headline set.
+  *
+  * Output discipline for the DuckDB oracle: only BIGINT / STRING columns,
+  * explicit ORDER BY on every query (both sides), and money/double sums
+  * scaled to integer cents per row before aggregation so floating-point
+  * summation order cannot flip a hash compare.
+  */
+object RelationalQueries {
+
+  /** Per-row exact cents: round(x*100) as BIGINT — deterministic on both
+    * engines for 2-decimal generated data. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-flavored pricing summary: partial-agg friendly single pass;
+    // shuffles only the 4-group key space.
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Join + agg + top-k: orders ⨝ customer ⨝ nation, revenue by nation.
+    // customer/nation are broadcast (dims ≪ fact at every SF).
+    "q_join_revenue" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_c"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Window ranking: top order per customer by total price (dedup-rank
+    // pattern; single shuffle on o_custkey).
+    "q_window_toporder" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("totalprice_c"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Semi-join (EXISTS) + anti-join (NOT EXISTS) counts in one output row.
+    "q_semi_anti" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey")).distinct()
+      val o = Tables(s, dir, "orders")
+      val withLi = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi").count()
+      val withoutLi = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti").count()
+      val s2 = s
+      import s2.implicits._
+      Seq((withLi, withoutLi)).toDF("n_with_lineitems", "n_without_lineitems")
+    }),
+
+    // Event-time tumbling-window aggregation (daily) per event type — the
+    // batch view of the streaming ST1 aggregation; partition-prunable by day.
+    "q_events_daily" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_c"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_millis(col("day").cast("timestamp")).as("day_ms"), col("event_type"),
+          col("n"), col("value_c"), col("n_users"))
+        .orderBy(col("day_ms"), col("event_type"))
+    }),
+
+    // Pagination contract (Q4): deterministic order + offset/limit via
+    // row_number window — page 3 of orders by (date, key).
+    "q_pagination" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders")
+      val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") > 200 && col("rn") <= 300)
+        .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          cents(col("o_totalprice")).as("totalprice_c"))
+        .orderBy(col("o_orderkey"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_toporder" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c
+        |FROM (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn=1 ORDER BY o_custkey""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS n_with_lineitems,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS n_without_lineitems""".stripMargin,
+    "q_events_daily" ->
+      """SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_pagination" ->
+      """SELECT o_orderkey, CAST(epoch_ms(o_orderdate) AS BIGINT) AS odate_ms,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn > 200 AND rn <= 300 ORDER BY o_orderkey""".stripMargin)
+}
