@@ -1,0 +1,199 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: exact dedup is a single hash-shuffle on a 64-bit content
+  * hash (never on the raw text). MinHash/SimHash compute signatures in one
+  * narrow projection (no explode, no shuffle) using higher-order array
+  * functions over the shingle array; candidate generation shuffles only
+  * (band_id, band_hash, doc_id) tuples — the classic LSH layout that holds
+  * at 100 TB because signature width, not document size, bounds the shuffle.
+  */
+object Dedup {
+
+  /** Word k-shingles of a text column as an array column — one projection,
+    * no explode. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(text, "\\s+")
+    val n = size(words)
+    when(n >= k,
+      transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", words)))
+  }
+
+  /** Exact duplicate groups by 64-bit content hash: returns
+    * (doc_id, content_hash, keep) where keep marks the canonical (min id)
+    * member of each group. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = xxhash64(col(textCol))
+    df.select(col(idCol), h.as("content_hash"))
+      .withColumn("keep_id",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash"))))
+      .withColumn("keep", col(idCol) === col("keep_id"))
+      .drop("keep_id")
+  }
+
+  /** MinHash signature: numHashes universal-hash minima over the shingle
+    * set, all computed inside one projection. */
+  def minhashSignature(sh: Column, numHashes: Int): Column = {
+    val prime = 2305843009213693951L // 2^61 - 1
+    val sigs = (0 until numHashes).map { i =>
+      // 31-bit multiplier/offset over a 31-bit folded hash: products stay
+      // below 2^62, so the arithmetic is exact under ANSI mode (no
+      // wraparound semantics needed)
+      val a = math.abs((0x9E3779B97F4A7C15L * (2 * i + 1)) >> 33) | 1L
+      val b = math.abs((0xC2B2AE3D27D4EB4FL * (i + 1)) >> 33)
+      array_min(transform(sh,
+        s => pmod(xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)) * a + b, lit(prime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join on
+    * (band, hash-of-band), emit distinct (a < b) pairs.
+    *
+    * Buckets larger than `maxBucketSize` are dropped before the self-join:
+    * an over-full bucket is non-discriminative (its members pair with
+    * everything) and is exactly what turns LSH quadratic — the standard
+    * guard in production dedup pipelines. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = numHashes / bands
+    val prime = 2305843009213693951L
+    // explode → hash each shingle ONCE → map-side-combinable min per hash
+    // function; the groupBy is the materialization barrier so the banding
+    // self-join reuses computed signatures instead of re-deriving them.
+    val ex = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), k))).as("s"))
+      .select(col("id"), xxhash64(col("s")).bitwiseAND(lit(0x7FFFFFFFL)).as("h31"))
+    val minCols = (0 until numHashes).map { i =>
+      val a = math.abs((0x9E3779B97F4A7C15L * (2 * i + 1)) >> 33) | 1L
+      val b = math.abs((0xC2B2AE3D27D4EB4FL * (i + 1)) >> 33)
+      min(pmod(col("h31") * a + b, lit(prime))).as(s"m$i")
+    }
+    val sigs = ex.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))
+    }
+    val banded = sigs
+      .select(col("id"), posexplode(array(bandCols: _*)))
+      .toDF("id", "band", "band_hash")
+    val capped = banded
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_hash"))))
+      .where(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+    capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact word-k-gram Jaccard similarity for all pairs sharing at least
+    * one shingle (inverted-index join — the verify step after LSH, or a
+    * standalone exact near-dup pass at moderate scale). Returns
+    * (a, b, inter, union_n). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    // join on the 64-bit shingle hash, not the string — narrower shuffle
+    val inv = sh.select(col("id"), explode(col("sh")).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
+    val pairs = inv.as("l").join(inv.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        (col("na") + col("nb") - col("inter")).cast("long").as("union_n"))
+  }
+
+  /** 64-bit SimHash over word shingles, one projection: bit j is set when
+    * more than half the shingle hashes have bit j set. */
+  def simhash(text: Column, k: Int): Column = {
+    val hashes = transform(shingles(text, k), s => xxhash64(s))
+    val n = size(hashes)
+    val bits = transform(sequence(lit(0), lit(63)), j =>
+      when(size(filter(hashes,
+        h => call_function("shiftright", h, j.cast("int")).bitwiseAND(lit(1L)) === 1L)) * 2 > n,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)), (b, j) => call_function("shiftleft", b, j.cast("int"))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash via explode + aggregate — same result as [[simhash]] but with
+    * a materialization barrier (each shingle hashed once, map-side-combined
+    * bit counts), the shape that scales and keeps self-joins cheap. */
+  def simhashGrouped(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L))).as(s"b$j"))
+    val agged = ex.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col("id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup candidates: exact match on any 16-bit chunk of the
+    * 64-bit simhash (guarantees recall for hamming distance ≤ 3 by
+    * pigeonhole), then exact hamming verify. Returns (a, b, hamming).
+    * Over-full buckets dropped as in [[minhashCandidates]]. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSig = simhashGrouped(df, idCol, textCol, k)
+    val chunked = withSig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sig"), (c * 16).cast("int")).bitwiseAND(lit(0xFFFFL)))))
+      .toDF("id", "sig", "chunk", "chunk_val")
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("chunk"), col("chunk_val"))))
+      .where(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+    val pairs = chunked.as("l").join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") &&
+          col("l.chunk_val") === col("r.chunk_val") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.sig").as("siga"), col("r.sig").as("sigb"))
+      .distinct()
+    pairs.withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Embedding cosine near-duplicates among candidate pairs produced by any
+    * blocking stage (or all pairs when `candidates` is None — only for
+    * moderate n). Cosine computed in double precision via zip_with. */
+  def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val withNorm = v.withColumn("norm",
+      sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+    val l = withNorm.as("l")
+    val r = withNorm.as("r")
+    l.join(r, col("l.id") < col("r.id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("l.v"), col("r.v"), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("cosine", col("dot") / (col("l.norm") * col("r.norm")))
+      .where(col("cosine") >= threshold)
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: language ID, quality scoring, token counting,
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs, no
+  * shuffle) — they run at scan speed over any corpus size.
+  */
+object TextAnalysis {
+
+  /** Small stopword anchors per language for the n-gram/stopword heuristic
+    * language classifier. Deterministic and oracle-expressible. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def hits(text: Column, words: Seq[String]): Column =
+    words.map(w => regexp_count(text, lit("\\b" + w + "\\b"))).reduce(_ + _)
+
+  /** Stopword-hit score per language; predicted language = argmax with
+    * deterministic tie-break (lexicographically largest language code),
+    * 'und' when no stopword hits at all. Scoring is restricted to
+    * ASCII-stopword languages so `\b` word boundaries behave identically
+    * across regex engines (the DuckDB oracle mirrors this). */
+  def langId(text: Column): Column = {
+    val scored = stopwords.filter(_._2.forall(_.forall(_ < 128)))
+      .map { case (lang, words) => (lang, hits(text, words)) }
+    val best = scored.map { case (lang, s) =>
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    val winner = greatest(best: _*) // struct compare: score first, then lang
+    when(winner.getField("score") > 0, winner.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace word count. */
+  def wordCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, or single non-space
+    * symbols — the standard cheap proxy for subword token budgeting. */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Quality metrics, integer-scaled (permille) for exact comparison:
+    * mean word length ×1000, stopword ratio ×1000, alpha-char ratio ×1000.
+    * A composite keep/drop flag mirrors the usual pipeline gate. */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val nw = wordCount(text)
+    val nc = length(text)
+    val alpha = regexp_count(text, lit("[A-Za-z]"))
+    val stop = hits(text, stopwords.flatMap(_._2).filter(_.head < 128))
+    def permille(num: Column, den: Column): Column =
+      floor(num.cast("double") * 1000.0 / greatest(den, lit(1)).cast("double")).cast("long")
+    Seq(
+      "n_words" -> nw.cast("long"),
+      "n_chars" -> nc.cast("long"),
+      "mean_word_len_x1000" -> permille(nc, nw),
+      "stopword_x1000" -> permille(stop, nw),
+      "alpha_x1000" -> permille(alpha, nc))
+  }
+
+  /** Keep gate: reasonable length, some stopwords, mostly alphabetic —
+    * the standard quality filter shape. */
+  def qualityKeep(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    m("n_words") >= 10 && m("stopword_x1000") >= 20 && m("alpha_x1000") >= 600
+  }
+
+  /** Document fingerprint: 64-bit hash of the whitespace/case-normalized
+    * text — the exact-dedup key and the cheap "same content" signature. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
