@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.SparkTestBase
+import graft.filter.FilterParser
+import graft.model._
+
+/** History-view semantics: retention ring, OnlyDiffer dedup, response
+  * filter, and the P5 existential match with the reference's maxdepth-skip
+  * quirk (FIXTURES.md f_history; reference src/bgprib.rs:326-341, 663-679,
+  * src/ribfilter.rs:581-619). */
+class RibViewsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def ev(ts: Long, active: Boolean, hash: Long,
+      comm: Option[Community] = None, sess: Int = 0): RouteEvent = {
+    val attrs = Model.emptyAttrs.copy(comms = comm.toSeq)
+    RouteEvent(new java.sql.Timestamp(ts), "ipv4u", sess, 0L, active,
+      Some(Model.v4("10.0.0.0", 24)), Some("10.0.0.0/24"), None, None,
+      None, None, None, None, attrs, hash)
+  }
+
+  private def df(evs: Seq[RouteEvent]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    s.createDataset(evs).toDF()
+  }
+
+  // f_history: 12 sequential updates, 3 distinct attr values interleaved,
+  // then 1 withdraw carrying the prior attrs
+  private val base = 1700000000000L
+  private val historyRows: Seq[RouteEvent] = {
+    val hashes = Seq(1L, 1L, 2L, 2L, 2L, 3L, 1L, 1L, 3L, 3L, 2L, 2L)
+    hashes.zipWithIndex.map { case (h, i) => ev(base + i * 1000, active = true, h) } :+
+      ev(base + 12000, active = false, 2L) // withdraw keeps last attrs
+  }
+
+  test("retention keeps newest N per ring (EveryUpdate mode)") {
+    val kept = RibViews.retained(df(historyRows), 10)
+    assert(kept.count() == 10)
+    val minTs = kept.agg(org.apache.spark.sql.functions.min("ts")).collect()(0)
+      .getTimestamp(0).getTime
+    assert(minTs == base + 3000) // rows 0..2 trimmed
+  }
+
+  test("OnlyDiffer keeps only change points and the withdraw flip") {
+    val kept = RibViews.onlyDiffer(df(historyRows))
+    // change points: 1,2,3,1,3,2 then active flip (hash unchanged)
+    assert(kept.count() == 7)
+    val first = RibViews.onlyDiffer(df(historyRows))
+      .orderBy("ts").collect().map(_.getAs[Long]("attrs_hash")).toSeq
+    assert(first == Seq(1L, 2L, 3L, 1L, 3L, 2L, 2L))
+  }
+
+  test("current view hides withdrawn rings") {
+    assert(RibViews.current(df(historyRows)).count() == 0) // newest is withdraw
+    val alive = historyRows.dropRight(1)
+    assert(RibViews.current(df(alive)).count() == 1)
+  }
+
+  test("response filter: onlyactive and half-open time bounds") {
+    val d = df(historyRows)
+    assert(RibViews.responseFilter(d, onlyActive = true, None, None).count() == 12)
+    assert(RibViews.responseFilter(d, onlyActive = false,
+      Some(base + 2000), Some(base + 5000)).count() == 2) // ts in (2000,5000)
+  }
+
+  test("historyExists honors maxdepth with the reference skip quirk") {
+    // key with 5 entries; only the OLDEST carries the matching community
+    val c = Community(100, 1)
+    val rows = Seq(
+      ev(base, active = true, 1L, Some(c)),
+      ev(base + 1000, active = true, 2L),
+      ev(base + 2000, active = true, 3L),
+      ev(base + 3000, active = true, 4L),
+      ev(base + 4000, active = true, 5L))
+    val f = FilterParser.parse("community:100:1")
+    // maxdepth 2: only the newest 2 entries are consulted → no match
+    assert(RibViews.historyExists(df(rows), f, maxDepth = 2).count() == 0)
+    // maxdepth 10: the old matching entry is visible → whole ring returned
+    assert(RibViews.historyExists(df(rows), f, maxDepth = 10).count() == 5)
+    // skip quirk: skip = len(all) - maxdepth applied AFTER the response
+    // filter (reference src/ribfilter.rs:593-605): with onlyActive and one
+    // inactive row among 5, maxdepth 4 skips 5-4=1 of the 4 passing rows
+    val rows2 = Seq(
+      ev(base, active = true, 1L, Some(c)),
+      ev(base + 1000, active = false, 2L),
+      ev(base + 2000, active = true, 3L),
+      ev(base + 3000, active = true, 4L),
+      ev(base + 4000, active = true, 5L))
+    assert(RibViews.historyExists(df(rows2), f, maxDepth = 4,
+      onlyActive = true).count() == 0) // oldest (matching) active row skipped
+    assert(RibViews.historyExists(df(rows2), f, maxDepth = 5,
+      onlyActive = true).count() == 5)
+  }
+
+  test("pagination is deterministic in NLRI order") {
+    val rows = (0 until 30).map { i =>
+      val p = Model.v4(s"10.0.$i.0", 24)
+      RouteEvent(new java.sql.Timestamp(base + i), "ipv4u", 0, 0L, active = true,
+        Some(p), Some(Model.pfxStr(p)), None, None, None, None, None, None,
+        Model.emptyAttrs, 0L)
+    }
+    val page = RibViews.page(df(rows), skip = 10, limit = 5)
+      .select("prefix_str").collect().map(_.getString(0)).toSeq
+    assert(page == (10 until 15).map(i => s"10.0.$i.0/24"))
+  }
+
+  test("supernet top-k orders by specificity") {
+    val rows = Seq(
+      ("10.0.0.0", 8), ("10.0.0.0", 16), ("10.0.0.0", 24), ("11.0.0.0", 8))
+      .zipWithIndex.map { case ((a, l), i) =>
+        val p = Model.v4(a, l)
+        RouteEvent(new java.sql.Timestamp(base + i), "ipv4u", 0, 0L, active = true,
+          Some(p), Some(Model.pfxStr(p)), None, None, None, None, None, None,
+          Model.emptyAttrs, 0L)
+      }
+    val topk = RibViews.supernetTopK(df(rows), "10.0.0.1", 2)
+      .select("prefix_str").collect().map(_.getString(0)).toSeq
+    assert(topk == Seq("10.0.0.0/24", "10.0.0.0/16"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Semantics + recall checks for the pipeline operators that have no SQL
+  * oracle (LSH families): each approximate operator is pinned against its
+  * exact counterpart on the sf0.001 corpus. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup marks canonical member per duplicate group") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exact(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("minhash LSH recall vs exact jaccard >= 0.8 on near-dup pairs") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3)
+      .where(col("inter") * 10 >= col("union_n") * 8) // jaccard >= 0.8
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.count(cand.contains).toDouble / exact.size
+      assert(recall >= 0.8, s"recall=$recall over ${exact.size} true pairs")
+    } else {
+      // corpus has no >=0.8 pairs: LSH must then produce only sub-threshold
+      // candidates, which is fine — just assert it runs and bounds output
+      assert(cand.size < 5000 * 50)
+    }
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidates(d, "doc_id", "text", k = 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash grouped form equals array form") {
+    val d = docs.limit(50)
+    val arr = d.select(col("doc_id"), Dedup.simhash(col("text"), 3).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grp = Dedup.simhashGrouped(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(arr == grp)
+  }
+
+  test("lsh ANN recall@10 vs brute force") {
+    val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
+    val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(lsh.contains).toDouble / bf.size
+    assert(recall >= 0.2, s"recall=$recall") // coarse buckets; must beat chance
+    assert(lsh.size <= 30)
+  }
+
+  test("cosine near-dup is symmetric-free and thresholded") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.999f, 0.04f), 0),
+      (3L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.cosineNearDup(d, "vec_id", "embedding", 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("langid on clear fixtures") {
+    val d = Seq("the cat and the dog sat in the house",
+      "der hund und die katze ist gut",
+      "qwerty zxcvb").toDF("text")
+    val got = d.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("token and word counts") {
+    val d = Seq("hello, world 123").toDF("text")
+    val r = d.select(TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.wordCount(col("text"))).collect()(0)
+    assert(r.getInt(0) == 4) // hello , world 123
+    assert(r.getInt(1) == 3)
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val d = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "id")
+    val fps = d.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal decode stub: schema, bytes, normalized features") {
+    val d = Seq((7L, "abcdefgh")).toDF("doc_id", "text")
+    val blobs = Multimodal.blobsFromDocuments(
+      d.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", lit(8L)))
+    val feat = Multimodal.decodeStub(blobs).collect()(0)
+    assert(feat.getLong(0) == 7L)
+    assert(feat.getString(1) == "audio") // 7 % 3 == 1
+    assert(feat.getLong(2) == 8L)
+    val f = feat.getSeq[Float](3)
+    assert(f.length == 8)
+    assert(math.abs(f.sum - 1.0f) < 1e-5)
+  }
+
+  test("quality keep gate") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to the house in town"
+    val bad = "@@ ## $$ %% ^^"
+    val d = Seq(good, bad).toDF("text")
+    val keeps = d.select(TextAnalysis.qualityKeep(col("text"))).as[Boolean].collect()
+    assert(keeps(0) && !keeps(1))
+  }
+}
