@@ -80,7 +80,8 @@ object RibViews {
     * (all history of matching keys). */
   def historyExists(df: DataFrame, filter: RouteFilter, maxDepth: Int = 10,
       onlyActive: Boolean = false, changedAfterMs: Option[Long] = None,
-      changedBeforeMs: Option[Long] = None): DataFrame = {
+      changedBeforeMs: Option[Long] = None,
+      existencePrefixLevel: Boolean = false): DataFrame = {
     val wAll = keyWindowAsc(df)
     var passes: Column = lit(true)
     if (onlyActive) passes = passes && col("active")
@@ -92,8 +93,13 @@ object RibViews {
       wAll.rowsBetween(Window.unboundedPreceding, 0))
     val inDepth = passes && (rnPass > nAll - maxDepth)
     val entryMatch = inDepth && (FilterCompiler.matchRoute(filter) <=> lit(true))
+    // existence granularity: the reference tests "any (session, path,
+    // entry) under this PREFIX" (src/ribfilter.rs:589-611); ring-level
+    // existence is the stricter per-ring variant used by some metrics
+    val existCols = if (existencePrefixLevel) keyCols.filterNot(
+      c => c == "session_id" || c == "path_id") else keyCols
     val keyMatch = max(when(entryMatch, 1).otherwise(0))
-      .over(Window.partitionBy(keyCols.map(col): _*))
+      .over(Window.partitionBy(existCols.map(col): _*))
     df.withColumn("__m", keyMatch).where(col("__m") === 1).drop("__m")
   }
 
@@ -124,21 +130,28 @@ object RibViews {
 
   /** Deterministic NLRI ordering (Q7): unsigned 128-bit order of the
     * network address, then specificity and wrappers — the engine's stable
-    * iteration contract matching BTreeMap key order semantics. */
-  def nlriOrder: Seq[Column] = Seq(
-    col("prefix").isNull.cast("int"),
-    col("prefix.version"),
-    IpFns.sortable(col("prefix.ip_hi")),
-    IpFns.sortable(col("prefix.ip_lo")),
-    col("prefix.prefix_len"),
-    col("rd.rdh"), col("rd.rdl"),
-    col("labels").cast("array<int>").getItem(0),
-    col("session_id"), col("path_id"))
+    * iteration contract matching BTreeMap key order semantics. Session and
+    * path tie-breaks are included only when those columns exist (ring-level
+    * frames) — prefix-level key frames order identically without them. */
+  def nlriOrder: Seq[Column] = nlriOrderFor(includeRing = true)
+
+  def nlriOrderFor(includeRing: Boolean): Seq[Column] = {
+    val base = Seq(
+      col("prefix").isNull.cast("int"),
+      col("prefix.version"),
+      IpFns.sortable(col("prefix.ip_hi")),
+      IpFns.sortable(col("prefix.ip_lo")),
+      col("prefix.prefix_len"),
+      col("rd.rdh"), col("rd.rdl"),
+      col("labels").cast("array<int>").getItem(0))
+    if (includeRing) base ++ Seq(col("session_id"), col("path_id")) else base
+  }
 
   /** Q4 pagination over a deterministic order (skip/limit,
     * src/bgpsvc.rs:625-630). */
   def page(df: DataFrame, skip: Int, limit: Int): DataFrame = {
-    val w = Window.orderBy(nlriOrder: _*)
+    val ring = df.columns.contains("session_id")
+    val w = Window.orderBy(nlriOrderFor(ring): _*)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") > skip && col("__rn") <= skip + limit)
       .drop("__rn")

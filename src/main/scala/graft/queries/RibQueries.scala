@@ -117,6 +117,15 @@ object RibQueries {
           col("labels").getItem(0).cast("long").as("label"),
           col("session_id").cast("long").as("session_id"), col("path_id"))),
 
+    // --- P6 JSON tree page (rows-only: JSON text formatting has no stable
+    // cross-engine oracle; semantics pinned by RibJsonSpec) ---------------
+    "q_rib_json_page" -> ((s, dir) => {
+      val (items, _, _) = graft.operators.RibJson.jsonPage(
+        re(s, dir), "ipv4u", "10.4.0.0/14",
+        graft.operators.RibJson.RibParams(skip = 0, limit = 20, maxDepth = 5))
+      items.select(col("item_key"), col("items_json"))
+    }),
+
     // --- snapshot roundtrip (S6): write the event log as a Parquet
     // checkpoint partitioned by rib (the reference's CBOR snapshot,
     // src/bgprib.rs:903-1015), read it back, aggregate. ------------------

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.operators.RibViews
+
+/** Streaming fixtures (FIXTURES.md §4): replay the event table as a file
+  * stream in micro-batches; assert (a) streamed rib_current equals the
+  * batch result, (b) the subscription feed emits exactly the events the
+  * compiled predicate accepts, (c) restart from checkpoint loses nothing. */
+class FeedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val srcSf = "/root/testdata/sf0.001"
+
+  private def tmp(): String = Files.createTempDirectory("graft_feed").toString
+
+  test("streamed ingest equals batch derivation and survives restart") {
+    val stage = tmp()
+    val logDir = tmp() + "/log"
+    val ckpt = tmp() + "/ckpt"
+    val events = spark.read.parquet(s"$srcSf/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // stage the source as 4 files → 4 micro-batches with maxFilesPerTrigger=1
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q1 = Feed.ingest(stream, logDir, ckpt, triggerMs = 100)
+    q1.processAllAvailable()
+    q1.stop()
+    val streamed = spark.read.parquet(logDir)
+    val batch = graft.sources.RouteEventGen.fromEvents(events)
+    assert(streamed.count() == batch.count())
+    // rib_current from the streamed log equals the batch-computed view
+    val sCur = Feed.restoreCurrent(spark, logDir)
+      .select("prefix_str", "session_id", "path_id", "attrs_hash")
+      .collect().map(_.toString).sorted
+    val bCur = RibViews.current(batch)
+      .select("prefix_str", "session_id", "path_id", "attrs_hash")
+      .collect().map(_.toString).sorted
+    assert(sCur.toSeq == bCur.toSeq)
+    // restart with the same checkpoint: no new input → no duplicates
+    val q2 = Feed.ingest(spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage), logDir, ckpt, 100)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(logDir).count() == batch.count())
+  }
+
+  test("subscription feed applies rib gate AND the compiled filter") {
+    val stage = tmp()
+    val events = spark.read.parquet(s"$srcSf/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    events.repartition(2).write.mode("overwrite").parquet(stage)
+    val routeStream = graft.sources.RouteEventGen.fromEvents(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage))
+    val received = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Feed.subscribe(routeStream, "ipv4u", "10.4.0.0/14") { rows =>
+      received.synchronized { received ++= rows.map(_.getAs[Long]("event_id")) }
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.sources.RouteEventGen.fromEvents(events)
+      .where(col("rib") === "ipv4u" && graft.filter.FilterCompiler.accept("10.4.0.0/14"))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(received.sorted.toSeq == expected.toSeq)
+    assert(expected.nonEmpty)
+  }
+
+  test("compaction keeps <= depth newest, deduped") {
+    val stage = tmp()
+    val out = tmp() + "/compact"
+    val events = spark.read.parquet(s"$srcSf/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    graft.sources.RouteEventGen.fromEvents(events)
+      .write.mode("overwrite").parquet(stage)
+    Feed.compact(spark, stage, out, historyDepth = 2)
+    val compacted = spark.read.parquet(out)
+    val maxPerRing = compacted.groupBy(RibViews.keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0).getLong(0)
+    assert(maxPerRing <= 2)
+  }
+}
