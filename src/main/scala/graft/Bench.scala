@@ -13,11 +13,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ingest once (materialize the derived route-event log) so per-query
+    // timings measure the queries, not the shared ingest
+    val tIngest0 = System.nanoTime()
+    try graft.sources.RouteEventGen.routeEvents(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val ingestSec = (System.nanoTime() - tIngest0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } ++ Map("ingest_route_events" -> ingestSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -92,11 +92,19 @@ object RibJson {
       p: RibParams): (DataFrame, Long, Long) = {
     val d = events.where(col("rib") === ribName)
     val filter = FilterParser.parse(filterStr)
-    val matched = RibViews.historyExists(d, filter, p.maxDepth, p.onlyActive,
-      p.changedAfterMs, p.changedBeforeMs, existencePrefixLevel = true)
-    val keys = matched.dropDuplicates(routeKeyCols)
-    val found = keys.count()
-    val length = d.dropDuplicates(routeKeyCols).count()
+    // one keyed pass: per route key, did any in-depth entry match (found)
+    // — and every key counts toward length (reference's second full scan
+    // for `found`, src/bgpsvc.rs:604-613, folded into the same aggregation)
+    val flag = RibViews.entryMatchFlag(d, filter, p.maxDepth, p.onlyActive,
+      p.changedAfterMs, p.changedBeforeMs)
+    val keyFlags = d.withColumn("__em", flag)
+      .groupBy(routeKeyCols.map(col): _*)
+      .agg(max(when(col("__em"), 1).otherwise(0)).as("__m"))
+    val counts = keyFlags.agg(
+      sum(col("__m")).as("found"), count(lit(1)).as("length")).collect()(0)
+    val found = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+    val length = counts.getLong(1)
+    val keys = keyFlags.where(col("__m") === 1).drop("__m")
     val pageKeys =
       if (found > 0)
         RibViews.page(keys, p.skip, p.limit).select(routeKeyCols.map(col): _*)

@@ -103,6 +103,23 @@ object RibViews {
     df.withColumn("__m", keyMatch).where(col("__m") === 1).drop("__m")
   }
 
+  /** Per-entry match flag without the existence window — building block for
+    * single-pass found/length aggregations (see RibJson.jsonPage). */
+  def entryMatchFlag(df: DataFrame, filter: RouteFilter, maxDepth: Int,
+      onlyActive: Boolean, changedAfterMs: Option[Long],
+      changedBeforeMs: Option[Long]): Column = {
+    val wAll = keyWindowAsc(df)
+    var passes: Column = lit(true)
+    if (onlyActive) passes = passes && col("active")
+    changedAfterMs.foreach(a => passes = passes && unix_millis(col("ts")) > a)
+    changedBeforeMs.foreach(b => passes = passes && unix_millis(col("ts")) < b)
+    val nAll = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
+    val rnPass = sum(when(passes, 1).otherwise(0)).over(
+      wAll.rowsBetween(Window.unboundedPreceding, 0))
+    passes && (rnPass > nAll - maxDepth) &&
+      (FilterCompiler.matchRoute(filter) <=> lit(true))
+  }
+
   /** Subnet scan (Q1): accepted rows for a filter string — containment
     * expressed as a pushed-down predicate; the reference's BTreeMap range
     * pruning becomes Parquet min/max skipping on the sortable prefix

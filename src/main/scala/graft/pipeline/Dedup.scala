@@ -24,6 +24,44 @@ object Dedup {
       .otherwise(array(concat_ws(" ", words)))
   }
 
+  /** 64-bit hashes of the word k-shingles, hashing the k words directly —
+    * no shingle-string materialization (the hot-path form: at corpus scale
+    * the string build dominates shingling cost). Same identity as
+    * xxhash-of-shingle modulo hash collisions. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val words = split(text, "\\s+")
+    val n = size(words)
+    when(n >= k,
+      transform(sequence(lit(0), n - k), i =>
+        xxhash64((1 to k).map(j => element_at(words, (i + j).cast("int"))): _*)))
+      .otherwise(array(xxhash64(concat_ws(" ", words))))
+  }
+
+  /** Exploded (id, shingle_hash) rows — the scalable shingling form: the
+    * text is split ONCE per row (posexplode), shingles come from window
+    * `lead`s over word position, and each shingle is hashed directly from
+    * its k words. Avoids the trap where array-lambda shingling re-evaluates
+    * `split` per element (O(words²) work per document). Multiset semantics
+    * (duplicates kept) — `.distinct()` downstream where sets are needed. */
+  def explodedShingleHashes(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until k).map(j => lead(col("w"), j).over(byDoc))
+    val long = words
+      .withColumn("nw", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .withColumn("h", xxhash64(col("w") +: leads: _*))
+      .where(col("nw") >= k && col("pos") <= col("nw") - k)
+      .select(col("id"), col("h"))
+    val short = df
+      .where(size(split(col(textCol), "\\s+")) < k)
+      .select(col(idCol).as("id"),
+        xxhash64(concat_ws(" ", split(col(textCol), "\\s+"))).as("h"))
+    long.unionByName(short)
+  }
+
   /** Exact duplicate groups by 64-bit content hash: returns
     * (doc_id, content_hash, keep) where keep marks the canonical (min id)
     * member of each group. */
@@ -69,9 +107,8 @@ object Dedup {
     // explode → hash each shingle ONCE → map-side-combinable min per hash
     // function; the groupBy is the materialization barrier so the banding
     // self-join reuses computed signatures instead of re-deriving them.
-    val ex = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("s"))
-      .select(col("id"), xxhash64(col("s")).bitwiseAND(lit(0x7FFFFFFFL)).as("h31"))
+    val ex = explodedShingleHashes(df, idCol, textCol, k).distinct()
+      .select(col("id"), col("h").bitwiseAND(lit(0x7FFFFFFFL)).as("h31"))
     val minCols = (0 until numHashes).map { i =>
       val a = math.abs((0x9E3779B97F4A7C15L * (2 * i + 1)) >> 33) | 1L
       val b = math.abs((0xC2B2AE3D27D4EB4FL * (i + 1)) >> 33)
@@ -102,12 +139,9 @@ object Dedup {
     * standalone exact near-dup pass at moderate scale). Returns
     * (a, b, inter, union_n). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    // join on the 64-bit shingle hash, not the string — narrower shuffle
-    val inv = sh.select(col("id"), explode(col("sh")).as("s0"))
-      .select(col("id"), xxhash64(col("s0")).as("s"))
+    val inv = explodedShingleHashes(df, idCol, textCol, k).distinct()
+      .withColumnRenamed("h", "s")
+    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val pairs = inv.as("l").join(inv.as("r"),
         col("l.s") === col("r.s") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
@@ -122,7 +156,7 @@ object Dedup {
   /** 64-bit SimHash over word shingles, one projection: bit j is set when
     * more than half the shingle hashes have bit j set. */
   def simhash(text: Column, k: Int): Column = {
-    val hashes = transform(shingles(text, k), s => xxhash64(s))
+    val hashes = shingleHashes(text, k)
     val n = size(hashes)
     val bits = transform(sequence(lit(0), lit(63)), j =>
       when(size(filter(hashes,
@@ -137,9 +171,7 @@ object Dedup {
     * a materialization barrier (each shingle hashed once, map-side-combined
     * bit counts), the shape that scales and keeps self-joins cheap. */
   def simhashGrouped(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+    val ex = explodedShingleHashes(df, idCol, textCol, k)
     val bitSums = (0 until 64).map(j =>
       sum(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L))).as(s"b$j"))
     val agged = ex.groupBy(col("id"))

@@ -117,6 +117,15 @@ object RibQueries {
           col("labels").getItem(0).cast("long").as("label"),
           col("session_id").cast("long").as("session_id"), col("path_id"))),
 
+    // --- S3/S4 update decomposition ---------------------------------------
+    "q_ingest_decompose" -> ((s, dir) =>
+      graft.sources.UpdateDecompose.decompose(
+        graft.sources.UpdateDecompose.messages(Tables(s, dir, "events")))
+        .groupBy(col("rib"), col("active"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
+        .orderBy(col("rib"), col("active"))),
+
     // --- P6 JSON tree page (rows-only: JSON text formatting has no stable
     // cross-engine oracle; semantics pinned by RibJsonSpec) ---------------
     "q_rib_json_page" -> ((s, dir) => {
@@ -303,5 +312,27 @@ object RibQueries {
         |          session_id, path_id
         |        FROM re WHERE rib IN ('ipv4u','vpnv4u','ipv4lu')) k) t
         |WHERE rn > 20 AND rn <= 40 ORDER BY rn""".stripMargin),
-    "q_rib_snapshot" -> perRibSql("TRUE"))
+    "q_rib_snapshot" -> perRibSql("TRUE"),
+    "q_ingest_decompose" ->
+      """WITH m AS (
+        |  SELECT event_id AS eid, user_id AS uid FROM events
+        |), rows_out AS (
+        |  SELECT 'ipv4u' AS rib, TRUE AS active,
+        |    '10.'||CAST((eid+0)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24' AS p
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'ipv4u', TRUE,
+        |    '10.'||CAST((eid+1)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24'
+        |  FROM m WHERE eid%2=1
+        |  UNION ALL
+        |  SELECT 'ipv4u', FALSE,
+        |    '10.'||CAST((eid+2)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24'
+        |  FROM m WHERE eid%3=0
+        |  UNION ALL
+        |  SELECT 'ipv6u', TRUE,
+        |    '2001:0:0:'||printf('%x', eid%64)||':0:0:0:0/64'
+        |  FROM m WHERE eid%4=0
+        |)
+        |SELECT rib, active, COUNT(*) AS n, COUNT(DISTINCT p) AS n_prefixes
+        |FROM rows_out GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
 }

@@ -126,6 +126,9 @@ object RouteEventGen {
       lit(null).cast(pfxType).as("mdt_group"),
       attrs.as("attrs"),
       ((eid % 600) * 1000 + uid % 140).cast("long").as("attrs_hash"),
+      // daily change-time bucket → partition-prunable (replaces the
+      // reference's idx_changed daily index, src/bgprib.rs:430, 652-653)
+      to_date(col("ts")).as("ts_day"),
       eid.as("event_id"))
   }
 }

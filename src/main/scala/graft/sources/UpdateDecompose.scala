@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.IpFns
+
+/** S3/S4: update-message decomposition (reference: `BgpRIB::handle_update`,
+  * src/bgprib.rs:1104-1205) — one decoded UPDATE message explodes into base
+  * withdraws + base updates + per-MP-family items, where each MP family
+  * carries its own nexthop that overrides the base attrs
+  * (src/bgprib.rs:1183-1201), and every output row lands in its SAFI table
+  * via the `rib` discriminator (the 26-arm dispatch of
+  * src/bgprib.rs:1016-1097 becomes a column).
+  *
+  * Pure flatMap shape: three explodes + a union — no shuffle, scales with
+  * input bytes. */
+object UpdateDecompose {
+
+  /** Deterministic update-message stream derived from the `events` table —
+    * the adapter-side stand-in for decoded BGP UPDATEs (wire decode is out
+    * of engine scope, SURVEY.md §1 note on zettabgp). */
+  def messages(events: DataFrame): DataFrame = {
+    val eid = col("event_id")
+    val uid = col("user_id")
+    def pfx(j: Int) = {
+      val ip = lit(10L << 24) + shiftleft((eid + j) % 64, 16) + shiftleft(uid % 256, 8)
+      struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
+        ip.cast("long").as("ip_lo"), lit(24).as("prefix_len"))
+    }
+    def pfx6 = struct(lit(6.toByte).as("version"),
+      (lit(0x2001L << 48) + (eid % 64)).cast("long").as("ip_hi"),
+      lit(0L).as("ip_lo"), lit(64).as("prefix_len"))
+    val nh4 = struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
+      (lit((192L << 24) + (168L << 16)) + uid % 256).cast("long").as("ip_lo"),
+      lit(32).as("prefix_len"))
+    val nh6 = struct(lit(6.toByte).as("version"),
+      lit(0xFE80L << 48).as("ip_hi"), (uid % 256).cast("long").as("ip_lo"),
+      lit(128).as("prefix_len"))
+    events.select(
+      eid.as("msg_id"),
+      (uid % 4).cast("int").as("session_id"),
+      col("ts"),
+      when(eid % 2 === 1, array(pfx(0), pfx(1))).otherwise(array(pfx(0))).as("nlri"),
+      when(eid % 3 === 0, array(pfx(2))).otherwise(array().cast("array<" +
+        RouteEventGen.pfxType + ">")).as("withdraws"),
+      nh4.as("nexthop"),
+      when(eid % 4 === 0,
+        array(struct(lit("ipv6u").as("rib"), array(pfx6).as("nlri"), nh6.as("nexthop"))))
+        .otherwise(lit(null).cast(s"array<struct<rib:string,nlri:array<${RouteEventGen.pfxType}>,nexthop:${RouteEventGen.pfxType}>>"))
+        .as("mp"))
+  }
+
+  /** The decomposition itself: base updates (rib=ipv4u, base nexthop) +
+    * base withdraws (active=false) + MP families (family rib, family
+    * nexthop overriding the base — the attrs clone of
+    * src/bgprib.rs:1183-1201). */
+  def decompose(msgs: DataFrame): DataFrame = {
+    def row(rib: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column,
+        active: org.apache.spark.sql.Column, nh: org.apache.spark.sql.Column) =
+      Seq(col("ts"), col("msg_id"), col("session_id"), rib.as("rib"),
+        active.as("active"), p.as("prefix"), IpFns.pfxStr(p).as("prefix_str"),
+        nh.as("nexthop"))
+    val base = msgs.select(col("*"), explode(col("nlri")).as("p"))
+      .select(row(lit("ipv4u"), col("p"), lit(true), col("nexthop")): _*)
+    val withdrawn = msgs.select(col("*"), explode(col("withdraws")).as("p"))
+      .select(row(lit("ipv4u"), col("p"), lit(false), col("nexthop")): _*)
+    val mp = msgs.where(col("mp").isNotNull)
+      .select(col("*"), explode(col("mp")).as("fam"))
+      .select(col("*"), explode(col("fam.nlri")).as("p"))
+      .select(row(col("fam.rib"), col("p"), lit(true), col("fam.nexthop")): _*)
+    base.unionByName(withdrawn).unionByName(mp)
+  }
+}
