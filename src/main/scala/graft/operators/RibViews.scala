@@ -120,12 +120,36 @@ object RibViews {
       (FilterCompiler.matchRoute(filter) <=> lit(true))
   }
 
-  /** Subnet scan (Q1): accepted rows for a filter string — containment
-    * expressed as a pushed-down predicate; the reference's BTreeMap range
-    * pruning becomes Parquet min/max skipping on the sortable prefix
-    * columns (src/ribfilter.rs:559-619). */
-  def scan(df: DataFrame, filter: String): DataFrame =
-    df.where(FilterCompiler.accept(filter))
+  /** SURVEY O2: the reference's BTreeMap range prune (most-specific
+    * positive prefix term → key range, src/ribfilter.rs:559-580, 830-865)
+    * as a SIMPLE, Parquet-pushable predicate: plain comparisons on the
+    * prefix longs reach row-group min/max stats (the event log is sorted by
+    * them within rib partitions), while the full tri-state filter — too
+    * complex to push — runs behind it. Semantically implied by the filter:
+    * rows whose match could depend on a v4/v6 prefix key must lie inside
+    * the term's address range; all other key shapes pass through. */
+  def rangePruneHint(f: RouteFilter): Column = f.leastSubnet match {
+    case Some(graft.filter.FilterItem.V4(net, _)) =>
+      col("prefix").isNull || col("prefix.version") =!= 4 ||
+        (col("prefix.ip_lo") >= net.firstAddr && col("prefix.ip_lo") <= net.lastAddr)
+    case Some(graft.filter.FilterItem.V6(net, _)) if net.hi >= 0 =>
+      val maskHi = if (net.plen <= 0) 0L
+        else if (net.plen >= 64) -1L else -1L << (64 - net.plen)
+      val firstHi = net.hi & maskHi
+      val lastHi = net.hi | ~maskHi
+      // signed compare is unsigned-correct here: the range is non-negative
+      // and negative hi values (ff00::/8 space) sort below it either way
+      col("prefix").isNull || col("prefix.version") =!= 6 ||
+        (col("prefix.ip_hi") >= firstHi && col("prefix.ip_hi") <= lastHi)
+    case _ => lit(true)
+  }
+
+  /** Subnet scan (Q1): pushable range hint + the compiled tri-state
+    * acceptance (src/ribfilter.rs:559-619). */
+  def scan(df: DataFrame, filter: String): DataFrame = {
+    val f = FilterParser.parse(filter)
+    df.where(rangePruneHint(f)).where(FilterCompiler.accept(f))
+  }
 
   /** Supernet scan (Q2, src/ribfilter.rs:620-683). */
   def scanSuper(df: DataFrame, filter: String): DataFrame =

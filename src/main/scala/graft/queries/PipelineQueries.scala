@@ -262,12 +262,15 @@ object PipelineQueries {
         |    ((event_id>>4)+user_id)%20 AS slot,
         |    CASE WHEN event_id%16<8 THEN 'ipv4u' WHEN event_id%16<11 THEN 'vpnv4u'
         |         WHEN event_id%16<13 THEN 'ipv6u' WHEN event_id%16<14 THEN 'ipv4lu'
-        |         ELSE 'ipv4m' END AS rib,
+        |         WHEN event_id%16=14 THEN 'ipv4m'
+        |         WHEN user_id%3=0 THEN 'mvpn' WHEN user_id%3=1 THEN 'evpn'
+        |         ELSE 'l2vpls' END AS rib,
         |    user_id%256 AS o3
         |  FROM events
         |), e AS (
         |  SELECT 'AS'||origin_as||'-ORG-'||(origin_as%2) AS whois_org,
-        |    CASE WHEN rib='ipv6u'
+        |    CASE WHEN rib IN ('mvpn','evpn','l2vpls') THEN NULL
+        |      WHEN rib='ipv6u'
         |      THEN '2001:0:'||printf('%x',slot%16)||':'||printf('%x',o3)||':0:0:0:0/64'
         |      ELSE CAST(CASE WHEN rib='ipv4m' THEN 224 ELSE 10 END AS VARCHAR)
         |        ||'.'||CAST(slot%16 AS VARCHAR)||'.'||CAST(o3 AS VARCHAR)||'.'

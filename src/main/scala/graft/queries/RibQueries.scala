@@ -41,6 +41,8 @@ object RibQueries {
     "q_rib_filter_conj" -> filterCount("rd:101:1000 10.4.0.0/14"),
     "q_rib_filter_multicast" -> filterCount("224.8.0.0/13"),
     "q_rib_filter_v6" -> filterCount("2001:0:a::/48"),
+    "q_rib_filter_mvpn_group" -> filterCount("224.3.0.0/16"),
+    "q_rib_filter_rd_exotic" -> filterCount("rd:301:502"),
     "q_rib_supernet" -> ((s, dir) => perRib(RibViews.scanSuper(re(s, dir), "10.3.9.50"))),
 
     // --- history views (S5, A4, A5; SURVEY §2.1/2.5) ---------------------
@@ -149,10 +151,12 @@ object RibQueries {
     """WITH reS AS (
       |  SELECT *, ((event_id>>4)+user_id)%20 AS slot FROM events
       |), re0 AS (
-      |  SELECT event_id AS eid, user_id AS uid, ts,
+      |  SELECT event_id AS eid, user_id AS uid, ts, slot,
       |    CASE WHEN event_id%16<8 THEN 'ipv4u' WHEN event_id%16<11 THEN 'vpnv4u'
       |         WHEN event_id%16<13 THEN 'ipv6u' WHEN event_id%16<14 THEN 'ipv4lu'
-      |         ELSE 'ipv4m' END AS rib,
+      |         WHEN event_id%16=14 THEN 'ipv4m'
+      |         WHEN user_id%3=0 THEN 'mvpn' WHEN user_id%3=1 THEN 'evpn'
+      |         ELSE 'l2vpls' END AS rib,
       |    user_id%4 AS session_id,
       |    event_id%3 AS path_id,
       |    (event_id%7)<>0 AS active,
@@ -172,25 +176,38 @@ object RibQueries {
       |  FROM reS
       |), re AS (
       |  SELECT *,
-      |    CASE WHEN rib='ipv6u' THEN 64 ELSE plen4 END AS plen,
-      |    CASE WHEN rib='ipv6u' THEN NULL
-      |         WHEN rib='ipv4m' THEN 3758096384 + o2*65536 + o3*256 + o4
-      |         ELSE 167772160 + o2*65536 + o3*256 + o4 END AS ip,
+      |    CASE WHEN rib='ipv6u' THEN 64
+      |         WHEN rib IN ('mvpn','evpn','l2vpls') THEN NULL
+      |         ELSE plen4 END AS plen,
+      |    CASE WHEN rib='ipv4m' THEN 3758096384 + o2*65536 + o3*256 + o4
+      |         WHEN rib IN ('ipv4u','vpnv4u','ipv4lu')
+      |         THEN 167772160 + o2*65536 + o3*256 + o4 END AS ip,
       |    CASE WHEN rib='ipv6u' THEN 8193*281474976710656 + o2*65536 + o3 END AS hi6,
-      |    CASE WHEN rib='vpnv4u' THEN 100+uid%3 END AS rdh,
-      |    CASE WHEN rib='vpnv4u' THEN 1000+eid%2 END AS rdl,
+      |    CASE WHEN rib='vpnv4u' THEN 100+uid%3 WHEN rib='mvpn' THEN 300+uid%2
+      |         WHEN rib='evpn' THEN 400+uid%2 WHEN rib='l2vpls' THEN 500+uid%2
+      |         END AS rdh,
+      |    CASE WHEN rib='vpnv4u' THEN 1000+eid%2 WHEN rib='mvpn' THEN 500+eid%4
+      |         WHEN rib='evpn' THEN 600+eid%3 WHEN rib='l2vpls' THEN 700+eid%3
+      |         END AS rdl,
       |    CASE WHEN rib IN ('ipv4lu','vpnv4u') THEN 100+eid%8 END AS label,
       |    CASE WHEN rib='ipv6u'
       |         THEN '2001:0:'||printf('%x',o2)||':'||printf('%x',o3)||':0:0:0:0/64'
+      |         WHEN rib IN ('mvpn','evpn','l2vpls') THEN NULL
       |         ELSE CAST((CASE WHEN rib='ipv4m' THEN 224 ELSE 10 END) AS VARCHAR)
       |              ||'.'||CAST(o2 AS VARCHAR)||'.'||CAST(o3 AS VARCHAR)
       |              ||'.'||CAST(o4 AS VARCHAR)||'/'||CAST(plen4 AS VARCHAR) END AS prefix_str,
-      |    CASE WHEN rib='ipv6u' THEN 64 ELSE plen4 END
-      |      + CASE WHEN rib='vpnv4u' THEN 64 ELSE 0 END
-      |      + CASE WHEN rib IN ('ipv4lu','vpnv4u') THEN 24 ELSE 0 END AS key_len,
+      |    CASE WHEN rib IN ('mvpn','evpn','l2vpls') THEN NULL
+      |         ELSE CASE WHEN rib='ipv6u' THEN 64 ELSE plen4 END
+      |           + CASE WHEN rib='vpnv4u' THEN 64 ELSE 0 END
+      |           + CASE WHEN rib IN ('ipv4lu','vpnv4u') THEN 24 ELSE 0 END
+      |         END AS key_len,
       |    COALESCE(CASE WHEN rib='ipv6u' THEN 8193*281474976710656 + o2*65536 + o3
       |         WHEN rib='ipv4m' THEN 3758096384 + o2*65536 + o3*256 + o4
-      |         ELSE 167772160 + o2*65536 + o3*256 + o4 END, 0) AS keyip
+      |         WHEN rib='mvpn' THEN 167772160 + o2*65536 + o3*256 + eid%100
+      |         WHEN rib='evpn' THEN 167772160 + o2*65536 + o3*256 + eid%50
+      |         WHEN rib='l2vpls' THEN (1+uid%5)*1000000 + (eid%4)*10*1000 + (eid%4)*10+9
+      |         ELSE 167772160 + o2*65536 + o3*256 + o4 END, 0) AS keyip,
+      |    CASE WHEN rib='mvpn' THEN slot%8 WHEN rib='evpn' THEN 2+eid%2 END AS keyx2
       |  FROM re0
       |)
       |""".stripMargin
@@ -202,12 +219,14 @@ object RibQueries {
 
   /** Full history-ring key for window partitioning, as scalar columns. */
   private val keyExpr =
-    "rib, keyip, plen, rdh, rdl, label, session_id, path_id"
+    "rib, keyip, keyx2, plen, rdh, rdl, label, session_id, path_id"
 
   def oracleSql: Map[String, String] = Map(
-    "q_rib_filter_subnet" -> perRibSql(s"$v4PfxRibs AND o2 BETWEEN 4 AND 7"),
+    "q_rib_filter_subnet" -> perRibSql(
+      s"($v4PfxRibs OR rib IN ('mvpn','evpn')) AND o2 BETWEEN 4 AND 7"),
     "q_rib_filter_rd" -> perRibSql("rib='vpnv4u' AND uid%3=1 AND eid%2=0"),
-    "q_rib_filter_num" -> perRibSql(s"($v4PfxRibs OR rib='ipv4m') AND plen4=24"),
+    "q_rib_filter_num" -> perRibSql(
+      s"(($v4PfxRibs OR rib='ipv4m') AND plen4=24) OR (rib='l2vpls' AND eid%4=2)"),
     "q_rib_filter_aspath" -> perRibSql("eid%5=0"),
     "q_rib_filter_aspath_ends" -> perRibSql("uid%7=0 AND eid%2=0"),
     "q_rib_filter_community" -> perRibSql("eid%50=25"),
@@ -215,11 +234,18 @@ object RibQueries {
     "q_rib_filter_rt_num" -> perRibSql("uid%4=3"),
     "q_rib_filter_nh" -> perRibSql("uid%4=2"),
     "q_rib_filter_regex" -> perRibSql(s"$v4PfxRibs AND o2=3"),
-    "q_rib_filter_polarity" -> perRibSql(s"$v4PfxRibs AND o2 BETWEEN 4 AND 7 AND eid%50<>25"),
+    "q_rib_filter_polarity" -> perRibSql(
+      s"($v4PfxRibs OR rib IN ('mvpn','evpn')) AND o2 BETWEEN 4 AND 7 AND eid%50<>25"),
     "q_rib_filter_conj" ->
       perRibSql("rib='vpnv4u' AND uid%3=1 AND eid%2=0 AND o2 BETWEEN 4 AND 7"),
     "q_rib_filter_multicast" -> perRibSql("rib='ipv4m' AND o2>=8"),
     "q_rib_filter_v6" -> perRibSql("rib='ipv6u' AND o2=10"),
+    // mvpn T5 group 224.(slot%8).o3.0 matched by the MCV4 net term via the
+    // multi() majority (source → Unknown, group → Yes/No); ipv4m prefixes
+    // match by plain containment
+    "q_rib_filter_mvpn_group" -> perRibSql(
+      "(rib='mvpn' AND slot%8=3) OR (rib='ipv4m' AND o2=3)"),
+    "q_rib_filter_rd_exotic" -> perRibSql("rib='mvpn' AND uid%2=1 AND eid%4=2"),
     // probe 10.3.9.50 = 167971122; route contains probe ⟺ equal nets at
     // the route's prefix length (route ips are canonical network addresses)
     "q_rib_supernet" -> perRibSql(
@@ -275,16 +301,16 @@ object RibQueries {
         |FROM re GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_rib_found" -> (cte +
       """SELECT
-        |  (SELECT COUNT(*) FROM (SELECT DISTINCT rib, keyip, plen, rdh, rdl, label,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT rib, keyip, keyx2, plen, rdh, rdl, label,
         |     session_id, path_id FROM re WHERE c1b=25) a) AS found,
-        |  (SELECT COUNT(*) FROM (SELECT DISTINCT rib, keyip, plen, rdh, rdl, label,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT rib, keyip, keyx2, plen, rdh, rdl, label,
         |     session_id, path_id FROM re) b) AS length""".stripMargin),
 
     "q_rib_lpm" -> (cte +
       """, keys AS (
         |  SELECT DISTINCT rib, ip, plen4, keyip, plen, rdh, rdl, label, session_id,
         |    path_id, key_len
-        |  FROM re WHERE rib<>'ipv6u'
+        |  FROM re WHERE rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4m')
         |), probes AS (
         |  SELECT * FROM (VALUES ('10.3.9.50', 167971122), ('10.0.9.77', 167774541),
         |    ('224.2.9.200', 3758229960)) v(probe, probe_ip)
@@ -298,7 +324,8 @@ object RibQueries {
         |  CAST(session_id AS BIGINT) AS session_id, path_id
         |FROM (SELECT DISTINCT rib, prefix_str, key_len, ip, plen4, rdh, rdl, label,
         |        session_id, path_id
-        |      FROM re WHERE rib<>'ipv6u' AND (ip>>(32-plen4)) = (167971122>>(32-plen4))) t
+        |      FROM re WHERE rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4m')
+        AND (ip>>(32-plen4)) = (167971122>>(32-plen4))) t
         |ORDER BY key_len DESC, ip, plen4, rdh NULLS FIRST, rdl NULLS FIRST,
         |  label NULLS FIRST, session_id, path_id
         |LIMIT 25""".stripMargin),

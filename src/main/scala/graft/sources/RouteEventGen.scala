@@ -62,8 +62,12 @@ object RouteEventGen {
     // otherwise make many (rib, prefix) combinations unreachable
     val slot = (shiftright(eid, 4) + uid) % 20
     val rib = when(m16 < 8, "ipv4u").when(m16 < 11, "vpnv4u")
-      .when(m16 < 13, "ipv6u").when(m16 < 14, "ipv4lu").otherwise("ipv4m")
+      .when(m16 < 13, "ipv6u").when(m16 < 14, "ipv4lu")
+      .when(m16 === 14, "ipv4m")
+      .otherwise(when(uid % 3 === 0, "mvpn").when(uid % 3 === 1, "evpn")
+        .otherwise("l2vpls"))
     val isV6 = m16 >= 11 && m16 < 13
+    val isExotic = m16 === 15
     val plen = lit(24) + (slot % 3) * 4
     val o2 = slot % 16
     val o3 = uid % 256
@@ -76,14 +80,43 @@ object RouteEventGen {
     val prefix = when(isV6,
       struct(lit(6.toByte).as("version"), v6hi.cast("long").as("ip_hi"),
         lit(0L).as("ip_lo"), lit(64).as("prefix_len")))
+      .when(isExotic, lit(null).cast(pfxType))
       .otherwise(
         struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
           v4ip.cast("long").as("ip_lo"), plen.cast("int").as("prefix_len")))
     val rd = when(rib === "vpnv4u",
       struct((lit(100L) + uid % 3).as("rdh"), (lit(1000L) + eid % 2).as("rdl")))
+      .when(rib === "l2vpls",
+        struct((lit(500L) + uid % 2).as("rdh"), (lit(700L) + eid % 3).as("rdl")))
       .otherwise(lit(null).cast(rdType))
     val labels = when(rib === "ipv4lu" || rib === "vpnv4u",
       array((lit(100) + (eid % 8)).cast("int"))).otherwise(lit(null).cast("array<int>"))
+    def v4Host(base: Long, o4h: Column): Column =
+      struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
+        (lit(base) + shiftleft(o2, 16) + shiftleft(o3, 8) + o4h).cast("long").as("ip_lo"),
+        lit(32).as("prefix_len"))
+    val mvpnKey = when(rib === "mvpn", struct(
+      lit(5).as("mtype"),
+      struct((lit(300L) + uid % 2).as("rdh"), (lit(500L) + eid % 4).as("rdl")).as("rd"),
+      lit(null).cast(pfxType).as("originator"),
+      v4Host(10L << 24, eid % 100).as("source"),
+      struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
+        (lit(224L << 24) + shiftleft(slot % 8, 16) + shiftleft(o3, 8))
+          .cast("long").as("ip_lo"), lit(32).as("prefix_len")).as("group"),
+      lit(null).cast(pfxType).as("rp"),
+      lit(null).cast(rdType).as("spmsi_rd"),
+      lit(null).cast(pfxType).as("spmsi_originator"),
+      lit(null).cast(pfxType).as("spmsi_source"),
+      lit(null).cast(pfxType).as("spmsi_group"))).otherwise(lit(null).cast(mvpnType))
+    val evpnKey = when(rib === "evpn", struct(
+      (lit(2) + (eid % 2)).cast("int").as("etype"),
+      struct((lit(400L) + uid % 2).as("rdh"), (lit(600L) + eid % 3).as("rdl")).as("rd"),
+      v4Host(10L << 24, eid % 50).as("ip"),
+      lit(null).cast(pfxType).as("gw_ip"))).otherwise(lit(null).cast(evpnType))
+    val l2Key = when(rib === "l2vpls", struct(
+      (lit(1) + (uid % 5)).cast("int").as("site"),
+      ((eid % 4) * 10).cast("int").as("offset"),
+      ((eid % 4) * 10 + 9).cast("int").as("range"))).otherwise(lit(null).cast(l2Type))
     val a1 = (lit(100L) + eid % 5).cast("long")
     val a2 = (lit(200L) + uid % 7).cast("long")
     val asList = when(eid % 2 === 1, array(a1, a2, lit(65001L))).otherwise(array(a1, a2))
@@ -120,9 +153,9 @@ object RouteEventGen {
       IpFns.pfxStr(prefix).as("prefix_str"),
       rd.as("rd"),
       labels.as("labels"),
-      lit(null).cast(l2Type).as("l2"),
-      lit(null).cast(mvpnType).as("mvpn"),
-      lit(null).cast(evpnType).as("evpn"),
+      l2Key.as("l2"),
+      mvpnKey.as("mvpn"),
+      evpnKey.as("evpn"),
       lit(null).cast(pfxType).as("mdt_group"),
       attrs.as("attrs"),
       ((eid % 600) * 1000 + uid % 140).cast("long").as("attrs_hash"),
