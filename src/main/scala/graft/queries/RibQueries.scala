@@ -95,8 +95,10 @@ object RibQueries {
       val keys = re(s, dir).where(col("prefix.version") === 4)
         .select((RibViews.keyCols :+ "prefix_str").map(col) :+ RibViews.keyLen.as("key_len"): _*)
         .dropDuplicates(RibViews.keyCols)
+      // native codegen'd containment expression for the column-column case
+      // (SURVEY §7.4: custom Expression beats a 120-node composed predicate)
       val joined = keys.join(broadcast(probes),
-        graft.functions.IpFns.contains(col("prefix"),
+        graft.functions.IpContains(col("prefix"),
           struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
             col("probe_ip").as("ip_lo"), lit(32).as("prefix_len"))))
       joined.groupBy(col("probe"))
