@@ -48,11 +48,16 @@ object RibJson {
     c
   }
 
-  /** Comparator on the first (key) field only — the carried values hold
-    * maps, which Spark's default struct ordering cannot compare. */
-  private def byKey(asc: Boolean)(l: Column, r: Column): Column = {
-    val (lt, gt) = if (asc) (-1, 1) else (1, -1)
-    when(l("k") < r("k"), lt).when(l("k") > r("k"), gt).otherwise(0)
+  /** One JSON-object level from collected (numeric key, value-json string)
+    * pairs: sort by key, join as {"k":v,...}. Values are already JSON text,
+    * so the collected structs stay orderable and the generated code small
+    * (a nested-map rollup exceeded Janino's method limits and fell out of
+    * codegen). */
+  private def jsonLevel(pairs: Column, asc: Boolean, depth: Option[Int]): Column = {
+    val sorted = sort_array(pairs, asc = asc)
+    val capped = depth.map(d => slice(sorted, 1, d)).getOrElse(sorted)
+    concat(lit("{"), concat_ws(",", transform(capped,
+      x => concat(lit("\""), x("k").cast("string"), lit("\":"), x("v")))), lit("}"))
   }
 
   /** The nested items tree for a set of route-key rows:
@@ -60,28 +65,24 @@ object RibJson {
   def itemsTree(entries: DataFrame, p: RibParams): DataFrame = {
     val filtered = entries.where(passes(p))
     val ringKeys = routeKeyCols ++ Seq("session_id", "path_id")
+    val depth = if (p.maxDepth > 0) Some(p.maxDepth) else None
     // history level: newest-first, take maxdepth AFTER the filter
     val lvl1 = filtered
       .groupBy(ringKeys.map(col): _*)
-      .agg(map_from_entries(transform(
-        slice(array_sort(collect_list(struct(
-          unix_millis(col("ts")).as("k"), entryStruct.as("v"))), byKey(asc = false)),
-          1, if (p.maxDepth > 0) p.maxDepth else Int.MaxValue),
-        x => struct(x("k").cast("string"), x("v")))).as("hist"))
+      .agg(jsonLevel(collect_list(struct(
+        unix_millis(col("ts")).as("k"), to_json(entryStruct).as("v"))),
+        asc = false, depth).as("hist"))
     // path level
     val lvl2 = lvl1.groupBy((routeKeyCols :+ "session_id").map(col): _*)
-      .agg(map_from_entries(transform(
-        array_sort(collect_list(struct(col("path_id").as("k"), col("hist").as("v"))),
-          byKey(asc = true)),
-        x => struct(x("k").cast("string"), x("v")))).as("paths"))
+      .agg(jsonLevel(collect_list(struct(col("path_id").as("k"), col("hist").as("v"))),
+        asc = true, None).as("paths"))
     // session level
     lvl2.groupBy(routeKeyCols.map(col): _*)
-      .agg(map_from_entries(transform(
-        array_sort(collect_list(struct(col("session_id").as("k"), col("paths").as("v"))),
-          byKey(asc = true)),
-        x => struct(x("k").cast("string"), x("v")))).as("sessions"))
+      .agg(jsonLevel(collect_list(struct(
+        col("session_id").cast("long").as("k"), col("paths").as("v"))),
+        asc = true, None).as("sessions"))
       .select(routeKeyCols.map(col) :+ itemKey.as("item_key") :+
-        to_json(col("sessions")).as("items_json"): _*)
+        col("sessions").as("items_json"): _*)
   }
 
   /** Full `/api/json` page: filter → existential match → deterministic
