@@ -19,11 +19,12 @@ object Bench {
     try graft.sources.RouteEventGen.routeEvents(spark, sfDir).count()
     catch { case _: Throwable => () }
     val ingestSec = (System.nanoTime() - tIngest0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // stable name order: per-query timings comparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    } ++ Map("ingest_route_events" -> ingestSec)
+    }.toMap ++ Map("ingest_route_events" -> ingestSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
