@@ -209,18 +209,24 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** Embedding cosine near-duplicates among candidate pairs produced by any
-    * blocking stage (or all pairs when `candidates` is None — only for
-    * moderate n). Cosine computed in double precision via zip_with. */
+  /** Embedding cosine near-duplicates. `blockCol` is the blocking stage:
+    * only pairs sharing its value are scored (label, LSH bucket, shard…) —
+    * without it the all-pairs join is only for moderate n. Cosine computed
+    * in double precision via zip_with. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val v = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      threshold: Double, blockCol: Option[String] = None): DataFrame = {
+    val v = emb.select(col(idCol).as("id") +:
+      transform(col(vecCol), x => x.cast("double")).as("v") +:
+      blockCol.map(col).toSeq: _*)
     val withNorm = v.withColumn("norm",
       sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
     val l = withNorm.as("l")
     val r = withNorm.as("r")
-    l.join(r, col("l.id") < col("r.id"))
+    val cond = blockCol match {
+      case Some(b) => col(s"l.$b") === col(s"r.$b") && col("l.id") < col("r.id")
+      case None => col("l.id") < col("r.id")
+    }
+    l.join(r, cond)
       .withColumn("dot", aggregate(
         zip_with(col("l.v"), col("r.v"), (a, b) => a * b),
         lit(0.0d), (acc, x) => acc + x))

@@ -46,20 +46,12 @@ object PipelineQueries {
       Dedup.simhashCandidates(d, "doc_id", "text", k = 3, maxHamming = 8)
         .orderBy(col("a"), col("b"))
     }),
-    "q_dedup_cosine" -> ((s, dir) => {
+    "q_dedup_cosine" -> ((s, dir) =>
       // label works as the blocking stage: only same-label pairs scored
-      val e = emb(s, dir)
-      val v = e.select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
-      v.as("l").join(v.as("r"),
-          col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
-        .withColumn("dot", aggregate(
-          zip_with(col("l.v"), col("r.v"), (a, b) => a * b), lit(0.0d), (a, x) => a + x))
-        .where(col("dot") / (col("l.norm") * col("r.norm")) >= 0.93)
-        .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
-        .orderBy(col("a"), col("b"))
-    }),
+      Dedup.cosineNearDup(emb(s, dir), "vec_id", "embedding", 0.93,
+        blockCol = Some("label"))
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))),
 
     // --- similarity search ---------------------------------------------
     "q_sim_bruteforce" -> ((s, dir) => {

@@ -107,6 +107,19 @@ class RibViewsSpec extends AnyFunSuite {
     assert(page == (10 until 15).map(i => s"10.0.$i.0/24"))
   }
 
+  test("range-prune hint never changes scan results (O2 equivalence)") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
+    val d = graft.sources.RouteEventGen.fromEvents(events)
+    Seq("10.4.0.0/14", "224.8.0.0/13", "2001:0:a::/48", "10.3.9.50",
+      "rd:101:1000 10.4.0.0/14").foreach { f =>
+      val withHint = RibViews.scan(d, f).count()
+      val withoutHint = d.where(graft.filter.FilterCompiler.accept(f)).count()
+      assert(withHint == withoutHint, s"prune hint changed results for '$f'")
+    }
+  }
+
   test("supernet top-k orders by specificity") {
     val rows = Seq(
       ("10.0.0.0", 8), ("10.0.0.0", 16), ("10.0.0.0", 24), ("11.0.0.0", 8))
