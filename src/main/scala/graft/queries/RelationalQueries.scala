@@ -84,6 +84,31 @@ object RelationalQueries {
         .orderBy(col("day_ms"), col("event_type"))
     }),
 
+    // Fact⨝dim join + group + top-k: revenue by part brand, top 10 —
+    // part is broadcast; TakeOrderedAndProject caps the sort at k.
+    "q_join_parts_topn" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_c").desc, col("p_brand"))
+        .limit(10)
+    }),
+
+    // Scan-dominant date-range + projection: the pushdown showcase — the
+    // predicate and the 2-column read schema both reach the Parquet scan.
+    "q_filter_pushdown" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
+          count(lit(1)).as("n_rows"))),
+
     // Pagination contract (Q4): deterministic order + offset/limit via
     // row_number window — page 3 of orders by (date, key).
     "q_pagination" -> ((s, dir) => {
@@ -129,6 +154,19 @@ object RelationalQueries {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_join_parts_topn" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |GROUP BY 1 ORDER BY revenue_c DESC, p_brand LIMIT 10""".stripMargin,
+    "q_filter_pushdown" ->
+      """SELECT
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "q_pagination" ->
       """SELECT o_orderkey, CAST(epoch_ms(o_orderdate) AS BIGINT) AS odate_ms,
         |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c
