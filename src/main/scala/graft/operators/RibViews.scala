@@ -130,7 +130,11 @@ object RibViews {
     * the term's address range; all other key shapes pass through. */
   def rangePruneHint(f: RouteFilter): Column = f.leastSubnet match {
     case Some(graft.filter.FilterItem.V4(net, _)) =>
-      col("prefix").isNull || col("prefix.version") =!= 4 ||
+      // ipv4mdt is NOT prunable by prefix range: its mdt_group host can
+      // satisfy a v4 term via the multi() majority even when the v4 prefix
+      // lies outside the term's range (FilterCompiler.matchItem mdt arm)
+      col("prefix").isNull || col("rib") === "ipv4mdt" ||
+        col("prefix.version") =!= 4 ||
         (col("prefix.ip_lo") >= net.firstAddr && col("prefix.ip_lo") <= net.lastAddr)
     case Some(graft.filter.FilterItem.V6(net, _)) if net.hi >= 0 =>
       val maskHi = if (net.plen <= 0) 0L

@@ -245,33 +245,10 @@ object PipelineQueries {
         |  CAST(MIN(CASE WHEN doc_id%3=0 THEN doc_id%640+64 END) AS BIGINT) AS min_width,
         |  CAST(MAX(CASE WHEN doc_id%3<>0 THEN doc_id%60000+1000 END) AS BIGINT) AS max_duration_ms
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_whois_enrich" ->
-      """WITH re AS (
-        |  SELECT event_id AS eid, user_id AS uid,
-        |    CASE WHEN event_id%2=1 THEN 65001 ELSE 200+user_id%7 END AS origin_as,
-        |    CASE WHEN ((event_id>>4)+user_id)%20 % 3 = 0 THEN 24
-        |         WHEN ((event_id>>4)+user_id)%20 % 3 = 1 THEN 28 ELSE 32 END AS plen4,
-        |    ((event_id>>4)+user_id)%20 AS slot,
-        |    CASE WHEN event_id%16<8 THEN 'ipv4u' WHEN event_id%16<11 THEN 'vpnv4u'
-        |         WHEN event_id%16<13 THEN 'ipv6u' WHEN event_id%16<14 THEN 'ipv4lu'
-        |         WHEN event_id%16=14 THEN 'ipv4m'
-        |         WHEN user_id%3=0 THEN 'mvpn' WHEN user_id%3=1 THEN 'evpn'
-        |         ELSE 'l2vpls' END AS rib,
-        |    user_id%256 AS o3
-        |  FROM events
-        |), e AS (
-        |  SELECT 'AS'||origin_as||'-ORG-'||(origin_as%2) AS whois_org,
-        |    CASE WHEN rib IN ('mvpn','evpn','l2vpls') THEN NULL
-        |      WHEN rib='ipv6u'
-        |      THEN '2001:0:'||printf('%x',slot%16)||':'||printf('%x',o3)||':0:0:0:0/64'
-        |      ELSE CAST(CASE WHEN rib='ipv4m' THEN 224 ELSE 10 END AS VARCHAR)
-        |        ||'.'||CAST(slot%16 AS VARCHAR)||'.'||CAST(o3 AS VARCHAR)||'.'
-        |        ||CAST(CASE WHEN slot%3=0 THEN 0 WHEN slot%3=1 THEN (slot%16)*16
-        |               ELSE (slot*12)%256 END AS VARCHAR)
-        |        ||'/'||CAST(plen4 AS VARCHAR) END AS prefix_str
-        |  FROM re
-        |)
-        |SELECT whois_org, COUNT(*) AS n_events,
+    "q_whois_enrich" -> (RibQueries.cte +
+      """SELECT 'AS'||(CASE WHEN eid%2=1 THEN 65001 ELSE a2 END)
+        |    ||'-ORG-'||((CASE WHEN eid%2=1 THEN 65001 ELSE a2 END)%2) AS whois_org,
+        |  COUNT(*) AS n_events,
         |  COUNT(DISTINCT prefix_str) AS n_prefixes
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM re GROUP BY 1 ORDER BY 1""".stripMargin))
 }

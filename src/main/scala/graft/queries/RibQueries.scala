@@ -9,9 +9,13 @@ import graft.sources.RouteEventGen
 /** Oracle-checked queries for every RIB operator of SURVEY.md §2, bound to
   * the deterministic route events derived from the `events` table
   * (RouteEventGen). The engine side goes through the real machinery —
-  * parse → tri-state compile → window views; the DuckDB side (OracleCte)
+  * parse → tri-state compile → window views; the DuckDB side (the CTE below)
   * recomputes expected results directly from the derivation arithmetic, so
   * a hash match certifies the semantics, not just the plumbing.
+  *
+  * Coverage: all 15 RIB kinds (src/bgprib.rs:807-821), all 7 MVPN route
+  * types and 5 EVPN route types (src/ribfilter.rs:320-453) have at least one
+  * oracle row exercising their match arm.
   */
 object RibQueries {
 
@@ -42,7 +46,15 @@ object RibQueries {
     "q_rib_filter_multicast" -> filterCount("224.8.0.0/13"),
     "q_rib_filter_v6" -> filterCount("2001:0:a::/48"),
     "q_rib_filter_mvpn_group" -> filterCount("224.3.0.0/16"),
-    "q_rib_filter_rd_exotic" -> filterCount("rd:301:502"),
+    "q_rib_filter_rd_exotic" -> filterCount("rd:301:503"),
+    // per-SAFI arms with no coverage in round 1 (VERDICT r1 item 1):
+    "q_rib_filter_vpn6_rd" -> filterCount("rd:110:1010"),
+    "q_rib_filter_v6_multicast" -> filterCount("ff05:0:a::/48"),
+    "q_rib_filter_mdt_group" -> filterCount("232.3.0.0/16"),
+    "q_rib_filter_mdt_rd" -> filterCount("rd:131:1031"),
+    "q_rib_filter_spmsi_rd" -> filterCount("rd:601:801"),
+    "q_rib_filter_mvpn_rp" -> filterCount("172.17.0.0/16"),
+    "q_rib_filter_evpn_rd" -> filterCount("rd:401:601"),
     "q_rib_supernet" -> ((s, dir) => perRib(RibViews.scanSuper(re(s, dir), "10.3.9.50"))),
 
     // --- history views (S5, A4, A5; SURVEY §2.1/2.5) ---------------------
@@ -77,12 +89,19 @@ object RibQueries {
       .agg(count(lit(1)).cast("long").as("n_events"),
         countDistinct(col("rib")).cast("long").as("n_ribs"))
       .orderBy(col("session_id"))),
+    // A2 found/length, single-pass: one aggregation job computes both counts
+    // (the jsonPage form; reference serves them from one scan,
+    // src/bgpsvc.rs:618-633)
     "q_rib_found" -> ((s, dir) => {
       val d = re(s, dir)
-      val found = RibViews.scan(d, "community:10:25").dropDuplicates(RibViews.keyCols).count()
-      val total = d.dropDuplicates(RibViews.keyCols).count()
-      val s2 = s; import s2.implicits._
-      Seq((found, total)).toDF("found", "length")
+      val f = FilterParser.parse("community:10:25")
+      val key = struct(RibViews.keyCols.map(col): _*)
+      // distinct keys with ≥1 matching entry / distinct keys overall, in ONE
+      // aggregation job (countDistinct skips the null non-matching rows)
+      d.agg(
+        countDistinct(when(graft.filter.FilterCompiler.accept(f), key))
+          .cast("long").as("found"),
+        countDistinct(key).cast("long").as("length"))
     }),
 
     // --- LPM / top-k / pagination (Q4-Q7) --------------------------------
@@ -149,16 +168,26 @@ object RibQueries {
       perRib(s.read.parquet(tmp))
     }))
 
-  private val cte: String =
-    """WITH reS AS (
+  /** DuckDB mirror of RouteEventGen.fromEvents — MUST stay arithmetically
+    * identical to the generator (see graft-round1-state memory). Shared with
+    * PipelineQueries (whois enrichment oracle) so the mapping lives once. */
+  private[queries] val cte: String =
+    s"""WITH reS AS (
       |  SELECT *, ((event_id>>4)+user_id)%20 AS slot FROM events
       |), re0 AS (
       |  SELECT event_id AS eid, user_id AS uid, ts, slot,
-      |    CASE WHEN event_id%16<8 THEN 'ipv4u' WHEN event_id%16<11 THEN 'vpnv4u'
-      |         WHEN event_id%16<13 THEN 'ipv6u' WHEN event_id%16<14 THEN 'ipv4lu'
+      |    CASE WHEN event_id%16<6 THEN 'ipv4u'
+      |         WHEN event_id%16=6 THEN (CASE WHEN user_id%2=0 THEN 'ipv6lu' ELSE 'fs4u' END)
+      |         WHEN event_id%16=7 THEN (CASE WHEN user_id%2=0 THEN 'ipv4mdt' ELSE 'ipv6mdt' END)
+      |         WHEN event_id%16<10 THEN 'vpnv4u'
+      |         WHEN event_id%16=10 THEN (CASE WHEN user_id%3=0 THEN 'vpnv6u'
+      |              WHEN user_id%3=1 THEN 'vpnv4m' ELSE 'vpnv6m' END)
+      |         WHEN event_id%16<13 THEN 'ipv6u'
+      |         WHEN event_id%16=13 THEN 'ipv4lu'
       |         WHEN event_id%16=14 THEN 'ipv4m'
       |         WHEN user_id%3=0 THEN 'mvpn' WHEN user_id%3=1 THEN 'evpn'
       |         ELSE 'l2vpls' END AS rib,
+      |    1+(event_id>>4)%7 AS mt0, 1+(event_id>>4)%5 AS et0,
       |    user_id%4 AS session_id,
       |    event_id%3 AS path_id,
       |    (event_id%7)<>0 AS active,
@@ -178,38 +207,67 @@ object RibQueries {
       |  FROM reS
       |), re AS (
       |  SELECT *,
-      |    CASE WHEN rib='ipv6u' THEN 64
+      |    CASE WHEN rib='mvpn' THEN mt0 END AS mtype,
+      |    CASE WHEN rib='evpn' THEN et0 END AS etype,
+      |    CASE WHEN rib IN ('ipv6u','vpnv6u','ipv6lu','ipv6mdt','vpnv6m') THEN 64
       |         WHEN rib IN ('mvpn','evpn','l2vpls') THEN NULL
       |         ELSE plen4 END AS plen,
-      |    CASE WHEN rib='ipv4m' THEN 3758096384 + o2*65536 + o3*256 + o4
-      |         WHEN rib IN ('ipv4u','vpnv4u','ipv4lu')
+      |    CASE WHEN rib IN ('ipv4m','vpnv4m') THEN 3758096384 + o2*65536 + o3*256 + o4
+      |         WHEN rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4mdt','fs4u')
       |         THEN 167772160 + o2*65536 + o3*256 + o4 END AS ip,
-      |    CASE WHEN rib='ipv6u' THEN 8193*281474976710656 + o2*65536 + o3 END AS hi6,
-      |    CASE WHEN rib='vpnv4u' THEN 100+uid%3 WHEN rib='mvpn' THEN 300+uid%2
+      |    CASE WHEN rib IN ('ipv6u','vpnv6u','ipv6lu','ipv6mdt')
+      |           THEN 8193*281474976710656 + o2*65536 + o3
+      |         WHEN rib='vpnv6m' THEN ${RouteEventGen.FF05_HI} + o2*65536 + o3
+      |         END AS hi6,
+      |    CASE WHEN rib='vpnv4u' THEN 100+uid%3 WHEN rib='vpnv6u' THEN 110+uid%2
+      |         WHEN rib='vpnv4m' THEN 120+uid%2 WHEN rib='vpnv6m' THEN 140+uid%2
+      |         WHEN rib IN ('ipv4mdt','ipv6mdt') THEN 130+uid%2
+      |         WHEN rib='mvpn' AND mt0<>4 THEN 300+uid%2
       |         WHEN rib='evpn' THEN 400+uid%2 WHEN rib='l2vpls' THEN 500+uid%2
       |         END AS rdh,
-      |    CASE WHEN rib='vpnv4u' THEN 1000+eid%2 WHEN rib='mvpn' THEN 500+eid%4
+      |    CASE WHEN rib='vpnv4u' THEN 1000+eid%2 WHEN rib='vpnv6u' THEN 1010+eid%2
+      |         WHEN rib='vpnv4m' THEN 1020+eid%2 WHEN rib='vpnv6m' THEN 1040+eid%2
+      |         WHEN rib IN ('ipv4mdt','ipv6mdt') THEN 1030+eid%2
+      |         WHEN rib='mvpn' AND mt0<>4 THEN 500+eid%4
       |         WHEN rib='evpn' THEN 600+eid%3 WHEN rib='l2vpls' THEN 700+eid%3
       |         END AS rdl,
-      |    CASE WHEN rib IN ('ipv4lu','vpnv4u') THEN 100+eid%8 END AS label,
-      |    CASE WHEN rib='ipv6u'
+      |    CASE WHEN rib IN ('ipv4lu','vpnv4u','ipv6lu','vpnv6u') THEN 100+eid%8
+      |         END AS label,
+      |    CASE WHEN rib IN ('ipv6u','vpnv6u','ipv6lu','ipv6mdt')
       |         THEN '2001:0:'||printf('%x',o2)||':'||printf('%x',o3)||':0:0:0:0/64'
+      |         WHEN rib='vpnv6m'
+      |         THEN 'ff05:0:'||printf('%x',o2)||':'||printf('%x',o3)||':0:0:0:0/64'
       |         WHEN rib IN ('mvpn','evpn','l2vpls') THEN NULL
-      |         ELSE CAST((CASE WHEN rib='ipv4m' THEN 224 ELSE 10 END) AS VARCHAR)
+      |         ELSE CAST((CASE WHEN rib IN ('ipv4m','vpnv4m') THEN 224 ELSE 10 END) AS VARCHAR)
       |              ||'.'||CAST(o2 AS VARCHAR)||'.'||CAST(o3 AS VARCHAR)
       |              ||'.'||CAST(o4 AS VARCHAR)||'/'||CAST(plen4 AS VARCHAR) END AS prefix_str,
-      |    CASE WHEN rib IN ('mvpn','evpn','l2vpls') THEN NULL
-      |         ELSE CASE WHEN rib='ipv6u' THEN 64 ELSE plen4 END
-      |           + CASE WHEN rib='vpnv4u' THEN 64 ELSE 0 END
-      |           + CASE WHEN rib IN ('ipv4lu','vpnv4u') THEN 24 ELSE 0 END
+      |    CASE WHEN rib IN ('ipv4u','ipv4m','fs4u') THEN plen4
+      |         WHEN rib='ipv4lu' THEN plen4+24
+      |         WHEN rib='vpnv4u' THEN plen4+88
+      |         WHEN rib IN ('vpnv4m','ipv4mdt') THEN plen4+64
+      |         WHEN rib='ipv6u' THEN 64 WHEN rib='ipv6lu' THEN 88
+      |         WHEN rib='vpnv6u' THEN 152
+      |         WHEN rib IN ('vpnv6m','ipv6mdt') THEN 128
       |         END AS key_len,
-      |    COALESCE(CASE WHEN rib='ipv6u' THEN 8193*281474976710656 + o2*65536 + o3
-      |         WHEN rib='ipv4m' THEN 3758096384 + o2*65536 + o3*256 + o4
-      |         WHEN rib='mvpn' THEN 167772160 + o2*65536 + o3*256 + eid%100
-      |         WHEN rib='evpn' THEN 167772160 + o2*65536 + o3*256 + eid%50
-      |         WHEN rib='l2vpls' THEN (1+uid%5)*1000000 + (eid%4)*10*1000 + (eid%4)*10+9
-      |         ELSE 167772160 + o2*65536 + o3*256 + o4 END, 0) AS keyip,
-      |    CASE WHEN rib='mvpn' THEN slot%8 WHEN rib='evpn' THEN 2+eid%2 END AS keyx2
+      |    COALESCE(
+      |      CASE WHEN rib IN ('ipv6u','vpnv6u','ipv6lu','ipv6mdt')
+      |             THEN 8193*281474976710656 + o2*65536 + o3
+      |           WHEN rib='vpnv6m' THEN ${RouteEventGen.FF05_HI} + o2*65536 + o3
+      |           WHEN rib IN ('ipv4m','vpnv4m') THEN 3758096384 + o2*65536 + o3*256 + o4
+      |           WHEN rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4mdt','fs4u')
+      |             THEN 167772160 + o2*65536 + o3*256 + o4
+      |           WHEN rib='mvpn' THEN
+      |             CASE WHEN mt0=2 THEN 0
+      |                  WHEN mt0 IN (6,7)
+      |                    THEN (slot%4)*100000000 + (eid%100)*1000000 + (slot%8)*65536 + o3
+      |                  ELSE 167772160 + o2*65536 + o3*256 + eid%100 END
+      |           WHEN rib='evpn' THEN
+      |             CASE WHEN et0=1 OR (et0=2 AND uid%5=4) THEN 0
+      |                  ELSE 167772160 + o2*65536 + o3*256 + eid%50 END
+      |           WHEN rib='l2vpls' THEN (1+uid%5)*1000000 + (eid%4)*10*1000 + (eid%4)*10+9
+      |           END, 0) AS keyip,
+      |    CASE WHEN rib='mvpn' THEN mt0*10 + (CASE WHEN mt0=4 THEN uid%2 ELSE 0 END)
+      |         WHEN rib='evpn' THEN et0 END AS keyx2
       |  FROM re0
       |)
       |""".stripMargin
@@ -217,18 +275,28 @@ object RibQueries {
   private def perRibSql(where: String): String =
     cte + s"SELECT rib, COUNT(*) AS n FROM re WHERE $where GROUP BY rib ORDER BY rib"
 
-  private val v4PfxRibs = "rib IN ('ipv4u','vpnv4u','ipv4lu')"
+  /** ribs whose v4 unicast prefix participates directly in prefix matching */
+  private val v4PfxRibs = "rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4mdt')"
+
+  /** subnet-term acceptance for "10.4.0.0/14"-style unicast v4 nets over all
+    * key algebras: prefix ribs by containment, MVPN via originator/source/
+    * S-PMSI hosts (types 1/3/4/5; t6/7 fail on the 172.x RP, t2 is rd-only),
+    * EVPN via ip/gw_ip (t2 with absent ip → Unknown). */
+  private val v4SubnetMatch =
+    s"""($v4PfxRibs
+       |  OR (rib='mvpn' AND mtype IN (1,3,4,5))
+       |  OR (rib='evpn' AND (etype IN (3,4,5) OR (etype=2 AND uid%5<>4))))""".stripMargin
 
   /** Full history-ring key for window partitioning, as scalar columns. */
   private val keyExpr =
     "rib, keyip, keyx2, plen, rdh, rdl, label, session_id, path_id"
 
   def oracleSql: Map[String, String] = Map(
-    "q_rib_filter_subnet" -> perRibSql(
-      s"($v4PfxRibs OR rib IN ('mvpn','evpn')) AND o2 BETWEEN 4 AND 7"),
+    "q_rib_filter_subnet" -> perRibSql(s"$v4SubnetMatch AND o2 BETWEEN 4 AND 7"),
     "q_rib_filter_rd" -> perRibSql("rib='vpnv4u' AND uid%3=1 AND eid%2=0"),
     "q_rib_filter_num" -> perRibSql(
-      s"(($v4PfxRibs OR rib='ipv4m') AND plen4=24) OR (rib='l2vpls' AND eid%4=2)"),
+      "(rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4m','vpnv4m','ipv4mdt') AND plen4=24)" +
+        " OR (rib='l2vpls' AND eid%4=2)"),
     "q_rib_filter_aspath" -> perRibSql("eid%5=0"),
     "q_rib_filter_aspath_ends" -> perRibSql("uid%7=0 AND eid%2=0"),
     "q_rib_filter_community" -> perRibSql("eid%50=25"),
@@ -237,21 +305,42 @@ object RibQueries {
     "q_rib_filter_nh" -> perRibSql("uid%4=2"),
     "q_rib_filter_regex" -> perRibSql(s"$v4PfxRibs AND o2=3"),
     "q_rib_filter_polarity" -> perRibSql(
-      s"($v4PfxRibs OR rib IN ('mvpn','evpn')) AND o2 BETWEEN 4 AND 7 AND eid%50<>25"),
+      s"$v4SubnetMatch AND o2 BETWEEN 4 AND 7 AND eid%50<>25"),
     "q_rib_filter_conj" ->
       perRibSql("rib='vpnv4u' AND uid%3=1 AND eid%2=0 AND o2 BETWEEN 4 AND 7"),
-    "q_rib_filter_multicast" -> perRibSql("rib='ipv4m' AND o2>=8"),
-    "q_rib_filter_v6" -> perRibSql("rib='ipv6u' AND o2=10"),
-    // mvpn T5 group 224.(slot%8).o3.0 matched by the MCV4 net term via the
-    // multi() majority (source → Unknown, group → Yes/No); ipv4m prefixes
-    // match by plain containment
+    "q_rib_filter_multicast" -> perRibSql("rib IN ('ipv4m','vpnv4m') AND o2>=8"),
+    "q_rib_filter_v6" -> perRibSql(
+      "rib IN ('ipv6u','vpnv6u','ipv6lu','ipv6mdt') AND o2=10"),
+    // mvpn group 224.(slot%8).o3.0 matched by the MCV4 net term via the
+    // multi() majority for every type carrying a group (3/4 via S-PMSI/5/6/7);
+    // ipv4m/vpnv4m prefixes match by plain containment
     "q_rib_filter_mvpn_group" -> perRibSql(
-      "(rib='mvpn' AND slot%8=3) OR (rib='ipv4m' AND o2=3)"),
-    "q_rib_filter_rd_exotic" -> perRibSql("rib='mvpn' AND uid%2=1 AND eid%4=2"),
+      "(rib='mvpn' AND mtype IN (3,4,5,6,7) AND slot%8=3)" +
+        " OR (rib IN ('ipv4m','vpnv4m') AND o2=3)"),
+    // mvpn events sit at eid%16=15 so eid%4=3 always: rdl is always 503 —
+    // 502 would be structurally unmatchable (caught in round 2)
+    "q_rib_filter_rd_exotic" -> perRibSql(
+      "rib='mvpn' AND mtype<>4 AND uid%2=1 AND eid%4=3"),
+    "q_rib_filter_vpn6_rd" -> perRibSql("rib='vpnv6u' AND uid%2=0 AND eid%2=0"),
+    "q_rib_filter_v6_multicast" -> perRibSql("rib='vpnv6m' AND o2=10"),
+    // MDT: the 232.x group host satisfies the MCV4 term through the multi()
+    // combine while the unicast (v4) / v6 prefix contributes Unknown
+    "q_rib_filter_mdt_group" -> perRibSql(
+      "rib IN ('ipv4mdt','ipv6mdt') AND slot%8=3"),
+    "q_rib_filter_mdt_rd" -> perRibSql("rib='ipv6mdt' AND eid%2=1"),
+    // S-PMSI rd-first path of MVPN type 4 (src/ribfilter.rs:350-360)
+    "q_rib_filter_spmsi_rd" -> perRibSql(
+      "rib='mvpn' AND mtype=4 AND uid%2=1 AND eid%3=1"),
+    // rendezvous-point arm of MVPN types 6/7 (src/ribfilter.rs:377-388)
+    "q_rib_filter_mvpn_rp" -> perRibSql(
+      "rib='mvpn' AND mtype IN (6,7) AND slot%4=1"),
+    "q_rib_filter_evpn_rd" -> perRibSql("rib='evpn' AND uid%2=1 AND eid%3=1"),
     // probe 10.3.9.50 = 167971122; route contains probe ⟺ equal nets at
-    // the route's prefix length (route ips are canonical network addresses)
+    // the route's prefix length (route ips are canonical network addresses);
+    // mdt ribs are rd-only on the supernet path, fs4u is trait-default Unknown
     "q_rib_supernet" -> perRibSql(
-      s"($v4PfxRibs OR rib='ipv4m') AND (167971122>>(32-plen4)) = (ip>>(32-plen4))"),
+      "rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4m','vpnv4m')" +
+        " AND (167971122>>(32-plen4)) = (ip>>(32-plen4))"),
 
     "q_rib_current" -> (cte +
       s"""SELECT rib, COUNT(*) AS n FROM (
@@ -312,7 +401,8 @@ object RibQueries {
       """, keys AS (
         |  SELECT DISTINCT rib, ip, plen4, keyip, plen, rdh, rdl, label, session_id,
         |    path_id, key_len
-        |  FROM re WHERE rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4m')
+        |  FROM re
+        |  WHERE rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4m','vpnv4m','ipv4mdt','fs4u')
         |), probes AS (
         |  SELECT * FROM (VALUES ('10.3.9.50', 167971122), ('10.0.9.77', 167774541),
         |    ('224.2.9.200', 3758229960)) v(probe, probe_ip)
@@ -326,7 +416,7 @@ object RibQueries {
         |  CAST(session_id AS BIGINT) AS session_id, path_id
         |FROM (SELECT DISTINCT rib, prefix_str, key_len, ip, plen4, rdh, rdl, label,
         |        session_id, path_id
-        |      FROM re WHERE rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4m')
+        |      FROM re WHERE rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4m','vpnv4m')
         AND (ip>>(32-plen4)) = (167971122>>(32-plen4))) t
         |ORDER BY key_len DESC, ip, plen4, rdh NULLS FIRST, rdl NULLS FIRST,
         |  label NULLS FIRST, session_id, path_id
@@ -339,7 +429,7 @@ object RibQueries {
         |    rdl NULLS FIRST, label NULLS FIRST, session_id, path_id) AS rn
         |  FROM (SELECT DISTINCT rib, prefix_str, ip, plen4, rdh, rdl, label,
         |          session_id, path_id
-        |        FROM re WHERE rib IN ('ipv4u','vpnv4u','ipv4lu')) k) t
+        |        FROM re WHERE rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4mdt')) k) t
         |WHERE rn > 20 AND rn <= 40 ORDER BY rn""".stripMargin),
     "q_rib_snapshot" -> perRibSql("TRUE"),
     "q_ingest_decompose" ->

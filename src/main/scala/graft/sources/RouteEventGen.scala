@@ -8,7 +8,9 @@ import graft.queries.Tables
 /** Deterministic route-event derivation from the driver `events` table —
   * the test-bench analog of the ingest adapter (SURVEY.md §2.1 S1-S4): maps
   * each generic event to one normalized route-event row of the canonical
-  * schema (FIXTURES.md §1), covering 5 RIB kinds, VPN RDs, MPLS labels,
+  * schema (FIXTURES.md §1), covering ALL 15 RIB kinds of the reference's
+  * table registry (src/bgprib.rs:807-821), VPN RDs, MPLS labels, MDT groups,
+  * the 7 MVPN route types and 5 EVPN route types (src/ribfilter.rs:320-453),
   * v4/v6/multicast prefixes and the full attribute record.
   *
   * Every derived value is integer arithmetic on (event_id, user_id) so the
@@ -26,6 +28,10 @@ object RouteEventGen {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private lazy val snapshotRoot =
     java.nio.file.Files.createTempDirectory("graft_route_events").toString
+
+  /** ff05:: high long (v6 multicast prefix space), folded to the signed-64
+    * representation shared with the DuckDB CTE. */
+  val FF05_HI: Long = 0xff05L << 48
 
   /** Derived route events, materialized once per (session, sfDir) as a
     * Parquet event log partitioned by `rib` and sorted within partitions by
@@ -61,62 +67,115 @@ object RouteEventGen {
     // slot must be independent of the rib bits (eid%16): gcd(16,20)=4 would
     // otherwise make many (rib, prefix) combinations unreachable
     val slot = (shiftright(eid, 4) + uid) % 20
-    val rib = when(m16 < 8, "ipv4u").when(m16 < 11, "vpnv4u")
-      .when(m16 < 13, "ipv6u").when(m16 < 14, "ipv4lu")
+    // All 15 SAFI tables of the reference registry (src/bgprib.rs:807-821).
+    // The sub-splits (uid%2 / uid%3) are independent of the eid%16 bits.
+    val rib = when(m16 < 6, "ipv4u")
+      .when(m16 === 6, when(uid % 2 === 0, "ipv6lu").otherwise("fs4u"))
+      .when(m16 === 7, when(uid % 2 === 0, "ipv4mdt").otherwise("ipv6mdt"))
+      .when(m16 < 10, "vpnv4u")
+      .when(m16 === 10, when(uid % 3 === 0, "vpnv6u").when(uid % 3 === 1, "vpnv4m")
+        .otherwise("vpnv6m"))
+      .when(m16 < 13, "ipv6u")
+      .when(m16 === 13, "ipv4lu")
       .when(m16 === 14, "ipv4m")
       .otherwise(when(uid % 3 === 0, "mvpn").when(uid % 3 === 1, "evpn")
         .otherwise("l2vpls"))
-    val isV6 = m16 >= 11 && m16 < 13
-    val isExotic = m16 === 15
+    val v6uRibs = Seq("ipv6u", "vpnv6u", "ipv6lu", "ipv6mdt")
+    val isV6u = rib.isin(v6uRibs: _*)
+    val isV6m = rib === "vpnv6m"
+    val isV4m = rib === "ipv4m" || rib === "vpnv4m"
+    val noKeyPrefix = rib.isin("mvpn", "evpn", "l2vpls")
     val plen = lit(24) + (slot % 3) * 4
     val o2 = slot % 16
     val o3 = uid % 256
     val o4 = when(slot % 3 === 0, 0L)
       .when(slot % 3 === 1, (slot % 16) * 16L)
       .otherwise((slot * 12L) % 256)
-    val v4base = when(rib === "ipv4m", 224L << 24).otherwise(10L << 24)
+    val v4base = when(isV4m, 224L << 24).otherwise(10L << 24)
     val v4ip = v4base + shiftleft(o2, 16) + shiftleft(o3, 8) + o4
     val v6hi = lit(0x2001L << 48) + shiftleft(o2, 16) + o3
-    val prefix = when(isV6,
+    val v6mHi = lit(FF05_HI) + shiftleft(o2, 16) + o3
+    val prefix = when(isV6u,
       struct(lit(6.toByte).as("version"), v6hi.cast("long").as("ip_hi"),
         lit(0L).as("ip_lo"), lit(64).as("prefix_len")))
-      .when(isExotic, lit(null).cast(pfxType))
+      .when(isV6m,
+        struct(lit(6.toByte).as("version"), v6mHi.cast("long").as("ip_hi"),
+          lit(0L).as("ip_lo"), lit(64).as("prefix_len")))
+      .when(noKeyPrefix, lit(null).cast(pfxType))
       .otherwise(
         struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
           v4ip.cast("long").as("ip_lo"), plen.cast("int").as("prefix_len")))
+    // MVPN route type 1..7 / EVPN route type 1..5, independent of eid%16
+    val mtype = (lit(1) + shiftright(eid, 4) % 7).cast("int")
+    val etype = (lit(1) + shiftright(eid, 4) % 5).cast("int")
     val rd = when(rib === "vpnv4u",
       struct((lit(100L) + uid % 3).as("rdh"), (lit(1000L) + eid % 2).as("rdl")))
+      .when(rib === "vpnv6u",
+        struct((lit(110L) + uid % 2).as("rdh"), (lit(1010L) + eid % 2).as("rdl")))
+      .when(rib === "vpnv4m",
+        struct((lit(120L) + uid % 2).as("rdh"), (lit(1020L) + eid % 2).as("rdl")))
+      .when(rib === "ipv4mdt" || rib === "ipv6mdt",
+        struct((lit(130L) + uid % 2).as("rdh"), (lit(1030L) + eid % 2).as("rdl")))
+      .when(rib === "vpnv6m",
+        struct((lit(140L) + uid % 2).as("rdh"), (lit(1040L) + eid % 2).as("rdl")))
       .when(rib === "l2vpls",
         struct((lit(500L) + uid % 2).as("rdh"), (lit(700L) + eid % 3).as("rdl")))
       .otherwise(lit(null).cast(rdType))
-    val labels = when(rib === "ipv4lu" || rib === "vpnv4u",
+    val labeledRibs = Seq("ipv4lu", "vpnv4u", "ipv6lu", "vpnv6u")
+    val labels = when(rib.isin(labeledRibs: _*),
       array((lit(100) + (eid % 8)).cast("int"))).otherwise(lit(null).cast("array<int>"))
     def v4Host(base: Long, o4h: Column): Column =
       struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
         (lit(base) + shiftleft(o2, 16) + shiftleft(o3, 8) + o4h).cast("long").as("ip_lo"),
         lit(32).as("prefix_len"))
-    val mvpnKey = when(rib === "mvpn", struct(
-      lit(5).as("mtype"),
-      struct((lit(300L) + uid % 2).as("rdh"), (lit(500L) + eid % 4).as("rdl")).as("rd"),
-      lit(null).cast(pfxType).as("originator"),
-      v4Host(10L << 24, eid % 100).as("source"),
+    // multicast group host 224.(slot%8).o3.0 (second octet independent of o2)
+    def mcGroup(base: Long): Column =
       struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
-        (lit(224L << 24) + shiftleft(slot % 8, 16) + shiftleft(o3, 8))
-          .cast("long").as("ip_lo"), lit(32).as("prefix_len")).as("group"),
-      lit(null).cast(pfxType).as("rp"),
-      lit(null).cast(rdType).as("spmsi_rd"),
-      lit(null).cast(pfxType).as("spmsi_originator"),
-      lit(null).cast(pfxType).as("spmsi_source"),
-      lit(null).cast(pfxType).as("spmsi_group"))).otherwise(lit(null).cast(mvpnType))
+        (lit(base) + shiftleft(slot % 8, 16) + shiftleft(o3, 8))
+          .cast("long").as("ip_lo"), lit(32).as("prefix_len"))
+    // rendezvous point 172.(16+slot%4).o3.(eid%100) for MVPN t6/t7
+    val rpHost =
+      struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
+        (lit(172L << 24) + shiftleft(lit(16) + slot % 4, 16) + shiftleft(o3, 8) + eid % 100)
+          .cast("long").as("ip_lo"), lit(32).as("prefix_len"))
+    val origHost = v4Host(10L << 24, eid % 100) // originator ≡ source arithmetic
+    val mvpnRd = struct((lit(300L) + uid % 2).as("rdh"), (lit(500L) + eid % 4).as("rdl"))
+    // Per-type field population mirrors which fields each reference match arm
+    // consults (src/ribfilter.rs:320-388): t1 orig, t2 rd-only, t3 orig+src+grp,
+    // t4 S-PMSI tuple + originator fallback, t5 src+grp, t6/7 rp+grp.
+    val mvpnKey = when(rib === "mvpn", struct(
+      mtype.as("mtype"),
+      when(mtype =!= 4, mvpnRd).otherwise(lit(null).cast(rdType)).as("rd"),
+      when(mtype.isin(1, 3, 4), origHost).otherwise(lit(null).cast(pfxType))
+        .as("originator"),
+      when(mtype.isin(3, 5), origHost).otherwise(lit(null).cast(pfxType)).as("source"),
+      when(mtype.isin(3, 5, 6, 7), mcGroup(224L << 24))
+        .otherwise(lit(null).cast(pfxType)).as("group"),
+      when(mtype.isin(6, 7), rpHost).otherwise(lit(null).cast(pfxType)).as("rp"),
+      when(mtype === 4,
+        struct((lit(600L) + uid % 2).as("rdh"), (lit(800L) + eid % 3).as("rdl")))
+        .otherwise(lit(null).cast(rdType)).as("spmsi_rd"),
+      when(mtype === 4, origHost).otherwise(lit(null).cast(pfxType)).as("spmsi_originator"),
+      when(mtype === 4, origHost).otherwise(lit(null).cast(pfxType)).as("spmsi_source"),
+      when(mtype === 4, mcGroup(224L << 24)).otherwise(lit(null).cast(pfxType))
+        .as("spmsi_group"))).otherwise(lit(null).cast(mvpnType))
+    // EVPN: t2 may legitimately carry no IP (src/ribfilter.rs:403-410) —
+    // emitted for uid%5==4 to exercise the Unknown arm
+    val evpnIpSet = etype.isin(2, 3, 4) && !(etype === 2 && uid % 5 === 4)
     val evpnKey = when(rib === "evpn", struct(
-      (lit(2) + (eid % 2)).cast("int").as("etype"),
+      etype.as("etype"),
       struct((lit(400L) + uid % 2).as("rdh"), (lit(600L) + eid % 3).as("rdl")).as("rd"),
-      v4Host(10L << 24, eid % 50).as("ip"),
-      lit(null).cast(pfxType).as("gw_ip"))).otherwise(lit(null).cast(evpnType))
+      when(evpnIpSet, v4Host(10L << 24, eid % 50)).otherwise(lit(null).cast(pfxType))
+        .as("ip"),
+      when(etype === 5, v4Host(10L << 24, eid % 50)).otherwise(lit(null).cast(pfxType))
+        .as("gw_ip"))).otherwise(lit(null).cast(evpnType))
     val l2Key = when(rib === "l2vpls", struct(
       (lit(1) + (uid % 5)).cast("int").as("site"),
       ((eid % 4) * 10).cast("int").as("offset"),
       ((eid % 4) * 10 + 9).cast("int").as("range"))).otherwise(lit(null).cast(l2Type))
+    // MDT group 232.(slot%8).o3.0 (SSM space) for both ipv4mdt and ipv6mdt
+    val mdtGroup = when(rib === "ipv4mdt" || rib === "ipv6mdt", mcGroup(232L << 24))
+      .otherwise(lit(null).cast(pfxType))
     val a1 = (lit(100L) + eid % 5).cast("long")
     val a2 = (lit(200L) + uid % 7).cast("long")
     val asList = when(eid % 2 === 1, array(a1, a2, lit(65001L))).otherwise(array(a1, a2))
@@ -156,7 +215,7 @@ object RouteEventGen {
       l2Key.as("l2"),
       mvpnKey.as("mvpn"),
       evpnKey.as("evpn"),
-      lit(null).cast(pfxType).as("mdt_group"),
+      mdtGroup.as("mdt_group"),
       attrs.as("attrs"),
       ((eid % 600) * 1000 + uid % 140).cast("long").as("attrs_hash"),
       // daily change-time bucket → partition-prunable (replaces the

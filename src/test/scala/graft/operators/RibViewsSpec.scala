@@ -113,7 +113,8 @@ class RibViewsSpec extends AnyFunSuite {
         (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
     val d = graft.sources.RouteEventGen.fromEvents(events)
     Seq("10.4.0.0/14", "224.8.0.0/13", "2001:0:a::/48", "10.3.9.50",
-      "rd:101:1000 10.4.0.0/14").foreach { f =>
+      "rd:101:1000 10.4.0.0/14", "232.3.0.0/16", "ff05:0:a::/48",
+      "172.17.0.0/16").foreach { f =>
       val withHint = RibViews.scan(d, f).count()
       val withoutHint = d.where(graft.filter.FilterCompiler.accept(f)).count()
       assert(withHint == withoutHint, s"prune hint changed results for '$f'")
