@@ -107,6 +107,32 @@ class RibViewsSpec extends AnyFunSuite {
     assert(page == (10 until 15).map(i => s"10.0.$i.0/24"))
   }
 
+  test("keyset continuation pages equal skip/limit pages") {
+    val rows = (0 until 30).map { i =>
+      val p = Model.v4(s"10.0.$i.0", 24)
+      RouteEvent(new java.sql.Timestamp(base + i), "ipv4u", 0, 0L, active = true,
+        Some(p), Some(Model.pfxStr(p)), None, None, None, None, None, None,
+        Model.emptyAttrs, 0L)
+    }
+    val d = df(rows)
+    // first page without a token, then resume from its last row's token
+    val p1 = RibViews.pageAfter(d, None, 10)
+    assert(p1.select("prefix_str").collect().map(_.getString(0)).toSeq ==
+      (0 until 10).map(i => s"10.0.$i.0/24"))
+    val lastTok = p1.select(RibViews.pageToken().as("t"))
+      .orderBy(org.apache.spark.sql.functions.col("t").desc).limit(1)
+      .collect()(0).getStruct(0)
+    val fields = lastTok.schema.fields
+    val tokLit = org.apache.spark.sql.functions.struct(
+      fields.indices.map(i =>
+        org.apache.spark.sql.functions.lit(lastTok.get(i))
+          .cast(fields(i).dataType).as(s"k$i")): _*)
+    val p2 = RibViews.pageAfter(d, Some(tokLit), 10)
+      .select("prefix_str").collect().map(_.getString(0)).toSeq
+    assert(p2 == RibViews.page(d, skip = 10, limit = 10)
+      .select("prefix_str").collect().map(_.getString(0)).toSeq)
+  }
+
   test("range-prune hint never changes scan results (O2 equivalence)") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
