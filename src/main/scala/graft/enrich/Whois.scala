@@ -52,4 +52,85 @@ object Whois {
       .withColumn("whois_org",
         when(col("origin_as").isNotNull, stubWhoisValue(col("origin_as"))))
   }
+
+  // --- E4: response post-processing + referral chase (pure adapter logic,
+  // reference src/whoissvc.rs:395-519; network fetch stays injected) -------
+
+  /** Referral server names embedded in a whois response
+    * (reference regex, src/whoissvc.rs:400-402). */
+  private val ReferralRe = """\b(whois\.[\.a-z0-9\-]+)\b""".r
+
+  /** Drop empty lines and `%` comment lines (src/whoissvc.rs:491-503). */
+  def filteroutComments(s: String): Seq[String] =
+    s.split('\n').toSeq.filter(l => l.nonEmpty && l.head != '%')
+
+  /** Object-type line filter (src/whoissvc.rs:504-519): with no pattern,
+    * comment filtering only; with a pattern, additionally drop `#` comments
+    * and everything BEFORE the first matching line (the match and all
+    * following lines are kept — reference `skip_while`). */
+  def findstr(s: String, tofind: Option[scala.util.matching.Regex]): Seq[String] =
+    tofind match {
+      case None => filteroutComments(s)
+      case Some(re) =>
+        s.split('\n').toSeq
+          .filter(l => l.nonEmpty && l.head != '%' && l.head != '#')
+          .dropWhile(l => re.findFirstIn(l).isEmpty)
+    }
+
+  def referralServers(s: String): Seq[String] =
+    ReferralRe.findAllMatchIn(s).map(_.group(1)).toSeq.distinct
+
+  /** Referral chase (src/whoissvc.rs:395-457): query the default server,
+    * then walk referred `whois.*` servers breadth-first with a depth budget.
+    * A response SATISFIES the query when `checkitem` is absent or some line
+    * passes [[findstr]]; otherwise its referrals are enqueued. Exhausted
+    * referral set → the last response; exhausted depth → None (reference
+    * `Search failed`); all referrals visited-and-spent → "" (reference
+    * returns an empty string from the find-pending miss). `fetch` is the
+    * injected lookup: (target, server-or-default) → response text. */
+  def chaseWhois(target: String, checkitem: Option[scala.util.matching.Regex],
+      fetch: (String, Option[String]) => String, maxDepth: Int = 16): Option[String] = {
+    val pending = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    var deep = maxDepth
+    while (deep > 0) {
+      deep -= 1
+      val server: Option[String] =
+        if (pending.isEmpty) None
+        else pending.find(_._2) match {
+          case None => return Some("")
+          case Some((srv, _)) => pending(srv) = false; Some(srv)
+        }
+      val res = fetch(target, server)
+      if (checkitem.isEmpty || findstr(res, checkitem).nonEmpty) return Some(res)
+      referralServers(res).foreach(srv =>
+        if (!pending.contains(srv)) pending(srv) = true)
+      if (pending.isEmpty) return Some(res)
+    }
+    None
+  }
+
+  /** Reverse-DNS query name (src/whoissvc.rs:251-301): v4 →
+    * `d.c.b.a.IN-ADDR.ARPA.`, v6 → nibble-reversed `ip6.arpa.` form. */
+  def ptrQueryName(target: String): Option[String] = {
+    val V4 = """([0-9]+)\.([0-9]+)\.([0-9]+)\.([0-9]+)""".r
+    V4.findFirstMatchIn(target) match {
+      case Some(m) =>
+        Some(s"${m.group(4)}.${m.group(3)}.${m.group(2)}.${m.group(1)}.IN-ADDR.ARPA.")
+      case None if target.contains(':') =>
+        // literal v6 parse only — no resolution happens for literal IPs
+        try {
+          val addr = java.net.InetAddress.getByName(target)
+          addr match {
+            case v6: java.net.Inet6Address =>
+              val sb = new StringBuilder
+              v6.getAddress.reverseIterator.foreach { o =>
+                sb.append(f"${o & 0xf}%x.${(o >> 4) & 0xf}%x.")
+              }
+              Some(sb.append("ip6.arpa.").toString)
+            case _ => None
+          }
+        } catch { case _: Exception => None }
+      case None => None
+    }
+  }
 }

@@ -26,12 +26,15 @@ object FilterCompiler {
   /** soft(b): true → Yes, false → Unknown (src/ribfilter.rs:52-57). */
   private def soft(c: Column): Column = when(c, lit(true)).otherwise(UNK)
 
-  /** Majority vote over tri-state values (src/ribfilter.rs:59-81). */
+  /** Majority vote over tri-state values (src/ribfilter.rs:59-81).
+    *
+    * Each operand appears ONCE per score reference: contribution
+    * `coalesce(m::int*2-1, 0)` maps Yes→+1 / No→-1 / Unknown→0 without the
+    * two-branch CASE that would copy the operand tree twice. Column trees
+    * have no sharing, so every avoided reference halves the compiled size —
+    * this is what keeps the MVPN branch inside Janino's 64 KB method limit. */
   private def multi(ms: Seq[Column]): Column = {
-    // single copy of each operand: score = Σ(+1 Yes / -1 No / 0 Unknown);
-    // sign(score) ≡ the reference's cy/cn majority compare
-    val score = ms.map(m =>
-      when(m === true, 1).when(m === false, -1).otherwise(0)).reduce(_ + _)
+    val score = ms.map(m => coalesce(m.cast("int") * 2 - 1, lit(0))).reduce(_ + _)
     when(score > 0, lit(true)).when(score < 0, lit(false)).otherwise(UNK)
   }
 
@@ -158,11 +161,11 @@ object FilterCompiler {
   }
 
   /** rd-first-then-inner combinator used by WithRd / MVPN / EVPN keys
-    * (src/ribfilter.rs:455-470 and per-type impls). */
-  private def rdFirst(item: FilterItem, rd: Column, inner: => Column): Column = {
-    val r = matchRd(item, rd)
-    when(r.isNotNull, r).otherwise(inner)
-  }
+    * (src/ribfilter.rs:455-470 and per-type impls). `coalesce` IS the
+    * rd-first rule — a resolved Yes/No from the RD wins, Unknown (null)
+    * falls through to the inner key match — with one copy of each side. */
+  private def rdFirst(item: FilterItem, rd: Column, inner: => Column): Column =
+    coalesce(matchRd(item, rd), inner)
 
   /** `BgpAddrL2::match_item` (src/ribfilter.rs:306-319). */
   private def matchL2(item: FilterItem, rd: Column, l2: Column): Column = item match {
@@ -185,7 +188,7 @@ object FilterCompiler {
       .when(t === 2, matchRd(item, m("rd")))
       .when(t === 3, rdFirst(item, m("rd"),
         multi(Seq(h(m("originator")), h(m("source")), h(m("group"))))))
-      .when(t === 4, when(spmsi.isNotNull, spmsi).otherwise(h(m("originator"))))
+      .when(t === 4, coalesce(spmsi, h(m("originator"))))
       .when(t === 5, rdFirst(item, m("rd"), multi(Seq(h(m("source")), h(m("group"))))))
       .when(t === 6 || t === 7, rdFirst(item, m("rd"), multi(Seq(h(m("rp")), h(m("group"))))))
       .otherwise(UNK)
@@ -208,23 +211,59 @@ object FilterCompiler {
 
   private val prefixOnlyRibs = Seq("ipv4u", "ipv4m", "ipv6u", "ipv4lu", "ipv6lu", "fs4u")
   private val vpnRibs = Seq("vpnv4u", "vpnv4m", "vpnv6u", "vpnv6m")
+  private val mdtRibs = Seq("ipv4mdt", "ipv6mdt")
+
+  /** All 15 table kinds of the reference registry (src/bgprib.rs:807-821). */
+  val ribValues: Seq[String] =
+    prefixOnlyRibs ++ vpnRibs ++ mdtRibs ++ Seq("l2vpls", "mvpn", "evpn")
+
+  /** Key-algebra match for ONE statically-known rib kind — the per-branch
+    * building block. Specializing per rib keeps each compiled predicate
+    * small enough for whole-stage codegen (the full 15-way tree in one
+    * Filter blows Janino's 64 KB method limit and drops the scan stage to
+    * interpreted eval — measured in round 2). */
+  def matchItemFor(ribName: String, item: FilterItem): Column = {
+    val pfx = col("prefix")
+    val disp = col("prefix_str")
+    ribName match {
+      case "fs4u" => UNK // BgpFlowSpec uses the trait default (ribfilter.rs:453)
+      case r if prefixOnlyRibs.contains(r) => matchPrefix(item, pfx, disp)
+      case r if vpnRibs.contains(r) => rdFirst(item, col("rd"), matchPrefix(item, pfx, disp))
+      case "l2vpls" => matchL2(item, col("rd"), col("l2"))
+      case "mvpn" => matchMvpn(item, col("mvpn"))
+      case "evpn" => matchEvpn(item, col("evpn"))
+      case r if mdtRibs.contains(r) =>
+        rdFirst(item, col("rd"),
+          multi(Seq(matchPrefix(item, pfx, disp), matchHost(item, col("mdt_group")))))
+      case _ => UNK
+    }
+  }
+
+  def matchSuperItemFor(ribName: String, item: FilterItem): Column = {
+    val pfx = col("prefix")
+    ribName match {
+      case "fs4u" => UNK
+      case r if prefixOnlyRibs.contains(r) => matchSuperPrefix(item, pfx)
+      case r if vpnRibs.contains(r) => rdFirst(item, col("rd"), matchSuperPrefix(item, pfx))
+      case r if mdtRibs.contains(r) => matchRd(item, col("rd"))
+      case _ => UNK
+    }
+  }
 
   /** `FilterMatchRoute::match_item` over the unified schema: dispatch on the
     * `rib` discriminator to the right key algebra
-    * (reference dispatch: the 15 typed tables, src/bgprib.rs:807-821). */
+    * (reference dispatch: the 15 typed tables, src/bgprib.rs:807-821).
+    * Family groups share one branch (identical specialized expression), so
+    * the polymorphic tree stays as small as the algebra allows. */
   def matchItem(item: FilterItem): Column = {
     val rib = col("rib")
-    val pfx = col("prefix")
-    val disp = col("prefix_str")
-    when(rib === "fs4u", UNK) // BgpFlowSpec uses the trait default (ribfilter.rs:453)
-      .when(rib.isin(prefixOnlyRibs.filter(_ != "fs4u"): _*), matchPrefix(item, pfx, disp))
-      .when(rib.isin(vpnRibs: _*), rdFirst(item, col("rd"), matchPrefix(item, pfx, disp)))
-      .when(rib === "l2vpls", matchL2(item, col("rd"), col("l2")))
-      .when(rib === "mvpn", matchMvpn(item, col("mvpn")))
-      .when(rib === "evpn", matchEvpn(item, col("evpn")))
-      .when(rib.isin("ipv4mdt", "ipv6mdt"),
-        rdFirst(item, col("rd"),
-          multi(Seq(matchPrefix(item, pfx, disp), matchHost(item, col("mdt_group"))))))
+    when(rib === "fs4u", UNK)
+      .when(rib.isin(prefixOnlyRibs.filter(_ != "fs4u"): _*), matchItemFor("ipv4u", item))
+      .when(rib.isin(vpnRibs: _*), matchItemFor("vpnv4u", item))
+      .when(rib === "l2vpls", matchItemFor("l2vpls", item))
+      .when(rib === "mvpn", matchItemFor("mvpn", item))
+      .when(rib === "evpn", matchItemFor("evpn", item))
+      .when(rib.isin(mdtRibs: _*), matchItemFor("ipv4mdt", item))
       .otherwise(UNK)
   }
 
@@ -232,11 +271,10 @@ object FilterCompiler {
     * fall back to the trait default Unknown (src/ribfilter.rs:199-217). */
   def matchSuperItem(item: FilterItem): Column = {
     val rib = col("rib")
-    val pfx = col("prefix")
     when(rib === "fs4u", UNK)
-      .when(rib.isin(prefixOnlyRibs.filter(_ != "fs4u"): _*), matchSuperPrefix(item, pfx))
-      .when(rib.isin(vpnRibs: _*), rdFirst(item, col("rd"), matchSuperPrefix(item, pfx)))
-      .when(rib.isin("ipv4mdt", "ipv6mdt"), matchRd(item, col("rd")))
+      .when(rib.isin(prefixOnlyRibs.filter(_ != "fs4u"): _*), matchSuperItemFor("ipv4u", item))
+      .when(rib.isin(vpnRibs: _*), matchSuperItemFor("vpnv4u", item))
+      .when(rib.isin(mdtRibs: _*), matchSuperItemFor("ipv4mdt", item))
       .otherwise(UNK)
   }
 
@@ -317,28 +355,31 @@ object FilterCompiler {
   // ---- term-level polarity tables ----------------------------------------
 
   /** The irregular polarity tables of `FilterTerm::match_route` /
-    * `match_super_route` (src/ribfilter.rs:1569-1647), encoded verbatim.
-    * `routeM` is the key match, `attrM` the attr match; Minus flips, Auto
-    * passes through, and the route-Yes/attr-Unknown cell is always Yes. */
+    * `match_super_route` (src/ribfilter.rs:1569-1647), encoded verbatim as a
+    * 9-cell literal lookup: index = routeCode*3 + attrCode (No=0, Yes=1,
+    * Unknown=2), each side referenced exactly ONCE. Minus flips, Auto
+    * passes through, and the route-Yes/attr-Unknown cell is always Yes.
+    * (The naive nested CASE copies routeM twice and attrM four times —
+    * at 15-rib dispatch-tree sizes that is the difference between a
+    * codegen'd and an interpreted scan.) */
   private def combineTerm(routeM: Column, attrM: Column, pol: Polarity): Column = {
     val polNo = lit(pol == Polarity.Minus) // raw No → Yes only under '-'
     val polYes = lit(pol != Polarity.Minus) // raw Yes → No only under '-'
-    when(routeM === false, polNo)
-      .when(routeM === true,
-        when(attrM === false, polNo)
-          .when(attrM === true, polYes)
-          .otherwise(lit(true)))
-      .otherwise( // routeM Unknown
-        when(attrM === false, polNo)
-          .when(attrM === true, polYes)
-          .otherwise(UNK))
+    val idx = (coalesce(routeM.cast("int"), lit(2)) * 3 +
+      coalesce(attrM.cast("int"), lit(2)) + 1).cast("int")
+    element_at(array(
+      polNo, polNo, polNo, // route No: attr irrelevant
+      polNo, polYes, lit(true), // route Yes: attr No/Yes/Unknown
+      polNo, polYes, UNK // route Unknown
+    ), idx)
   }
 
   /** `FilterTerm::match_attr` polarity (src/ribfilter.rs:1547-1568). */
   private def combineAttrTerm(attrM: Column, pol: Polarity): Column = {
     val polNo = lit(pol == Polarity.Minus)
     val polYes = lit(pol != Polarity.Minus)
-    when(attrM === false, polNo).when(attrM === true, polYes).otherwise(UNK)
+    element_at(array(polNo, polYes, UNK),
+      (coalesce(attrM.cast("int"), lit(2)) + 1).cast("int"))
   }
 
   // ---- filter-level conjunction ------------------------------------------
@@ -389,6 +430,24 @@ object FilterCompiler {
   def acceptSuper(f: RouteFilter): Column =
     if (f.isEmpty) lit(true)
     else f.terms.map(t => termSuperRoute(t) <=> lit(true)).reduce(_ && _)
+
+  /** [[accept]] specialized to a statically-known rib kind: the key-match
+    * side folds to that rib's algebra alone. Used by the per-rib-partition
+    * union scan (RibViews.scan), where each branch's predicate must fit in
+    * one whole-stage-codegen method. */
+  def acceptFor(ribName: String, f: RouteFilter): Column =
+    if (f.isEmpty) lit(true)
+    else f.terms.map { t =>
+      combineTerm(matchItemFor(ribName, t.item),
+        matchAttr(t.item, col("attrs")), t.polarity) <=> lit(true)
+    }.reduce(_ && _)
+
+  def acceptSuperFor(ribName: String, f: RouteFilter): Column =
+    if (f.isEmpty) lit(true)
+    else f.terms.map { t =>
+      combineTerm(matchSuperItemFor(ribName, t.item),
+        matchAttr(t.item, col("attrs")), t.polarity) <=> lit(true)
+    }.reduce(_ && _)
 
   def accept(filter: String): Column = accept(FilterParser.parse(filter))
   def acceptSuper(filter: String): Column = acceptSuper(FilterParser.parse(filter))

@@ -113,16 +113,40 @@ object IpFns {
       shiftright(ipLo, 8).bitwiseAND(lit(0xFFL)),
       ipLo.bitwiseAND(lit(0xFFL)))
 
-  /** Canonical display of a prefix struct column: v4 dotted/len, v6 full
-    * 8-group hex/len (engine-canonical, see Model.pfxStr). */
+  /** Canonical display of a prefix struct column: v4 dotted/len, v6
+    * RFC-5952-compressed (longest run of ≥2 zero groups → `::`, leftmost on
+    * tie, lowercase, no leading zeros) — matches Rust `Ipv6Addr` Display
+    * used by the reference for JSON keys and regex subjects
+    * (src/bgpsvc.rs:635, src/ribfilter.rs:1463-1470; golden corpus
+    * src/ribfilter.rs:1655-1758). The zero-run search is statically
+    * unrolled over the 28 (start,len) windows, ordered len-desc/start-asc
+    * so the first matching `when` IS the RFC choice. Evaluated at ingest
+    * (stored `prefix_str`), not in per-query predicates. */
   def pfxStr(pfx: Column): Column = {
-    def grp(src: Column, i: Int): Column =
-      lower(hex(shiftright(src, (3 - i) * 16).bitwiseAND(lit(0xFFFFL))))
-    val v6groups = (0 until 4).map(i => grp(pfx("ip_hi"), i)) ++
-      (0 until 4).map(i => grp(pfx("ip_lo"), i))
+    def raw(i: Int): Column = {
+      val src = if (i < 4) pfx("ip_hi") else pfx("ip_lo")
+      shiftright(src, (3 - (i % 4)) * 16).bitwiseAND(lit(0xFFFFL))
+    }
+    def grp(i: Int): Column = lower(hex(raw(i)))
+    def zero(s: Int, l: Int): Column =
+      (s until s + l).map(raw(_) === 0L).reduce(_ && _)
+    def render(s: Int, l: Int): Column = {
+      val left = (0 until s).map(grp)
+      val right = (s + l until 8).map(grp)
+      concat(
+        (if (left.isEmpty) Seq(lit("")) else Seq(concat_ws(":", left: _*))) ++
+          Seq(lit("::")) ++
+          (if (right.isEmpty) Seq(lit("")) else Seq(concat_ws(":", right: _*))): _*)
+    }
+    val windows = for { l <- 8 to 2 by -1; s <- 0 to 8 - l } yield (s, l)
+    val full = concat_ws(":", (0 until 8).map(grp): _*)
+    val addr = windows.foldLeft(null.asInstanceOf[Column]) { case (acc, (s, l)) =>
+      if (acc == null) when(zero(s, l), render(s, l))
+      else acc.when(zero(s, l), render(s, l))
+    }.otherwise(full)
     when(pfx("version") === 4,
       concat(v4Str(pfx("ip_lo")), lit("/"), pfx("prefix_len").cast("string")))
-      .otherwise(concat(concat_ws(":", v6groups: _*), lit("/"), pfx("prefix_len").cast("string")))
+      .otherwise(concat(addr, lit("/"), pfx("prefix_len").cast("string")))
   }
 
   /** `rdh:rdl` display (reference: zettabgp BgpRD Display, exercised

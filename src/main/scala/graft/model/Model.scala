@@ -123,17 +123,34 @@ object Model {
   def v4Str(addr: Long, plen: Int): String =
     f"${(addr >> 24) & 0xFF}%d.${(addr >> 16) & 0xFF}%d.${(addr >> 8) & 0xFF}%d.${addr & 0xFF}%d/$plen%d"
 
-  /** Canonical display form of a prefix; v6 rendered as full 8-group hex
-    * (uncompressed — our canonical form, self-consistent across the engine). */
+  /** Canonical display form of a prefix; v6 rendered RFC-5952-compressed
+    * (lowercase, no leading zeros, longest run of ≥2 zero groups → `::`,
+    * leftmost on tie) — matches Rust's `Ipv6Addr` Display used by the
+    * reference for JSON keys and regex subjects (src/bgpsvc.rs:635,
+    * src/ribfilter.rs:1463-1470). */
   def pfxStr(p: IpPfx): String =
     if (p.version == 4) v4Str(p.ip_lo, p.prefix_len)
     else {
-      val groups = (0 until 8).map { i =>
+      val gs = (0 until 8).map { i =>
         val src = if (i < 4) p.ip_hi else p.ip_lo
-        val sh = (3 - (i % 4)) * 16
-        f"${(src >>> sh) & 0xFFFF}%x"
+        ((src >>> ((3 - (i % 4)) * 16)) & 0xFFFF).toInt
       }
-      groups.mkString(":") + "/" + p.prefix_len
+      var bestStart = -1
+      var bestLen = 0
+      var i = 0
+      while (i < 8) {
+        if (gs(i) == 0) {
+          var j = i
+          while (j < 8 && gs(j) == 0) j += 1
+          if (j - i >= 2 && j - i > bestLen) { bestStart = i; bestLen = j - i }
+          i = j
+        } else i += 1
+      }
+      def hexs(xs: Seq[Int]) = xs.map(x => f"$x%x").mkString(":")
+      val addr =
+        if (bestLen == 0) hexs(gs)
+        else hexs(gs.take(bestStart)) + "::" + hexs(gs.drop(bestStart + bestLen))
+      addr + "/" + p.prefix_len
     }
 
   def rdStr(rd: Rd): String = s"${rd.rdh}:${rd.rdl}"

@@ -209,29 +209,55 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** Embedding cosine near-duplicates. `blockCol` is the blocking stage:
-    * only pairs sharing its value are scored (label, LSH bucket, shard…) —
-    * without it the all-pairs join is only for moderate n. Cosine computed
-    * in double precision via zip_with. */
+  /** Embedding cosine near-duplicates — ALWAYS blocked (no all-pairs path;
+    * VERDICT r1 item 10). `blockCol` supplies an explicit blocking stage
+    * (label, shard, …); with `None` the operator blocks on random-hyperplane
+    * LSH signature chunks (Similarity.rhpSignature): candidates must share
+    * at least one of `chunks` sign-bit bands, then exact cosine verifies.
+    * Identical vectors share every band, so true duplicates are never lost;
+    * near-duplicates below signature agreement may be missed (recall < 1 by
+    * construction — the standard scale/recall trade, pinned by spec).
+    * Cosine computed in double precision via zip_with. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blockCol: Option[String] = None): DataFrame = {
+      threshold: Double, blockCol: Option[String] = None,
+      planes: Int = 16, chunks: Int = 4): DataFrame = {
     val v = emb.select(col(idCol).as("id") +:
       transform(col(vecCol), x => x.cast("double")).as("v") +:
       blockCol.map(col).toSeq: _*)
     val withNorm = v.withColumn("norm",
       sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
-    val l = withNorm.as("l")
-    val r = withNorm.as("r")
-    val cond = blockCol match {
-      case Some(b) => col(s"l.$b") === col(s"r.$b") && col("l.id") < col("r.id")
-      case None => col("l.id") < col("r.id")
+    val pairs = blockCol match {
+      case Some(b) =>
+        withNorm.as("l").join(withNorm.as("r"),
+          col(s"l.$b") === col(s"r.$b") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("a"), col("r.id").as("b"),
+            col("l.v").as("va"), col("r.v").as("vb"),
+            col("l.norm").as("na"), col("r.norm").as("nb"))
+      case None =>
+        // LSH banding: explode signature chunks, equi-join per band —
+        // the same shuffle-safe shape as simhashCandidates/lshTopK
+        val chunkBits = planes / chunks
+        val sig = withNorm.withColumn("__sig",
+          graft.pipeline.Similarity.rhpSignature(col("v"), planes))
+        val banded = sig.select(col("id"), col("v"), col("norm"),
+          posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+            call_function("shiftright", col("__sig"), (c * chunkBits).cast("int"))
+              .bitwiseAND(lit((1L << chunkBits) - 1)))))
+          .toDF("id", "v", "norm", "chunk", "chunk_val")
+        banded.as("l").join(banded.as("r"),
+          col("l.chunk") === col("r.chunk") &&
+            col("l.chunk_val") === col("r.chunk_val") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("a"), col("r.id").as("b"),
+            col("l.v").as("va"), col("r.v").as("vb"),
+            col("l.norm").as("na"), col("r.norm").as("nb"))
+          .distinct()
     }
-    l.join(r, cond)
+    pairs
       .withColumn("dot", aggregate(
-        zip_with(col("l.v"), col("r.v"), (a, b) => a * b),
+        zip_with(col("va"), col("vb"), (a, b) => a * b),
         lit(0.0d), (acc, x) => acc + x))
-      .withColumn("cosine", col("dot") / (col("l.norm") * col("r.norm")))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
-      .select(col("l.id").as("a"), col("r.id").as("b"), col("cosine"))
+      .select(col("a"), col("b"), col("cosine"))
   }
 }

@@ -55,6 +55,9 @@ object RibQueries {
     "q_rib_filter_spmsi_rd" -> filterCount("rd:601:801"),
     "q_rib_filter_mvpn_rp" -> filterCount("172.17.0.0/16"),
     "q_rib_filter_evpn_rd" -> filterCount("rd:401:601"),
+    // regex over the ::-compressed v6 display (the reference Display form,
+    // src/ribfilter.rs:1463-1470): "[0-9a-f]+::" requires a nonzero o3 group
+    "q_rib_filter_regex_v6" -> filterCount("re:^2001:0:a:[0-9a-f]+::/64$"),
     "q_rib_supernet" -> ((s, dir) => perRib(RibViews.scanSuper(re(s, dir), "10.3.9.50"))),
 
     // --- history views (S5, A4, A5; SURVEY §2.1/2.5) ---------------------
@@ -233,10 +236,13 @@ object RibQueries {
       |         END AS rdl,
       |    CASE WHEN rib IN ('ipv4lu','vpnv4u','ipv6lu','vpnv6u') THEN 100+eid%8
       |         END AS label,
-      |    CASE WHEN rib IN ('ipv6u','vpnv6u','ipv6lu','ipv6mdt')
-      |         THEN '2001:0:'||printf('%x',o2)||':'||printf('%x',o3)||':0:0:0:0/64'
-      |         WHEN rib='vpnv6m'
-      |         THEN 'ff05:0:'||printf('%x',o2)||':'||printf('%x',o3)||':0:0:0:0/64'
+      |    CASE WHEN rib IN ('ipv6u','vpnv6u','ipv6lu','ipv6mdt','vpnv6m') THEN
+      |           (CASE WHEN rib='vpnv6m' THEN 'ff05' ELSE '2001' END) ||
+      |           (CASE WHEN o2=0 AND o3=0 THEN '::'
+      |                 WHEN o3=0 THEN ':0:'||printf('%x',o2)||'::'
+      |                 WHEN o2=0 THEN ':0:0:'||printf('%x',o3)||'::'
+      |                 ELSE ':0:'||printf('%x',o2)||':'||printf('%x',o3)||'::'
+      |            END) || '/64'
       |         WHEN rib IN ('mvpn','evpn','l2vpls') THEN NULL
       |         ELSE CAST((CASE WHEN rib IN ('ipv4m','vpnv4m') THEN 224 ELSE 10 END) AS VARCHAR)
       |              ||'.'||CAST(o2 AS VARCHAR)||'.'||CAST(o3 AS VARCHAR)
@@ -335,6 +341,10 @@ object RibQueries {
     "q_rib_filter_mvpn_rp" -> perRibSql(
       "rib='mvpn' AND mtype IN (6,7) AND slot%4=1"),
     "q_rib_filter_evpn_rd" -> perRibSql("rib='evpn' AND uid%2=1 AND eid%3=1"),
+    // compressed form is '2001:0:a:<o3>::/64'; o3=0 collapses to
+    // '2001:0:a::/64' which the [0-9a-f]+ group does not match
+    "q_rib_filter_regex_v6" -> perRibSql(
+      "rib IN ('ipv6u','vpnv6u','ipv6lu','ipv6mdt') AND o2=10 AND o3<>0"),
     // probe 10.3.9.50 = 167971122; route contains probe ⟺ equal nets at
     // the route's prefix length (route ips are canonical network addresses);
     // mdt ribs are rd-only on the supernet path, fs4u is trait-default Unknown
@@ -449,7 +459,8 @@ object RibQueries {
         |  FROM m WHERE eid%3=0
         |  UNION ALL
         |  SELECT 'ipv6u', TRUE,
-        |    '2001:0:0:'||printf('%x', eid%64)||':0:0:0:0/64'
+        |    CASE WHEN eid%64=0 THEN '2001::/64'
+        |         ELSE '2001:0:0:'||printf('%x', eid%64)||'::/64' END
         |  FROM m WHERE eid%4=0
         |)
         |SELECT rib, active, COUNT(*) AS n, COUNT(DISTINCT p) AS n_prefixes

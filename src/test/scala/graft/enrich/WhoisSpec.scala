@@ -29,6 +29,95 @@ class WhoisSpec extends AnyFunSuite {
       "AS300" -> false)) // only in the dns cache, not whois
   }
 
+  // --- E4 response post-processing + referral chase (canned responses;
+  // reference src/whoissvc.rs:395-519) ----------------------------------
+
+  private val arinResponse =
+    """% ARIN WHOIS data and services are subject to the Terms of Use
+      |# another comment style
+      |
+      |OrgName:        Example Org
+      |ASNumber:       65001
+      |Ref:            https://rdap.example/entity/EX-1
+      |ResourceLink:   whois.ripe.net
+      |""".stripMargin
+
+  private val ripeResponse =
+    """% This is the RIPE Database query service.
+      |as-block:       AS64512 - AS65534
+      |org-name:       Example Org GmbH
+      |""".stripMargin
+
+  test("comment filtering drops % lines and empties") {
+    val got = Whois.filteroutComments(arinResponse)
+    assert(got.head.startsWith("# another"), "# lines survive the %-only filter")
+    assert(got.exists(_.startsWith("OrgName")))
+    assert(!got.exists(_.startsWith("%")))
+    assert(!got.contains(""))
+  }
+
+  test("findstr with a type regex drops #-comments and lines before the match") {
+    val got = Whois.findstr(arinResponse, Some("""^ASNumber""".r))
+    // skip_while semantics: everything from the first matching line on
+    assert(got.head.startsWith("ASNumber"))
+    assert(got.exists(_.startsWith("Ref:")), "lines after the match are kept")
+    assert(!got.exists(_.startsWith("OrgName")), "lines before the match drop")
+    assert(!got.exists(l => l.startsWith("%") || l.startsWith("#")))
+  }
+
+  test("referral chase follows whois.* servers until the type regex matches") {
+    var calls = List.empty[(String, Option[String])]
+    val fetch = (target: String, server: Option[String]) => {
+      calls = calls :+ (target -> server)
+      server match {
+        case None => arinResponse // default server refers to whois.ripe.net
+        case Some("whois.ripe.net") => ripeResponse
+        case Some(other) => s"unexpected $other"
+      }
+    }
+    val got = Whois.chaseWhois("AS65001", Some("""^as-block""".r), fetch)
+    assert(got.contains(ripeResponse))
+    assert(calls == List("AS65001" -> None, "AS65001" -> Some("whois.ripe.net")))
+  }
+
+  test("referral chase terminates: spent referrals yield empty, depth yields None") {
+    // every response refers to the OTHER server and never satisfies the check
+    val ping = "see whois.b.example\n"
+    val pong = "see whois.a.example\n"
+    val fetch = (_: String, server: Option[String]) => server match {
+      case None => ping
+      case Some("whois.b.example") => pong
+      case Some("whois.a.example") => ping
+      case _ => ""
+    }
+    // both referrals get visited once, then the pending set is spent → ""
+    assert(Whois.chaseWhois("AS1", Some("""^never-matches""".r), fetch)
+      .contains(""))
+    // with an unbounded referral supply the depth budget trips → None
+    var n = 0
+    val endless = (_: String, _: Option[String]) => {
+      n += 1; s"see whois.s$n.example\n"
+    }
+    assert(Whois.chaseWhois("AS1", Some("""^never-matches""".r), endless,
+      maxDepth = 4).isEmpty)
+  }
+
+  test("no checkitem returns the first response without chasing") {
+    val got = Whois.chaseWhois("AS65001", None,
+      (_, _) => arinResponse)
+    assert(got.contains(arinResponse))
+  }
+
+  test("PTR query names for v4 and v6 literals") {
+    assert(Whois.ptrQueryName("192.168.1.200")
+      .contains("200.1.168.192.IN-ADDR.ARPA."))
+    // 2001:db8::1 → nibble-reversed, ip6.arpa., lowercase hex
+    val v6 = Whois.ptrQueryName("2001:db8::1")
+    assert(v6.contains(
+      "1.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.8.b.d.0.1.0.0.2.ip6.arpa."))
+    assert(Whois.ptrQueryName("not-an-ip").isEmpty)
+  }
+
   test("origin-AS enrichment derives the last ASN and a deterministic org") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))

@@ -98,6 +98,30 @@ class IpFnsSpec extends AnyFunSuite {
     }
   }
 
+  test("v6 display is RFC-5952 compressed (reference Display goldens)") {
+    val s = spark
+    import s.implicits._
+    // longest run of ≥2 zero groups → '::', leftmost on tie, no single-zero
+    // compression (reference renders Rust Ipv6Addr Display,
+    // src/ribfilter.rs:1655-1758 exercises the compressed forms)
+    val cases = Seq(
+      (graft.model.Model.v6(0x20010db800000000L, 1L, 128), "2001:db8::1/128"),
+      (graft.model.Model.v6(0L, 0L, 0), "::/0"),
+      (graft.model.Model.v6(0L, 1L, 128), "::1/128"),
+      (graft.model.Model.v6(0x2c0aL << 48, 0L, 16), "2c0a::/16"),
+      (graft.model.Model.v6(0x2001000000000001L, 1L, 128), "2001:0:0:1::1/128"),
+      (graft.model.Model.v6(0x2001000000000001L, 0x0001000000000001L, 128),
+        "2001::1:1:0:0:1/128"),
+      (graft.model.Model.v6(0x2001000000010001L, 0x0001000100010001L, 128),
+        "2001:0:1:1:1:1:1:1/128"))
+    cases.foreach { case (p, want) =>
+      assert(graft.model.Model.pfxStr(p) == want, s"model form of $p")
+    }
+    val got = cases.map(c => Tuple1(c._1)).toDF("p")
+      .select(IpFns.pfxStr(col("p"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), "column form")
+  }
+
   test("display strings match the canonical model form") {
     val s = spark
     import s.implicits._

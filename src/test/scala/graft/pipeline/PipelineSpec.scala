@@ -75,9 +75,25 @@ class PipelineSpec extends AnyFunSuite {
       (1L, Array(1.0f, 0.0f), 0),
       (2L, Array(0.999f, 0.04f), 0),
       (3L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    // default path = LSH-chunk blocking (no all-pairs join reachable)
     val pairs = Dedup.cosineNearDup(d, "vec_id", "embedding", 0.99)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
+    // explicit block column still honored
+    val blocked = Dedup.cosineNearDup(d, "vec_id", "embedding", 0.99,
+      blockCol = Some("label"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == Set((1L, 2L)))
+  }
+
+  test("cosine near-dup LSH blocking never loses identical vectors") {
+    val d = Seq(
+      (10L, Array(0.3f, -0.7f, 0.2f)),
+      (11L, Array(0.3f, -0.7f, 0.2f)), // exact duplicate: every band agrees
+      (12L, Array(-0.7f, 0.3f, 0.9f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDup(d, "vec_id", "embedding", 0.999)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)))
   }
 
   test("langid on clear fixtures") {
