@@ -77,6 +77,75 @@ class RibJsonSpec extends AnyFunSuite {
       keys.toSet == Set("10.0.0.0/16", "10.0.0.0/8"))
   }
 
+  test("structural golden: 20-route page under maxdepth/onlyactive/changed bounds") {
+    // 20 routes 10.0.i.0/24; main ring (sess=i%2, path=i%3) holds 5 entries
+    // (j=1 withdrawn); routes i%5==0 carry an extra ring (sess=3, path=0).
+    // Params exercise every response knob at once: pagination 5/10,
+    // maxdepth 3, onlyactive, and half-open change bounds that trim j=0.
+    val evs = (0 until 20).flatMap { i =>
+      val pfx = Model.v4(s"10.0.$i.0", 24)
+      val main = (0 until 5).map { j =>
+        ev(base + j * 1000, active = j != 1, hash = i * 10 + j,
+          sess = i % 2, path = i % 3, pfx = pfx)
+      }
+      val extra = if (i % 5 == 0)
+        Seq(ev(base + 2500, active = true, hash = 900 + i, sess = 3, path = 0L,
+          pfx = pfx))
+      else Nil
+      main ++ extra
+    }
+    val p = RibJson.RibParams(skip = 5, limit = 10, maxDepth = 3,
+      onlyActive = true,
+      changedAfterMs = Some(base + 500), changedBeforeMs = Some(base + 4500))
+    val (items, found, length) = RibJson.jsonPage(df(evs), "ipv4u",
+      "10.0.0.0/16", p)
+    assert(found == 20 && length == 20)
+    val rows = items.collect()
+    assert(rows.map(_.getAs[String]("item_key")).toSeq ==
+      (5 until 15).map(i => s"10.0.$i.0/24"))
+
+    // independently-built expected tree: per ring, entries passing
+    // (active ∧ base+500 < ts < base+4500), newest-first, capped at 3
+    def expectedTree(i: Int): Map[String, Map[String, Seq[(Long, Boolean, Long)]]] = {
+      val mainHist = (4 to 0 by -1)
+        .filter(j => j != 1 && j * 1000 > 500 && j * 1000 < 4500)
+        .map(j => (base + j * 1000, true, (i * 10 + j).toLong)).take(3)
+      val main = Map(s"${i % 3}" -> mainHist)
+      val extras: Map[String, Map[String, Seq[(Long, Boolean, Long)]]] =
+        if (i % 5 == 0)
+          Map("3" -> Map("0" -> Seq((base + 2500, true, (900 + i).toLong))))
+        else Map.empty
+      Map(s"${i % 2}" -> main) ++ extras
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    rows.zipWithIndex.foreach { case (row, idx) =>
+      val i = idx + 5
+      val want = expectedTree(i)
+      val node = mapper.readTree(row.getAs[String]("items_json"))
+      import scala.jdk.CollectionConverters._
+      // session keys ascending
+      assert(node.fieldNames.asScala.toSeq == want.keys.toSeq.sortBy(_.toLong),
+        s"session keys for route $i")
+      want.foreach { case (sess, paths) =>
+        val sessNode = node.get(sess)
+        assert(sessNode.fieldNames.asScala.toSeq ==
+          paths.keys.toSeq.sortBy(_.toLong), s"path keys for route $i sess $sess")
+        paths.foreach { case (path, hist) =>
+          val pathNode = sessNode.get(path)
+          // history keys are epoch millis, newest first
+          assert(pathNode.fieldNames.asScala.toSeq == hist.map(_._1.toString),
+            s"history order for route $i sess $sess path $path")
+          hist.foreach { case (ts, active, med) =>
+            val e = pathNode.get(ts.toString)
+            assert(e.get("Active").asBoolean == active)
+            assert(e.get("Attrs").get("med").asLong == med,
+              s"med for route $i ts $ts")
+          }
+        }
+      }
+    }
+  }
+
   test("full response document shape") {
     val d = df(Seq(ev(base, active = true, 1L)))
     val resp = RibJson.response(d, "ipv4u", "10.0.0.0/24",
