@@ -280,11 +280,14 @@ object FilterCompiler {
 
   // ---- attribute matching -------------------------------------------------
 
-  /** Engine-canonical display strings for the regex attr match
-    * (reference matches Display of 6 attrs, src/ribfilter.rs:1463-1470). */
-  private def attrStrings(attrs: Column): Seq[Column] = Seq(
+  /** Display strings of the 6 regex-matchable attrs (reference matches
+    * Display of each, src/ribfilter.rs:1463-1470; nexthop renders as a bare
+    * address). Materialized ONCE at ingest as the `attr_strs` column
+    * (RouteEventGen) so the per-branch regex predicate is a single `exists`
+    * over a stored array instead of six string-builder trees. */
+  def attrStrings(attrs: Column): Column = array(
     attrs("origin"),
-    when(attrs("nexthop").isNotNull, IpFns.pfxStr(attrs("nexthop"))).otherwise(lit("")),
+    when(attrs("nexthop").isNotNull, IpFns.addrStr(attrs("nexthop"))).otherwise(lit("")),
     concat_ws(" ", attrs("as_list")),
     concat_ws(" ", transform(attrs("comms"),
       c => concat(c("a").cast("string"), lit(":"), c("b").cast("string")))),
@@ -321,7 +324,9 @@ object FilterCompiler {
       when(size(attrs("extcomms")) === 0, UNK)
         .otherwise(soft(exists(attrs("extcomms"), elemPred)))
     case Regexp(re) =>
-      soft(attrStrings(attrs).map(s => coalesce(s, lit("")).rlike(re)).reduce(_ || _))
+      // stored-subject form: `attr_strs` is written at ingest (or by spec
+      // fixtures via the RouteEvent field); any-of over the 6 display strings
+      soft(exists(col("attr_strs"), s => coalesce(s, lit("")).rlike(re)))
     case AsPath(m) =>
       val asl = attrs("as_list")
       val n = size(asl)

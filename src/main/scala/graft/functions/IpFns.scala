@@ -105,13 +105,15 @@ object IpFns {
       when(rd.isNotNull, lit(64)).otherwise(lit(0)) +
       when(labels.isNotNull, coalesce(size(labels), lit(0)) * 24).otherwise(lit(0))
 
-  /** Dotted-quad display of a v4 address held in the low 32 bits of a long. */
+  /** Dotted-quad display of a v4 address held in the low 32 bits of a long.
+    * concat-of-casts, not format_string — FormatString allocates a
+    * java.util.Formatter per row, which dominates ingest-time rendering. */
   def v4Str(ipLo: Column): Column =
-    format_string("%d.%d.%d.%d",
-      shiftright(ipLo, 24).bitwiseAND(lit(0xFFL)),
-      shiftright(ipLo, 16).bitwiseAND(lit(0xFFL)),
-      shiftright(ipLo, 8).bitwiseAND(lit(0xFFL)),
-      ipLo.bitwiseAND(lit(0xFFL)))
+    concat(
+      shiftright(ipLo, 24).bitwiseAND(lit(0xFFL)).cast("string"), lit("."),
+      shiftright(ipLo, 16).bitwiseAND(lit(0xFFL)).cast("string"), lit("."),
+      shiftright(ipLo, 8).bitwiseAND(lit(0xFFL)).cast("string"), lit("."),
+      ipLo.bitwiseAND(lit(0xFFL)).cast("string"))
 
   /** Canonical display of a prefix struct column: v4 dotted/len, v6
     * RFC-5952-compressed (longest run of ≥2 zero groups → `::`, leftmost on
@@ -122,7 +124,13 @@ object IpFns {
     * unrolled over the 28 (start,len) windows, ordered len-desc/start-asc
     * so the first matching `when` IS the RFC choice. Evaluated at ingest
     * (stored `prefix_str`), not in per-query predicates. */
-  def pfxStr(pfx: Column): Column = {
+  def pfxStr(pfx: Column): Column =
+    concat(addrStr(pfx), lit("/"), pfx("prefix_len").cast("string"))
+
+  /** Bare address display (no /len) — the reference renders plain
+    * `IpAddr` Display for host-valued attrs like nexthop
+    * (src/ribfilter.rs:1463-1470). */
+  def addrStr(pfx: Column): Column = {
     def raw(i: Int): Column = {
       val src = if (i < 4) pfx("ip_hi") else pfx("ip_lo")
       shiftright(src, (3 - (i % 4)) * 16).bitwiseAND(lit(0xFFFFL))
@@ -140,13 +148,11 @@ object IpFns {
     }
     val windows = for { l <- 8 to 2 by -1; s <- 0 to 8 - l } yield (s, l)
     val full = concat_ws(":", (0 until 8).map(grp): _*)
-    val addr = windows.foldLeft(null.asInstanceOf[Column]) { case (acc, (s, l)) =>
+    val v6 = windows.foldLeft(null.asInstanceOf[Column]) { case (acc, (s, l)) =>
       if (acc == null) when(zero(s, l), render(s, l))
       else acc.when(zero(s, l), render(s, l))
     }.otherwise(full)
-    when(pfx("version") === 4,
-      concat(v4Str(pfx("ip_lo")), lit("/"), pfx("prefix_len").cast("string")))
-      .otherwise(concat(addr, lit("/"), pfx("prefix_len").cast("string")))
+    when(pfx("version") === 4, v4Str(pfx("ip_lo"))).otherwise(v6)
   }
 
   /** `rdh:rdl` display (reference: zettabgp BgpRD Display, exercised

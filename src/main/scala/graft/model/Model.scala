@@ -91,7 +91,11 @@ final case class RouteEvent(
     evpn: Option[EvpnKey],
     mdt_group: Option[IpPfx],
     attrs: Attrs,
-    attrs_hash: Long
+    attrs_hash: Long,
+    /** regex-match subjects (6 attr display strings, rendered at ingest —
+      * FilterCompiler.attrStrings); fixtures may leave it empty when no
+      * attr-regex term is exercised */
+    attr_strs: Seq[String] = Seq.empty
 )
 
 object Model {

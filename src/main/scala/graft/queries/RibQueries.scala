@@ -58,6 +58,9 @@ object RibQueries {
     // regex over the ::-compressed v6 display (the reference Display form,
     // src/ribfilter.rs:1463-1470): "[0-9a-f]+::" requires a nonzero o3 group
     "q_rib_filter_regex_v6" -> filterCount("re:^2001:0:a:[0-9a-f]+::/64$"),
+    // regex matched through the ATTR subjects (nexthop bare-address display)
+    // while every route key is Unknown — the route-Unknown/attr-Yes cell
+    "q_rib_filter_regex_attr" -> filterCount("re:^192\\.168\\.2\\."),
     "q_rib_supernet" -> ((s, dir) => perRib(RibViews.scanSuper(re(s, dir), "10.3.9.50"))),
 
     // --- history views (S5, A4, A5; SURVEY §2.1/2.5) ---------------------
@@ -345,6 +348,8 @@ object RibQueries {
     // '2001:0:a::/64' which the [0-9a-f]+ group does not match
     "q_rib_filter_regex_v6" -> perRibSql(
       "rib IN ('ipv6u','vpnv6u','ipv6lu','ipv6mdt') AND o2=10 AND o3<>0"),
+    // nexthop 192.168.(uid%4).(eid%200): second-octet test hits every rib
+    "q_rib_filter_regex_attr" -> perRibSql("uid%4=2"),
     // probe 10.3.9.50 = 167971122; route contains probe ⟺ equal nets at
     // the route's prefix length (route ips are canonical network addresses);
     // mdt ribs are rd-only on the supernet path, fs4u is trait-default Unknown

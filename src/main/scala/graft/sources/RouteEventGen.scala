@@ -44,9 +44,15 @@ object RouteEventGen {
   def routeEvents(spark: SparkSession, sfDir: String): DataFrame =
     cache.computeIfAbsent(sfDir, { _ =>
       val dir = s"$snapshotRoot/${java.lang.Integer.toHexString(sfDir.hashCode)}"
+      // No shuffle: sort within the scan partitions by (rib, prefix) and
+      // let the dynamic-partition writer split per rib. Wide nested rows
+      // make a shuffle cost more than the write itself (measured 3×); the
+      // within-file prefix sort keeps parquet ROW-GROUP min/max stats tight,
+      // which is the granularity the reader actually skips at. On a real
+      // cluster at 100 TB the same pipeline would add a (rib, prefix-range)
+      // exchange to bound file counts — see SCALE.md.
       fromEvents(Tables(spark, sfDir, "events"))
-        .repartition(col("rib"))
-        .sortWithinPartitions(col("prefix.ip_hi"), col("prefix.ip_lo"),
+        .sortWithinPartitions(col("rib"), col("prefix.ip_hi"), col("prefix.ip_lo"),
           col("prefix.prefix_len"), col("ts"))
         .write.mode("overwrite").partitionBy("rib").parquet(dir)
       spark.read.parquet(dir)
@@ -217,6 +223,8 @@ object RouteEventGen {
       evpnKey.as("evpn"),
       mdtGroup.as("mdt_group"),
       attrs.as("attrs"),
+      // regex-match subjects, rendered once at ingest (src/ribfilter.rs:1463-1470)
+      graft.filter.FilterCompiler.attrStrings(attrs).as("attr_strs"),
       ((eid % 600) * 1000 + uid % 140).cast("long").as("attrs_hash"),
       // daily change-time bucket → partition-prunable (replaces the
       // reference's idx_changed daily index, src/bgprib.rs:430, 652-653)
