@@ -208,6 +208,80 @@ class FilterCompilerSpec extends AnyFunSuite {
     assert(verdicts(r2, "225.1.1.0/24") == Seq(Yes))
   }
 
+  // Tri-state verdicts for every MVPN (1-7) and EVPN (1-5) dispatch arm
+  // (reference impls: src/ribfilter.rs:320-453; the reference test corpus
+  // only covers T5, so these pin the remaining arms directly)
+  test("mvpn subtype dispatch verdicts (types 1-4, 6, 7)") {
+    val a = Model.emptyAttrs
+    def mk(mtype: Int, rd: Rd = Rd(300, 500), orig: Option[IpPfx] = None,
+        src: Option[IpPfx] = None, grp: Option[IpPfx] = None,
+        rp: Option[IpPfx] = None, srd: Option[Rd] = None,
+        sorig: Option[IpPfx] = None, ssrc: Option[IpPfx] = None,
+        sgrp: Option[IpPfx] = None) =
+      df(Seq(mvpnEv(MvpnKey(mtype, rd, orig, src, grp, rp, srd, sorig, ssrc, sgrp), a)))
+    val h = Some(Model.v4("10.2.3.4", 32))
+    val h2 = Some(Model.v4("10.2.3.5", 32))
+    val g = Some(Model.v4("224.1.1.1", 32))
+    val rpH = Some(Model.v4("172.16.1.1", 32))
+    // T1 intra-AS I-PMSI: rd first, then originator host
+    val t1 = mk(1, orig = h)
+    assert(verdicts(t1, "rd:300:500") == Seq(Yes))
+    assert(verdicts(t1, "rd:9:9") == Seq(No))
+    assert(verdicts(t1, "10.2.3.0/24") == Seq(Yes))
+    assert(verdicts(t1, "10.9.0.0/16") == Seq(No))
+    assert(verdicts(t1, "224.1.1.0/24") == Seq(Unknown)) // mc item vs unicast orig
+    // T2 inter-AS I-PMSI: rd ONLY — address terms stay Unknown
+    val t2 = mk(2)
+    assert(verdicts(t2, "rd:300:500") == Seq(Yes))
+    assert(verdicts(t2, "10.0.0.0/8") == Seq(Unknown))
+    // T3 S-PMSI: originator/source/group majority
+    val t3 = mk(3, orig = h, src = h2, grp = g)
+    assert(verdicts(t3, "10.2.3.0/24") == Seq(Yes)) // orig+src Yes, group Unknown
+    assert(verdicts(t3, "10.9.0.0/16") == Seq(No))
+    assert(verdicts(t3, "224.1.1.0/24") == Seq(Yes)) // group Yes, hosts Unknown
+    // T4 leaf A-D: the S-PMSI tuple decides; its OWN rd, not the route rd
+    val t4 = mk(4, rd = Rd(999, 999), orig = h,
+      srd = Some(Rd(600, 800)), sorig = h, ssrc = h2, sgrp = g)
+    assert(verdicts(t4, "rd:600:800") == Seq(Yes))
+    assert(verdicts(t4, "rd:999:999") == Seq(No)) // route rd is not consulted
+    assert(verdicts(t4, "10.2.3.0/24") == Seq(Yes))
+    assert(verdicts(t4, "224.1.1.0/24") == Seq(Yes))
+    // T6/T7 shared/source tree join: rp/group majority
+    Seq(6, 7).foreach { t =>
+      val d = mk(t, grp = g, rp = rpH)
+      assert(verdicts(d, "172.16.0.0/16") == Seq(Yes), s"t$t rp")
+      assert(verdicts(d, "10.0.0.0/8") == Seq(No), s"t$t rp miss")
+      assert(verdicts(d, "224.1.1.0/24") == Seq(Yes), s"t$t group")
+    }
+  }
+
+  test("evpn subtype dispatch verdicts (types 1-5, absent-ip t2)") {
+    def evpnEv(key: EvpnKey): RouteEvent = {
+      n += 1
+      RouteEvent(new java.sql.Timestamp(1700000000000L + n), "evpn", 0, 0L,
+        active = true, None, None, None, None, None, None, Some(key), None,
+        Model.emptyAttrs, 0L)
+    }
+    def mk(etype: Int, ip: Option[IpPfx] = None, gw: Option[IpPfx] = None) =
+      df(Seq(evpnEv(EvpnKey(etype, Rd(400, 600), ip, gw))))
+    val ip = Some(Model.v4("10.2.3.4", 32))
+    // T1 ethernet A-D: rd only
+    assert(verdicts(mk(1), "rd:400:600") == Seq(Yes))
+    assert(verdicts(mk(1), "10.0.0.0/8") == Seq(Unknown))
+    // T2 MAC/IP: rd first, then ip WHEN PRESENT
+    assert(verdicts(mk(2, ip = ip), "10.2.3.0/24") == Seq(Yes))
+    assert(verdicts(mk(2, ip = ip), "10.9.0.0/16") == Seq(No))
+    assert(verdicts(mk(2), "10.2.3.0/24") == Seq(Unknown)) // absent ip
+    // T3/T4 multicast-ethernet-tag / ethernet-segment: ip
+    assert(verdicts(mk(3, ip = ip), "10.2.3.0/24") == Seq(Yes))
+    assert(verdicts(mk(4, ip = ip), "10.2.3.0/24") == Seq(Yes))
+    assert(verdicts(mk(4, ip = ip), "10.9.0.0/16") == Seq(No))
+    // T5 IP-prefix: gateway ip
+    assert(verdicts(mk(5, gw = ip), "10.2.3.0/24") == Seq(Yes))
+    assert(verdicts(mk(5, gw = ip), "rd:400:600") == Seq(Yes))
+    assert(verdicts(mk(5, gw = ip), "rd:9:9") == Seq(No))
+  }
+
   // AS-path anchor semantics (reference: src/ribfilter.rs:1474-1507)
   test("as-path anchors") {
     def withPath(asns: Seq[Long]) = Model.emptyAttrs.copy(
