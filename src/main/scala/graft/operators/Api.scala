@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The `/api` query surface (reference: src/bgpsvc.rs:457-482 dispatch,
+  * src/main.rs:145-165 outer routes, src/ribservice.rs:93-114 +
+  * src/service.rs:5-30 URL-parameter extraction).
+  *
+  * The HTTP transport itself is out-of-engine (driver scope); this object
+  * is everything behind it: URL-parameter parsing with the reference's
+  * defaults and ignore-unparseable rule, the rib-name dispatch (unknown
+  * names fall back to ipv4u, src/ribservice.rs:261-277), the session-FSM
+  * state strings, and the route to each response document. */
+object Api {
+
+  /** BGP session FSM states (reference: src/bgpsvc.rs:164-173). `/api/state`
+    * returns the Rust Debug rendering, which is the bare variant name. */
+  sealed trait SessionState { def render: String = toString }
+  case object Idle extends SessionState
+  case object Connect extends SessionState
+  case object Active extends SessionState
+  case object OpenSent extends SessionState
+  case object OpenConfirm extends SessionState
+  case object Established extends SessionState
+  case object BMP extends SessionState
+
+  def ping: String = "pong" // src/main.rs:152-154
+
+  /** Query-string → map (last value wins, URL-decoded) — the engine half of
+    * `get_url_params` (src/service.rs:5-14). */
+  def parseQuery(qs: String): Map[String, String] =
+    qs.split('&').toSeq.filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(dec(k) -> dec(v))
+        case Array(k) => Some(dec(k) -> "")
+        case _ => None
+      }
+    }.toMap
+
+  private def dec(s: String): String =
+    try java.net.URLDecoder.decode(s, "UTF-8") catch { case _: Exception => s }
+
+  /** Reference defaults skip=0 limit=1000 maxdepth=10 onlyactive=false
+    * (src/ribservice.rs:253); unparseable values are IGNORED, keeping the
+    * default (`get_url_param` logs and returns None, src/service.rs:15-30).
+    * Time bounds are epoch milliseconds. */
+  def parseParams(params: Map[String, String]): RibJson.RibParams = {
+    def num(k: String): Option[Long] = params.get(k).flatMap(v =>
+      try Some(java.lang.Long.parseLong(v)) catch { case _: NumberFormatException => None })
+    def bool(k: String): Option[Boolean] = params.get(k).flatMap(v =>
+      if (v == "true") Some(true) else if (v == "false") Some(false) else None)
+    RibJson.RibParams(
+      skip = num("skip").map(_.toInt).getOrElse(0),
+      limit = num("limit").map(_.toInt).getOrElse(1000),
+      maxDepth = num("maxdepth").map(_.toInt).getOrElse(10),
+      onlyActive = bool("onlyactive").getOrElse(false),
+      changedAfterMs = num("changed_after"),
+      changedBeforeMs = num("changed_before"))
+  }
+
+  /** Unknown rib names dispatch to ipv4u (src/ribservice.rs:277). */
+  def ribName(part: String): String =
+    if (graft.model.Model.ribKinds.contains(part)) part else "ipv4u"
+
+  /** `/api/...` router over the event log. Returns None for paths the
+    * reference 404s (src/bgpsvc.rs:463-481). `state` is supplied by the
+    * session adapter. */
+  def handle(events: DataFrame, path: String, state: SessionState = Established): Option[String] = {
+    val (p, qs) = path.indexOf('?') match {
+      case -1 => (path, "")
+      case i => (path.substring(0, i), path.substring(i + 1))
+    }
+    val parts = p.split('/').toSeq
+    if (parts.length < 3 || parts(1) != "api") return None
+    parts(2) match {
+      case "ping" => Some(ping)
+      case "state" => Some(state.render)
+      case "statistics" => Some(Statistics.statisticsJson(events))
+      case "sessions" => Some(sessionsJson(events))
+      case "json" if parts.length >= 4 =>
+        val q = parseQuery(qs)
+        val rib = ribName(parts(3))
+        Some(RibJson.response(events, rib, q.getOrElse("filter", ""), parseParams(q)))
+      case _ => None
+    }
+  }
+
+  /** Session registry document (reference serializes its session map,
+    * src/bgpsvc.rs:436-462; engine-canonical shape from the log). */
+  def sessionsJson(events: DataFrame): String = {
+    val rows = events.groupBy(col("session_id"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("rib")).as("n_ribs"),
+        max(unix_millis(col("ts"))).as("last_change"))
+      .orderBy(col("session_id")).collect()
+    rows.map(r =>
+      s"""{"session_id":${r.getInt(0)},"n_events":${r.getLong(1)},""" +
+        s""""n_ribs":${r.getLong(2)},"last_change":${r.getLong(3)}}""")
+      .mkString("[", ",", "]")
+  }
+}

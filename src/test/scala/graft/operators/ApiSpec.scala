@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.model._
+
+/** X8 URL-parameter parsing + `/api` routing (reference:
+  * src/ribservice.rs:93-114 defaults/ignore rule, src/bgpsvc.rs:457-482
+  * dispatch, src/main.rs:145-165 ping, src/bgpsvc.rs:164-173 FSM names). */
+class ApiSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val base = 1700000000000L
+  private def events = {
+    val s = spark
+    import s.implicits._
+    val p = Model.v4("10.0.0.0", 24)
+    s.createDataset((0 until 3).map(i =>
+      RouteEvent(new java.sql.Timestamp(base + i), "ipv4u", i % 2, 0L,
+        active = true, Some(p), Some(Model.pfxStr(p)), None, None, None, None,
+        None, None, Model.emptyAttrs, i.toLong))).toDF()
+  }
+
+  test("params: reference defaults and overrides") {
+    val d = Api.parseParams(Map.empty)
+    assert(d == RibJson.RibParams(0, 1000, 10, onlyActive = false, None, None))
+    val p = Api.parseParams(Api.parseQuery(
+      "skip=5&limit=20&maxdepth=3&onlyactive=true&changed_after=100&changed_before=200"))
+    assert(p == RibJson.RibParams(5, 20, 3, onlyActive = true, Some(100L), Some(200L)))
+  }
+
+  test("params: unparseable values are ignored, keeping defaults") {
+    val p = Api.parseParams(Map(
+      "skip" -> "abc", "limit" -> "", "onlyactive" -> "yes", "maxdepth" -> "7"))
+    assert(p.skip == 0 && p.limit == 1000 && !p.onlyActive && p.maxDepth == 7)
+  }
+
+  test("unknown rib name dispatches to ipv4u") {
+    assert(Api.ribName("vpnv6u") == "vpnv6u")
+    assert(Api.ribName("nonsense") == "ipv4u")
+  }
+
+  test("session FSM state strings match the reference Debug names") {
+    assert(Seq(Api.Idle, Api.Connect, Api.Active, Api.OpenSent,
+      Api.OpenConfirm, Api.Established, Api.BMP).map(_.render) ==
+      Seq("Idle", "Connect", "Active", "OpenSent", "OpenConfirm",
+        "Established", "BMP"))
+  }
+
+  test("router: ping, state, statistics, sessions, json; 404s") {
+    val d = events
+    assert(Api.handle(d, "/api/ping").contains("pong"))
+    assert(Api.handle(d, "/api/state", Api.OpenConfirm).contains("OpenConfirm"))
+    assert(Api.handle(d, "/api/statistics").exists(_.contains("\"ribs\":{\"ipv4u\":3}")))
+    val sess = Api.handle(d, "/api/sessions").get
+    assert(sess.contains("\"session_id\":0") && sess.contains("\"session_id\":1"))
+    val json = Api.handle(d, "/api/json/ipv4u?filter=10.0.0.0%2F24&limit=5").get
+    assert(json.contains("\"ribtype\":\"ipv4u\"") && json.contains("\"limit\":5"))
+    assert(json.contains("\"found\":1"))
+    assert(Api.handle(d, "/api").isEmpty)
+    assert(Api.handle(d, "/other/ping").isEmpty)
+    assert(Api.handle(d, "/api/nonsense").isEmpty)
+  }
+}
