@@ -217,6 +217,47 @@ object FilterCompiler {
   val ribValues: Seq[String] =
     prefixOnlyRibs ++ vpnRibs ++ mdtRibs ++ Seq("l2vpls", "mvpn", "evpn")
 
+  /** Address family of each table's prefix key — STATIC knowledge: the
+    * reference registry types each SAFI table (BgpAddrV4/BgpAddrV6 wrappers,
+    * src/bgprib.rs:807-821), so e.g. ipv6u can never hold a v4 key. Lets
+    * the per-rib specialization fold the version gate at compile time; a
+    * family-mismatched term folds to literal Unknown and Catalyst prunes
+    * the whole union branch to an empty relation — zero scan, zero codegen. */
+  private val ribKeyVersion: Map[String, Int] = Map(
+    "ipv4u" -> 4, "ipv4m" -> 4, "ipv4lu" -> 4, "vpnv4u" -> 4, "vpnv4m" -> 4,
+    "ipv4mdt" -> 4, "fs4u" -> 4,
+    "ipv6u" -> 6, "ipv6lu" -> 6, "vpnv6u" -> 6, "vpnv6m" -> 6, "ipv6mdt" -> 6)
+
+  /** [[matchPrefix]] with the key family statically known: mismatched
+    * families fold to Unknown, matched families drop the runtime version
+    * test (the multicast gate stays — it is data, not type). The v4/v6
+    * prefix-length quirk of Num terms also resolves statically. */
+  private def matchPrefixKnown(item: FilterItem, ver: Int, pfx: Column,
+      display: Column): Column = item match {
+    case V4(_, _) if ver != 4 => UNK
+    case V6(_, _) if ver != 6 => UNK
+    case V4(net, mc) =>
+      when(IpFns.isMulticastV4(pfx("ip_lo")) === lit(mc), containsLit(net, pfx))
+        .otherwise(UNK)
+    case V6(net, mc) =>
+      when(IpFns.isMulticastV6(pfx("ip_hi")) === lit(mc), containsLit(net, pfx))
+        .otherwise(UNK)
+    case Num(n) =>
+      if (ver == 4) pfx("prefix_len") === n else soft(pfx("prefix_len") === n)
+    case Regexp(re) => soft(display.rlike(re))
+    case _ => UNK
+  }
+
+  private def matchSuperPrefixKnown(item: FilterItem, ver: Int, pfx: Column): Column =
+    item match {
+      case V4(_, false) if ver != 4 => UNK
+      case V6(_, false) if ver != 6 => UNK
+      case V4(net, false) => superContainsLit(pfx, net)
+      case V6(net, false) => superContainsLit(pfx, net)
+      case Num(n) => soft(pfx("prefix_len") === n)
+      case _ => UNK
+    }
+
   /** Key-algebra match for ONE statically-known rib kind — the per-branch
     * building block. Specializing per rib keeps each compiled predicate
     * small enough for whole-stage codegen (the full 15-way tree in one
@@ -225,26 +266,28 @@ object FilterCompiler {
   def matchItemFor(ribName: String, item: FilterItem): Column = {
     val pfx = col("prefix")
     val disp = col("prefix_str")
+    def mp = matchPrefixKnown(item, ribKeyVersion(ribName), pfx, disp)
     ribName match {
       case "fs4u" => UNK // BgpFlowSpec uses the trait default (ribfilter.rs:453)
-      case r if prefixOnlyRibs.contains(r) => matchPrefix(item, pfx, disp)
-      case r if vpnRibs.contains(r) => rdFirst(item, col("rd"), matchPrefix(item, pfx, disp))
+      case r if prefixOnlyRibs.contains(r) => mp
+      case r if vpnRibs.contains(r) => rdFirst(item, col("rd"), mp)
       case "l2vpls" => matchL2(item, col("rd"), col("l2"))
       case "mvpn" => matchMvpn(item, col("mvpn"))
       case "evpn" => matchEvpn(item, col("evpn"))
       case r if mdtRibs.contains(r) =>
         rdFirst(item, col("rd"),
-          multi(Seq(matchPrefix(item, pfx, disp), matchHost(item, col("mdt_group")))))
+          multi(Seq(mp, matchHost(item, col("mdt_group")))))
       case _ => UNK
     }
   }
 
   def matchSuperItemFor(ribName: String, item: FilterItem): Column = {
     val pfx = col("prefix")
+    def msp = matchSuperPrefixKnown(item, ribKeyVersion(ribName), pfx)
     ribName match {
       case "fs4u" => UNK
-      case r if prefixOnlyRibs.contains(r) => matchSuperPrefix(item, pfx)
-      case r if vpnRibs.contains(r) => rdFirst(item, col("rd"), matchSuperPrefix(item, pfx))
+      case r if prefixOnlyRibs.contains(r) => msp
+      case r if vpnRibs.contains(r) => rdFirst(item, col("rd"), msp)
       case r if mdtRibs.contains(r) => matchRd(item, col("rd"))
       case _ => UNK
     }
@@ -253,17 +296,23 @@ object FilterCompiler {
   /** `FilterMatchRoute::match_item` over the unified schema: dispatch on the
     * `rib` discriminator to the right key algebra
     * (reference dispatch: the 15 typed tables, src/bgprib.rs:807-821).
-    * Family groups share one branch (identical specialized expression), so
-    * the polymorphic tree stays as small as the algebra allows. */
+    * The family groups here mix v4 and v6 tables, so this polymorphic form
+    * MUST use the runtime version gate — the statically-folded
+    * [[matchItemFor]] is only sound when the rib (hence key family) is
+    * known. Used by the window paths (historyExists, entryMatchFlag). */
   def matchItem(item: FilterItem): Column = {
     val rib = col("rib")
+    val pfx = col("prefix")
+    val disp = col("prefix_str")
     when(rib === "fs4u", UNK)
-      .when(rib.isin(prefixOnlyRibs.filter(_ != "fs4u"): _*), matchItemFor("ipv4u", item))
-      .when(rib.isin(vpnRibs: _*), matchItemFor("vpnv4u", item))
-      .when(rib === "l2vpls", matchItemFor("l2vpls", item))
-      .when(rib === "mvpn", matchItemFor("mvpn", item))
-      .when(rib === "evpn", matchItemFor("evpn", item))
-      .when(rib.isin(mdtRibs: _*), matchItemFor("ipv4mdt", item))
+      .when(rib.isin(prefixOnlyRibs.filter(_ != "fs4u"): _*), matchPrefix(item, pfx, disp))
+      .when(rib.isin(vpnRibs: _*), rdFirst(item, col("rd"), matchPrefix(item, pfx, disp)))
+      .when(rib === "l2vpls", matchL2(item, col("rd"), col("l2")))
+      .when(rib === "mvpn", matchMvpn(item, col("mvpn")))
+      .when(rib === "evpn", matchEvpn(item, col("evpn")))
+      .when(rib.isin(mdtRibs: _*),
+        rdFirst(item, col("rd"),
+          multi(Seq(matchPrefix(item, pfx, disp), matchHost(item, col("mdt_group"))))))
       .otherwise(UNK)
   }
 
@@ -271,10 +320,11 @@ object FilterCompiler {
     * fall back to the trait default Unknown (src/ribfilter.rs:199-217). */
   def matchSuperItem(item: FilterItem): Column = {
     val rib = col("rib")
+    val pfx = col("prefix")
     when(rib === "fs4u", UNK)
-      .when(rib.isin(prefixOnlyRibs.filter(_ != "fs4u"): _*), matchSuperItemFor("ipv4u", item))
-      .when(rib.isin(vpnRibs: _*), matchSuperItemFor("vpnv4u", item))
-      .when(rib.isin(mdtRibs: _*), matchSuperItemFor("ipv4mdt", item))
+      .when(rib.isin(prefixOnlyRibs.filter(_ != "fs4u"): _*), matchSuperPrefix(item, pfx))
+      .when(rib.isin(vpnRibs: _*), rdFirst(item, col("rd"), matchSuperPrefix(item, pfx)))
+      .when(rib.isin(mdtRibs: _*), matchRd(item, col("rd")))
       .otherwise(UNK)
   }
 
