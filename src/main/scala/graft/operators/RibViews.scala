@@ -186,11 +186,40 @@ object RibViews {
     }.reduce(_ union _)
   }
 
-  /** Supernet scan (Q2, src/ribfilter.rs:620-683) — same union shape. */
+  /** Pushable candidate-network hint for the supernet scan: a supernet of
+    * the filter net must BE the filter address masked at some shorter
+    * prefix length, so its network address is one of ≤33 (v4) / ≤65 (v6-hi)
+    * candidates — an IN-list the Parquet reader can push into row-group
+    * dictionary/stats skipping. Sound only for branches whose supernet
+    * acceptance requires prefix containment (prefix/vpn families; mdt is
+    * rd-only on this path and gets no hint). */
+  private def superPruneHintFor(rib: String, f: RouteFilter): Column = {
+    val v4Pfx = Set("ipv4u", "vpnv4u", "ipv4lu", "ipv4m", "vpnv4m", "fs4u")
+    val v6Pfx = Set("ipv6u", "vpnv6u", "ipv6lu", "ipv6mdt", "vpnv6m")
+    f.leastSubnet match {
+      case Some(graft.filter.FilterItem.V4(net, _)) if v4Pfx(rib) =>
+        val cands = (0 to net.plen)
+          .map(p => if (p == 0) 0L else net.addr & (-1L << (32 - p)) & 0xFFFFFFFFL)
+          .distinct
+        col("prefix.ip_lo").isin(cands: _*)
+      case Some(graft.filter.FilterItem.V6(net, _)) if v6Pfx(rib) =>
+        val cands = (0 to math.min(net.plen, 64))
+          .map(p => if (p == 0) 0L else if (p >= 64) net.hi else net.hi & (-1L << (64 - p)))
+          .distinct
+        col("prefix.ip_hi").isin(cands: _*)
+      case _ => lit(true)
+    }
+  }
+
+  /** Supernet scan (Q2, src/ribfilter.rs:620-683) — same union shape, plus
+    * the candidate-network IN-list ahead of the tri-state predicate (the
+    * reference's upward BTreeMap walk, re-expressed as data skipping). */
   def scanSuper(df: DataFrame, filter: String): DataFrame = {
     val f = FilterParser.parse(filter)
     FilterCompiler.ribValues.map { r =>
-      df.where(col("rib") === r).where(FilterCompiler.acceptSuperFor(r, f))
+      df.where(col("rib") === r)
+        .where(superPruneHintFor(r, f))
+        .where(FilterCompiler.acceptSuperFor(r, f))
     }.reduce(_ union _)
   }
 

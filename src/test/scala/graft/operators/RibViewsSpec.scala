@@ -145,6 +145,12 @@ class RibViewsSpec extends AnyFunSuite {
       val withoutHint = d.where(graft.filter.FilterCompiler.accept(f)).count()
       assert(withHint == withoutHint, s"prune hint changed results for '$f'")
     }
+    // supernet path: candidate-network IN-list vs bare tri-state acceptance
+    Seq("10.3.9.50", "10.0.9.77", "2001:0:a::/48", "rd:101:1000").foreach { f =>
+      val withHint = RibViews.scanSuper(d, f).count()
+      val bare = d.where(graft.filter.FilterCompiler.acceptSuper(f)).count()
+      assert(withHint == bare, s"supernet hint changed results for '$f'")
+    }
   }
 
   test("supernet top-k orders by specificity") {
