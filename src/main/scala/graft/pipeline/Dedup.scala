@@ -37,14 +37,16 @@ object Dedup {
       .otherwise(array(xxhash64(concat_ws(" ", words))))
   }
 
-  /** Exploded (id, shingle_hash) rows — the scalable shingling form: the
-    * text is split ONCE per row (posexplode), shingles come from window
-    * `lead`s over word position, and each shingle is hashed directly from
-    * its k words. Avoids the trap where array-lambda shingling re-evaluates
-    * `split` per element (O(words²) work per document). Multiset semantics
-    * (duplicates kept) — `.distinct()` downstream where sets are needed. */
-  def explodedShingleHashes(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+  /** Exploded (id, `out`) rows over word k-shingles — the scalable
+    * shingling form: the text is split ONCE per row (posexplode), shingles
+    * come from window `lead`s over word position, and `mk` maps the k word
+    * columns of each shingle (or the single whole-text column for
+    * sub-k-word documents) to the output column. Avoids the trap where
+    * array-lambda shingling re-evaluates `split` per element (O(words²)
+    * work per document). Multiset semantics (duplicates kept) —
+    * `.distinct()` downstream where sets are needed. */
+  private def explodedShingleCols(df: DataFrame, idCol: String,
+      textCol: String, k: Int, out: String)(mk: Seq[Column] => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "w")))
@@ -52,14 +54,53 @@ object Dedup {
     val leads = (1 until k).map(j => lead(col("w"), j).over(byDoc))
     val long = words
       .withColumn("nw", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .withColumn("h", xxhash64(col("w") +: leads: _*))
+      .withColumn(out, mk(col("w") +: leads))
       .where(col("nw") >= k && col("pos") <= col("nw") - k)
-      .select(col("id"), col("h"))
+      .select(col("id"), col(out))
     val short = df
       .where(size(split(col(textCol), "\\s+")) < k)
       .select(col(idCol).as("id"),
-        xxhash64(concat_ws(" ", split(col(textCol), "\\s+"))).as("h"))
+        mk(Seq(concat_ws(" ", split(col(textCol), "\\s+")))).as(out))
     long.unionByName(short)
+  }
+
+  /** Exploded (id, h) 64-bit shingle hashes — each shingle hashed directly
+    * from its k words, no shingle-string materialization (the hot-path
+    * form: at corpus scale the string build dominates shingling cost). */
+  def explodedShingleHashes(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    explodedShingleCols(df, idCol, textCol, k, "h")(ws => xxhash64(ws: _*))
+
+  /** Exploded (id, s) shingle strings — for the arithmetic-hash variants
+    * whose hashes an external SQL engine can recompute (oracle path). */
+  def explodedShingleStrings(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    explodedShingleCols(df, idCol, textCol, k, "s")(ws => concat_ws(" ", ws: _*))
+
+  /** Polynomial character fold `(…(c0·m + c1)·m + c2…) mod q` — an
+    * engine-portable hash: pure integer arithmetic over codepoints, so any
+    * SQL engine reproduces it exactly (the cross-checkable alternative to
+    * xxhash64; quality is lower but adequate for bucketing). The empty-
+    * string filter drops the trailing empty element Spark's `split` keeps.
+    * With q < 2^31 and codepoints < 2^21 the fold stays far below 2^63. */
+  def charFold(s: Column, mult: Long, q: Long): Column =
+    aggregate(filter(split(s, ""), c => c =!= ""), lit(0L),
+      (acc, c) => (acc * mult + ascii(c)) % q)
+
+  /** 31-bit portable shingle hash (drop-in for the masked xxhash64). */
+  def arithHash31(s: Column): Column = charFold(s, 31L, 1073741789L)
+
+  /** 63-bit portable shingle hash: two independent 31-bit folds spread
+    * across the word — bits 33-62 from fold1 (folded to 30 bits first so
+    * the shift can't overflow: SQL engines raise on signed-shift overflow
+    * where the JVM wraps), bits 2-32 from fold2, low bits from their sum.
+    * Always non-negative; bit 63 is never set (a simhash built on it has a
+    * constant-zero top bit — irrelevant for bucketing/hamming). SQL
+    * replica: `xor(xor((f1 % 2^30) << 33, f2 << 2), f1 + f2)`. */
+  def arithHash64(s: Column): Column = {
+    val f1 = charFold(s, 31L, 2147483647L)
+    val f2 = charFold(s, 131L, 2147483629L)
+    shiftleft(f1 % 1073741824L, 33).bitwiseXOR(shiftleft(f2, 2)).bitwiseXOR(f1 + f2)
   }
 
   /** Exact duplicate groups by 64-bit content hash: returns
@@ -98,26 +139,43 @@ object Dedup {
     * an over-full bucket is non-discriminative (its members pair with
     * everything) and is exactly what turns LSH quadratic — the standard
     * guard in production dedup pipelines. */
+  /** MinHash universal-hash multipliers/offsets, shared with the DuckDB
+    * oracle generator (PipelineQueries builds the same constants into the
+    * SQL text). */
+  def minhashAB(i: Int): (Long, Long) = (
+    math.abs((0x9E3779B97F4A7C15L * (2 * i + 1)) >> 33) | 1L,
+    math.abs((0xC2B2AE3D27D4EB4FL * (i + 1)) >> 33))
+
+  val MinhashPrime = 2305843009213693951L // 2^61 - 1
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      maxBucketSize: Int = 64): DataFrame = {
+      maxBucketSize: Int = 64, arithmeticHash: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = numHashes / bands
-    val prime = 2305843009213693951L
     // explode → hash each shingle ONCE → map-side-combinable min per hash
     // function; the groupBy is the materialization barrier so the banding
     // self-join reuses computed signatures instead of re-deriving them.
-    val ex = explodedShingleHashes(df, idCol, textCol, k).distinct()
-      .select(col("id"), col("h").bitwiseAND(lit(0x7FFFFFFFL)).as("h31"))
+    // arithmeticHash swaps the masked xxhash64 for the portable char fold
+    // (same machinery end-to-end, hash recomputable by the DuckDB oracle).
+    val ex =
+      if (arithmeticHash)
+        explodedShingleStrings(df, idCol, textCol, k).distinct()
+          .select(col("id"), arithHash31(col("s")).as("h31"))
+      else
+        explodedShingleHashes(df, idCol, textCol, k).distinct()
+          .select(col("id"), col("h").bitwiseAND(lit(0x7FFFFFFFL)).as("h31"))
     val minCols = (0 until numHashes).map { i =>
-      val a = math.abs((0x9E3779B97F4A7C15L * (2 * i + 1)) >> 33) | 1L
-      val b = math.abs((0xC2B2AE3D27D4EB4FL * (i + 1)) >> 33)
-      min(pmod(col("h31") * a + b, lit(prime))).as(s"m$i")
+      val (a, b) = minhashAB(i)
+      min(pmod(col("h31") * a + b, lit(MinhashPrime))).as(s"m$i")
     }
     val sigs = ex.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    // band bucket key: portable integer fold of the band's minima (the
+    // bucketing key only needs dispersion, and the fold any engine can
+    // recompute keeps the whole pipeline oracle-checkable)
     val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))
+      (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
+        (acc * 1000003L + col(s"m$i") % 2147483647L) % 2147483647L }
     }
     val banded = sigs
       .select(col("id"), posexplode(array(bandCols: _*)))
@@ -170,8 +228,13 @@ object Dedup {
   /** SimHash via explode + aggregate — same result as [[simhash]] but with
     * a materialization barrier (each shingle hashed once, map-side-combined
     * bit counts), the shape that scales and keeps self-joins cheap. */
-  def simhashGrouped(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val ex = explodedShingleHashes(df, idCol, textCol, k)
+  def simhashGrouped(df: DataFrame, idCol: String, textCol: String, k: Int,
+      arithmeticHash: Boolean = false): DataFrame = {
+    val ex =
+      if (arithmeticHash)
+        explodedShingleStrings(df, idCol, textCol, k)
+          .select(col("id"), arithHash64(col("s")).as("h"))
+      else explodedShingleHashes(df, idCol, textCol, k)
     val bitSums = (0 until 64).map(j =>
       sum(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L))).as(s"b$j"))
     val agged = ex.groupBy(col("id"))
@@ -187,9 +250,10 @@ object Dedup {
     * pigeonhole), then exact hamming verify. Returns (a, b, hamming).
     * Over-full buckets dropped as in [[minhashCandidates]]. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
+      k: Int = 3, maxHamming: Int = 3, maxBucketSize: Int = 64,
+      arithmeticHash: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withSig = simhashGrouped(df, idCol, textCol, k)
+    val withSig = simhashGrouped(df, idCol, textCol, k, arithmeticHash)
     val chunked = withSig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), (c * 16).cast("int")).bitwiseAND(lit(0xFFFFL)))))

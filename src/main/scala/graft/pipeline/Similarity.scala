@@ -42,20 +42,97 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed to a long.
-    * Plane components are deterministic pseudo-random values from a 64-bit
-    * hash of (plane, dim) — no RNG state, reproducible across executors. */
+    *
+    * Plane components are deterministic LCG-mixed integers of (plane, dim)
+    * in [-2^19, 2^19) — no RNG state, reproducible across executors. The
+    * input is quantized to fixed point (floor(x·2^20), exact: a float cast
+    * to double then scaled by a power of two rounds nothing) so the
+    * projection is a 64-bit INTEGER sum: exact, order-independent, and
+    * bit-identical in any engine that can do long arithmetic — which is
+    * what makes the full LSH pipeline DuckDB-oracle-checkable instead of
+    * rows-only (sign bits computed from float sums can flip in the last
+    * ulp between engines; integer sums cannot). Overflow-safe: |q| ≤
+    * |x|·2^20, |w| < 2^19, so 64-dim sums stay far below 2^63. */
   def rhpSignature(vec: Column, planes: Int): Column = {
     val v = asDouble(vec)
+    val q = transform(v, x => floor(x * lit(1048576.0d)).cast("long"))
     val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * xxhash64(p, i).cast("double")),
-        lit(0.0d), (acc, x) => acc + x)
+        zip_with(q, sequence(lit(0L), size(v).cast("long") - 1), (xq, i) => {
+          val h = (p.cast("long") * 131071L + i) * 1103515245L + 12345L
+          xq * (shiftright(pmod(h, lit(2147483648L)), 11) - 524288L)
+        }),
+        lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1L)).otherwise(lit(0L))
     })
     aggregate(
       zip_with(bits, sequence(lit(0), lit(planes - 1)), (b, i) => call_function("shiftleft", b, i.cast("int"))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` Voronoi
+    * cells around k-means centroids (cosine geometry, unit-normalized);
+    * at query time score only the members of each probe's `nprobe` nearest
+    * cells. The other classic scale path next to LSH banding.
+    *
+    * Deterministic end-to-end: seeds are the `nlist` lowest-hash corpus
+    * vectors (no RNG state), every Lloyd iteration is one distributed
+    * aggregation — assignment is a narrow projection against broadcast
+    * centroid literals; the per-(cell, dim) means shuffle nlist×dim partial
+    * sums (map-side combined), and only the nlist×dim centroid matrix ever
+    * reaches the driver. At 100 TB the corpus never moves: it is scanned
+    * once per iteration and once for the final assignment, and the probe
+    * join touches ~nprobe/nlist of the rows. Recall < 1 by construction
+    * (pinned against bruteForceTopK by spec). */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("u", transform(col("v"), x => x / col("n")))
+    def dotLit(v: Column, w: Array[Double]): Column =
+      aggregate(zip_with(v, lit(w), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    // nearest-centroid index (1-based array_position over the dot array)
+    def cellOf(u: Column, cents: Array[Array[Double]]): Column = {
+      val dots = array(cents.map(w => dotLit(u, w)): _*)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+    var cents: Array[Array[Double]] = c
+      .orderBy(pmod(xxhash64(col("id")), lit(1000003L)), col("id")).limit(nlist)
+      .select(col("u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val means = c.select(cellOf(col("u"), cents).as("cell"),
+          posexplode(col("u")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = Array.fill(nlist)(new Array[Double](cents(0).length))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // re-normalize non-empty cells; empty cells keep their old centroid
+      cents = next.zip(cents).map { case (m, old) =>
+        val n = math.sqrt(m.map(x => x * x).sum)
+        if (n > 0) m.map(_ / n) else old
+      }
+    }
+    val assigned = c.withColumn("cell", cellOf(col("u"), cents))
+    // probe side: nprobe nearest cells via sorted (dot, cell) structs
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+      .withColumn("pu", transform(col("pv"), x => x / col("pn")))
+    val pDots = array(cents.zipWithIndex.map { case (w, i) =>
+      struct(dotLit(col("pu"), w).as("d"), lit(i).as("cell")) }: _*)
+    val pCells = p.withColumn("cells",
+        slice(reverse(array_sort(pDots)), 1, nprobe))
+      .select(col("probe_id"), col("pv"), explode(col("cells.cell")).as("cell"))
+    val scored = assigned.as("c").join(broadcast(pCells).as("p"),
+        col("c.cell") === col("p.cell") && col("c.id") =!= col("p.probe_id"))
+      .select(col("probe_id"), col("id"), col("v"), col("pv")).distinct()
+      .withColumn("cosine", dot(col("v"), col("pv")) / (norm(col("v")) * norm(col("pv"))))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
   /** LSH-bucketed ANN: signature chunks as buckets, exact cosine re-rank of

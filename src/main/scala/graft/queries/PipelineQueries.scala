@@ -19,6 +19,32 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  /** Embeddings with deterministically planted near-duplicates. The driver
+    * fixture has no near-dup pairs (max same-label cosine ≈ 0.48), so a
+    * threshold-0.93 dedup over it can only return 0 rows — a vacuous check.
+    * Planting derived copies makes the operator falsifiable: for
+    * vec_id%10==0 a 0.5-scaled copy (cosine with the original exactly 1.0);
+    * for vec_id%10==5 a copy with one dimension scaled by 0.75 (cosine
+    * ≥ 0.99 for any vector — the perturbed dim can contribute at most all
+    * of |v|², where the bound is exact equality). Both perturbations are
+    * exact in binary floating point, so the DuckDB oracle reproduces the
+    * vectors bit-for-bit and every planted pair sits far from the 0.93
+    * threshold (accepted ≥ 0.99, rejected ≤ ~0.5) — no boundary flakiness
+    * in the hash compare. */
+  private def plantedEmb(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val scaled = base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("v"), x => x * lit(0.5d)).as("v"))
+    val dim = ((col("vec_id") / lit(10)).cast("long") % 64).cast("int")
+    val bumped = base.where(col("vec_id") % 10 === 5)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        zip_with(col("v"), sequence(lit(0), lit(63)),
+          (x, i) => when(i === dim, x * lit(0.75d)).otherwise(x)).as("v"))
+    base.unionByName(scaled).unionByName(bumped)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
@@ -46,9 +72,26 @@ object PipelineQueries {
       Dedup.simhashCandidates(d, "doc_id", "text", k = 3, maxHamming = 8)
         .orderBy(col("a"), col("b"))
     }),
+    // Same machinery, portable char-fold hash → fully DuckDB-checkable
+    // (the xxhash64 variants above stay rows-only: that hash has no SQL
+    // replica, so these arith rows are what makes the LSH pipelines
+    // falsifiable end-to-end)
+    "q_dedup_minhash_arith" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.minhashCandidates(d, "doc_id", "text", arithmeticHash = true)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q_dedup_simhash_arith" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.simhashCandidates(d, "doc_id", "text", k = 3, maxHamming = 8,
+        arithmeticHash = true)
+        .orderBy(col("a"), col("b"))
+    }),
     "q_dedup_cosine" -> ((s, dir) =>
       // label works as the blocking stage: only same-label pairs scored
-      Dedup.cosineNearDup(emb(s, dir), "vec_id", "embedding", 0.93,
+      Dedup.cosineNearDup(plantedEmb(s, dir), "vec_id", "v", 0.93,
         blockCol = Some("label"))
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
@@ -65,6 +108,15 @@ object PipelineQueries {
       val e = emb(s, dir)
       val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
       Similarity.lshTopK(e, probes, "vec_id", "embedding", 10)
+        .select(col("probe_id"), col("id"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+    // rows-only: the k-means iterations have no tractable SQL replica;
+    // PipelineSpec pins recall against q_sim_bruteforce instead
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      Similarity.ivfTopK(e, probes, "vec_id", "embedding", 10)
         .select(col("probe_id"), col("id"), col("rank"))
         .orderBy(col("probe_id"), col("rank"))
     }),
@@ -123,6 +175,102 @@ object PipelineQueries {
 
   private val docNorm = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
 
+  /** DuckDB replica of [[Dedup.charFold]] over a string expression. */
+  private def sqlCharFold(c: String, mult: Long, q: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($c, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(a, x) -> (a * $mult + x) % $q)"
+
+  /** Shared shingle CTEs: `shm` is the word-3-shingle multiset, `shd` the
+    * set — mirrors Dedup.explodedShingleStrings (incl. the whole-text
+    * shingle for sub-3-word docs). */
+  private val shingleCte =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split($docNorm, ' ') AS words FROM documents
+       |), shm AS (
+       |  SELECT doc_id, words[i]||' '||words[i+1]||' '||words[i+2] AS s
+       |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-1)) AS i
+       |        FROM d WHERE len(words) >= 3) t
+       |  UNION ALL
+       |  SELECT doc_id, array_to_string(words, ' ') AS s
+       |  FROM d WHERE len(words) < 3
+       |), shd AS (
+       |  SELECT DISTINCT doc_id, s FROM shm
+       |)""".stripMargin
+
+  /** Generated DuckDB replica of the arithmetic-hash MinHash pipeline:
+    * same constants (Dedup.minhashAB / MinhashPrime), same band fold, same
+    * bucket cap — only the engine differs. */
+  private def minhashArithSql: String = {
+    val minExprs = (0 until 32).map { i =>
+      val (a, b) = Dedup.minhashAB(i)
+      s"MIN((h31 * $a + $b) % ${Dedup.MinhashPrime}) AS m$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      val fold = (b * 4 until (b + 1) * 4).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, i) => s"(($acc * 1000003 + m$i % 2147483647) % 2147483647)" }
+      s"SELECT doc_id, $b AS band, $fold AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$shingleCte, hx AS (
+       |  SELECT doc_id, ${sqlCharFold("s", 31L, 1073741789L)} AS h31 FROM shd
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $minExprs
+       |  FROM hx GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), capped AS (
+       |  SELECT doc_id, band, band_hash FROM (
+       |    SELECT doc_id, band, band_hash,
+       |      COUNT(*) OVER (PARTITION BY band, band_hash) AS bn
+       |    FROM bands) t
+       |  WHERE bn <= 64
+       |)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM capped l JOIN capped r
+       |  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Generated DuckDB replica of the arithmetic-hash SimHash pipeline
+    * (multiset shingles → 63-bit hash → majority bits → 16-bit chunk
+    * buckets → capped self-join → hamming ≤ 8). */
+  private def simhashArithSql: String = {
+    val f1 = sqlCharFold("s", 31L, 2147483647L)
+    val f2 = sqlCharFold("s", 131L, 2147483629L)
+    s"""$shingleCte, hx AS (
+       |  SELECT doc_id, xor(xor((f1 % 1073741824) << 33, f2 << 2), f1 + f2) AS h
+       |  FROM (SELECT doc_id, $f1 AS f1, $f2 AS f2 FROM shm) t
+       |), cnt AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id
+       |), bits AS (
+       |  SELECT doc_id, jj.j AS j, SUM((h >> jj.j) & 1) AS bj
+       |  FROM hx, (SELECT unnest(range(63)) AS j) jj
+       |  GROUP BY 1, 2
+       |), sg AS (
+       |  SELECT bits.doc_id,
+       |    SUM(CASE WHEN bj * 2 > n THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sig
+       |  FROM bits JOIN cnt ON cnt.doc_id = bits.doc_id
+       |  GROUP BY 1
+       |), ch AS (
+       |  SELECT doc_id, cc.c AS chunk, (sig >> (cc.c * 16)) & 65535 AS cv
+       |  FROM sg, (SELECT unnest(range(4)) AS c) cc
+       |), capped AS (
+       |  SELECT doc_id, chunk, cv FROM (
+       |    SELECT doc_id, chunk, cv, COUNT(*) OVER (PARTITION BY chunk, cv) AS bn
+       |    FROM ch) t
+       |  WHERE bn <= 64
+       |), pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM capped l JOIN capped r
+       |    ON l.chunk = r.chunk AND l.cv = r.cv AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+       |FROM pairs JOIN sg sa ON sa.doc_id = a JOIN sg sb ON sb.doc_id = b
+       |WHERE bit_count(xor(sa.sig, sb.sig)) <= 8
+       |ORDER BY a, b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""SELECT source, COUNT(*) AS n_docs,
@@ -152,6 +300,31 @@ object PipelineQueries {
          |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          |WHERE inter*10 >= (sa.n + sb.n - inter)*6
          |ORDER BY a, b""".stripMargin,
+    "q_dedup_cosine" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings
+         |), all_v AS (
+         |  SELECT vec_id, label, i, x FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, label, i, x * 0.5 FROM base WHERE vec_id % 10 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 100000, label, i,
+         |    CASE WHEN i - 1 = (vec_id // 10) % 64 THEN x * 0.75 ELSE x END
+         |  FROM base WHERE vec_id % 10 = 5
+         |), norms AS (
+         |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM all_v GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b, SUM(l.x * r.x) AS dot
+         |  FROM all_v l JOIN all_v r
+         |    ON l.i = r.i AND l.label = r.label AND l.vec_id < r.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b FROM pairs
+         |JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+         |WHERE dot / (na.nrm * nb.nrm) >= 0.93
+         |ORDER BY a, b""".stripMargin,
     "q_sim_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -167,6 +340,53 @@ object PipelineQueries {
         |  JOIN v c ON p.i = c.i AND c.vec_id <> p.vec_id
         |  JOIN norms np ON np.vec_id = p.vec_id
         |  JOIN norms nc ON nc.vec_id = c.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT probe_id, id,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    "q_dedup_minhash_arith" -> minhashArithSql,
+    "q_dedup_simhash_arith" -> simhashArithSql,
+    // Full LSH replica: integer-exact sign bits (see Similarity.rhpSignature)
+    // → chunk buckets → candidate join → exact cosine re-rank. planes=16,
+    // chunks=4; Spark's 0-based dim index ≡ generate_subscripts - 1.
+    "q_sim_lsh" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, i, CAST(floor(x*1048576.0) AS BIGINT) AS xq FROM v
+        |), proj AS (
+        |  SELECT vec_id, pp.p AS p,
+        |    SUM(xq * ((((pp.p*131071 + (i-1))*1103515245 + 12345) % 2147483648)
+        |      // 2048 - 524288)) AS pr
+        |  FROM q, (SELECT unnest(range(16)) AS p) pp
+        |  GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sg
+        |  FROM proj GROUP BY 1
+        |), ch AS (
+        |  SELECT vec_id, cc.c AS chunk, (sg >> (cc.c*4)) & 15 AS cv
+        |  FROM sig, (SELECT unnest(range(4)) AS c) cc
+        |), cand AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS id
+        |  FROM ch p JOIN ch c ON p.chunk = c.chunk AND p.cv = c.cv
+        |    AND c.vec_id <> p.vec_id
+        |  WHERE p.vec_id IN (0, 17, 42)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
+        |), scored AS (
+        |  SELECT cand.probe_id, cand.id,
+        |    SUM(pv.x * cx.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+        |  FROM cand
+        |  JOIN v pv ON pv.vec_id = cand.probe_id
+        |  JOIN v cx ON cx.vec_id = cand.id AND cx.i = pv.i
+        |  JOIN norms np ON np.vec_id = cand.probe_id
+        |  JOIN norms nc ON nc.vec_id = cand.id
         |  GROUP BY 1, 2
         |)
         |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
@@ -244,6 +464,21 @@ object PipelineQueries {
         |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
         |  CAST(MIN(CASE WHEN doc_id%3=0 THEN doc_id%640+64 END) AS BIGINT) AS min_width,
         |  CAST(MAX(CASE WHEN doc_id%3<>0 THEN doc_id%60000+1000 END) AS BIGINT) AS max_duration_ms
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Byte-bucket replica of Multimodal.decodeStub: feature dim j > 0 iff
+    // the payload has a byte in [32j, 32j+32). The corpus is ASCII (checked:
+    // 0 rows match [^\x00-\x7F] at every sf), so chars ≡ bytes and buckets
+    // 4-7 are structurally zero; a non-ASCII fixture would fail loudly here.
+    "q_multimodal_features" ->
+      """SELECT CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  COUNT(*) AS n_assets,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(
+        |    CASE WHEN regexp_matches(text, '[\x01-\x1f]') THEN 1 ELSE 0 END
+        |    + CASE WHEN regexp_matches(text, '[\x20-\x3f]') THEN 1 ELSE 0 END
+        |    + CASE WHEN regexp_matches(text, '[\x40-\x5f]') THEN 1 ELSE 0 END
+        |    + CASE WHEN regexp_matches(text, '[\x60-\x7f]') THEN 1 ELSE 0 END
+        |  ) AS BIGINT) AS nonzero_dims
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_whois_enrich" -> (RibQueries.cte +
       """SELECT 'AS'||(CASE WHEN eid%2=1 THEN 65001 ELSE a2 END)

