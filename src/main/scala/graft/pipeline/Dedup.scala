@@ -288,8 +288,7 @@ object Dedup {
     val v = emb.select(col(idCol).as("id") +:
       transform(col(vecCol), x => x.cast("double")).as("v") +:
       blockCol.map(col).toSeq: _*)
-    val withNorm = v.withColumn("norm",
-      sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+    val withNorm = v.withColumn("norm", graft.functions.VecDot.norm(col("v")))
     val pairs = blockCol match {
       case Some(b) =>
         withNorm.as("l").join(withNorm.as("r"),
@@ -317,9 +316,7 @@ object Dedup {
           .distinct()
     }
     pairs
-      .withColumn("dot", aggregate(
-        zip_with(col("va"), col("vb"), (a, b) => a * b),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("dot", graft.functions.VecDot(col("va"), col("vb")))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))

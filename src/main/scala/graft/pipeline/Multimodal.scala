@@ -49,6 +49,26 @@ object Multimodal {
           .otherwise(lit(null).cast("long")).as("duration_ms")).as("meta"))
   }
 
+  /** Frame sampling — the 1→N decode shape (a video/audio asset expands to
+    * `n` evenly-spaced frames). A real pipeline would seek/decode media
+    * timestamps; the byte-range arithmetic here is the stub standing in for
+    * that, but the dataflow is the production one: a generator (posexplode
+    * over the frame index sequence) + a byte-slice projection, scan-speed,
+    * no shuffle, no driver involvement — frame explosion multiplies rows
+    * INSIDE the scan stage, which is what keeps it viable when the asset
+    * table is 100 TB. Frame i of an L-byte payload is the `frameLen`-byte
+    * slice at offset floor(i·L/n). */
+  def frameSample(blobs: DataFrame, n: Int = 4, frameLen: Int = 16): DataFrame = {
+    blobs.where(col("modality").isin("video", "audio"))
+      .select(col("asset_id"), col("modality"), col("payload"),
+        posexplode(sequence(lit(0), lit(n - 1))).as(Seq("pos", "frame_idx")))
+      .withColumn("off", expr(
+        s"CAST((CAST(frame_idx AS BIGINT) * octet_length(payload)) div $n AS BIGINT)"))
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("off"),
+        expr(s"substring(payload, off + 1, $frameLen)").as("frame"))
+  }
+
   /** Feature schema produced by the decode/extract stage. */
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

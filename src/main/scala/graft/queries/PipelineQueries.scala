@@ -156,6 +156,12 @@ object PipelineQueries {
           min(col("meta.width")).cast("long").as("min_width"),
           max(col("meta.duration_ms")).cast("long").as("max_duration_ms"))
         .orderBy(col("modality"))),
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.blobsFromDocuments(docs(s, dir)))
+        .select(col("asset_id"), col("frame_idx"), col("off"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy(col("asset_id"), col("frame_idx"))),
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.decodeStub(Multimodal.blobsFromDocuments(docs(s, dir)))
         .groupBy(col("modality"))
@@ -465,6 +471,17 @@ object PipelineQueries {
         |  CAST(MIN(CASE WHEN doc_id%3=0 THEN doc_id%640+64 END) AS BIGINT) AS min_width,
         |  CAST(MAX(CASE WHEN doc_id%3<>0 THEN doc_id%60000+1000 END) AS BIGINT) AS max_duration_ms
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Frame slices are byte ranges of the payload; payload is the UTF-8
+    // text and the corpus is ASCII, so DuckDB's char-indexed substring
+    // reproduces the byte-indexed slice (and md5-of-string == md5-of-bytes)
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST((f * length(text)) // 4 AS BIGINT) AS off,
+        |  CAST(length(substring(text, CAST((f * length(text)) // 4 AS BIGINT) + 1, 16)) AS BIGINT) AS frame_bytes,
+        |  md5(substring(text, CAST((f * length(text)) // 4 AS BIGINT) + 1, 16)) AS frame_md5
+        |FROM documents, (SELECT unnest(range(4)) AS f) ff
+        |WHERE doc_id % 3 <> 0
+        |ORDER BY asset_id, frame_idx""".stripMargin,
     // Byte-bucket replica of Multimodal.decodeStub: feature dim j > 0 iff
     // the payload has a byte in [32j, 32j+32). The corpus is ASCII (checked:
     // 0 rows match [^\x00-\x7F] at every sf), so chars ≡ bytes and buckets

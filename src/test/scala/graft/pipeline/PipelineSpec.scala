@@ -102,6 +102,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(!sh.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("native vec_dot is bit-identical to the HOF fold") {
+    import graft.functions.VecDot
+    val d = emb.limit(100)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), _.cast("double")).as("vd"))
+    // float×float, double×double, float×literal-double — all vs the fold
+    val mism = d.select(
+      (VecDot(col("embedding"), col("embedding")) =!=
+        aggregate(zip_with(col("vd"), col("vd"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x)).as("m1"),
+      (VecDot(col("vd"), col("vd")) =!=
+        aggregate(col("vd"), lit(0.0d), (acc, x) => acc + x * x)).as("m2"),
+      (VecDot.norm(col("vd")) =!=
+        sqrt(aggregate(col("vd"), lit(0.0d), (acc, x) => acc + x * x))).as("m3"))
+      .where(col("m1") || col("m2") || col("m3")).count()
+    assert(mism == 0L)
+    val lit64 = lit(Array.tabulate(64)(i => (i - 32) * 0.125d))
+    val mixed = d.select(
+      (VecDot(col("embedding"), lit64) =!=
+        aggregate(zip_with(col("vd"), lit64, (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x)).as("m"))
+      .where(col("m")).count()
+    assert(mixed == 0L)
+  }
+
   test("cosine near-dup is symmetric-free and thresholded") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f), 0),
@@ -148,6 +173,21 @@ class PipelineSpec extends AnyFunSuite {
     val d = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "id")
     val fps = d.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
     assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("frame sampling expands each audio/video asset to n byte slices") {
+    // doc_id 1 → audio; 32-byte payload → offsets 0,8,16,24
+    val d = Seq((1L, "0123456789abcdef0123456789abcdef"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(32L))
+    val frames = Multimodal.frameSample(Multimodal.blobsFromDocuments(d))
+      .orderBy(col("frame_idx"))
+      .select(col("frame_idx"), col("off"), col("frame").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(frames.toSeq == Seq(
+      (0L, 0L, "0123456789abcdef"), (1L, 8L, "89abcdef01234567"),
+      (2L, 16L, "0123456789abcdef"), (3L, 24L, "89abcdef")))
   }
 
   test("multimodal decode stub: schema, bytes, normalized features") {
