@@ -21,16 +21,18 @@ import org.apache.spark.sql.GraftBridge
   * DuckDB oracles are unaffected.
   *
   * Accepts array<float> and array<double> on either side (floats widen to
-  * double per element — exact); null ARRAY inputs propagate null, null
-  * ELEMENTS are not supported (embedding vectors are dense by contract).
-  * Lengths may differ defensively (min is used), matching zip_with-with-
-  * truncation semantics only on the shared prefix.
+  * double per element — exact). Exactly replicates the HOF fold's null
+  * semantics so the VecDotRewrite optimizer rule is substitution-safe:
+  * null ARRAY inputs propagate null; a null ELEMENT nulls the whole sum
+  * (Multiply/Add null propagation through the fold); unequal lengths null
+  * the sum (zip_with pads the shorter side with nulls).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // nullable regardless of children: unequal lengths / null elements → null
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   private def isFloatArr(e: Expression): Boolean = e.dataType match {
@@ -55,12 +57,14 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val lf = isFloatArr(left)
     val rf = isFloatArr(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0d
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -79,10 +83,17 @@ case class VecDot(left: Expression, right: Expression)
       val yGet = if (isFloatArr(right)) s"(double) $b.getFloat($i)"
                  else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += ($xGet) * ($yGet); }
-         |${ev.value} = $s;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ($xGet) * ($yGet);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
        """.stripMargin
     })
 }

@@ -98,15 +98,21 @@ object RibJson {
     // for `found`, src/bgpsvc.rs:604-613, folded into the same aggregation)
     val flag = RibViews.entryMatchFlag(d, filter, p.maxDepth, p.onlyActive,
       p.changedAfterMs, p.changedBeforeMs)
+    // the aggregated key set feeds BOTH the counts job and the page job:
+    // cache it so the match evaluation runs once. The key set is orders of
+    // magnitude smaller than the event log (one row per route key), so
+    // MEMORY_AND_DISK is safe at scale; unpersisted below once the bounded
+    // page keys are collected.
     val keyFlags = d.withColumn("__em", flag)
       .groupBy(routeKeyCols.map(col): _*)
       .agg(max(when(col("__em"), 1).otherwise(0)).as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = keyFlags.agg(
       sum(col("__m")).as("found"), count(lit(1)).as("length")).collect()(0)
     val found = if (counts.isNullAt(0)) 0L else counts.getLong(0)
     val length = counts.getLong(1)
     val keys = keyFlags.where(col("__m") === 1).drop("__m")
-    val pageKeys =
+    val pageKeyDf =
       if (found > 0)
         RibViews.page(keys, p.skip, p.limit).select(routeKeyCols.map(col): _*)
       else // supernet fallback, most-specific first
@@ -114,9 +120,17 @@ object RibJson {
           .dropDuplicates(routeKeyCols)
           .orderBy(RibViews.keyLen.desc +: RibViews.nlriOrderFor(includeRing = false): _*)
           .limit(p.limit).select(routeKeyCols.map(col): _*)
+    // the page is bounded by `limit` (reference contract, default 1000):
+    // collect it, release the cached key set, and broadcast the keys into
+    // the entry semi-join — at scale this is a broadcast of ≤ limit rows
+    // against the log scan, the plan a keyed point-page wants
+    val collected = pageKeyDf.collect()
+    keyFlags.unpersist(false)
+    val pageKeys = d.sparkSession.createDataFrame(
+      java.util.Arrays.asList(collected: _*), pageKeyDf.schema)
     // null-safe equality: unused key columns (rd/l2/mvpn/…) are NULL and
     // must still match themselves
-    val pageEntries = d.join(pageKeys,
+    val pageEntries = d.join(broadcast(pageKeys),
       routeKeyCols.map(c => d(c) <=> pageKeys(c)).reduce(_ && _), "left_semi")
     (itemsTree(pageEntries, p)
       .orderBy(RibViews.nlriOrderFor(includeRing = false): _*), found, length)

@@ -52,10 +52,13 @@ object Dedup {
       posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "w")))
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val leads = (1 until k).map(j => lead(col("w"), j).over(byDoc))
+    // a word starts a full k-shingle iff its (k-1)-th lead exists — the
+    // same gate as `nw >= k && pos <= nw - k` without the second
+    // WindowExec (+ sort) an unordered count-over-id window would cost
+    val lastLeadOk = if (k > 1) leads.last.isNotNull else lit(true)
     val long = words
-      .withColumn("nw", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .withColumn(out, mk(col("w") +: leads))
-      .where(col("nw") >= k && col("pos") <= col("nw") - k)
+      .select(col("id"), mk(col("w") +: leads).as(out), lastLeadOk.as("__full"))
+      .where(col("__full"))
       .select(col("id"), col(out))
     val short = df
       .where(size(split(col(textCol), "\\s+")) < k)
