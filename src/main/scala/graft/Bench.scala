@@ -18,8 +18,12 @@ object Bench {
     // init cost ~10 s on first action) and the source page cache, so the
     // ingest line measures the derive+write pipeline, not cold-start
     spark.range(1000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/events.parquet").count()
-    catch { case _: Throwable => () }
+    try {
+      spark.read.parquet(s"$sfDir/events.parquet").count()
+      // compile the derivation expressions once on a bounded slice
+      graft.sources.RouteEventGen.fromEvents(
+        spark.read.parquet(s"$sfDir/events.parquet").limit(2000)).count()
+    } catch { case _: Throwable => () }
     // ingest once (materialize the derived route-event log) so per-query
     // timings measure the queries, not the shared ingest
     val tIngest0 = System.nanoTime()

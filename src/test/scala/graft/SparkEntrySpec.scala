@@ -17,9 +17,9 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("query inventory size") {
-    // 45 oracle-checked + rows-only entries; a drop means a silently lost
-    // operator registration
-    assert(SparkEntry.oracleSql.size >= 45)
-    assert(SparkEntry.queries.size >= 49)
+    // 62 oracle-checked + rows-only entries (round 3); a drop means a
+    // silently lost operator registration
+    assert(SparkEntry.oracleSql.size >= 62)
+    assert(SparkEntry.queries.size >= 66)
   }
 }
