@@ -109,18 +109,16 @@ object RelationalQueries {
         .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
           count(lit(1)).as("n_rows"))),
 
-    // Pagination contract (Q4): deterministic order + offset/limit via
-    // row_number window — page 3 of orders by (date, key).
-    "q_pagination" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val o = Tables(s, dir, "orders")
-      val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
-      o.withColumn("rn", row_number().over(w))
-        .where(col("rn") > 200 && col("rn") <= 300)
+    // Pagination contract (Q4): deterministic order + offset/limit — page 3
+    // of orders by (date, key). orderBy+offset+limit plans as a single
+    // TakeOrderedAndProject (per-partition top-k heaps), not a global window.
+    "q_pagination" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .offset(200).limit(100)
         .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
           cents(col("o_totalprice")).as("totalprice_c"))
-        .orderBy(col("o_orderkey"))
-    }))
+        .orderBy(col("o_orderkey"))))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
