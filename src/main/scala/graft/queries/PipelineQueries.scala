@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -43,6 +43,18 @@ object PipelineQueries {
         zip_with(col("v"), sequence(lit(0), lit(63)),
           (x, i) => when(i === dim, x * lit(0.75d)).otherwise(x)).as("v"))
     base.unionByName(scaled).unionByName(bumped)
+  }
+
+  /** Deterministically planted PII for every doc_id % 5 == 0 document —
+    * the fixture contains no addresses at all (verified), so a redaction
+    * query over raw text is vacuous. Pure integer→string arithmetic, so
+    * the DuckDB oracle rebuilds the same text exactly. */
+  private def plantedPii(id: Column, text: Column): Column = {
+    def s(c: Column) = c.cast("string")
+    when(id % 5 === 0, concat(text,
+      lit(" contact u"), s(id), lit("@ex"), s(id % 7),
+      lit(".com or http://h"), s(id % 9), lit(".example/p"), s(id),
+      lit(" at 10."), s(id % 200), lit(".0.1"))).otherwise(text)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -95,6 +107,17 @@ object PipelineQueries {
         blockCol = Some("label"))
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
+    // Pairs → components → canonical election: the decision stage of the
+    // dedup pipeline (checked against a DuckDB recursive-CTE closure)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", 3)
+        .where(col("inter") * 10 >= col("union_n") * 6)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("keep_flag"))
+        .orderBy(col("doc_id"))
+    }),
 
     // --- similarity search ---------------------------------------------
     "q_sim_bruteforce" -> ((s, dir) => {
@@ -145,6 +168,22 @@ object PipelineQueries {
           sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"),
           sum(TextAnalysis.wordCount(col("text"))).cast("long").as("total_words"))
         .orderBy(col("lang"))),
+    // PII scrubbing over deterministically planted addresses (the fixture
+    // has none — see plantedPii); emits only redacted docs
+    "q_text_redact" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), plantedPii(col("doc_id"), col("text")).as("t"))
+        .select(col("doc_id"), TextAnalysis.redactPii(col("t")).as("redacted"),
+          TextAnalysis.redactionCount(col("t")).as("n_red"))
+        .where(col("n_red") > 0)
+        .orderBy(col("doc_id"))),
+    // Deterministic stratified sampling — the training-mix construction op
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 800, "src2" -> 150), defaultPermille = 500,
+        salt = "mix1")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
 
     // --- multimodal -----------------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
@@ -355,6 +394,62 @@ object PipelineQueries {
         |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
     "q_dedup_minhash_arith" -> minhashArithSql,
     "q_dedup_simhash_arith" -> simhashArithSql,
+    // Independent second opinion on the component resolution: transitive
+    // closure via recursive CTE vs the engine's label-propagation loop
+    "q_dedup_clusters" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
+         |), jp AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+         |  FROM shd l JOIN shd r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a, b FROM jp
+         |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |  WHERE inter*10 >= (sa.n + sb.n - inter)*6
+         |), e AS (
+         |  SELECT a AS x, b AS y FROM cand
+         |  UNION SELECT b AS x, a AS y FROM cand
+         |), reach(x, y) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT e.x, r.y FROM e JOIN reach r ON r.x = e.y
+         |)
+         |SELECT x AS doc_id, MIN(y) AS cluster_id,
+         |  CAST(CASE WHEN MIN(y) = x THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    "q_text_redact" ->
+      ("""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text
+         |      || ' contact u' || CAST(doc_id AS VARCHAR)
+         |      || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.com or http://h' || CAST(doc_id % 9 AS VARCHAR)
+         |      || '.example/p' || CAST(doc_id AS VARCHAR)
+         |      || ' at 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+         |    ELSE text END AS t
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      'https?://[^\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+         |      AS redacted
+         |  FROM t
+         |)
+         |SELECT doc_id, redacted,
+         |  CAST(len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) AS BIGINT)
+         |    AS n_red
+         |FROM r
+         |WHERE len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) > 0
+         |ORDER BY doc_id""").stripMargin,
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${sqlCharFold("'mix1:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000
+         |  < (CASE WHEN source = 'src0' THEN 800
+         |          WHEN source = 'src2' THEN 150 ELSE 500 END)
+         |ORDER BY doc_id""".stripMargin,
     // Full LSH replica: integer-exact sign bits (see Similarity.rhpSignature)
     // → chunk buckets → candidate join → exact cosine re-rank. planes=16,
     // chunks=4; Spark's 0-based dim index ≡ generate_subscripts - 1.

@@ -17,9 +17,9 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("query inventory size") {
-    // 62 oracle-checked + rows-only entries (round 3); a drop means a
+    // 65 oracle-checked + rows-only entries (round 3); a drop means a
     // silently lost operator registration
-    assert(SparkEntry.oracleSql.size >= 62)
-    assert(SparkEntry.queries.size >= 66)
+    assert(SparkEntry.oracleSql.size >= 65)
+    assert(SparkEntry.queries.size >= 69)
   }
 }

@@ -211,4 +211,53 @@ class PipelineSpec extends AnyFunSuite {
     val keeps = d.select(TextAnalysis.qualityKeep(col("text"))).as[Boolean].collect()
     assert(keeps(0) && !keeps(1))
   }
+
+  test("duplicate clusters: components and canonical election over a chain") {
+    // chain 1-2-3-7 (diameter 3 forces multiple propagation rounds),
+    // pair 5-6, chain 8-9-10, and 42-43 via reversed pair order
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (5L, 6L),
+      (8L, 9L), (9L, 10L), (43L, 42L)).toDF("a", "b")
+    val r = Dedup.duplicateClusters(pairs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(
+      1L -> (1L, 1L), 2L -> (1L, 0L), 3L -> (1L, 0L), 7L -> (1L, 0L),
+      5L -> (5L, 1L), 6L -> (5L, 0L),
+      8L -> (8L, 1L), 9L -> (8L, 0L), 10L -> (8L, 0L),
+      42L -> (42L, 1L), 43L -> (42L, 0L)))
+  }
+
+  test("duplicate clusters: empty pair set yields empty result") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.duplicateClusters(pairs).count() == 0)
+  }
+
+  test("deterministic sampling: stable, nested across rates, stratified = per-stratum union") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val s100 = ids(Sampling.sample(d, "doc_id", 100, "t"))
+    val s500 = ids(Sampling.sample(d, "doc_id", 500, "t"))
+    assert(s100 == ids(Sampling.sample(d, "doc_id", 100, "t"))) // stable
+    assert(s100.subsetOf(s500)) // nested under the same salt
+    assert(s500.nonEmpty && s500.size < 500) // actually selective
+    val strat = Sampling.stratified(d, "doc_id", "source",
+      Map("src0" -> 1000, "src1" -> 0), defaultPermille = 500, salt = "t")
+    val byodSrc0 = ids(strat.where(col("source") === "src0"))
+    assert(byodSrc0 == ids(d.where(col("source") === "src0"))) // rate 1000 = all
+    assert(ids(strat.where(col("source") === "src1")).isEmpty) // rate 0 = none
+    assert(ids(strat.where(col("source") === "src2")) ==
+      ids(Sampling.sample(d.where(col("source") === "src2"), "doc_id", 500, "t")))
+  }
+
+  test("pii redaction: urls before emails before ips, counts consistent") {
+    val d = Seq(
+      "mail bob@x.com or see http://a.b/c?u=p@q.io from 10.0.0.1 now",
+      "no pii here at all").toDF("text")
+    val r = d.select(TextAnalysis.redactPii(col("text")),
+      TextAnalysis.redactionCount(col("text"))).collect()
+    assert(r(0).getString(0) == "mail <EMAIL> or see <URL> from <IP> now")
+    assert(r(0).getLong(1) == 3L)
+    assert(r(1).getString(0) == "no pii here at all")
+    assert(r(1).getLong(1) == 0L)
+  }
 }
