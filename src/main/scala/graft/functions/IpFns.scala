@@ -120,17 +120,22 @@ object IpFns {
     * tie, lowercase, no leading zeros) — matches Rust `Ipv6Addr` Display
     * used by the reference for JSON keys and regex subjects
     * (src/bgpsvc.rs:635, src/ribfilter.rs:1463-1470; golden corpus
-    * src/ribfilter.rs:1655-1758). The zero-run search is statically
-    * unrolled over the 28 (start,len) windows, ordered len-desc/start-asc
-    * so the first matching `when` IS the RFC choice. Evaluated at ingest
-    * (stored `prefix_str`), not in per-query predicates. */
-  def pfxStr(pfx: Column): Column =
-    concat(addrStr(pfx), lit("/"), pfx("prefix_len").cast("string"))
+    * src/ribfilter.rs:1655-1758). Delegates to the native [[PfxDisplay]]
+    * kernel: the composed-builtins form ([[addrStrComposed]]) unrolls the
+    * 28 zero-run windows into ~1400 expression nodes and dominated the
+    * ingest write. Evaluated at ingest (stored `prefix_str`), not in
+    * per-query predicates. */
+  def pfxStr(pfx: Column): Column = PfxDisplay.pfx(pfx)
 
   /** Bare address display (no /len) — the reference renders plain
     * `IpAddr` Display for host-valued attrs like nexthop
-    * (src/ribfilter.rs:1463-1470). */
-  def addrStr(pfx: Column): Column = {
+    * (src/ribfilter.rs:1463-1470). Native kernel; see [[pfxStr]]. */
+  def addrStr(pfx: Column): Column = PfxDisplay.addr(pfx)
+
+  /** The original composed-builtins rendering, kept as an independent
+    * second implementation for the native-vs-composed equivalence spec
+    * (IpFnsSpec cross-checks them over the fixture + golden corpus). */
+  private[graft] def addrStrComposed(pfx: Column): Column = {
     def raw(i: Int): Column = {
       val src = if (i < 4) pfx("ip_hi") else pfx("ip_lo")
       shiftright(src, (3 - (i % 4)) * 16).bitwiseAND(lit(0xFFFFL))

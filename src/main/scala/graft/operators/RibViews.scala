@@ -41,6 +41,15 @@ object RibViews {
       .where(col("__rn") === 1 && col("active"))
       .drop("__rn")
 
+  /** Time travel: the RIB as of epoch-millis `tMs` — newest active record
+    * per ring among those changed at or before `tMs`. The reference gets
+    * this view by combining its `changed_before` response bound with the
+    * history ring walk (src/ribservice.rs:72-89 over src/bgprib.rs:599-618);
+    * here it is one predicate pushed below the per-key window. `ts_day`
+    * partition pruning bounds the scan to days ≤ t. */
+  def asOf(df: DataFrame, tMs: Long): DataFrame =
+    current(df.where(unix_millis(col("ts")) <= tMs))
+
   /** Bounded history ring: newest `depth` records per key — the reference's
     * `shrink_hist` retention (A5, src/bgprib.rs:326-341). */
   def retained(df: DataFrame, depth: Int): DataFrame =

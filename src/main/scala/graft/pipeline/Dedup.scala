@@ -28,8 +28,14 @@ object Dedup {
     * no shingle-string materialization (the hot-path form: at corpus scale
     * the string build dominates shingling cost). Same identity as
     * xxhash-of-shingle modulo hash collisions. */
-  def shingleHashes(text: Column, k: Int): Column = {
-    val words = split(text, "\\s+")
+  def shingleHashes(text: Column, k: Int): Column =
+    shingleHashesFromWords(split(text, "\\s+"), k)
+
+  /** [[shingleHashes]] over an already-split words array. Pass a BOUND
+    * attribute (a words column materialized by a previous projection) in
+    * hot paths: a raw `split(...)` expression here is re-evaluated at every
+    * lambda reference — k times per shingle (the O(words²·k) trap). */
+  def shingleHashesFromWords(words: Column, k: Int): Column = {
     val n = size(words)
     when(n >= k,
       transform(sequence(lit(0), n - k), i =>
@@ -212,6 +218,32 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
       .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
         (col("na") + col("nb") - col("inter")).cast("long").as("union_n"))
+  }
+
+  /** Benchmark decontamination: flag training documents that share at least
+    * `minShared` distinct word-k-shingles with any document of the eval
+    * set — the standard guard against test-set leakage into training data.
+    *
+    * Returns (id, n_eval_docs, n_shared_shingles) for contaminated
+    * training docs: how many eval docs it overlaps and how many DISTINCT
+    * shingles it shares with the eval set as a whole.
+    *
+    * Scale shape: eval sets (benchmarks) are tiny next to the corpus, so
+    * the eval shingle set is the broadcast side of the join and the corpus
+    * never shuffles — contamination checking stays a scan + broadcast
+    * semi-join at 100 TB. The join key is the 64-bit shingle hash, never
+    * shingle text. */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, k: Int = 3, minShared: Int = 1): DataFrame = {
+    val evalSh = explodedShingleHashes(df.where(isEval), idCol, textCol, k)
+      .distinct().withColumnRenamed("id", "eval_id")
+    val trainSh = explodedShingleHashes(df.where(!isEval), idCol, textCol, k)
+      .distinct()
+    trainSh.join(broadcast(evalSh), "h")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("eval_id")).cast("long").as("n_eval_docs"),
+        countDistinct(col("h")).cast("long").as("n_shared_shingles"))
+      .where(col("n_shared_shingles") >= minShared)
   }
 
   /** 64-bit SimHash over word shingles, one projection: bit j is set when

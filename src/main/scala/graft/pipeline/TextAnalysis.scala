@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: language ID, quality scoring, token counting,
@@ -67,6 +67,27 @@ object TextAnalysis {
   def qualityKeep(text: Column): Column = {
     val m = qualityMetrics(text).toMap
     m("n_words") >= 10 && m("stopword_x1000") >= 20 && m("alpha_x1000") >= 600
+  }
+
+  /** Within-document repetition, integer-scaled: the fraction of duplicate
+    * word k-grams (1000 · (total − distinct) / total k-grams) — the
+    * Gopher-style repetitiousness signal used to drop template/spam pages.
+    *
+    * Shape: repetition is per-document, so it is scan-local at any scale —
+    * no explode, no shuffle. The words and shingle arrays are bound as
+    * attributes across chained projections (CollapseProject keeps non-cheap
+    * aliases referenced more than once), so `split` runs once per document
+    * instead of once per lambda reference — the O(words²) re-eval trap the
+    * exploded shingle form exists to avoid, solved here without its window. */
+  def withRepetition(df: DataFrame, textCol: String, k: Int = 3,
+      out: String = "repetition_x1000"): DataFrame = {
+    val sh = col("__rep_sh")
+    df.withColumn("__rep_w", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__rep_sh", Dedup.shingleHashesFromWords(col("__rep_w"), k))
+      .withColumn(out,
+        floor((size(sh) - size(array_distinct(sh))).cast("double") * 1000.0 /
+          greatest(size(sh), lit(1)).cast("double")).cast("long"))
+      .drop("__rep_w", "__rep_sh")
   }
 
   /** Document fingerprint: 64-bit hash of the whitespace/case-normalized

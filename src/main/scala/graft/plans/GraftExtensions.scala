@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expressio
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-import graft.functions.{IpContains, VecDot}
+import graft.functions.{IpContains, PfxDisplay, VecDot}
 
 /** Engine extensions, registered the Spark-idiomatic way
   * (`SparkSessionExtensions`): the native expressions become SQL-callable
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pfx_str"),
+      new ExpressionInfo(classOf[PfxDisplay].getName, "pfx_str"),
+      (children: Seq[Expression]) => PfxDisplay(children(0), withLen = true)))
+    ext.injectFunction((
+      FunctionIdentifier("addr_str"),
+      new ExpressionInfo(classOf[PfxDisplay].getName, "addr_str"),
+      (children: Seq[Expression]) => PfxDisplay(children(0), withLen = false)))
     ext.injectOptimizerRule(_ => VecDotRewrite)
   }
 }

@@ -162,6 +162,28 @@ object PipelineQueries {
           sum(col("alpha_x1000")).cast("long").as("sum_alpha"))
         .orderBy(col("source"))
     }),
+    // Benchmark decontamination: eval set = doc_id%97==0, flag training
+    // docs sharing ≥2 distinct 3-shingles with it (test-set leakage guard)
+    "q_decontam" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.decontaminate(d, "doc_id", "text", col("doc_id") % 97 === 0,
+        k = 3, minShared = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    // Within-doc duplicate-3-gram fraction (Gopher repetition rule),
+    // aggregated per source
+    "q_text_repetition" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      TextAnalysis.withRepetition(d, "text", k = 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("repetition_x1000")).cast("long").as("sum_rep"),
+          max(col("repetition_x1000")).cast("long").as("max_rep"))
+        .orderBy(col("source"))
+    }),
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -495,6 +517,27 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    // Same shingle identity as the engine (hash-distinct ≡ string-distinct
+    // modulo 64-bit collisions — the established jaccard-oracle equivalence)
+    "q_decontam" ->
+      s"""$shingleCte
+         |SELECT t.doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_docs,
+         |  COUNT(DISTINCT t.s) AS n_shared_shingles
+         |FROM shd t JOIN shd e ON t.s = e.s
+         |  AND e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+         |GROUP BY 1 HAVING COUNT(DISTINCT t.s) >= 2
+         |ORDER BY 1""".stripMargin,
+    "q_text_repetition" ->
+      s"""$shingleCte, rep AS (
+         |  SELECT m.doc_id,
+         |    CAST(FLOOR((m.n_total - d.n_distinct) * 1000.0 / m.n_total) AS BIGINT) AS r
+         |  FROM (SELECT doc_id, COUNT(*) AS n_total FROM shm GROUP BY 1) m
+         |  JOIN (SELECT doc_id, COUNT(*) AS n_distinct FROM shd GROUP BY 1) d
+         |    USING (doc_id)
+         |)
+         |SELECT source, COUNT(*) AS n_docs, SUM(r) AS sum_rep, MAX(r) AS max_rep
+         |FROM rep JOIN documents USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q_text_langid" ->
       """WITH s AS (
         |  SELECT

@@ -65,6 +65,7 @@ object RibQueries {
 
     // --- history views (S5, A4, A5; SURVEY §2.1/2.5) ---------------------
     "q_rib_current" -> ((s, dir) => perRib(RibViews.current(re(s, dir)))),
+    "q_rib_asof" -> ((s, dir) => perRib(RibViews.asOf(re(s, dir), 1705276800000L))),
     "q_rib_retention" -> ((s, dir) => perRib(RibViews.retained(re(s, dir), 2))),
     "q_rib_onlydiffer" -> ((s, dir) => perRib(RibViews.onlyDiffer(re(s, dir)))),
     "q_rib_response_filter" -> ((s, dir) => perRib(RibViews.responseFilter(
@@ -362,6 +363,12 @@ object RibQueries {
          |  SELECT rib, active,
          |    ROW_NUMBER() OVER (PARTITION BY $keyExpr ORDER BY ts DESC, eid DESC) AS rn
          |  FROM re) t WHERE rn=1 AND active GROUP BY rib ORDER BY rib""".stripMargin),
+    "q_rib_asof" -> (cte +
+      s"""SELECT rib, COUNT(*) AS n FROM (
+         |  SELECT rib, active,
+         |    ROW_NUMBER() OVER (PARTITION BY $keyExpr ORDER BY ts DESC, eid DESC) AS rn
+         |  FROM re WHERE epoch_ms(ts) <= 1705276800000) t
+         |WHERE rn=1 AND active GROUP BY rib ORDER BY rib""".stripMargin),
     "q_rib_retention" -> (cte +
       s"""SELECT rib, COUNT(*) AS n FROM (
          |  SELECT rib,

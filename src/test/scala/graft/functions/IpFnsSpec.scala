@@ -129,4 +129,26 @@ class IpFnsSpec extends AnyFunSuite {
     val got = ps.map(Tuple1(_)).toDF("p").select(IpFns.pfxStr(col("p"))).as[String].collect()
     got.zip(ps).foreach { case (str, p) => assert(str == Model.pfxStr(p)) }
   }
+
+  test("native display kernel equals the composed-builtins form") {
+    val s = spark
+    import s.implicits._
+    // three independent implementations agree: the native PfxDisplay kernel
+    // (codegen + interpreted eval), the unrolled when-chain column form, and
+    // the Scala model renderer
+    val ps = samples(genPfx, 400)
+    val rows = ps.map(Tuple1(_)).toDF("p")
+      .select(IpFns.addrStr(col("p")).as("native"),
+        IpFns.addrStrComposed(col("p")).as("composed"))
+      .collect()
+    rows.zip(ps).foreach { case (r, p) =>
+      assert(r.getString(0) == r.getString(1), s"native != composed for $p")
+    }
+    // interpreted path (eval without codegen) agrees with the model form
+    ps.foreach { p =>
+      val got = PfxDisplay.render(p.version.toByte, p.ip_hi, p.ip_lo,
+        p.prefix_len, withLen = true).toString
+      assert(got == Model.pfxStr(p), s"interpreted eval of $p")
+    }
+  }
 }

@@ -59,6 +59,20 @@ class RibViewsSpec extends AnyFunSuite {
     assert(RibViews.current(df(alive)).count() == 1)
   }
 
+  test("asOf time-travel: newest active record at or before t") {
+    val d = df(historyRows)
+    // at t = base+5000 the newest record is row 5 (active, hash 3)
+    val mid = RibViews.asOf(d, base + 5000).collect()
+    assert(mid.length == 1 && mid(0).getAs[Long]("attrs_hash") == 3L)
+    // at the withdraw instant the ring is dead
+    assert(RibViews.asOf(d, base + 12000).count() == 0)
+    // before the first update: nothing existed
+    assert(RibViews.asOf(d, base - 1).count() == 0)
+    // asOf(∞) ≡ current
+    assert(RibViews.asOf(d, Long.MaxValue / 2).count() ==
+      RibViews.current(d).count())
+  }
+
   test("response filter: onlyactive and half-open time bounds") {
     val d = df(historyRows)
     assert(RibViews.responseFilter(d, onlyActive = true, None, None).count() == 12)

@@ -249,6 +249,38 @@ class PipelineSpec extends AnyFunSuite {
       ids(Sampling.sample(d.where(col("source") === "src2"), "doc_id", 500, "t")))
   }
 
+  test("decontamination flags exactly the train docs sharing eval shingles") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // eval
+      (1L, "a quick brown fox jumps over a fence today"), // shares 2 shingles
+      (2L, "the quick brown fox sleeps"), // shares 2 shingles
+      (3L, "completely unrelated text about databases and sparks"),
+      (4L, "the quick brown fox jumps over whatever")) // shares 3 shingles
+      .toDF("doc_id", "text")
+    // eval shingle set (doc 0): {the quick brown, quick brown fox, brown fox
+    // jumps, fox jumps over, jumps over the, over the lazy, the lazy dog}
+    val r = Dedup.decontaminate(d, "doc_id", "text", col("doc_id") === 0L,
+        k = 3, minShared = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // doc1 shares {quick brown fox, brown fox jumps, fox jumps over} = 3
+    // doc2 shares {the quick brown, quick brown fox} = 2
+    // doc4 shares {the quick brown, quick brown fox, brown fox jumps,
+    //              fox jumps over} = 4
+    assert(r == Map(1L -> 3L, 2L -> 2L, 4L -> 4L))
+  }
+
+  test("repetition: duplicate-3-gram permille, zero for distinct text") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"), // 7 shingles, 4 dups (3 distinct: abc bca cab)
+      (2L, "one two three four five"), // all distinct
+      (3L, "x y")) // sub-k: single whole-text shingle
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetition(d, "text", k = 3)
+      .select("doc_id", "repetition_x1000")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> math.floor(4 * 1000.0 / 7).toLong, 2L -> 0L, 3L -> 0L))
+  }
+
   test("pii redaction: urls before emails before ips, counts consistent") {
     val d = Seq(
       "mail bob@x.com or see http://a.b/c?u=p@q.io from 10.0.0.1 now",
