@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -206,6 +206,19 @@ object PipelineQueries {
         salt = "mix1")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+
+    // The full curation chain as one plan: dedup → quality → repetition cap
+    // → redact → sample (planted PII so the redaction stage is falsifiable)
+    "q_pipeline_curate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        plantedPii(col("doc_id"),
+          regexp_replace(trim(col("text")), "\\s+", " ")).as("text"))
+      Curate.curate(d, "doc_id", "text", maxRepetitionPermille = 50,
+        samplePermille = 600, salt = "cur")
+        .select(col("doc_id"), col("source"), col("repetition_x1000"),
+          col("n_red"), col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
 
     // --- multimodal -----------------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
@@ -601,6 +614,83 @@ object PipelineQueries {
          |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens,
          |  CAST(SUM(len(string_split($docNorm, ' '))) AS BIGINT) AS total_words
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Stage-by-stage replica of Curate.curate over the planted-PII corpus:
+    // dedup window on lower(norm text) ≡ the engine's fingerprint hash
+    // (the established hash≡string equivalence), the q_text_quality metric
+    // arithmetic, the q_text_repetition shingle arithmetic, the q_text_redact
+    // regex chain, the q_sample_stratified hash predicate — each fragment
+    // individually proven by its standalone oracle.
+    "q_pipeline_curate" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 5 = 0 THEN $docNorm
+         |      || ' contact u' || CAST(doc_id AS VARCHAR)
+         |      || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.com or http://h' || CAST(doc_id % 9 AS VARCHAR)
+         |      || '.example/p' || CAST(doc_id AS VARCHAR)
+         |      || ' at 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+         |    ELSE $docNorm END AS t
+         |  FROM documents
+         |), ded AS (
+         |  SELECT doc_id, source, t FROM (
+         |    SELECT doc_id, source, t,
+         |      MIN(doc_id) OVER (PARTITION BY lower(t)) AS keep_id
+         |    FROM t0) x
+         |  WHERE keep_id = doc_id
+         |), m AS (
+         |  SELECT doc_id, source, t,
+         |    len(string_split(t, ' ')) AS n_words,
+         |    length(t) AS n_chars,
+         |    len(regexp_extract_all(t, '[A-Za-z]')) AS alpha,
+         |    len(regexp_extract_all(t,'\\bthe\\b'))+len(regexp_extract_all(t,'\\band\\b'))
+         |      +len(regexp_extract_all(t,'\\bof\\b'))+len(regexp_extract_all(t,'\\bto\\b'))
+         |      +len(regexp_extract_all(t,'\\bin\\b'))
+         |      +len(regexp_extract_all(t,'\\bder\\b'))+len(regexp_extract_all(t,'\\bdie\\b'))
+         |      +len(regexp_extract_all(t,'\\bund\\b'))+len(regexp_extract_all(t,'\\bdas\\b'))
+         |      +len(regexp_extract_all(t,'\\bist\\b'))
+         |      +len(regexp_extract_all(t,'\\ble\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
+         |      +len(regexp_extract_all(t,'\\bet\\b'))+len(regexp_extract_all(t,'\\bles\\b'))
+         |      +len(regexp_extract_all(t,'\\bdes\\b'))
+         |      +len(regexp_extract_all(t,'\\bel\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
+         |      +len(regexp_extract_all(t,'\\blos\\b'))+len(regexp_extract_all(t,'\\bque\\b'))
+         |      +len(regexp_extract_all(t,'\\bde\\b')) AS stop
+         |  FROM ded
+         |), q AS (
+         |  SELECT doc_id, source, t FROM m
+         |  WHERE n_words >= 10
+         |    AND CAST(FLOOR(stop*1000.0/greatest(n_words,1)) AS BIGINT) >= 20
+         |    AND CAST(FLOOR(alpha*1000.0/greatest(n_chars,1)) AS BIGINT) >= 600
+         |), dw AS (
+         |  SELECT doc_id, source, t, string_split(t, ' ') AS words FROM q
+         |), shm AS (
+         |  SELECT doc_id, words[i]||' '||words[i+1]||' '||words[i+2] AS s
+         |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-1)) AS i
+         |        FROM dw WHERE len(words) >= 3) x
+         |  UNION ALL
+         |  SELECT doc_id, array_to_string(words, ' ') AS s FROM dw WHERE len(words) < 3
+         |), rep AS (
+         |  SELECT doc_id,
+         |    CAST(FLOOR((COUNT(*) - COUNT(DISTINCT s)) * 1000.0 / COUNT(*)) AS BIGINT) AS r
+         |  FROM shm GROUP BY doc_id
+         |), kept AS (
+         |  SELECT dw.doc_id, dw.source, dw.t, rep.r FROM dw
+         |  JOIN rep ON rep.doc_id = dw.doc_id
+         |  WHERE rep.r <= 50
+         |), red AS (
+         |  SELECT doc_id, source, r,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+         |      AS redacted
+         |  FROM kept
+         |)
+         |SELECT doc_id, source, r AS repetition_x1000,
+         |  CAST(len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) AS BIGINT) AS n_red,
+         |  redacted
+         |FROM red
+         |WHERE ${sqlCharFold("'cur:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 < 600
+         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  COUNT(*) AS n_assets,

@@ -85,6 +85,22 @@ object Feed {
       .agg(count(lit(1)).as("n_events"),
         approx_count_distinct(col("prefix_str")).as("n_prefixes"))
 
+  /** ST8: streaming exact dedup — admit a document only on the first
+    * arrival of its content fingerprint within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): the streaming face of the
+    * pipeline's exact dedup (Dedup.exact). The watermark bounds the state
+    * store — fingerprints older than the horizon are evicted, which is
+    * what makes indefinite ingest feasible; re-arrivals beyond the horizon
+    * are the documented residual (the production pattern: streaming dedup
+    * bounds state, the periodic batch dedup pass sweeps the tail). */
+  def dedupStream(docStream: DataFrame, textCol: String,
+      tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame =
+    docStream
+      .withColumn("__fp", graft.pipeline.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** ST7: per-session running state via `mapGroupsWithState` — the custom-
     * state form for semantics windows/aggs can't express: each session's
     * event count and latest (ts, event_id)-ordered event, updated every

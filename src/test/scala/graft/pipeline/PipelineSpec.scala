@@ -281,6 +281,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map(1L -> math.floor(4 * 1000.0 / 7).toLong, 2L -> 0L, 3L -> 0L))
   }
 
+  test("curate: each stage of the chain gates what it should") {
+    val good = "the quick brown fox jumps over the lazy dog in the garden today"
+    val d = Seq(
+      (1L, good), // kept (canonical of the 1/2 dup pair)
+      (2L, good), // dropped: exact duplicate, higher id
+      (3L, "please contact the team at a@b.io for all of the details today now"), // kept, 1 redaction
+      (4L, "the cat and the cat and the cat and the cat and the cat"), // passes quality, dropped by repetition (769‰)
+      (5L, "1 2 3 4 5 6 7 8 9 10 11 12")) // dropped by the quality gate (alpha)
+      .toDF("doc_id", "text")
+    val r = Curate.curate(d, "doc_id", "text", maxRepetitionPermille = 50,
+        samplePermille = 1000, salt = "t")
+      .select("doc_id", "n_red", "repetition_x1000", "redacted")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    assert(r.keySet == Set(1L, 3L))
+    assert(r(1L) == ((0L, 0L, good)))
+    assert(r(3L)._1 == 1L && r(3L)._3.contains("<EMAIL>"))
+  }
+
   test("pii redaction: urls before emails before ips, counts consistent") {
     val d = Seq(
       "mail bob@x.com or see http://a.b/c?u=p@q.io from 10.0.0.1 now",

@@ -112,6 +112,35 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("ST8 streaming dedup admits exactly one doc per fingerprint") {
+    val s = spark
+    import s.implicits._
+    val stage = tmp()
+    val docs = spark.read.parquet(s"$srcSf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // plant exact duplicates under fresh ids so the stream must drop them
+    val dups = docs.limit(40)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val all = docs.unionByName(dups)
+      .withColumn("ts",
+        timestamp_millis(lit(1700000000000L) + col("doc_id") % 1000))
+    all.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = Feed.dedupStream(stream, "text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val fp = graft.pipeline.TextAnalysis.fingerprint(col("text"))
+    val streamed = spark.sql("SELECT text FROM dedup_stream")
+      .select(fp).as[Long].collect()
+    val batch = all.select(fp).distinct().as[Long].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.length == streamed.toSet.size) // no fingerprint twice
+    assert(streamed.toSet == batch.toSet) // nothing lost vs batch dedup
+  }
+
   test("ST7 mapGroupsWithState session tracker converges to the batch rollup") {
     val stage = tmp()
     val ckpt = tmp() + "/ckpt"
