@@ -60,27 +60,44 @@ object RibJson {
       x => concat(lit("\""), x("k").cast("string"), lit("\":"), x("v")))), lit("}"))
   }
 
+  /** Entries with the route-key surrogate: the stored `route_id` when
+    * present (event-log frames), else synthesized with the SAME hash
+    * (RouteEventGen stores xxhash64 over these columns in this order), so
+    * stored and computed forms agree. Grouping/joining on the one long
+    * instead of the 9-column nested tuple keeps the aggregate keys inside
+    * whole-stage codegen (the wide-struct key exceeded Janino's method
+    * limit and fell back to interpreted eval — SCALE.md round-2 wart) and
+    * makes the page semi-join a single-key broadcast. */
+  private def withRouteId(entries: DataFrame): DataFrame =
+    if (entries.columns.contains("route_id")) entries
+    else entries.withColumn("route_id",
+      xxhash64(col("rib"), col("prefix"), col("rd"), col("labels"),
+        col("l2"), col("mvpn"), col("evpn"), col("mdt_group")))
+
   /** The nested items tree for a set of route-key rows:
     * one row per route key with (item_key, items_json). */
   def itemsTree(entries: DataFrame, p: RibParams): DataFrame = {
-    val filtered = entries.where(passes(p))
-    val ringKeys = routeKeyCols ++ Seq("session_id", "path_id")
+    val filtered = withRouteId(entries).where(passes(p))
     val depth = if (p.maxDepth > 0) Some(p.maxDepth) else None
-    // history level: newest-first, take maxdepth AFTER the filter
+    def rk = first(col("__rk")).as("__rk")
+    // history level: newest-first, take maxdepth AFTER the filter; the
+    // display columns ride along as one first()-elected struct per group
     val lvl1 = filtered
-      .groupBy(ringKeys.map(col): _*)
+      .withColumn("__rk", struct(routeKeyCols.map(col): _*))
+      .groupBy(col("route_id"), col("session_id"), col("path_id"))
       .agg(jsonLevel(collect_list(struct(
         unix_millis(col("ts")).as("k"), to_json(entryStruct).as("v"))),
-        asc = false, depth).as("hist"))
+        asc = false, depth).as("hist"), rk)
     // path level
-    val lvl2 = lvl1.groupBy((routeKeyCols :+ "session_id").map(col): _*)
+    val lvl2 = lvl1.groupBy(col("route_id"), col("session_id"))
       .agg(jsonLevel(collect_list(struct(col("path_id").as("k"), col("hist").as("v"))),
-        asc = true, None).as("paths"))
+        asc = true, None).as("paths"), rk)
     // session level
-    lvl2.groupBy(routeKeyCols.map(col): _*)
+    lvl2.groupBy(col("route_id"))
       .agg(jsonLevel(collect_list(struct(
         col("session_id").cast("long").as("k"), col("paths").as("v"))),
-        asc = true, None).as("sessions"))
+        asc = true, None).as("sessions"), rk)
+      .select(col("sessions") +: routeKeyCols.map(c => col(s"__rk.$c").as(c)): _*)
       .select(routeKeyCols.map(col) :+ itemKey.as("item_key") :+
         col("sessions").as("items_json"): _*)
   }
@@ -91,7 +108,7 @@ object RibJson {
     * (item_key, items_json) rows in page order plus the found/length counts. */
   def jsonPage(events: DataFrame, ribName: String, filterStr: String,
       p: RibParams): (DataFrame, Long, Long) = {
-    val d = events.where(col("rib") === ribName)
+    val d = withRouteId(events.where(col("rib") === ribName))
     val filter = FilterParser.parse(filterStr)
     // one keyed pass: per route key, did any in-depth entry match (found)
     // — and every key counts toward length (reference's second full scan
@@ -102,36 +119,38 @@ object RibJson {
     // cache it so the match evaluation runs once. The key set is orders of
     // magnitude smaller than the event log (one row per route key), so
     // MEMORY_AND_DISK is safe at scale; unpersisted below once the bounded
-    // page keys are collected.
+    // page keys are collected. Grouping on the route_id surrogate keeps the
+    // aggregate key one long; display columns ride along as a first() struct.
     val keyFlags = d.withColumn("__em", flag)
-      .groupBy(routeKeyCols.map(col): _*)
-      .agg(max(when(col("__em"), 1).otherwise(0)).as("__m"))
+      .withColumn("__rk", struct(routeKeyCols.map(col): _*))
+      .groupBy(col("route_id"))
+      .agg(max(when(col("__em"), 1).otherwise(0)).as("__m"),
+        first(col("__rk")).as("__rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = keyFlags.agg(
       sum(col("__m")).as("found"), count(lit(1)).as("length")).collect()(0)
     val found = if (counts.isNullAt(0)) 0L else counts.getLong(0)
     val length = counts.getLong(1)
-    val keys = keyFlags.where(col("__m") === 1).drop("__m")
+    val keys = keyFlags.where(col("__m") === 1)
+      .select(col("route_id") +: routeKeyCols.map(c => col(s"__rk.$c").as(c)): _*)
     val pageKeyDf =
       if (found > 0)
-        RibViews.page(keys, p.skip, p.limit).select(routeKeyCols.map(col): _*)
+        RibViews.page(keys, p.skip, p.limit).select(col("route_id"))
       else // supernet fallback, most-specific first
         RibViews.scanSuper(d, filterStr)
-          .dropDuplicates(routeKeyCols)
+          .dropDuplicates("route_id")
           .orderBy(RibViews.keyLen.desc +: RibViews.nlriOrderFor(includeRing = false): _*)
-          .limit(p.limit).select(routeKeyCols.map(col): _*)
+          .limit(p.limit).select(col("route_id"))
     // the page is bounded by `limit` (reference contract, default 1000):
     // collect it, release the cached key set, and broadcast the keys into
-    // the entry semi-join — at scale this is a broadcast of ≤ limit rows
+    // the entry semi-join — at scale this is a broadcast of ≤ limit longs
     // against the log scan, the plan a keyed point-page wants
     val collected = pageKeyDf.collect()
     keyFlags.unpersist(false)
     val pageKeys = d.sparkSession.createDataFrame(
       java.util.Arrays.asList(collected: _*), pageKeyDf.schema)
-    // null-safe equality: unused key columns (rd/l2/mvpn/…) are NULL and
-    // must still match themselves
     val pageEntries = d.join(broadcast(pageKeys),
-      routeKeyCols.map(c => d(c) <=> pageKeys(c)).reduce(_ && _), "left_semi")
+      d("route_id") === pageKeys("route_id"), "left_semi")
     (itemsTree(pageEntries, p)
       .orderBy(RibViews.nlriOrderFor(includeRing = false): _*), found, length)
   }

@@ -28,11 +28,19 @@ object RibViews {
     if (desc0) base.map(_.desc) else base
   }
 
+  /** Window partition columns for the ring identity: the stored `ring_id`
+    * surrogate (ONE long — narrower exchange keys and cheaper per-row sort
+    * comparisons than the 10-column nested tuple) when the frame carries
+    * it, else the full column list (ad-hoc/spec frames). Collision bound:
+    * see RouteEventGen — ~n²/2⁶⁵ chance of any merged ring pair. */
+  private def ringPart(df: DataFrame): Seq[Column] =
+    if (df.columns.contains("ring_id")) Seq(col("ring_id")) else keyCols.map(col)
+
   private def keyWindowDesc(df: DataFrame) =
-    Window.partitionBy(keyCols.map(col): _*).orderBy(sortCols(df, desc0 = true): _*)
+    Window.partitionBy(ringPart(df): _*).orderBy(sortCols(df, desc0 = true): _*)
 
   private def keyWindowAsc(df: DataFrame) =
-    Window.partitionBy(keyCols.map(col): _*).orderBy(sortCols(df, desc0 = false): _*)
+    Window.partitionBy(ringPart(df): _*).orderBy(sortCols(df, desc0 = false): _*)
 
   /** "The RIB": newest record per history ring, active only — the latest
     * state the reference holds in RAM (src/bgprib.rs:599-618). */
@@ -96,7 +104,7 @@ object RibViews {
     if (onlyActive) passes = passes && col("active")
     changedAfterMs.foreach(a => passes = passes && unix_millis(col("ts")) > a)
     changedBeforeMs.foreach(b => passes = passes && unix_millis(col("ts")) < b)
-    val nAll = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
+    val nAll = count(lit(1)).over(Window.partitionBy(ringPart(df): _*))
     // rank among passing entries, ascending ts (0 for non-passing rows)
     val rnPass = sum(when(passes, 1).otherwise(0)).over(
       wAll.rowsBetween(Window.unboundedPreceding, 0))
@@ -105,10 +113,12 @@ object RibViews {
     // existence granularity: the reference tests "any (session, path,
     // entry) under this PREFIX" (src/ribfilter.rs:589-611); ring-level
     // existence is the stricter per-ring variant used by some metrics
-    val existCols = if (existencePrefixLevel) keyCols.filterNot(
-      c => c == "session_id" || c == "path_id") else keyCols
+    val existPart: Seq[Column] =
+      if (!existencePrefixLevel) ringPart(df)
+      else if (df.columns.contains("route_id")) Seq(col("route_id"))
+      else keyCols.filterNot(c => c == "session_id" || c == "path_id").map(col)
     val keyMatch = max(when(entryMatch, 1).otherwise(0))
-      .over(Window.partitionBy(existCols.map(col): _*))
+      .over(Window.partitionBy(existPart: _*))
     df.withColumn("__m", keyMatch).where(col("__m") === 1).drop("__m")
   }
 
@@ -122,7 +132,7 @@ object RibViews {
     if (onlyActive) passes = passes && col("active")
     changedAfterMs.foreach(a => passes = passes && unix_millis(col("ts")) > a)
     changedBeforeMs.foreach(b => passes = passes && unix_millis(col("ts")) < b)
-    val nAll = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
+    val nAll = count(lit(1)).over(Window.partitionBy(ringPart(df): _*))
     val rnPass = sum(when(passes, 1).otherwise(0)).over(
       wAll.rowsBetween(Window.unboundedPreceding, 0))
     passes && (rnPass > nAll - maxDepth) &&

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * repetition cap, PII redaction, deterministic sampling — composed as ONE
   * declarative plan, the way a production training-data pipeline stages it.
   *
-  * Scale shape: exactly one shuffle in the whole chain (the 64-bit
-  * fingerprint window for canonical-member election); the quality gate,
-  * repetition cap, redaction and sampling are all scan-level
-  * projections/predicates that run at codegen speed and compose into the
-  * same stage. Filters ahead of the shuffle are pushed below it by
-  * Catalyst where legal; everything behind it pipelines.
+  * Scale shape: two keyed exchanges — the fingerprint window for
+  * canonical-member election and the id-keyed repetition aggregate+join
+  * (the join-back form exists precisely because gating on the scan-local
+  * repetition column re-inlines its lambda chain through predicate
+  * pushdown; see TextAnalysis.withRepetition). The quality gate,
+  * redaction and sampling are scan-level projections/predicates that run
+  * at codegen speed and pipeline between the exchanges.
   */
 object Curate {
 
@@ -29,8 +30,13 @@ object Curate {
       .withColumn("__keep_id", min(col(idCol)).over(byFp))
       .where(col("__keep_id") === col(idCol)).drop("__keep_id")
     val qualified = deduped.where(TextAnalysis.qualityKeep(col(textCol)))
-    val unrepetitive = TextAnalysis.withRepetition(qualified, textCol, shingleK)
+    // gate on the AGGREGATE repetition form: filtering on the scan-local
+    // column re-inlines its lambda chain through predicate pushdown
+    // (quadratic split-per-lambda, measured 8× — see TextAnalysis caution)
+    val rep = TextAnalysis.repetitionByDoc(qualified, idCol, textCol, shingleK)
       .where(col("repetition_x1000") <= maxRepetitionPermille)
+    val unrepetitive = qualified.join(rep, col(idCol) === rep("id"))
+      .drop("id")
     val redacted = unrepetitive
       .withColumn("redacted", TextAnalysis.redactPii(col(textCol)))
       .withColumn("n_red", TextAnalysis.redactionCount(col(textCol)))

@@ -78,7 +78,14 @@ object TextAnalysis {
     * attributes across chained projections (CollapseProject keeps non-cheap
     * aliases referenced more than once), so `split` runs once per document
     * instead of once per lambda reference — the O(words²) re-eval trap the
-    * exploded shingle form exists to avoid, solved here without its window. */
+    * exploded shingle form exists to avoid, solved here without its window.
+    *
+    * CAUTION — do NOT `.where()` on the output column: predicate pushdown
+    * substitutes the alias chain back into the filter (it has no
+    * expensive-expression guard, unlike CollapseProject), reconstructing
+    * the quadratic split-inside-lambda form per row (measured 8× on
+    * q_pipeline_curate at sf0.1). To GATE on repetition use
+    * [[repetitionByDoc]] and join. */
   def withRepetition(df: DataFrame, textCol: String, k: Int = 3,
       out: String = "repetition_x1000"): DataFrame = {
     val sh = col("__rep_sh")
@@ -89,6 +96,22 @@ object TextAnalysis {
           greatest(size(sh), lit(1)).cast("double")).cast("long"))
       .drop("__rep_w", "__rep_sh")
   }
+
+  /** Per-document repetition as an aggregate: (id, repetition_x1000) via
+    * the exploded shingle pipeline — one exchange on id, map-side
+    * combinable, no array lambdas anywhere a filter could re-inline them.
+    * The join-back form for GATING on repetition (see the caution on
+    * [[withRepetition]]); same arithmetic, so the two forms agree. */
+  def repetitionByDoc(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    Dedup.explodedShingleHashes(df.select(col(idCol), col(textCol)),
+        idCol, textCol, k)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__total"), countDistinct(col("h")).as("__distinct"))
+      .select(col("id"),
+        floor((col("__total") - col("__distinct")).cast("double") * 1000.0 /
+          greatest(col("__total"), lit(1)).cast("double")).cast("long")
+          .as("repetition_x1000"))
 
   /** Document fingerprint: 64-bit hash of the whitespace/case-normalized
     * text — the exact-dedup key and the cheap "same content" signature. */

@@ -213,11 +213,25 @@ object RouteEventGen {
       lit(null).cast("string").as("originator"),
       lit(null).cast("array<string>").as("clusterlist"),
       lit(null).cast("string").as("pmsi_ta"))
+    // Surrogate identities, stored at ingest: route_id names the route key
+    // (rib + NLRI incl. wrappers), ring_id the full history ring (+ session
+    // + path). Downstream windows, rollups and the page semi-join key on
+    // ONE long instead of a 10-column nested tuple — narrower exchange
+    // keys, cheaper sort comparisons, codegen-small aggregate keys
+    // (SCALE.md "Surrogate keys"). 64-bit space: the chance of ANY
+    // colliding pair is ~n²/2⁶⁵ — ~3e-4 at the 10⁸-ring ceiling implied by
+    // the reference's full-table scale, and a collision perturbs a single
+    // ring. RibJson synthesizes the same hash for ad-hoc frames, so stored
+    // and computed forms agree.
+    val sessionId = (uid % 4).cast("int")
+    val pathId = (eid % 3).cast("long")
+    val routeId = xxhash64(rib, prefix, rd, labels, l2Key, mvpnKey, evpnKey, mdtGroup)
+    val ringId = xxhash64(routeId, sessionId, pathId)
     events.select(
       col("ts"),
       rib.as("rib"),
-      (uid % 4).cast("int").as("session_id"),
-      (eid % 3).cast("long").as("path_id"),
+      sessionId.as("session_id"),
+      pathId.as("path_id"),
       (eid % 7 =!= 0).as("active"),
       prefix.as("prefix"),
       IpFns.pfxStr(prefix).as("prefix_str"),
@@ -234,6 +248,8 @@ object RouteEventGen {
       // daily change-time bucket → partition-prunable (replaces the
       // reference's idx_changed daily index, src/bgprib.rs:430, 652-653)
       to_date(col("ts")).as("ts_day"),
-      eid.as("event_id"))
+      eid.as("event_id"),
+      routeId.as("route_id"),
+      ringId.as("ring_id"))
   }
 }
