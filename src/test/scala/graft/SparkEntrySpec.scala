@@ -17,9 +17,9 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("query inventory size") {
-    // 65 oracle-checked + rows-only entries (round 3); a drop means a
+    // 71 oracle-checked + 4 rows-only entries (round 3); a drop means a
     // silently lost operator registration
-    assert(SparkEntry.oracleSql.size >= 65)
-    assert(SparkEntry.queries.size >= 69)
+    assert(SparkEntry.oracleSql.size >= 71)
+    assert(SparkEntry.queries.size >= 75)
   }
 }
