@@ -58,11 +58,21 @@ object Feed {
     * the newest `historyDepth` records per ring, OnlyDiffer-deduped (the
     * reference's purge, src/bgprib.rs:875-902). Batch job on a schedule. */
   def compact(spark: SparkSession, logDir: String, outDir: String,
-      historyDepth: Int = 10): Unit = {
+      historyDepth: Int = 10, bucketTable: Option[String] = None,
+      nBuckets: Int = 8): Unit = {
     val log = spark.read.parquet(logDir)
-    graft.operators.RibViews.retained(
+    val kept = graft.operators.RibViews.retained(
       graft.operators.RibViews.onlyDiffer(log), historyDepth)
-      .write.mode("overwrite").parquet(outDir)
+    bucketTable match {
+      // steady-state layout: compaction is where rows migrate into the
+      // bucketed table (SCALE.md) — ring-keyed views over it plan
+      // exchange-free while the hot append path stays unbucketed
+      case Some(t) if log.columns.contains("ring_id") =>
+        kept.write.bucketBy(nBuckets, "ring_id").sortBy("ring_id", "ts")
+          .option("path", outDir).mode("overwrite").saveAsTable(t)
+      case _ =>
+        kept.write.mode("overwrite").parquet(outDir)
+    }
   }
 
   /** ST5: recover the latest RIB state from the durable log — the snapshot

@@ -84,6 +84,14 @@ class FeedSpec extends AnyFunSuite {
     val maxPerRing = compacted.groupBy(RibViews.keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0).getLong(0)
     assert(maxPerRing <= 2)
+    // bucketed compaction target: same rows, exchange-free ring views
+    val outB = tmp() + "/compact_bucketed"
+    Feed.compact(spark, stage, outB, historyDepth = 2,
+      bucketTable = Some("compacted_bucketed_spec"))
+    val bucketed = spark.table("compacted_bucketed_spec")
+    assert(bucketed.count() == compacted.count())
+    assert(!RibViews.current(bucketed).queryExecution.executedPlan
+      .toString.contains("Exchange"))
   }
 
   test("ST6 watermarked windowed live stats equal the batch rollup") {
