@@ -184,6 +184,18 @@ object PipelineQueries {
           max(col("repetition_x1000")).cast("long").as("max_rep"))
         .orderBy(col("source"))
     }),
+    // corpus vocabulary: global word-frequency top-k (stopword discovery /
+    // frequency-based vocab pruning). The classic skewed explode: per-word
+    // partial aggregation (map-side combine) absorbs the stopword skew
+    // before the shuffle, and the final top-k is TakeOrdered over the
+    // already-tiny (word, n) set — no global sort
+    "q_text_wordfreq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("w"))
+        .groupBy(lower(col("w")).as("word"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)),
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -609,6 +621,10 @@ object PipelineQueries {
          |  CAST(SUM(mwl) AS BIGINT) AS sum_mwl,
          |  CAST(SUM(alphax) AS BIGINT) AS sum_alpha
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_wordfreq" ->
+      s"""SELECT lower(w) AS word, COUNT(*) AS n
+         |FROM (SELECT unnest(string_split($docNorm, ' ')) AS w FROM documents) t
+         |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens,
