@@ -327,11 +327,18 @@ object Dedup {
     * no full-frame diff. */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+    val undirected = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .unionByName(pairs
         .select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
-      .distinct().localCheckpoint()
+      .distinct()
+    // self-loops fold the "keep own label" term into the SAME join: per
+    // round, new(x) = min over {lbl(y) : y ∈ neighbors(x) ∪ {x}} — ONE
+    // join + one map-side-combined min instead of the propagate-then-merge
+    // two-join form (measured ~40% of per-round wall time)
+    val edges = undirected
+      .unionByName(undirected.select(col("x"), col("x").as("y")).distinct())
+      .localCheckpoint()
     var labels = edges.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
     def lblSum(df: DataFrame): Long =
@@ -341,11 +348,9 @@ object Dedup {
     var done = false
     var it = 0
     while (!done && it < maxIters) {
-      val prop = edges.join(labels, col("y") === col("id"))
+      val next = edges.join(labels, col("y") === col("id"))
         .groupBy(col("x")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(prop, col("id") === col("x"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("x").as("id"), col("nlbl").as("lbl"))
         .localCheckpoint()
       val s = lblSum(next)
       done = s == prev
