@@ -45,9 +45,11 @@ object RouteEventGen {
     cache.computeIfAbsent(sfDir, { _ =>
       val dir = s"$snapshotRoot/${java.lang.Integer.toHexString(sfDir.hashCode)}"
       // No shuffle: sort within the scan partitions by (rib, prefix) and
-      // let the dynamic-partition writer split per rib. Wide nested rows
-      // make a shuffle cost more than the write itself (measured 3×); the
-      // within-file prefix sort keeps parquet ROW-GROUP min/max stats tight,
+      // let the dynamic-partition writer split per rib. With the native
+      // display kernel, shuffled vs unshuffled writes are within noise at
+      // sf0.1 (IngestProfile: 2.7 s vs 3.2 s) — no-shuffle + coalesce
+      // stays fastest and saves an exchange; the within-file prefix sort
+      // keeps parquet ROW-GROUP min/max stats tight,
       // which is the granularity the reader actually skips at. Coalesce
       // bounds the writer fan-out: task-count × rib-count files and writer
       // buffers otherwise dominate the write at high core counts (measured
