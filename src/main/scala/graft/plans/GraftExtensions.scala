@@ -36,6 +36,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("addr_str"),
       new ExpressionInfo(classOf[PfxDisplay].getName, "addr_str"),
       (children: Seq[Expression]) => PfxDisplay(children(0), withLen = false)))
+    // the engine's query frontend as a SQL predicate: rib_accept('<filter>')
+    // compiles the reference filter language (F1-F9 grammar, tri-state
+    // evaluation) at resolution time — the filter string must be a literal.
+    // The returned tree references the canonical route-event columns
+    // (rib, prefix, rd, …), resolved against the enclosing query.
+    ext.injectFunction((
+      FunctionIdentifier("rib_accept"),
+      new ExpressionInfo(graft.filter.FilterCompiler.getClass.getName, "rib_accept"),
+      (children: Seq[Expression]) => children match {
+        case Seq(Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          org.apache.spark.sql.GraftBridge.toExpression(
+            graft.filter.FilterCompiler.accept(s.toString))
+        case _ => throw new IllegalArgumentException(
+          "rib_accept expects one literal filter string")
+      }))
     ext.injectOptimizerRule(_ => VecDotRewrite)
   }
 }

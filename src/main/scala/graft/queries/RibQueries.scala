@@ -99,6 +99,16 @@ object RibQueries {
     // A2 found/length, single-pass: one aggregation job computes both counts
     // (the jsonPage form; reference serves them from one scan,
     // src/bgpsvc.rs:618-633)
+    // the filter language as a SQL predicate: rib_accept('<filter>') is
+    // registered through SparkSessionExtensions — plain spark.sql text,
+    // same parse → tri-state compile path as the DataFrame scan
+    "q_rib_sql_accept" -> ((s, dir) => {
+      re(s, dir).createOrReplaceTempView("route_events")
+      s.sql("""SELECT rib, COUNT(*) AS n FROM route_events
+              |WHERE rib_accept('nh:192.168.2.0/24 as:^100')
+              |GROUP BY rib ORDER BY rib""".stripMargin)
+    }),
+
     // --- analytics beyond the reference surface --------------------------
     // origin-AS rollup: the last ASN of the path per event (BGP origin),
     // prefix reach and active share per origin — the standard looking-glass
@@ -435,6 +445,7 @@ object RibQueries {
       """SELECT CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
         |  COUNT(DISTINCT rib) AS n_ribs
         |FROM re GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_rib_sql_accept" -> perRibSql("uid%4=2 AND eid%5=0"),
     "q_rib_origin_as" -> (cte +
       """SELECT CAST(CASE WHEN eid%2=1 THEN 65001 ELSE a2 END AS BIGINT) AS origin_as,
         |  COUNT(*) AS n_events,

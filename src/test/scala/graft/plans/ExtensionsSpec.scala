@@ -34,6 +34,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).toSet == Set(8.0d, 11.0d, 14.0d))
   }
 
+  test("rib_accept: the filter language as a SQL predicate") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val re = graft.sources.RouteEventGen.routeEvents(s, "/root/testdata/sf0.001")
+    re.createOrReplaceTempView("re_sql_spec")
+    val viaSql = s.sql(
+      "SELECT COUNT(*) FROM re_sql_spec WHERE rib_accept('10.4.0.0/14')")
+      .collect()(0).getLong(0)
+    val viaScan = graft.operators.RibViews.scan(re, "10.4.0.0/14").count()
+    assert(viaSql == viaScan && viaSql > 0)
+    // pfx_str / addr_str round out the SQL surface
+    val disp = s.sql(
+      """SELECT pfx_str(named_struct('version', CAST(6 AS TINYINT),
+        |  'ip_hi', CAST(2306139568115548160 AS BIGINT), 'ip_lo', CAST(1 AS BIGINT),
+        |  'prefix_len', 128)) AS p""".stripMargin).collect()(0).getString(0)
+    assert(disp == "2001:db8::1/128")
+    // non-literal argument is rejected at resolution
+    intercept[Exception] {
+      s.sql("SELECT rib_accept(rib) FROM re_sql_spec").collect()
+    }
+  }
+
   test("rewrite is null-semantics preserving (unequal lengths, null elements)") {
     val r = spark.sql(
       """SELECT
