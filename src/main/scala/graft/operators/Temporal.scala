@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: attach to each probe row the newest state
+  * row of the same key with state ts STRICTLY before the probe ts — the
+  * temporal-join pattern (feature-store point-in-time correctness; here
+  * "the last active state visible at each event's arrival"). One of the
+  * operators SURVEY §7.4 lists as compose-don't-custom: the semantics fall
+  * out of existing ops, no custom strategy needed.
+  *
+  * Spark-first shape: NO range join, NO per-probe re-scan. Probes and
+  * states union into one tagged stream; ONE hash exchange on the key, one
+  * in-partition sort by (ts, side), and `last(value, ignoreNulls)` over
+  * the preceding frame carries the newest earlier state onto each probe
+  * row. Cost is a sort-window over |probes| + |states| — linear per key
+  * after the exchange, the same plan at 100 TB (and exchange-FREE over a
+  * ring_id-bucketed layout, BucketedLogSpec pattern). Strictness: probes
+  * sort BEFORE states at equal ts, so same-instant states are excluded;
+  * callers wanting ≤ pre-shift probe ts. States must be unique per
+  * (key, ts) — pre-aggregate (max_by) if not: ambiguity is resolved
+  * before the join, not by engine luck.
+  */
+object Temporal {
+
+  def asofJoin(probes: DataFrame, states: DataFrame, keyCol: String,
+      tsCol: String, valCol: String, out: String = "asof_value"): DataFrame = {
+    val vType = states.schema(valCol).dataType
+    val pTag = probes.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(0).as("__side"), lit(null).cast(vType).as("__v"),
+      struct(probes.columns.map(col): _*).as("__row"))
+    val rowType = pTag.schema("__row").dataType
+    val sTag = states.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(1).as("__side"), col(valCol).cast(vType).as("__v"),
+      lit(null).cast(rowType).as("__row"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pTag.unionByName(sTag)
+      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select(col("__row.*"), col("__asof").as(out))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.filter.FilterParser
-import graft.operators.RibViews
+import graft.operators.{RibViews, Temporal}
 import graft.sources.RouteEventGen
 
 /** Oracle-checked queries for every RIB operator of SURVEY.md §2, bound to
@@ -110,6 +110,23 @@ object RibQueries {
     }),
 
     // --- analytics beyond the reference surface --------------------------
+    // point-in-time as-of join: per event, the newest STRICTLY-earlier
+    // active state of its ring (Temporal.asofJoin — union + tagged window,
+    // one exchange, no range join); rolled up per rib with a hash SUM so
+    // any per-row mismatch flips the aggregate
+    "q_rib_asof_join" -> ((s, dir) => {
+      val d = re(s, dir)
+      val states = d.where(col("active"))
+        .groupBy(col("ring_id"), col("ts"))
+        .agg(max_by(col("attrs_hash"), col("event_id")).as("h"))
+      val probes = d.select(col("ring_id"), col("ts"), col("rib"), col("event_id"))
+      Temporal.asofJoin(probes, states, "ring_id", "ts", "h", out = "asof_hash")
+        .groupBy(col("rib"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          count(col("asof_hash")).cast("long").as("n_with_state"),
+          coalesce(sum(col("asof_hash")), lit(0L)).cast("long").as("sum_hash"))
+        .orderBy(col("rib"))
+    }),
     // origin-AS rollup: the last ASN of the path per event (BGP origin),
     // prefix reach and active share per origin — the standard looking-glass
     // "who originates what" question over the same event log
@@ -446,6 +463,32 @@ object RibQueries {
         |  COUNT(DISTINCT rib) AS n_ribs
         |FROM re GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_rib_sql_accept" -> perRibSql("uid%4=2 AND eid%5=0"),
+    // DuckDB's native ASOF JOIN is the independent second opinion on the
+    // engine's union+window as-of implementation; nullable key parts are
+    // sentinel-coalesced because ASOF equality conditions reject NULLs
+    "q_rib_asof_join" -> (cte +
+      """, rights AS (
+        |  SELECT rib, coalesce(keyip,-1) AS k1, coalesce(keyx2,-1) AS k2,
+        |    coalesce(plen,-1) AS k3, coalesce(rdh,-1) AS k4,
+        |    coalesce(rdl,-1) AS k5, coalesce(label,-1) AS k6,
+        |    session_id AS k7, path_id AS k8, ts,
+        |    max_by(attrs_hash, eid) AS h
+        |  FROM re WHERE active
+        |  GROUP BY ALL
+        |), probes AS (
+        |  SELECT rib, coalesce(keyip,-1) AS k1, coalesce(keyx2,-1) AS k2,
+        |    coalesce(plen,-1) AS k3, coalesce(rdh,-1) AS k4,
+        |    coalesce(rdl,-1) AS k5, coalesce(label,-1) AS k6,
+        |    session_id AS k7, path_id AS k8, ts, eid
+        |  FROM re
+        |)
+        |SELECT p.rib, COUNT(*) AS n_events, COUNT(r.h) AS n_with_state,
+        |  CAST(coalesce(SUM(r.h), 0) AS BIGINT) AS sum_hash
+        |FROM probes p ASOF LEFT JOIN rights r
+        |  ON p.rib = r.rib AND p.k1 = r.k1 AND p.k2 = r.k2 AND p.k3 = r.k3
+        |  AND p.k4 = r.k4 AND p.k5 = r.k5 AND p.k6 = r.k6 AND p.k7 = r.k7
+        |  AND p.k8 = r.k8 AND p.ts > r.ts
+        |GROUP BY p.rib ORDER BY p.rib""".stripMargin),
     "q_rib_origin_as" -> (cte +
       """SELECT CAST(CASE WHEN eid%2=1 THEN 65001 ELSE a2 END AS BIGINT) AS origin_as,
         |  COUNT(*) AS n_events,

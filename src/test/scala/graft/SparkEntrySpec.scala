@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
   test("query inventory size") {
     // 71 oracle-checked + 4 rows-only entries (round 3); a drop means a
     // silently lost operator registration
-    assert(SparkEntry.oracleSql.size >= 73)
-    assert(SparkEntry.queries.size >= 77)
+    assert(SparkEntry.oracleSql.size >= 74)
+    assert(SparkEntry.queries.size >= 78)
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.SparkTestBase
 import graft.filter.FilterParser
 import graft.model._
@@ -57,6 +58,26 @@ class RibViewsSpec extends AnyFunSuite {
     assert(RibViews.current(df(historyRows)).count() == 0) // newest is withdraw
     val alive = historyRows.dropRight(1)
     assert(RibViews.current(df(alive)).count() == 1)
+  }
+
+  test("asofJoin attaches the newest strictly-earlier state per key") {
+    val s = spark
+    import s.implicits._
+    val states = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x"))
+      .toDF("k", "t", "v")
+    val probes = Seq(
+      (1L, 5L, "p0"), // before everything → null
+      (1L, 10L, "p1"), // equal ts → strict: still null
+      (1L, 15L, "p2"), // after a → "a"
+      (1L, 25L, "p3"), // after b → "b"
+      (2L, 16L, "p4"), // → "x"
+      (3L, 99L, "p5")) // key with no states → null
+      .toDF("k", "t", "tag")
+    val got = Temporal.asofJoin(probes, states, "k", "t", "v")
+      .select(col("tag"), col("asof_value"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map("p0" -> None, "p1" -> None, "p2" -> Some("a"),
+      "p3" -> Some("b"), "p4" -> Some("x"), "p5" -> None))
   }
 
   test("asOf time-travel: newest active record at or before t") {
