@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.RouteEventGen
+
+/** Pins the plan-shape claims SCALE.md makes, so a regression in any of
+  * them fails a test instead of only a profile: the range-prune hint
+  * reaches the Parquet scan as a pushed filter, pagination plans as
+  * TakeOrderedAndProject (no global window/sort materialization), and the
+  * window views partition on the ring_id surrogate. */
+class PlanEvidenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val re = RouteEventGen.routeEvents(spark, sf)
+
+  test("subnet-scan range hint is pushed to the parquet scan") {
+    val plan = RibViews.scan(re, "10.4.0.0/14")
+      .queryExecution.executedPlan.toString
+    // the simple conjunct reaches PushedFilters as ip_lo bounds
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(prefix.ip_lo"), plan.take(2000))
+  }
+
+  test("pagination plans as TakeOrderedAndProject, not a global sort") {
+    val plan = RibViews.page(re, skip = 40, limit = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("WindowExec"), plan.take(2000))
+  }
+
+  test("history windows partition on the ring_id surrogate") {
+    val plan = RibViews.current(re).queryExecution.executedPlan.toString
+    assert(plan.contains("ring_id"), plan.take(2000))
+    // the wide nested tuple is not the exchange key anymore
+    assert(!plan.contains("hashpartitioning(rib"), plan.take(2000))
+  }
+
+  test("supernet scan pushes the candidate-network IN-list") {
+    val plan = RibViews.scanSuper(re, "10.3.9.50")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(prefix.ip_lo"), plan.take(2000))
+  }
+}
