@@ -1,9 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark runner. Prints ONE JSON line with per-query timings and also
+  * writes the identical JSON to BENCH_full.json in the working directory so
+  * the artifact survives any stdout truncation.
+  *
+  * Timing protocol: every query runs in REPS round-robin passes (pass 1 runs
+  * all queries, then pass 2, ...) and the reported number is the per-query
+  * MEDIAN across passes. Round-robin (rather than back-to-back repetition)
+  * keeps one query's GC/compile debris from landing on its own later reps,
+  * and the median absorbs the first-pass codegen/compile cost. A no-change
+  * re-run should stay within ~1.3x per query, which single-shot timing did
+  * not (r3->r4 showed 0.19x-4.65x swings on identical code).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -25,21 +39,44 @@ object Bench {
         spark.read.parquet(s"$sfDir/events.parquet").limit(2000)).count()
     } catch { case _: Throwable => () }
     // ingest once (materialize the derived route-event log) so per-query
-    // timings measure the queries, not the shared ingest
+    // timings measure the queries, not the shared ingest. Not repeated: the
+    // second run would measure the page cache, not the pipeline.
     val tIngest0 = System.nanoTime()
     try graft.sources.RouteEventGen.routeEvents(spark, sfDir).count()
     catch { case _: Throwable => () }
     val ingestSec = (System.nanoTime() - tIngest0) / 1e9
     // stable name order: per-query timings comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap ++ Map("ingest_route_events" -> ingestSec)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to reps) {
+      System.gc() // start each pass from a comparable heap
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2) // odd reps -> true median; even -> upper-middle
+    }
+    def r4(d: Double): Double = math.rint(d * 1e4) / 1e4
+    val results = names.map { case (name, _) => name -> r4(median(samples(name))) }
+      .toMap ++ Map("ingest_route_events" -> r4(ingestSec))
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r4(results.values.sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    // full artifact on disk: immune to stdout head/tail truncation
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_full.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

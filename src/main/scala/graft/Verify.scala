@@ -16,6 +16,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // let data-dependent oracle generators (IVF centroid literals) train on
+    // the same fixture the queries run against
+    graft.queries.PipelineQueries.oracleContext = Some((spark, sfDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

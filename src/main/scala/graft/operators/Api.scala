@@ -56,7 +56,10 @@ object Api {
       maxDepth = num("maxdepth").map(_.toInt).getOrElse(10),
       onlyActive = bool("onlyactive").getOrElse(false),
       changedAfterMs = num("changed_after"),
-      changedBeforeMs = num("changed_before"))
+      changedBeforeMs = num("changed_before"),
+      // engine extension beyond the reference surface: `after=<route_id>`
+      // switches the page to keyset continuation (see RibParams.pageAfterId)
+      pageAfterId = num("after"))
   }
 
   /** Unknown rib names dispatch to ipv4u (src/ribservice.rs:277). */

@@ -21,7 +21,13 @@ object RibJson {
   final case class RibParams(
       skip: Int = 0, limit: Int = 1000, maxDepth: Int = 10,
       onlyActive: Boolean = false, changedAfterMs: Option[Long] = None,
-      changedBeforeMs: Option[Long] = None)
+      changedBeforeMs: Option[Long] = None,
+      // keyset continuation: resume strictly after the route key with this
+      // route_id (the last item of the previous page). The deep-pagination
+      // path (RibViews.pageAfter): O(limit) page work at any depth, where
+      // skip/limit pays per-partition top-(skip+limit) heaps. Overrides
+      // `skip` when set.
+      pageAfterId: Option[Long] = None)
 
   /** Route-key columns WITHOUT session/path — the top-level map key of the
     * response (the reference's per-SAFI BTreeMap key). */
@@ -97,9 +103,12 @@ object RibJson {
       .agg(jsonLevel(collect_list(struct(
         col("session_id").cast("long").as("k"), col("paths").as("v"))),
         asc = true, None).as("sessions"), rk)
-      .select(col("sessions") +: routeKeyCols.map(c => col(s"__rk.$c").as(c)): _*)
-      .select(routeKeyCols.map(col) :+ itemKey.as("item_key") :+
-        col("sessions").as("items_json"): _*)
+      .select(col("route_id") +: col("sessions") +:
+        routeKeyCols.map(c => col(s"__rk.$c").as(c)): _*)
+      // route_id rides along as the keyset-continuation token for the NEXT
+      // page (RibParams.pageAfterId); response() does not serialize it
+      .select(col("route_id") +: routeKeyCols.map(col) :+
+        itemKey.as("item_key") :+ col("sessions").as("items_json"): _*)
   }
 
   /** Full `/api/json` page: filter → existential match → deterministic
@@ -108,6 +117,49 @@ object RibJson {
     * (item_key, items_json) rows in page order plus the found/length counts. */
   def jsonPage(events: DataFrame, ribName: String, filterStr: String,
       p: RibParams): (DataFrame, Long, Long) = {
+    val (entries, found, length) = pagedEntries(events, ribName, filterStr, p)
+    (itemsTree(entries, p)
+      .orderBy(RibViews.nlriOrderFor(includeRing = false): _*), found, length)
+  }
+
+  /** The page's entry rows PRE-stringification: (item_key, session_id,
+    * path_id, ts_ms, active, attrs_hash), one row per in-depth history entry
+    * of each page route key — exactly the facts the JSON tree serializes
+    * (page selection, response filter, newest-`maxDepth` cap) minus the text
+    * formatting, which has no stable cross-engine form. This is the
+    * oracle-checkable face of the JSON page (the DuckDB replica recomputes
+    * the same rows); the stringification on top is pinned by RibJsonSpec
+    * goldens. Ties inside a ring at equal ts resolve by event_id (frames
+    * without event_id: ts only). */
+  def structuralPage(events: DataFrame, ribName: String, filterStr: String,
+      p: RibParams): DataFrame = {
+    val (entries, _, _) = pagedEntries(events, ribName, filterStr, p)
+    val filtered = withRouteId(entries).where(passes(p))
+    val ord =
+      if (filtered.columns.contains("event_id")) Seq(col("ts").desc, col("event_id").desc)
+      else Seq(col("ts").desc)
+    val w = Window.partitionBy(col("route_id"), col("session_id"), col("path_id"))
+      .orderBy(ord: _*)
+    val capped =
+      if (p.maxDepth > 0)
+        filtered.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= p.maxDepth)
+      else filtered
+    capped.select(itemKey.as("item_key"),
+        col("session_id").cast("long").as("session_id"),
+        col("path_id").cast("long").as("path_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("active"), col("attrs_hash"))
+      .orderBy(col("item_key"), col("session_id"), col("path_id"),
+        col("ts_ms"), col("active"), col("attrs_hash"))
+  }
+
+  /** Shared page machinery: counts + page-key selection + the bounded
+    * broadcast semi-join back into the log. Returns (pageEntries, found,
+    * length) where pageEntries holds ALL history rows of the page's route
+    * keys. */
+  private def pagedEntries(events: DataFrame, ribName: String,
+      filterStr: String, p: RibParams): (DataFrame, Long, Long) = {
     val d = withRouteId(events.where(col("rib") === ribName))
     val filter = FilterParser.parse(filterStr)
     // one keyed pass: per route key, did any in-depth entry match (found)
@@ -134,8 +186,27 @@ object RibJson {
     val keys = keyFlags.where(col("__m") === 1)
       .select(col("route_id") +: routeKeyCols.map(c => col(s"__rk.$c").as(c)): _*)
     val pageKeyDf =
-      if (found > 0)
-        RibViews.page(keys, p.skip, p.limit).select(col("route_id"))
+      if (found > 0) p.pageAfterId match {
+        case Some(aid) =>
+          // keyset continuation: rebuild the continuation token from the
+          // `after` route key's order tuple (one bounded point lookup over
+          // the cached key set), then resume strictly after it — no
+          // skip-scan at any page depth. An unknown route_id yields no
+          // token → first page (the reference's tolerant-params behavior).
+          val tokDf = keys.where(col("route_id") === aid)
+            .select(RibViews.nlriOrderFor(includeRing = false)
+              .zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)
+          val schema = tokDf.schema
+          val token = tokDf.collect().headOption.map { r =>
+            struct(schema.fields.zipWithIndex.map { case (f, i) =>
+              (if (r.isNullAt(i)) lit(null) else lit(r.get(i)))
+                .cast(f.dataType).as(f.name)
+            }: _*)
+          }
+          RibViews.pageAfter(keys, token, p.limit).select(col("route_id"))
+        case None =>
+          RibViews.page(keys, p.skip, p.limit).select(col("route_id"))
+      }
       else // supernet fallback, most-specific first
         RibViews.scanSuper(d, filterStr)
           .dropDuplicates("route_id")
@@ -151,8 +222,7 @@ object RibJson {
       java.util.Arrays.asList(collected: _*), pageKeyDf.schema)
     val pageEntries = d.join(broadcast(pageKeys),
       d("route_id") === pageKeys("route_id"), "left_semi")
-    (itemsTree(pageEntries, p)
-      .orderBy(RibViews.nlriOrderFor(includeRing = false): _*), found, length)
+    (pageEntries, found, length)
   }
 
   /** The complete reference-shaped response document

@@ -28,12 +28,19 @@ object Temporal {
   def asofJoin(probes: DataFrame, states: DataFrame, keyCol: String,
       tsCol: String, valCol: String, out: String = "asof_value"): DataFrame = {
     val vType = states.schema(valCol).dataType
+    // The state value rides inside a single-field struct: `last(ignoreNulls)`
+    // skips NULL cells, and a bare NULL state VALUE would be skipped too —
+    // silently carrying an older state forward. Boxed, a null-valued state is
+    // a non-null struct{null}, so it participates like any other state and
+    // the probe correctly observes NULL. Probe rows carry a NULL struct
+    // (skipped, as intended).
+    val vBox = s"struct<v:${vType.sql}>"
     val pTag = probes.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
-      lit(0).as("__side"), lit(null).cast(vType).as("__v"),
+      lit(0).as("__side"), lit(null).cast(vBox).as("__v"),
       struct(probes.columns.map(col): _*).as("__row"))
     val rowType = pTag.schema("__row").dataType
     val sTag = states.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
-      lit(1).as("__side"), col(valCol).cast(vType).as("__v"),
+      lit(1).as("__side"), struct(col(valCol).cast(vType).as("v")).as("__v"),
       lit(null).cast(rowType).as("__row"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
@@ -41,6 +48,6 @@ object Temporal {
     pTag.unionByName(sTag)
       .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
       .where(col("__side") === 0)
-      .select(col("__row.*"), col("__asof").as(out))
+      .select(col("__row.*"), col("__asof.v").as(out))
   }
 }

@@ -107,9 +107,24 @@ object Dedup {
     * constant-zero top bit — irrelevant for bucketing/hamming). SQL
     * replica: `xor(xor((f1 % 2^30) << 33, f2 << 2), f1 + f2)`. */
   def arithHash64(s: Column): Column = {
-    val f1 = charFold(s, 31L, 2147483647L)
-    val f2 = charFold(s, 131L, 2147483629L)
-    shiftleft(f1 % 1073741824L, 33).bitwiseXOR(shiftleft(f2, 2)).bitwiseXOR(f1 + f2)
+    // Both folds in ONE pass over ONE split: two charFold calls would each
+    // split+filter+walk the string (and project-collapse re-inlines shared
+    // sub-expressions rather than sharing them). The pair accumulator walks
+    // the codepoints once; the combine runs in the finish lambda, where the
+    // final accumulator is a bound variable — referenced four times,
+    // evaluated once.
+    val cps = filter(split(s, ""), c => c =!= "")
+    aggregate(cps,
+      struct(lit(0L).as("f1"), lit(0L).as("f2")),
+      (acc, c) => struct(
+        ((acc.getField("f1") * 31L + ascii(c)) % 2147483647L).as("f1"),
+        ((acc.getField("f2") * 131L + ascii(c)) % 2147483629L).as("f2")),
+      acc => {
+        val f1 = acc.getField("f1")
+        val f2 = acc.getField("f2")
+        shiftleft(f1 % 1073741824L, 33).bitwiseXOR(shiftleft(f2, 2))
+          .bitwiseXOR(f1 + f2)
+      })
   }
 
   /** Exact duplicate groups by 64-bit content hash: returns

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -69,18 +69,40 @@ object Multimodal {
         expr(s"substring(payload, off + 1, $frameLen)").as("frame"))
   }
 
-  /** Feature schema produced by the decode/extract stage. */
+  /** 12-byte container header: magic "GFT0", uint16-BE width, uint16-BE
+    * height, uint32-BE duration_ms (0 where the modality doesn't carry the
+    * field). The synthetic container format whose header [[decodeStub]]
+    * genuinely parses byte-by-byte — built with hex/lpad/unhex column
+    * arithmetic: scan-speed, no UDF. */
+  def containerize(blobs: DataFrame): DataFrame = {
+    def be(c: Column, hexDigits: Int): Column =
+      lpad(hex(coalesce(c.cast("long"), lit(0L))), hexDigits, "0")
+    val header = unhex(concat(lit("47465430"), // "GFT0"
+      be(col("meta.width"), 4), be(col("meta.height"), 4),
+      be(col("meta.duration_ms"), 8)))
+    blobs.withColumn("payload", concat(header, col("payload")))
+  }
+
+  /** Feature schema produced by the decode/extract stage. The parsed_*
+    * fields come from the container header ([[containerize]]) — null when
+    * the payload carries no recognizable header. */
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("feature", ArrayType(FloatType), nullable = true)))
+    StructField("feature", ArrayType(FloatType), nullable = true),
+    StructField("parsed_width", IntegerType, nullable = true),
+    StructField("parsed_height", IntegerType, nullable = true),
+    StructField("parsed_duration_ms", LongType, nullable = true)))
 
-  /** STUB decoder: where a real pipeline would decode the payload (image
-    * decode / resample / frame-sample) this computes a deterministic fake
-    * 8-dim feature from the payload bytes. The `mapPartitions` shape —
-    * iterator in, iterator out, schema-typed Rows, partitioning preserved —
-    * is exactly what a real vectorized decoder plugs into. */
+  /** Decoder: parses the container HEADER for real — magic check plus
+    * big-endian u16/u16/u32 field extraction from raw bytes — then computes
+    * a deterministic fake feature from the body where a real pipeline would
+    * decode pixels/samples (no media libraries in this environment; only
+    * that innermost step is stubbed). `n_bytes` and the feature cover the
+    * BODY (payload minus header). The `mapPartitions` shape — iterator in,
+    * iterator out, schema-typed Rows, partitioning preserved — is exactly
+    * what a real vectorized decoder plugs into. */
   def decodeStub(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
@@ -89,12 +111,28 @@ object Multimodal {
         val id = row.getLong(0)
         val mod = row.getString(1)
         val payload = if (row.isNullAt(2)) Array.emptyByteArray else row.getAs[Array[Byte]](2)
+        def u8(i: Int): Int = payload(i) & 0xFF
+        val hasHdr = payload.length >= 12 && payload(0) == 'G' &&
+          payload(1) == 'F' && payload(2) == 'T' && payload(3) == '0'
+        val w = if (hasHdr) (u8(4) << 8) | u8(5) else 0
+        val h = if (hasHdr) (u8(6) << 8) | u8(7) else 0
+        val dur = if (hasHdr)
+          (u8(8).toLong << 24) | (u8(9) << 16) | (u8(10) << 8) | u8(11)
+        else 0L
+        val body =
+          if (hasHdr) java.util.Arrays.copyOfRange(payload, 12, payload.length)
+          else payload
         // deterministic fake feature: byte-bucket histogram, L1-normalized.
-        // A real decoder (??? in production terms) replaces this block.
+        // A real media decoder replaces this block (and only this block).
         val hist = new Array[Float](8)
-        payload.foreach(b => hist((b & 0xFF) >> 5) += 1f)
-        val total = math.max(1f, payload.length.toFloat)
-        Row(id, mod, payload.length.toLong, hist.map(_ / total).toSeq)
+        body.foreach(b => hist((b & 0xFF) >> 5) += 1f)
+        val total = math.max(1f, body.length.toFloat)
+        if (hasHdr)
+          Row(id, mod, body.length.toLong, hist.map(_ / total).toSeq,
+            Int.box(w), Int.box(h), Long.box(dur))
+        else
+          Row(id, mod, body.length.toLong, hist.map(_ / total).toSeq,
+            null, null, null)
       }
     }(enc)
   }

@@ -90,19 +90,24 @@ object Similarity {
     * evaluated — normalizing rows inside a lambda re-evaluates the norm
     * aggregate per element (the O(d²)-per-reference inlining trap that
     * made the first cut of this operator ~30× slower). */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def dotLit(v: Column, w: Array[Double]): Column =
+    graft.functions.VecDot(v, lit(w))
+
+  /** Nearest-centroid index (1-based array_position over the score array);
+    * ties resolve to the LOWEST cell index (array_position = first max). */
+  private def cellOf(v: Column, cents: Array[Array[Double]]): Column = {
+    val scores = array(cents.map(w =>
+      dotLit(v, w) - lit(w.map(x => x * x).sum / 2)): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** The deterministic IVF training stage, exposed on its own so the
+    * correctness oracle can embed the trained centroids as SQL literals
+    * (PipelineQueries.ivfOracleSql) — same seeds, same Lloyd iterations as
+    * the query path ([[ivfTopK]] calls this). */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 2): Array[Array[Double]] = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    def dotLit(v: Column, w: Array[Double]): Column =
-      graft.functions.VecDot(v, lit(w))
-    // nearest-centroid index: 1-based array_position over the score array
-    def cellOf(v: Column, cents: Array[Array[Double]]): Column = {
-      val scores = array(cents.map(w =>
-        dotLit(v, w) - lit(w.map(x => x * x).sum / 2)): _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }
     var cents: Array[Array[Double]] = c
       .orderBy(pmod(xxhash64(col("id")), lit(1000003L)), col("id")).limit(nlist)
       .select(col("v")).collect()
@@ -125,6 +130,15 @@ object Similarity {
       }
       cents = next // cells with no members kept their old centroid
     }
+    cents
+  }
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
     val assigned = c.withColumn("cell", cellOf(col("v"), cents))
     // probe side: nprobe nearest cells via sorted (score, cell) structs
     val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))

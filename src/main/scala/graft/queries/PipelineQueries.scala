@@ -134,8 +134,10 @@ object PipelineQueries {
         .select(col("probe_id"), col("id"), col("rank"))
         .orderBy(col("probe_id"), col("rank"))
     }),
-    // rows-only: the k-means iterations have no tractable SQL replica;
-    // PipelineSpec pins recall against q_sim_bruteforce instead
+    // oracle-checked when run through Verify: training is deterministic, so
+    // the oracle embeds the trained centroids as literals (ivfOracleSql) and
+    // independently replays assignment + probe cells + exact re-rank;
+    // PipelineSpec additionally pins recall against q_sim_bruteforce
     "q_sim_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
@@ -248,12 +250,20 @@ object PipelineQueries {
           octet_length(col("frame")).cast("long").as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
         .orderBy(col("asset_id"), col("frame_idx"))),
+    // decode runs over CONTAINERIZED payloads: the 12-byte GFT0 header is
+    // parsed for real (magic + big-endian u16/u16/u32) inside the decoder;
+    // the sum_parsed_* columns are derived from those parsed bytes, so a
+    // byte-offset or endianness bug in the parser flips the hash
     "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.decodeStub(Multimodal.blobsFromDocuments(docs(s, dir)))
+      Multimodal.decodeStub(Multimodal.containerize(
+        Multimodal.blobsFromDocuments(docs(s, dir))))
         .groupBy(col("modality"))
         .agg(count(lit(1)).cast("long").as("n_assets"),
           sum(col("n_bytes")).cast("long").as("total_bytes"),
-          sum(size(filter(col("feature"), f => f > 0))).cast("long").as("nonzero_dims"))
+          sum(size(filter(col("feature"), f => f > 0))).cast("long").as("nonzero_dims"),
+          sum(col("parsed_width")).cast("long").as("sum_parsed_w"),
+          sum(col("parsed_height")).cast("long").as("sum_parsed_h"),
+          sum(col("parsed_duration_ms")).cast("long").as("sum_parsed_dur"))
         .orderBy(col("modality"))),
 
     // --- enrichment (E1-E3 cache-table pattern) -------------------------
@@ -363,7 +373,79 @@ object PipelineQueries {
        |ORDER BY a, b""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Set by Verify (before it dumps oracle_sql.json) to the live
+    * (session, sfDir) the queries ran against, so DATA-DEPENDENT oracles can
+    * be generated: the IVF oracle embeds the deterministically-trained
+    * centroids as SQL literals (training is a pure function of the fixture —
+    * hash-min seeds, fixed Lloyd iterations — so the literals are
+    * reproducible; the oracle then independently re-checks cell assignment,
+    * probe-cell selection, candidate generation and the exact re-rank).
+    * None outside Verify → the entry is omitted (rows-only, as before). */
+  @volatile var oracleContext: Option[(SparkSession, String)] = None
+
+  /** DuckDB replica of Similarity.ivfTopK downstream of training: centroid
+    * literals → argmax cell assignment (ties → lowest cell, matching
+    * array_position-first-max), nprobe=4 probe cells (score desc, cell desc,
+    * matching reverse(array_sort)), candidate join, exact cosine top-10. */
+  private def ivfOracleSql(cents: Array[Array[Double]]): String = {
+    def fmt(x: Double): String = java.lang.Double.toString(x)
+    val wRows = cents.zipWithIndex.flatMap { case (w, cell) =>
+      w.zipWithIndex.map { case (x, j) => s"($cell,${j + 1},${fmt(x)})" }
+    }.mkString(", ")
+    val hRows = cents.zipWithIndex.map { case (w, cell) =>
+      s"($cell,${fmt(w.map(x => x * x).sum / 2)})" }.mkString(", ")
+    s"""WITH w AS (SELECT * FROM (VALUES $wRows) t(cell, i, wx)),
+       |wh AS (SELECT * FROM (VALUES $hRows) t(cell, h)),
+       |v AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |), sc AS (
+       |  SELECT v.vec_id, w.cell, SUM(v.x * w.wx) - MAX(wh.h) AS score
+       |  FROM v JOIN w ON v.i = w.i JOIN wh ON wh.cell = w.cell
+       |  GROUP BY 1, 2
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |    FROM sc) t WHERE rn = 1
+       |), pcells AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM sc WHERE vec_id IN (0, 17, 42)) t WHERE rn <= 4
+       |), cand AS (
+       |  SELECT DISTINCT p.probe_id, a.vec_id AS id
+       |  FROM pcells p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.probe_id
+       |), norms AS (
+       |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
+       |), scored AS (
+       |  SELECT cand.probe_id, cand.id,
+       |    SUM(pv.x * cx.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+       |  FROM cand
+       |  JOIN v pv ON pv.vec_id = cand.probe_id
+       |  JOIN v cx ON cx.vec_id = cand.id AND cx.i = pv.i
+       |  JOIN norms np ON np.vec_id = cand.probe_id
+       |  JOIN norms nc ON nc.vec_id = cand.id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
+       |  SELECT probe_id, id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  private def ivfOracleEntry: Map[String, String] =
+    oracleContext.flatMap { case (s, dir) =>
+      try Some("q_sim_ivf" ->
+        ivfOracleSql(Similarity.ivfCentroids(emb(s, dir), "vec_id", "embedding")))
+      catch { case _: Throwable => None }
+    }.toMap
+
+  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracleEntry
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""SELECT source, COUNT(*) AS n_docs,
          |  COUNT(DISTINCT lower($docNorm)) AS n_unique
@@ -560,7 +642,8 @@ object PipelineQueries {
          |  JOIN (SELECT doc_id, COUNT(*) AS n_distinct FROM shd GROUP BY 1) d
          |    USING (doc_id)
          |)
-         |SELECT source, COUNT(*) AS n_docs, SUM(r) AS sum_rep, MAX(r) AS max_rep
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(r) AS BIGINT) AS sum_rep, CAST(MAX(r) AS BIGINT) AS max_rep
          |FROM rep JOIN documents USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin,
     "q_text_langid" ->
@@ -727,9 +810,13 @@ object PipelineQueries {
         |WHERE doc_id % 3 <> 0
         |ORDER BY asset_id, frame_idx""".stripMargin,
     // Byte-bucket replica of Multimodal.decodeStub: feature dim j > 0 iff
-    // the payload has a byte in [32j, 32j+32). The corpus is ASCII (checked:
-    // 0 rows match [^\x00-\x7F] at every sf), so chars ≡ bytes and buckets
-    // 4-7 are structurally zero; a non-ASCII fixture would fail loudly here.
+    // the BODY (payload minus the 12-byte GFT0 header) has a byte in
+    // [32j, 32j+32). The corpus is ASCII (checked: 0 rows match [^\x00-\x7F]
+    // at every sf), so chars ≡ bytes and buckets 4-7 are structurally zero;
+    // a non-ASCII fixture would fail loudly here. The sum_parsed_* columns
+    // replay the header-field arithmetic the engine must recover by parsing
+    // big-endian bytes (containerize writes 0 where a modality has no
+    // width/height/duration).
     "q_multimodal_features" ->
       """SELECT CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  COUNT(*) AS n_assets,
@@ -739,7 +826,10 @@ object PipelineQueries {
         |    + CASE WHEN regexp_matches(text, '[\x20-\x3f]') THEN 1 ELSE 0 END
         |    + CASE WHEN regexp_matches(text, '[\x40-\x5f]') THEN 1 ELSE 0 END
         |    + CASE WHEN regexp_matches(text, '[\x60-\x7f]') THEN 1 ELSE 0 END
-        |  ) AS BIGINT) AS nonzero_dims
+        |  ) AS BIGINT) AS nonzero_dims,
+        |  CAST(SUM(CASE WHEN doc_id%3=0 THEN doc_id%640+64 ELSE 0 END) AS BIGINT) AS sum_parsed_w,
+        |  CAST(SUM(CASE WHEN doc_id%3=0 THEN doc_id%480+48 ELSE 0 END) AS BIGINT) AS sum_parsed_h,
+        |  CAST(SUM(CASE WHEN doc_id%3<>0 THEN doc_id%60000+1000 ELSE 0 END) AS BIGINT) AS sum_parsed_dur
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_whois_enrich" -> (RibQueries.cte +
       """SELECT 'AS'||(CASE WHEN eid%2=1 THEN 65001 ELSE a2 END)

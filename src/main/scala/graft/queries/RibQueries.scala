@@ -206,14 +206,15 @@ object RibQueries {
           countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
         .orderBy(col("rib"), col("active"))),
 
-    // --- P6 JSON tree page (rows-only: JSON text formatting has no stable
-    // cross-engine oracle; semantics pinned by RibJsonSpec) ---------------
-    "q_rib_json_page" -> ((s, dir) => {
-      val (items, _, _) = graft.operators.RibJson.jsonPage(
+    // --- P6 JSON tree page: the STRUCTURAL face (page selection, in-depth
+    // match, response filter, newest-maxDepth cap — everything the JSON tree
+    // serializes except the text formatting) runs the full jsonPage
+    // machinery and is oracle-checked row-for-row; the stringification on
+    // top is pinned by RibJsonSpec goldens ---------------------------------
+    "q_rib_json_page" -> ((s, dir) =>
+      graft.operators.RibJson.structuralPage(
         re(s, dir), "ipv4u", "10.4.0.0/14",
-        graft.operators.RibJson.RibParams(skip = 0, limit = 20, maxDepth = 5))
-      items.select(col("item_key"), col("items_json"))
-    }),
+        graft.operators.RibJson.RibParams(skip = 0, limit = 20, maxDepth = 5))),
 
     // --- snapshot roundtrip (S6): write the event log as a Parquet
     // checkpoint partitioned by rib (the reference's CBOR snapshot,
@@ -548,6 +549,35 @@ object RibQueries {
         |        FROM re WHERE rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4mdt')) k) t
         |WHERE rn > 20 AND rn <= 40 ORDER BY rn""".stripMargin),
     "q_rib_snapshot" -> perRibSql("TRUE"),
+    // Structural JSON page replica: ipv4u + "10.4.0.0/14" ⟺ o2 ∈ [4,7];
+    // rings are (keyExpr) partitions, route keys collapse to (keyip, plen)
+    // for ipv4u (rd/labels/wrappers all NULL); page order = nlriOrder
+    // restricted to ipv4u = (ip, plen); per-(key, session, path) history
+    // keeps the newest 5 by (ts, eid) — RibJson.structuralPage semantics.
+    "q_rib_json_page" -> (cte +
+      s""", mm AS (
+         |  SELECT keyip, plen,
+         |    MAX(CASE WHEN rn > nall - 5 AND o2 BETWEEN 4 AND 7 THEN 1 ELSE 0 END) AS m
+         |  FROM (
+         |    SELECT keyip, plen, o2,
+         |      ROW_NUMBER() OVER (PARTITION BY $keyExpr ORDER BY ts, eid) AS rn,
+         |      COUNT(*) OVER (PARTITION BY $keyExpr) AS nall
+         |    FROM re WHERE rib='ipv4u') t
+         |  GROUP BY 1, 2
+         |), page AS (
+         |  SELECT keyip, plen FROM mm WHERE m = 1 ORDER BY keyip, plen LIMIT 20
+         |), ent AS (
+         |  SELECT r.prefix_str, r.session_id, r.path_id, epoch_ms(r.ts) AS ts_ms,
+         |    r.active, r.attrs_hash,
+         |    ROW_NUMBER() OVER (PARTITION BY r.keyip, r.plen, r.session_id, r.path_id
+         |      ORDER BY r.ts DESC, r.eid DESC) AS rn
+         |  FROM re r JOIN page p ON r.keyip = p.keyip AND r.plen = p.plen
+         |  WHERE r.rib='ipv4u'
+         |)
+         |SELECT prefix_str AS item_key, CAST(session_id AS BIGINT) AS session_id,
+         |  CAST(path_id AS BIGINT) AS path_id, ts_ms, active, attrs_hash
+         |FROM ent WHERE rn <= 5
+         |ORDER BY item_key, session_id, path_id, ts_ms, active, attrs_hash""".stripMargin),
     "q_ingest_decompose" ->
       """WITH m AS (
         |  SELECT event_id AS eid, user_id AS uid FROM events

@@ -67,10 +67,16 @@ object Feed {
       // steady-state layout: compaction is where rows migrate into the
       // bucketed table (SCALE.md) — ring-keyed views over it plan
       // exchange-free while the hot append path stays unbucketed
-      case Some(t) if log.columns.contains("ring_id") =>
+      case Some(t) =>
+        // a log without ring_id must fail loudly, not silently write a plain
+        // (unregistered, exchange-paying) directory the caller thinks is
+        // the bucketed steady-state table
+        require(log.columns.contains("ring_id"),
+          s"compact: bucketTable=$t requires a ring_id column in the log at " +
+            s"$logDir (found: ${log.columns.mkString(", ")})")
         kept.write.bucketBy(nBuckets, "ring_id").sortBy("ring_id", "ts")
           .option("path", outDir).mode("overwrite").saveAsTable(t)
-      case _ =>
+      case None =>
         kept.write.mode("overwrite").parquet(outDir)
     }
   }

@@ -29,6 +29,46 @@ class ApiSpec extends AnyFunSuite {
     assert(p == RibJson.RibParams(5, 20, 3, onlyActive = true, Some(100L), Some(200L)))
   }
 
+  test("params: after=<route_id> switches to keyset continuation") {
+    val p = Api.parseParams(Api.parseQuery("after=-123456789&limit=5"))
+    assert(p.pageAfterId.contains(-123456789L) && p.limit == 5)
+    assert(Api.parseParams(Api.parseQuery("after=notanumber")).pageAfterId.isEmpty)
+  }
+
+  test("keyset continuation pages the JSON page identically to skip/limit") {
+    val s = spark
+    import s.implicits._
+    // 12 distinct /24 routes under 10.1.0.0/16, two entries each
+    val evs = (0 until 12).flatMap { i =>
+      val p = Model.v4(s"10.1.$i.0", 24)
+      Seq(0L, 1000L).map(off =>
+        RouteEvent(new java.sql.Timestamp(base + off), "ipv4u", i % 2, 0L,
+          active = true, Some(p), Some(Model.pfxStr(p)), None, None, None,
+          None, None, None, Model.emptyAttrs, i.toLong))
+    }
+    val d = s.createDataset(evs).toDF()
+    val params = RibJson.RibParams(skip = 0, limit = 5, maxDepth = 10)
+    def keysOf(items: org.apache.spark.sql.DataFrame): Seq[String] =
+      items.select("item_key").collect().map(_.getString(0)).toSeq
+    val (page1, found, length) = RibJson.jsonPage(d, "ipv4u", "10.1.0.0/16", params)
+    assert(found == 12 && length == 12)
+    val p1 = page1.select("route_id", "item_key").collect()
+    assert(p1.map(_.getString(1)).toSeq == (0 until 5).map(i => s"10.1.$i.0/24"))
+    // page 2 via keyset (after = last route_id of page 1) ≡ page 2 via skip
+    val afterId = p1.last.getLong(0)
+    val (pk2, _, _) = RibJson.jsonPage(d, "ipv4u", "10.1.0.0/16",
+      params.copy(pageAfterId = Some(afterId)))
+    val (ps2, _, _) = RibJson.jsonPage(d, "ipv4u", "10.1.0.0/16",
+      params.copy(skip = 5))
+    assert(keysOf(pk2) == (5 until 10).map(i => s"10.1.$i.0/24"))
+    assert(keysOf(pk2) == keysOf(ps2))
+    // walk page 3 the same way — the deep-pagination path terminates
+    val afterId2 = pk2.select("route_id", "item_key").collect().last.getLong(0)
+    val (pk3, _, _) = RibJson.jsonPage(d, "ipv4u", "10.1.0.0/16",
+      params.copy(pageAfterId = Some(afterId2)))
+    assert(keysOf(pk3) == (10 until 12).map(i => s"10.1.$i.0/24"))
+  }
+
   test("params: unparseable values are ignored, keeping defaults") {
     val p = Api.parseParams(Map(
       "skip" -> "abc", "limit" -> "", "onlyactive" -> "yes", "maxdepth" -> "7"))

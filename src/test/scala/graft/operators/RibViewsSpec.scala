@@ -80,6 +80,21 @@ class RibViewsSpec extends AnyFunSuite {
       "p3" -> Some("b"), "p4" -> Some("x"), "p5" -> None))
   }
 
+  test("asofJoin carries a NULL-VALUED state instead of skipping past it") {
+    val s = spark
+    import s.implicits._
+    // state at t=20 has v=NULL: the probe at t=25 must observe NULL (the
+    // newest earlier state), NOT "a" — last(ignoreNulls) over a bare value
+    // column would skip the null state and resurrect the older one
+    val states = Seq((1L, 10L, Some("a")), (1L, 20L, None))
+      .toDF("k", "t", "v")
+    val probes = Seq((1L, 15L, "p1"), (1L, 25L, "p2")).toDF("k", "t", "tag")
+    val got = Temporal.asofJoin(probes, states, "k", "t", "v")
+      .select(col("tag"), col("asof_value"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map("p1" -> Some("a"), "p2" -> None))
+  }
+
   test("asOf time-travel: newest active record at or before t") {
     val d = df(historyRows)
     // at t = base+5000 the newest record is row 5 (active, hash 3)
@@ -172,7 +187,10 @@ class RibViewsSpec extends AnyFunSuite {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
-    val d = graft.sources.RouteEventGen.fromEvents(events)
+    // materialized (as the production log is): composing the acceptance
+    // tree directly over the inline derivation CASE trees exceeds Janino's
+    // method limit, and SparkTestBase runs with codegen fallback DISABLED
+    val d = graft.sources.RouteEventGen.fromEvents(events).localCheckpoint()
     Seq("10.4.0.0/14", "224.8.0.0/13", "2001:0:a::/48", "10.3.9.50",
       "rd:101:1000 10.4.0.0/14", "232.3.0.0/16", "ff05:0:a::/48",
       "172.17.0.0/16").foreach { f =>

@@ -204,6 +204,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(f.sum - 1.0f) < 1e-5)
   }
 
+  test("multimodal container header round-trips through the byte parser") {
+    val d = Seq((6L, "imagebodybytes"), (7L, "audiobodybytes"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(14L))
+    val feats = Multimodal.decodeStub(Multimodal.containerize(
+      Multimodal.blobsFromDocuments(d))).orderBy("asset_id").collect()
+    // doc 6 → image: width 6%640+64=70, height 6%480+48=54, duration absent→0
+    val img = feats(0)
+    assert(img.getString(1) == "image")
+    assert(img.getLong(2) == 14L) // body length excludes the 12-byte header
+    assert(img.getInt(4) == 70 && img.getInt(5) == 54 && img.getLong(6) == 0L)
+    // doc 7 → audio: duration 7%60000+1000=1007, dims absent→0
+    val aud = feats(1)
+    assert(aud.getString(1) == "audio")
+    assert(aud.getInt(4) == 0 && aud.getInt(5) == 0 && aud.getLong(6) == 1007L)
+    // the feature covers the BODY only: identical to the headerless path
+    val raw = Multimodal.decodeStub(Multimodal.blobsFromDocuments(d))
+      .orderBy("asset_id").collect()
+    assert(img.getSeq[Float](3) == raw(0).getSeq[Float](3))
+    // headerless payload → null parsed fields (defensive path)
+    assert(raw(0).isNullAt(4) && raw(0).isNullAt(5) && raw(0).isNullAt(6))
+  }
+
+  test("arithHash64 one-pass dual fold is bit-identical to the two-fold form") {
+    val d = Seq("", "a", "hello world", "the quick brown fox jumps", "ünïcödé")
+      .toDF("s")
+    val f1 = Dedup.charFold(col("s"), 31L, 2147483647L)
+    val f2 = Dedup.charFold(col("s"), 131L, 2147483629L)
+    val twoPass = shiftleft(f1 % 1073741824L, 33)
+      .bitwiseXOR(shiftleft(f2, 2)).bitwiseXOR(f1 + f2)
+    val rows = d.select(Dedup.arithHash64(col("s")).as("one"), twoPass.as("two"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("quality keep gate") {
     val good = "the quick brown fox jumps over the lazy dog and runs to the house in town"
     val bad = "@@ ## $$ %% ^^"

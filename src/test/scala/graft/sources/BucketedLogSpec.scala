@@ -27,6 +27,18 @@ class BucketedLogSpec extends AnyFunSuite {
     assert(!od.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("a bucketed table name cannot be silently reused across source dirs") {
+    RouteEventGen.bucketedRouteEvents(spark, sf, table = "bucketed_guard_spec")
+    // same name, same dir: fine (idempotent reuse)
+    RouteEventGen.bucketedRouteEvents(spark, sf, table = "bucketed_guard_spec")
+    // same name, DIFFERENT dir: must refuse, not hand back stale data
+    val e = intercept[IllegalArgumentException] {
+      RouteEventGen.bucketedRouteEvents(spark, "/root/testdata/sf0.01",
+        table = "bucketed_guard_spec")
+    }
+    assert(e.getMessage.contains("bucketed_guard_spec"))
+  }
+
   test("bucketed and unbucketed paths agree") {
     val bucketed = RouteEventGen.bucketedRouteEvents(spark, sf)
     val plain = RouteEventGen.routeEvents(spark, sf)

@@ -55,17 +55,21 @@ class FeedSpec extends AnyFunSuite {
     val stage = tmp()
     val events = spark.read.parquet(s"$srcSf/events.parquet")
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-    events.repartition(2).write.mode("overwrite").parquet(stage)
-    val routeStream = graft.sources.RouteEventGen.fromEvents(
-      spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1").parquet(stage))
+    // subscribers tail the DERIVED event log (the log IS the bus — ST1):
+    // the compiled filter runs over stored columns, exactly the production
+    // shape; filtering over the inline derivation CASE trees would exceed
+    // Janino's limit, and SparkTestBase runs with codegen fallback DISABLED
+    val derived = graft.sources.RouteEventGen.fromEvents(events).localCheckpoint()
+    derived.repartition(2).write.mode("overwrite").parquet(stage)
+    val routeStream = spark.readStream.schema(derived.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
     val received = scala.collection.mutable.ArrayBuffer[Long]()
     val q = Feed.subscribe(routeStream, "ipv4u", "10.4.0.0/14") { rows =>
       received.synchronized { received ++= rows.map(_.getAs[Long]("event_id")) }
     }.start()
     q.processAllAvailable()
     q.stop()
-    val expected = graft.sources.RouteEventGen.fromEvents(events)
+    val expected = derived
       .where(col("rib") === "ipv4u" && graft.filter.FilterCompiler.accept("10.4.0.0/14"))
       .select("event_id").collect().map(_.getLong(0)).sorted
     assert(received.sorted.toSeq == expected.toSeq)
@@ -92,6 +96,22 @@ class FeedSpec extends AnyFunSuite {
     assert(bucketed.count() == compacted.count())
     assert(!RibViews.current(bucketed).queryExecution.executedPlan
       .toString.contains("Exchange"))
+  }
+
+  test("compaction with bucketTable refuses a log without ring_id") {
+    val stage = tmp()
+    val events = spark.read.parquet(s"$srcSf/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // strip the surrogate: asking for a bucketed target must now fail
+    // loudly instead of silently writing a plain (unbucketed) directory
+    graft.sources.RouteEventGen.fromEvents(events).drop("ring_id")
+      .write.mode("overwrite").parquet(stage)
+    val e = intercept[IllegalArgumentException] {
+      Feed.compact(spark, stage, tmp() + "/x", historyDepth = 2,
+        bucketTable = Some("compacted_guard_spec"))
+    }
+    assert(e.getMessage.contains("ring_id"))
+    assert(!spark.catalog.tableExists("compacted_guard_spec"))
   }
 
   test("ST6 watermarked windowed live stats equal the batch rollup") {
