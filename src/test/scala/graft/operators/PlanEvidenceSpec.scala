@@ -43,4 +43,27 @@ class PlanEvidenceSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("In(prefix.ip_lo"), plan.take(2000))
   }
+
+  test("json page entries reach the log via a broadcast semi-join on route_id") {
+    // the page keys (≤ limit longs) must broadcast into the log scan — a
+    // shuffled join here would move the whole log at 100 TB (SCALE.md P6)
+    val page = RibJson.structuralPage(re, "ipv4u", "10.4.0.0/14",
+      RibJson.RibParams(skip = 0, limit = 20, maxDepth = 5))
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("keyset continuation (pageAfter) plans as TakeOrderedAndProject") {
+    val tok = RibViews.pageToken(ring = true)
+    val first = re.select(tok.as("t")).limit(1).collect()(0).getStruct(0)
+    val fields = first.schema.fields
+    val tokLit = struct(fields.indices.map(i =>
+      lit(first.get(i)).cast(fields(i).dataType).as(s"k$i")): _*)
+    val plan = RibViews.pageAfter(re, Some(tokLit), 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("WindowExec"), plan.take(2000))
+  }
 }
