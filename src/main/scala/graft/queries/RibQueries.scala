@@ -205,6 +205,19 @@ object RibQueries {
         .agg(count(lit(1)).cast("long").as("n"),
           countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
         .orderBy(col("rib"), col("active"))),
+    // --- S1/S2 wire path: the SAME message stream round-tripped through
+    // real RFC 4271 bytes (BgpWire.encode → decode) before decomposition —
+    // must reproduce the q_ingest_decompose oracle exactly, so any encode/
+    // decode asymmetry or prefix/nexthop corruption flips the hash (golden
+    // BYTES are pinned separately in BgpWireSpec) ------------------------
+    "q_wire_decompose" -> ((s, dir) =>
+      graft.sources.UpdateDecompose.decompose(
+        graft.sources.BgpWire.decodeUpdates(graft.sources.BgpWire.encodeUpdates(
+          graft.sources.UpdateDecompose.messages(Tables(s, dir, "events")))))
+        .groupBy(col("rib"), col("active"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
+        .orderBy(col("rib"), col("active"))),
 
     // --- P6 JSON tree page: the STRUCTURAL face (page selection, in-depth
     // match, response filter, newest-maxDepth cap — everything the JSON tree
@@ -578,7 +591,11 @@ object RibQueries {
          |  CAST(path_id AS BIGINT) AS path_id, ts_ms, active, attrs_hash
          |FROM ent WHERE rn <= 5
          |ORDER BY item_key, session_id, path_id, ts_ms, active, attrs_hash""".stripMargin),
-    "q_ingest_decompose" ->
+    "q_ingest_decompose" -> decomposeOracle,
+    // identical expectation: the wire roundtrip must be lossless
+    "q_wire_decompose" -> decomposeOracle)
+
+  private val decomposeOracle: String =
       """WITH m AS (
         |  SELECT event_id AS eid, user_id AS uid FROM events
         |), rows_out AS (
@@ -600,5 +617,5 @@ object RibQueries {
         |  FROM m WHERE eid%4=0
         |)
         |SELECT rib, active, COUNT(*) AS n, COUNT(DISTINCT p) AS n_prefixes
-        |FROM rows_out GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+        |FROM rows_out GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 }

@@ -1,0 +1,539 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+/** S1/S2 wire formats: a real RFC 4271 BGP UPDATE decoder and RFC 7854 BMP
+  * framing over `binary` columns (reference: update handling
+  * src/bgppeer.rs:170-258, BMP framing + per-peer header
+  * src/bmppeer.rs:30-131, `filter_rd` src/bmppeer.rs:33-39).
+  *
+  * This closes most of the "live protocol adapters" gap: the byte-level
+  * decode (message framing, withdrawn routes, the path-attribute TLV walk,
+  * MP_REACH/MP_UNREACH with AFI/SAFI dispatch, labeled/VPN NLRI with RD and
+  * label extraction, BMP common + per-peer headers) is all here and real —
+  * what stays out of engine scope is only the TCP/FSM session driver
+  * (OPEN/KEEPALIVE timers), which a deployment wires around
+  * `spark.readStream` exactly as SURVEY §2.1 prescribes.
+  *
+  * Spark-first shape: decode runs in `mapPartitions` — iterator in,
+  * iterator out, schema-typed rows, partitioning preserved — the same
+  * batch-decode shape as the multimodal pipeline (the one place imperative
+  * byte code beats Column expressions). No driver involvement, no shuffle:
+  * cost scales with input bytes.
+  *
+  * The ENCODER exists so the whole wire path is falsifiable: the
+  * `q_wire_decompose` oracle query round-trips the deterministic message
+  * stream through encode → decode → decomposition and must reproduce the
+  * `q_ingest_decompose` oracle exactly, while BgpWireSpec pins hand-built
+  * golden BYTES so encoder and decoder cannot share a hidden convention.
+  */
+object BgpWire {
+
+  private val pfxSt = DataType.fromDDL(RouteEventGen.pfxType).asInstanceOf[StructType]
+  private val rdSt = DataType.fromDDL(RouteEventGen.rdType).asInstanceOf[StructType]
+
+  /** Per-MP-family item: rib + prefixes + family nexthop, plus the
+    * per-prefix RD/label wrappers for VPN/labeled SAFIs (aligned with
+    * `nlri`; null entries for plain families). */
+  private val mpSt = StructType(Seq(
+    StructField("rib", StringType),
+    StructField("nlri", ArrayType(pfxSt)),
+    StructField("nexthop", pfxSt, nullable = true),
+    StructField("rds", ArrayType(rdSt), nullable = true),
+    StructField("labels", ArrayType(IntegerType), nullable = true)))
+
+  /** Decoded-update schema: a superset of UpdateDecompose.messages — the
+    * decomposition consumes (nlri, withdraws, nexthop, mp) by name and the
+    * decoded path attributes ride alongside as flat columns. */
+  val updateSchema: StructType = StructType(Seq(
+    StructField("msg_id", LongType, nullable = false),
+    StructField("session_id", IntegerType, nullable = false),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("nlri", ArrayType(pfxSt), nullable = false),
+    StructField("withdraws", ArrayType(pfxSt), nullable = false),
+    StructField("nexthop", pfxSt, nullable = true),
+    StructField("mp", ArrayType(mpSt), nullable = true),
+    StructField("mp_withdraws", ArrayType(mpSt), nullable = true),
+    StructField("origin", StringType, nullable = true),
+    StructField("as_list", ArrayType(LongType), nullable = true),
+    StructField("med", LongType, nullable = true),
+    StructField("localpref", LongType, nullable = true),
+    StructField("comms", ArrayType(StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))), nullable = true),
+    StructField("lcomms", ArrayType(StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("c", LongType)))), nullable = true),
+    StructField("extcomms", ArrayType(StructType(Seq(
+      StructField("ctype", IntegerType), StructField("subtype", IntegerType),
+      StructField("a", LongType), StructField("b", LongType)))), nullable = true)))
+
+  /** BMP route-monitoring frame schema: per-peer header fields + the
+    * embedded BGP message bytes (null for non-RM message types). */
+  val bmpSchema: StructType = StructType(Seq(
+    StructField("msg_type", StringType, nullable = false),
+    StructField("peer_rd", rdSt, nullable = true),
+    StructField("peer_addr", pfxSt, nullable = true),
+    StructField("peer_as", LongType, nullable = true),
+    StructField("peer_bgp_id", LongType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("update", BinaryType, nullable = true)))
+
+  // AFI/SAFI registry → (rib, hasLabel, hasRd, v6). The engine's 15 SAFI
+  // tables minus the families whose NLRI is structurally richer than
+  // RD/label+prefix (mvpn/evpn/l2vpls/mdt/flowspec keep their synthetic
+  // ingest path; their MATCH semantics are engine-side regardless).
+  private val afiSafi: Map[(Int, Int), (String, Boolean, Boolean, Boolean)] = Map(
+    (1, 1) -> ("ipv4u", false, false, false),
+    (1, 2) -> ("ipv4m", false, false, false),
+    (1, 4) -> ("ipv4lu", true, false, false),
+    (1, 128) -> ("vpnv4u", true, true, false),
+    (1, 129) -> ("vpnv4m", false, true, false),
+    (2, 1) -> ("ipv6u", false, false, true),
+    (2, 2) -> ("ipv6m", false, false, true),
+    (2, 4) -> ("ipv6lu", true, false, true),
+    (2, 128) -> ("vpnv6u", true, true, true),
+    (2, 129) -> ("vpnv6m", false, true, true))
+
+  private val ribToAfiSafi: Map[String, (Int, Int)] =
+    afiSafi.map { case (k, v) => v._1 -> k }
+
+  // ---------------------------------------------------------------- bytes
+
+  private final class Reader(val b: Array[Byte], var off: Int, val end: Int) {
+    def u8(): Int = { val v = b(off) & 0xFF; off += 1; v }
+    def u16(): Int = (u8() << 8) | u8()
+    def u32(): Long = (u16().toLong << 16) | u16()
+    def u64(): Long = (u32() << 32) | u32()
+    def skip(n: Int): Unit = off += n
+    def remaining: Int = end - off
+  }
+
+  private final class Writer {
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): this.type = { out.write(v & 0xFF); this }
+    def u16(v: Int): this.type = { u8(v >> 8); u8(v) }
+    def u32(v: Long): this.type = { u16((v >> 16).toInt); u16(v.toInt) }
+    def u64(v: Long): this.type = { u32(v >>> 32); u32(v) }
+    def raw(b: Array[Byte]): this.type = { out.write(b); this }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  private def pfxRow(version: Byte, hi: Long, lo: Long, plen: Int): Row =
+    Row(version, hi, lo, plen)
+
+  /** Wire prefix: [bit length][ceil(len/8) network-order bytes]. */
+  private def writePrefix(w: Writer, p: Row): Unit = {
+    val plen = p.getInt(3)
+    w.u8(plen)
+    val nBytes = (plen + 7) / 8
+    if (p.getByte(0) == 4) {
+      val addr = p.getLong(2)
+      (0 until nBytes).foreach(i => w.u8(((addr >> (24 - 8 * i)) & 0xFF).toInt))
+    } else {
+      val hi = p.getLong(1); val lo = p.getLong(2)
+      (0 until nBytes).foreach { i =>
+        val byte = if (i < 8) (hi >> (56 - 8 * i)) & 0xFF else (lo >> (56 - 8 * (i - 8))) & 0xFF
+        w.u8(byte.toInt)
+      }
+    }
+  }
+
+  /** Read `bits` prefix bits into (hi, lo) halves (v6) or a 32-bit addr. */
+  private def readPrefixBits(r: Reader, bits: Int, v6: Boolean): Row = {
+    val nBytes = (bits + 7) / 8
+    var hi = 0L; var lo = 0L
+    (0 until nBytes).foreach { i =>
+      val b = r.u8().toLong
+      if (v6) { if (i < 8) hi |= b << (56 - 8 * i) else lo |= b << (56 - 8 * (i - 8)) }
+      else lo |= b << (24 - 8 * i)
+    }
+    if (v6) pfxRow(6, hi, lo, bits) else pfxRow(4, 0L, lo, bits)
+  }
+
+  /** One (possibly label/RD-wrapped) NLRI item → (prefix, rd, label).
+    * The wire bit-length covers label (24) + RD (64) + prefix bits. */
+  private def readNlriItem(r: Reader, hasLabel: Boolean, hasRd: Boolean,
+      v6: Boolean): (Row, Row, Integer) = {
+    var bits = r.u8()
+    var label: Integer = null
+    var rd: Row = null
+    if (hasLabel) {
+      // 20-bit label + 3 TC bits + bottom-of-stack (single label assumed)
+      label = Int.box(((r.u8() << 16) | (r.u8() << 8) | r.u8()) >> 4)
+      bits -= 24
+    }
+    if (hasRd) { rd = readRd(r); bits -= 64 }
+    (readPrefixBits(r, bits, v6), rd, label)
+  }
+
+  /** Type-0 (2B admin ASN + 4B number) and type-1 (4B IP + 2B number) RDs
+    * → the engine's (rdh, rdl) halves (X6 parse, src/ribfilter.rs:76-99). */
+  private def readRd(r: Reader): Row = r.u16() match {
+    case 0 => Row(r.u16().toLong, r.u32())
+    case 1 => Row(r.u32(), r.u16().toLong)
+    case _ => Row(r.u32(), r.u16().toLong) // type-2: 4B ASN + 2B number
+  }
+
+  private def writeRd(w: Writer, rdh: Long, rdl: Long): Unit = {
+    // encoder emits type 0 (the generator's RDs are small admin/number
+    // pairs); decoder handles types 0/1/2
+    w.u16(0); w.u16(rdh.toInt); w.u32(rdl)
+  }
+
+  // ------------------------------------------------------------ BGP UPDATE
+
+  private val Marker = Array.fill[Byte](16)(0xFF.toByte)
+
+  /** Frame a BGP message: 16-byte marker + u16 total length + u8 type. */
+  private def frameBgp(msgType: Int, body: Array[Byte]): Array[Byte] = {
+    val w = new Writer
+    w.raw(Marker).u16(19 + body.length).u8(msgType).raw(body)
+    w.bytes
+  }
+
+  private def writeAttr(w: Writer, flags: Int, tpe: Int, body: Array[Byte]): Unit = {
+    if (body.length > 255) { w.u8(flags | 0x10).u8(tpe).u16(body.length) }
+    else { w.u8(flags).u8(tpe).u8(body.length) }
+    w.raw(body)
+  }
+
+  /** Encode one decoded-update row (the [[updateSchema]] / messages()
+    * shape) as a complete framed BGP UPDATE message. */
+  def encodeUpdate(row: Row): Array[Byte] = {
+    def field(n: String): Int = row.fieldIndex(n)
+    def rows(n: String): Seq[Row] =
+      if (row.isNullAt(field(n))) Nil else row.getSeq[Row](field(n))
+    val w = new Writer
+    // withdrawn routes
+    val wd = new Writer
+    rows("withdraws").foreach(p => writePrefix(wd, p))
+    val wdb = wd.bytes
+    w.u16(wdb.length).raw(wdb)
+    // path attributes
+    val pa = new Writer
+    val oIdx = row.fieldIndex("origin")
+    if (!row.isNullAt(oIdx)) {
+      val code = row.getString(oIdx) match {
+        case "IGP" => 0; case "EGP" => 1; case _ => 2
+      }
+      writeAttr(pa, 0x40, 1, Array(code.toByte))
+    }
+    val asIdx = row.fieldIndex("as_list")
+    if (!row.isNullAt(asIdx)) {
+      val asns = row.getSeq[Long](asIdx)
+      val seg = new Writer
+      seg.u8(2).u8(asns.length) // AS_SEQUENCE, 4-octet ASNs
+      asns.foreach(a => seg.u32(a))
+      writeAttr(pa, 0x40, 2, seg.bytes)
+    }
+    if (!row.isNullAt(field("nexthop"))) {
+      val nh = row.getStruct(field("nexthop"))
+      if (nh.getByte(0) == 4) {
+        val b = new Writer
+        val addr = nh.getLong(2)
+        (0 until 4).foreach(i => b.u8(((addr >> (24 - 8 * i)) & 0xFF).toInt))
+        writeAttr(pa, 0x40, 3, b.bytes)
+      }
+    }
+    if (!row.isNullAt(field("med")))
+      writeAttr(pa, 0x80, 4, new Writer().u32(row.getLong(field("med"))).bytes)
+    if (!row.isNullAt(field("localpref")))
+      writeAttr(pa, 0x40, 5, new Writer().u32(row.getLong(field("localpref"))).bytes)
+    val cs = rows("comms")
+    if (cs.nonEmpty) {
+      val b = new Writer
+      cs.foreach(c => { b.u16(c.getInt(0)); b.u16(c.getInt(1)) })
+      writeAttr(pa, 0xC0, 8, b.bytes)
+    }
+    val ecs = rows("extcomms")
+    if (ecs.nonEmpty) {
+      val b = new Writer
+      ecs.foreach(e => { b.u8(e.getInt(0)); b.u8(e.getInt(1)); b.u16(e.getLong(2).toInt); b.u32(e.getLong(3)) })
+      writeAttr(pa, 0xC0, 16, b.bytes)
+    }
+    val lcs = rows("lcomms")
+    if (lcs.nonEmpty) {
+      val b = new Writer
+      lcs.foreach(l => { b.u32(l.getLong(0)); b.u32(l.getLong(1)); b.u32(l.getLong(2)) })
+      writeAttr(pa, 0xC0, 32, b.bytes)
+    }
+    // MP_REACH_NLRI per family
+    rows("mp").foreach { fam =>
+      val (afi, safi) = ribToAfiSafi(fam.getString(0))
+      val (_, hasLabel, hasRd, v6) = afiSafi((afi, safi))
+      val b = new Writer
+      b.u16(afi).u8(safi)
+      val nh = fam.getStruct(2)
+      if (nh.getByte(0) == 6) {
+        b.u8(16)
+        (0 until 8).foreach(i => b.u8(((nh.getLong(1) >> (56 - 8 * i)) & 0xFF).toInt))
+        (0 until 8).foreach(i => b.u8(((nh.getLong(2) >> (56 - 8 * i)) & 0xFF).toInt))
+      } else {
+        b.u8(4)
+        (0 until 4).foreach(i => b.u8(((nh.getLong(2) >> (24 - 8 * i)) & 0xFF).toInt))
+      }
+      b.u8(0) // reserved
+      val nlri = fam.getSeq[Row](1)
+      // messages()-shaped input carries the 3-field mp struct (no wrapper
+      // arrays); decoded-shape input carries 5 fields
+      val rds = if (fam.length > 3 && !fam.isNullAt(3)) fam.getSeq[Row](3) else null
+      val labels = if (fam.length > 4 && !fam.isNullAt(4)) fam.getSeq[Integer](4) else null
+      nlri.zipWithIndex.foreach { case (p, i) =>
+        var bits = p.getInt(3)
+        if (hasLabel) bits += 24
+        if (hasRd) bits += 64
+        b.u8(bits)
+        if (hasLabel) {
+          val lbl = if (labels != null && labels(i) != null) labels(i).intValue else 0
+          b.u8(lbl >> 12).u8((lbl >> 4) & 0xFF).u8(((lbl & 0xF) << 4) | 1)
+        }
+        if (hasRd) {
+          if (rds != null && rds(i) != null) writeRd(b, rds(i).getLong(0), rds(i).getLong(1))
+          else writeRd(b, 0L, 0L)
+        }
+        val nBytes = (p.getInt(3) + 7) / 8
+        if (v6) (0 until nBytes).foreach { i =>
+          val byte = if (i < 8) (p.getLong(1) >> (56 - 8 * i)) & 0xFF
+            else (p.getLong(2) >> (56 - 8 * (i - 8))) & 0xFF
+          b.u8(byte.toInt)
+        } else (0 until nBytes).foreach(i =>
+          b.u8(((p.getLong(2) >> (24 - 8 * i)) & 0xFF).toInt))
+      }
+      writeAttr(pa, 0x80, 14, b.bytes)
+    }
+    val pab = pa.bytes
+    w.u16(pab.length).raw(pab)
+    // base NLRI
+    rows("nlri").foreach(p => writePrefix(w, p))
+    frameBgp(2, w.bytes)
+  }
+
+  /** Decode one framed BGP UPDATE. Throws on malformed framing — a silent
+    * skip would hide adapter bugs. */
+  def decodeUpdate(msgId: Long, sessionId: Int, ts: java.sql.Timestamp,
+      bytes: Array[Byte]): Row = {
+    require(bytes.length >= 19, s"msg $msgId: short BGP message (${bytes.length}B)")
+    (0 until 16).foreach(i => require(bytes(i) == 0xFF.toByte,
+      s"msg $msgId: bad marker byte $i"))
+    val r = new Reader(bytes, 16, bytes.length)
+    val total = r.u16()
+    require(total == bytes.length, s"msg $msgId: length $total != ${bytes.length}")
+    val tpe = r.u8()
+    require(tpe == 2, s"msg $msgId: not an UPDATE (type $tpe)")
+    // withdrawn
+    val wdEnd = { val n = r.u16(); r.off + n }
+    val withdraws = Seq.newBuilder[Row]
+    while (r.off < wdEnd) withdraws += readNlriItem(r, hasLabel = false, hasRd = false, v6 = false)._1
+    // path attributes
+    val paEnd = { val n = r.u16(); r.off + n }
+    var origin: String = null
+    var asList: Seq[Long] = null
+    var nexthop: Row = null
+    var med: java.lang.Long = null
+    var localpref: java.lang.Long = null
+    var comms: Seq[Row] = null
+    var lcomms: Seq[Row] = null
+    var extcomms: Seq[Row] = null
+    val mp = Seq.newBuilder[Row]
+    val mpWd = Seq.newBuilder[Row]
+    var sawMp = false; var sawMpWd = false
+    while (r.off < paEnd) {
+      val flags = r.u8()
+      val tpeA = r.u8()
+      val len = if ((flags & 0x10) != 0) r.u16() else r.u8()
+      val attrEnd = r.off + len
+      tpeA match {
+        case 1 => origin = r.u8() match {
+          case 0 => "IGP"; case 1 => "EGP"; case _ => "Incomplete"
+        }
+        case 2 =>
+          val all = Seq.newBuilder[Long]
+          while (r.off < attrEnd) {
+            r.u8() // segment type (SET/SEQUENCE — flattened like as_list)
+            val n = r.u8()
+            (0 until n).foreach(_ => all += r.u32())
+          }
+          asList = all.result()
+        case 3 => nexthop = readPrefixBits(r, 32, v6 = false)
+        case 4 => med = Long.box(r.u32())
+        case 5 => localpref = Long.box(r.u32())
+        case 8 =>
+          val b = Seq.newBuilder[Row]
+          while (r.off < attrEnd) b += Row(r.u16(), r.u16())
+          comms = b.result()
+        case 16 =>
+          val b = Seq.newBuilder[Row]
+          while (r.off < attrEnd) b += Row(r.u8(), r.u8(), r.u16().toLong, r.u32())
+          extcomms = b.result()
+        case 32 =>
+          val b = Seq.newBuilder[Row]
+          while (r.off < attrEnd) b += Row(r.u32(), r.u32(), r.u32())
+          lcomms = b.result()
+        case 14 => // MP_REACH_NLRI
+          sawMp = true
+          val afi = r.u16(); val safi = r.u8()
+          val nhLen = r.u8()
+          val famNh: Row = nhLen match {
+            case 4 => readPrefixBits(r, 32, v6 = false)
+            case 12 => r.skip(8); readPrefixBits(r, 32, v6 = false)
+            case 16 => readPrefixBits(r, 128, v6 = true)
+            case 24 | 32 =>
+              if (nhLen == 24) r.skip(8)
+              val nh = readPrefixBits(r, 128, v6 = true)
+              if (nhLen == 32) r.skip(16) // link-local second half
+              nh
+            case n => r.skip(n); null
+          }
+          r.u8() // reserved
+          afiSafi.get((afi, safi)) match {
+            case Some((rib, hasLabel, hasRd, v6)) =>
+              val ps = Seq.newBuilder[Row]; val rds = Seq.newBuilder[Row]
+              val lbls = Seq.newBuilder[Integer]
+              while (r.off < attrEnd) {
+                val (p, rd, lbl) = readNlriItem(r, hasLabel, hasRd, v6)
+                ps += p; rds += rd; lbls += lbl
+              }
+              mp += Row(rib, ps.result(),
+                // fix nexthop plen to the family's host length
+                if (famNh == null) null
+                else pfxRow(famNh.getByte(0), famNh.getLong(1), famNh.getLong(2),
+                  if (famNh.getByte(0) == 6) 128 else 32),
+                if (hasRd) rds.result() else null,
+                if (hasLabel) lbls.result() else null)
+            case None => r.skip(attrEnd - r.off) // family out of decoder scope
+          }
+        case 15 => // MP_UNREACH_NLRI
+          sawMpWd = true
+          val afi = r.u16(); val safi = r.u8()
+          afiSafi.get((afi, safi)) match {
+            case Some((rib, hasLabel, hasRd, v6)) =>
+              val ps = Seq.newBuilder[Row]; val rds = Seq.newBuilder[Row]
+              val lbls = Seq.newBuilder[Integer]
+              while (r.off < attrEnd) {
+                val (p, rd, lbl) = readNlriItem(r, hasLabel, hasRd, v6)
+                ps += p; rds += rd; lbls += lbl
+              }
+              mpWd += Row(rib, ps.result(), null,
+                if (hasRd) rds.result() else null,
+                if (hasLabel) lbls.result() else null)
+            case None => r.skip(attrEnd - r.off)
+          }
+        case _ => r.skip(attrEnd - r.off) // unknown attribute: honest skip
+      }
+      require(r.off == attrEnd, s"msg $msgId: attr $tpeA mis-parsed")
+    }
+    // base NLRI to end of message
+    val nlri = Seq.newBuilder[Row]
+    while (r.off < r.end) nlri += readNlriItem(r, hasLabel = false, hasRd = false, v6 = false)._1
+    Row(msgId, sessionId, ts, nlri.result(), withdraws.result(), nexthop,
+      if (sawMp) mp.result() else null,
+      if (sawMpWd) mpWd.result() else null,
+      origin, asList, med, localpref, comms, lcomms, extcomms)
+  }
+
+  /** (msg_id, session_id, ts, bytes) frame → decoded updates. */
+  def decodeUpdates(frames: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(updateSchema)
+    frames.select("msg_id", "session_id", "ts", "bytes").mapPartitions { it =>
+      it.map { row =>
+        decodeUpdate(row.getLong(0), row.getInt(1),
+          if (row.isNullAt(2)) null else row.getTimestamp(2),
+          row.getAs[Array[Byte]](3))
+      }
+    }(enc)
+  }
+
+  /** messages()-shaped rows → (msg_id, session_id, ts, bytes) frames. */
+  def encodeUpdates(msgs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("msg_id", LongType, nullable = false),
+      StructField("session_id", IntegerType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    // align arbitrary messages()-shaped input onto updateSchema columns
+    // (absent attr columns become nulls) so encodeUpdate sees one shape
+    val cols = updateSchema.fields.map { f =>
+      if (msgs.columns.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    msgs.select(cols.toIndexedSeq: _*).mapPartitions { it =>
+      it.map { row =>
+        Row(row.getLong(0), row.getInt(1),
+          if (row.isNullAt(2)) null else row.getTimestamp(2),
+          encodeUpdate(row))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Frame a BMP v3 route-monitoring message around a framed BGP message
+    * (RFC 7854 §4.1/§4.2: common header + per-peer header). */
+  def encodeBmpRouteMonitoring(rdh: Long, rdl: Long, peerV4: Long,
+      peerAs: Long, bgpId: Long, tsSec: Long, tsUsec: Long,
+      update: Array[Byte]): Array[Byte] = {
+    val w = new Writer
+    w.u8(3) // version
+    w.u32(6 + 42 + update.length)
+    w.u8(0) // type 0 = route monitoring
+    w.u8(1).u8(0) // peer type 1 (RD instance), flags: v4
+    writeRd(w, rdh, rdl)
+    (0 until 12).foreach(_ => w.u8(0)) // v4-mapped: 12 zero bytes + addr
+    w.u32(peerV4)
+    w.u32(peerAs).u32(bgpId).u32(tsSec).u32(tsUsec)
+    w.raw(update)
+    w.bytes
+  }
+
+  /** Decode one BMP message (route-monitoring fully; other types surface
+    * their type name with null payload — the session registry consumes
+    * PeerUp/PeerDown out of band, reference src/bmppeer.rs:60-101). */
+  def decodeBmp(bytes: Array[Byte]): Row = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val v = r.u8()
+    require(v == 3, s"BMP version $v")
+    val len = r.u32()
+    require(len == bytes.length, s"BMP length $len != ${bytes.length}")
+    val tpe = r.u8()
+    val typeName = tpe match {
+      case 0 => "route_monitoring"; case 1 => "stats"; case 2 => "peer_down"
+      case 3 => "peer_up"; case 4 => "initiation"; case 5 => "termination"
+      case n => s"type_$n"
+    }
+    if (tpe != 0 && tpe != 2 && tpe != 3)
+      return Row(typeName, null, null, null, null, null, null)
+    r.u8() // peer type
+    val flags = r.u8()
+    val rd = readRd(r)
+    val peerAddr = if ((flags & 0x80) != 0) {
+      readPrefixBits(r, 128, v6 = true)
+    } else { r.skip(12); readPrefixBits(r, 32, v6 = false) }
+    val peerAs = r.u32()
+    val bgpId = r.u32()
+    val tsSec = r.u32(); val tsUsec = r.u32()
+    val ts = new java.sql.Timestamp(tsSec * 1000L + tsUsec / 1000)
+    val payload = if (tpe == 0 && r.remaining > 0)
+      java.util.Arrays.copyOfRange(r.b, r.off, r.end) else null
+    Row(typeName, rd, peerAddr, peerAs, bgpId, ts, payload)
+  }
+
+  /** Binary BMP frames → per-peer rows with the embedded framed UPDATE. */
+  def decodeBmpFrames(frames: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val enc = RowEncoder.encoderFor(bmpSchema)
+    frames.select(bytesCol).mapPartitions { it =>
+      it.map(row => decodeBmp(row.getAs[Array[Byte]](0)))
+    }(enc)
+  }
+
+  /** The reference's `filter_rd` (src/bmppeer.rs:33-39): keep only frames
+    * from the given VRF — a plain ingest `where`, exactly as SURVEY §2.1
+    * prescribes. */
+  def filterRd(bmp: DataFrame, rdh: Long, rdl: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    bmp.where(col("peer_rd.rdh") === rdh && col("peer_rd.rdl") === rdl)
+  }
+}

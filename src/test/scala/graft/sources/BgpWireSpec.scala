@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** RFC 4271 UPDATE decode + RFC 7854 BMP framing (reference:
+  * src/bgppeer.rs:170-258, src/bmppeer.rs:30-131).
+  *
+  * The golden messages below are HAND-ASSEMBLED hex — independent of the
+  * encoder — so `decodeUpdate` is pinned against the wire format itself,
+  * not against this repo's own serializer. The encode→decode roundtrip
+  * then extends that pin to the full deterministic message stream. */
+class BgpWireSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val marker = "ff" * 16
+
+  test("golden: base UPDATE with withdraw, origin, as-path, nexthop, med, communities") {
+    // withdrawn 10.9.0.0/16; ORIGIN IGP; AS_PATH seq(65001, 200) 4-octet;
+    // NEXT_HOP 192.168.1.9; MED 50; COMMUNITY (10,25),(20,3); NLRI 10.1.2.0/24
+    val msg = hex(marker +
+      "0048" + "02" + // length 72, type UPDATE
+      "0003" + "10 0a09" + // withdrawn routes
+      "002a" + // path attribute bytes: 42
+      "40 01 01 00" +
+      "40 02 0a 02 02 0000fde9 000000c8" +
+      "40 03 04 c0a80109" +
+      "80 04 04 00000032" +
+      "c0 08 08 000a0019 00140003" +
+      "18 0a0102") // NLRI
+    val r = BgpWire.decodeUpdate(7L, 1, null, msg)
+    assert(r.getSeq[org.apache.spark.sql.Row](3).map(p => (p.getLong(2), p.getInt(3)))
+      == Seq(((10L << 24) + (1L << 16) + (2L << 8), 24)))
+    assert(r.getSeq[org.apache.spark.sql.Row](4).map(p => (p.getLong(2), p.getInt(3)))
+      == Seq(((10L << 24) + (9L << 16), 16)))
+    val nh = r.getStruct(5)
+    assert(nh.getLong(2) == (192L << 24) + (168L << 16) + (1L << 8) + 9)
+    assert(r.getString(8) == "IGP")
+    assert(r.getSeq[Long](9) == Seq(65001L, 200L))
+    assert(r.getLong(10) == 50L) // med
+    assert(r.isNullAt(11)) // no localpref
+    assert(r.getSeq[org.apache.spark.sql.Row](12).map(c => (c.getInt(0), c.getInt(1)))
+      == Seq((10, 25), (20, 3)))
+  }
+
+  test("golden: MP_REACH vpnv4u with label + RD; MP_UNREACH ipv6u") {
+    // MP_REACH afi 1 safi 128, nexthop RD0+10.0.0.1 (nhlen 12), one NLRI:
+    // 112 bits = label 100 (bottom-of-stack) + RD type0 101:1000 + 10.4.1.0/24
+    val reach = hex(marker +
+      "003a" + "02" +
+      "0000" + // no withdrawn
+      "0023" + // 35 path-attribute bytes
+      "80 0e 20" +
+      "0001 80" + "0c" + "0000000000000000 0a000001" + "00" +
+      "70" + "000641" + "0000 0065 000003e8" + "0a0401")
+    val r = BgpWire.decodeUpdate(1L, 0, null, reach)
+    val fam = r.getSeq[org.apache.spark.sql.Row](6)
+    assert(fam.length == 1)
+    assert(fam(0).getString(0) == "vpnv4u")
+    val ps = fam(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(ps.map(p => (p.getLong(2), p.getInt(3)))
+      == Seq(((10L << 24) + (4L << 16) + (1L << 8), 24)))
+    assert(fam(0).getStruct(2).getLong(2) == (10L << 24) + 1) // family nexthop
+    assert(fam(0).getSeq[org.apache.spark.sql.Row](3).map(rd => (rd.getLong(0), rd.getLong(1)))
+      == Seq((101L, 1000L)))
+    assert(fam(0).getSeq[Integer](4).map(_.intValue) == Seq(100))
+
+    // MP_UNREACH afi 2 safi 1: withdraw 2001:0:0:5::/64
+    val unreach = hex(marker +
+      "0026" + "02" +
+      "0000" +
+      "000f" + // 15 path-attribute bytes
+      "80 0f 0c" + "0002 01" + "40" + "2001000000000005")
+    val r2 = BgpWire.decodeUpdate(2L, 0, null, unreach)
+    val wd = r2.getSeq[org.apache.spark.sql.Row](7)
+    assert(wd.length == 1 && wd(0).getString(0) == "ipv6u")
+    val p6 = wd(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(p6.map(p => (p.getLong(1), p.getLong(2), p.getInt(3)))
+      == Seq(((0x2001L << 48) + 5L, 0L, 64)))
+  }
+
+  test("malformed frames fail loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      BgpWire.decodeUpdate(0L, 0, null, hex("00" * 19)) // bad marker
+    }
+    intercept[IllegalArgumentException] { // wrong declared length
+      BgpWire.decodeUpdate(0L, 0, null, hex(marker + "0099" + "02" + "0000" + "0000"))
+    }
+  }
+
+  test("encode -> decode roundtrips the deterministic message stream") {
+    val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
+    val msgs = UpdateDecompose.messages(events).localCheckpoint()
+    val decoded = BgpWire.decodeUpdates(BgpWire.encodeUpdates(msgs))
+    def flat(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      UpdateDecompose.decompose(df)
+        .select(col("msg_id"), col("rib"), col("active"), col("prefix_str"),
+          col("nexthop.ip_hi"), col("nexthop.ip_lo"))
+        .collect().map(_.toString).sorted.toSeq
+    val a = flat(msgs)
+    val b = flat(decoded)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("attrs roundtrip through the wire: origin/as-path/med/lp/communities") {
+    val s = spark
+    val row = org.apache.spark.sql.Row(
+      9L, 2, new java.sql.Timestamp(1700000000000L),
+      Seq(org.apache.spark.sql.Row(4.toByte, 0L, (10L << 24) + (7L << 16), 24)),
+      Seq.empty[org.apache.spark.sql.Row],
+      org.apache.spark.sql.Row(4.toByte, 0L, (192L << 24) + (168L << 16) + 77L, 32),
+      null, null,
+      "Incomplete", Seq(100L, 65001L), 42L, 110L,
+      Seq(org.apache.spark.sql.Row(10, 25)),
+      Seq(org.apache.spark.sql.Row(1L, 2L, 3L)),
+      Seq(org.apache.spark.sql.Row(0, 2, 200L, 300L)))
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(row), BgpWire.updateSchema)
+    val got = BgpWire.decodeUpdates(BgpWire.encodeUpdates(df)).collect()(0)
+    assert(got.getString(8) == "Incomplete")
+    assert(got.getSeq[Long](9) == Seq(100L, 65001L))
+    assert(got.getLong(10) == 42L && got.getLong(11) == 110L)
+    assert(got.getSeq[org.apache.spark.sql.Row](12) == Seq(org.apache.spark.sql.Row(10, 25)))
+    assert(got.getSeq[org.apache.spark.sql.Row](13) == Seq(org.apache.spark.sql.Row(1L, 2L, 3L)))
+    assert(got.getSeq[org.apache.spark.sql.Row](14) == Seq(org.apache.spark.sql.Row(0, 2, 200L, 300L)))
+    assert(got.getTimestamp(2).getTime == 1700000000000L)
+  }
+
+  test("BMP route-monitoring: framing, per-peer header, filter_rd") {
+    val inner = BgpWire.encodeUpdates(
+      UpdateDecompose.messages(
+        graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")).limit(1))
+      .collect()(0).getAs[Array[Byte]](3)
+    val bmp1 = BgpWire.encodeBmpRouteMonitoring(101L, 1000L,
+      (10L << 24) + 1, 65001L, 0x01020304L, 1700000000L, 250000L, inner)
+    // hand-check the framing bytes the encoder claims to write
+    assert((bmp1(0) & 0xFF) == 3) // version
+    assert((bmp1(5) & 0xFF) == 0) // type: route monitoring
+    assert(bmp1.length == 6 + 42 + inner.length)
+    val r = BgpWire.decodeBmp(bmp1)
+    assert(r.getString(0) == "route_monitoring")
+    assert(r.getStruct(1) == org.apache.spark.sql.Row(101L, 1000L))
+    assert(r.getStruct(2).getLong(2) == (10L << 24) + 1)
+    assert(r.getLong(3) == 65001L)
+    assert(r.getTimestamp(5).getTime == 1700000000L * 1000 + 250)
+    assert(java.util.Arrays.equals(r.getAs[Array[Byte]](6), inner))
+
+    // filter_rd keeps only the requested VRF (src/bmppeer.rs:33-39)
+    val bmp2 = BgpWire.encodeBmpRouteMonitoring(102L, 2000L,
+      (10L << 24) + 2, 65002L, 0x05060708L, 1700000100L, 0L, inner)
+    val s = spark
+    val frames = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(bmp1: Any), org.apache.spark.sql.Row(bmp2: Any)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType))))
+    val peers = BgpWire.decodeBmpFrames(frames)
+    assert(peers.count() == 2)
+    val kept = BgpWire.filterRd(peers, 101L, 1000L).collect()
+    assert(kept.length == 1 && kept(0).getLong(3) == 65001L)
+  }
+}
