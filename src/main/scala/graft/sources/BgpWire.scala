@@ -34,6 +34,9 @@ object BgpWire {
 
   private val pfxSt = DataType.fromDDL(RouteEventGen.pfxType).asInstanceOf[StructType]
   private val rdSt = DataType.fromDDL(RouteEventGen.rdType).asInstanceOf[StructType]
+  private val l2St = DataType.fromDDL(RouteEventGen.l2Type).asInstanceOf[StructType]
+  private val mvpnSt = DataType.fromDDL(RouteEventGen.mvpnType).asInstanceOf[StructType]
+  private val evpnSt = DataType.fromDDL(RouteEventGen.evpnType).asInstanceOf[StructType]
 
   /** Per-MP-family item: rib + prefixes + family nexthop, plus the
     * per-prefix RD/label wrappers for VPN/labeled SAFIs (aligned with
@@ -45,9 +48,21 @@ object BgpWire {
     StructField("rds", ArrayType(rdSt), nullable = true),
     StructField("labels", ArrayType(IntegerType), nullable = true)))
 
+  /** One exotic-family route key (EVPN/MVPN/VPLS): the engine's key
+    * structs, exactly as RouteEventGen stores them — rib + top-level RD
+    * (VPLS only, matching the generator's column placement) + the family
+    * struct + the family nexthop. */
+  private val mpKeySt = StructType(Seq(
+    StructField("rib", StringType),
+    StructField("rd", rdSt, nullable = true),
+    StructField("l2", l2St, nullable = true),
+    StructField("mvpn", mvpnSt, nullable = true),
+    StructField("evpn", evpnSt, nullable = true),
+    StructField("nexthop", pfxSt, nullable = true)))
+
   /** Decoded-update schema: a superset of UpdateDecompose.messages — the
-    * decomposition consumes (nlri, withdraws, nexthop, mp) by name and the
-    * decoded path attributes ride alongside as flat columns. */
+    * decomposition consumes (nlri, withdraws, nexthop, mp, mp_keys) by name
+    * and the decoded path attributes ride alongside as flat columns. */
   val updateSchema: StructType = StructType(Seq(
     StructField("msg_id", LongType, nullable = false),
     StructField("session_id", IntegerType, nullable = false),
@@ -57,6 +72,8 @@ object BgpWire {
     StructField("nexthop", pfxSt, nullable = true),
     StructField("mp", ArrayType(mpSt), nullable = true),
     StructField("mp_withdraws", ArrayType(mpSt), nullable = true),
+    StructField("mp_keys", ArrayType(mpKeySt), nullable = true),
+    StructField("mp_keys_withdraws", ArrayType(mpKeySt), nullable = true),
     StructField("origin", StringType, nullable = true),
     StructField("as_list", ArrayType(LongType), nullable = true),
     StructField("med", LongType, nullable = true),
@@ -181,6 +198,135 @@ object BgpWire {
     // encoder emits type 0 (the generator's RDs are small admin/number
     // pairs); decoder handles types 0/1/2
     w.u16(0); w.u16(rdh.toInt); w.u32(rdl)
+  }
+
+  // ------- exotic-family NLRI (EVPN RFC 7432/9136, MVPN RFC 6514, VPLS
+  // RFC 4761) → the engine's key structs (reference match arms:
+  // src/ribfilter.rs:320-453)
+
+  /** Fixed-width address body (4 or 16 octets) with an explicit prefix
+    * length — EVPN/MVPN addresses are full-width on the wire even when the
+    * semantic prefix length is shorter. */
+  private def hostRowFixed(r: Reader, nBytes: Int, plen: Int): Row = {
+    var hi = 0L; var lo = 0L
+    if (nBytes == 4) {
+      (0 until 4).foreach(i => lo |= r.u8().toLong << (24 - 8 * i))
+      pfxRow(4, 0L, lo, plen)
+    } else {
+      (0 until 16).foreach { i =>
+        val b = r.u8().toLong
+        if (i < 8) hi |= b << (56 - 8 * i) else lo |= b << (56 - 8 * (i - 8))
+      }
+      pfxRow(6, hi, lo, plen)
+    }
+  }
+
+  /** Bit-length-prefixed host address (32 → 4B v4, 128 → 16B v6). */
+  private def hostRow(r: Reader, bits: Int): Row =
+    if (bits == 0) null
+    else hostRowFixed(r, if (bits <= 32) 4 else 16, bits)
+
+  /** One EVPN NLRI item (type, length, body) → the engine evpn struct
+    * (etype, rd, ip, gw_ip); ESI/eth-tag/MAC/labels are consumed (they are
+    * not part of the engine's match surface, src/ribfilter.rs:391-443). */
+  private def readEvpnItem(r: Reader): Row = {
+    val t = r.u8(); val len = r.u8(); val end = r.off + len
+    val rd = readRd(r)
+    val row = t match {
+      case 1 => Row(1, rd, null, null) // AD route: ESI/tag/label skipped below
+      case 2 => // MAC/IP advertisement
+        r.skip(10 + 4)
+        val macBits = r.u8(); r.skip((macBits + 7) / 8)
+        val ipBits = r.u8()
+        Row(2, rd, if (ipBits == 0) null else hostRow(r, ipBits), null)
+      case 3 => // inclusive multicast: originating router IP
+        r.skip(4)
+        Row(3, rd, hostRow(r, r.u8()), null)
+      case 4 => // ethernet segment
+        r.skip(10)
+        Row(4, rd, hostRow(r, r.u8()), null)
+      case 5 => // IP prefix (RFC 9136): full-width prefix + gateway
+        r.skip(10 + 4)
+        val plen = r.u8()
+        val v6 = (end - r.off) >= 32 // 16B prefix + 16B GW (+label)
+        val ip = hostRowFixed(r, if (v6) 16 else 4, plen)
+        val gw = hostRowFixed(r, if (v6) 16 else 4, if (v6) 128 else 32)
+        Row(5, rd, ip, gw)
+      case n => Row(n, rd, null, null)
+    }
+    require(r.off <= end, s"EVPN t$t overran its declared length")
+    r.skip(end - r.off)
+    row
+  }
+
+  /** One MVPN NLRI item → the engine mvpn struct (mtype, rd, originator,
+    * source, group, rp, spmsi_*) following the per-type field consumption
+    * of src/ribfilter.rs:320-388. */
+  private def readMvpnItem(r: Reader): Row = {
+    val t = r.u8(); val len = r.u8(); val end = r.off + len
+    def rest(stop: Int): Row =
+      if (stop - r.off <= 0) null
+      else hostRowFixed(r, stop - r.off, if (stop - r.off == 4) 32 else 128)
+    val row = t match {
+      case 1 => // intra-AS I-PMSI A-D: RD + originator
+        val rd = readRd(r)
+        Row(1, rd, rest(end), null, null, null, null, null, null, null)
+      case 2 => // inter-AS I-PMSI A-D: RD + source AS
+        val rd = readRd(r); r.u32()
+        Row(2, rd, null, null, null, null, null, null, null, null)
+      case 3 => // S-PMSI A-D: RD + source + group + originator
+        val rd = readRd(r)
+        val src = hostRow(r, r.u8()); val grp = hostRow(r, r.u8())
+        Row(3, rd, rest(end), src, grp, null, null, null, null, null)
+      case 4 => // leaf A-D: embedded S-PMSI route key + originator
+        val it = r.u8()
+        require(it == 3, s"MVPN t4 embeds route type $it (expected 3)")
+        val ilen = r.u8(); val iEnd = r.off + ilen
+        val srd = readRd(r)
+        val ssrc = hostRow(r, r.u8()); val sgrp = hostRow(r, r.u8())
+        val sorig = rest(iEnd)
+        Row(4, null, rest(end), null, null, null, srd, sorig, ssrc, sgrp)
+      case 5 => // source active A-D: RD + source + group
+        val rd = readRd(r)
+        val src = hostRow(r, r.u8()); val grp = hostRow(r, r.u8())
+        Row(5, rd, null, src, grp, null, null, null, null, null)
+      case 6 | 7 => // C-multicast joins: RD + source AS + RP/source + group
+        val rd = readRd(r); r.u32()
+        val rp = hostRow(r, r.u8()); val grp = hostRow(r, r.u8())
+        Row(t, rd, null, null, grp, rp, null, null, null, null)
+      case n => Row(n, readRd(r), null, null, null, null, null, null, null, null)
+    }
+    require(r.off <= end, s"MVPN t$t overran its declared length")
+    r.skip(end - r.off)
+    row
+  }
+
+  /** One VPLS NLRI item (RFC 4761: u16 length, RD, VE id, VE block offset,
+    * VE block size, label base) → (rd, engine l2 struct). */
+  private def readVplsItem(r: Reader): (Row, Row) = {
+    val len = r.u16(); val end = r.off + len
+    val rd = readRd(r)
+    val site = r.u16(); val offset = r.u16(); val range = r.u16()
+    r.skip(end - r.off) // label base
+    (rd, Row(site, offset, range))
+  }
+
+  /** AFI/SAFI → exotic engine table (the families whose NLRI is richer
+    * than RD/label + prefix). */
+  private def exoticFamily(afi: Int, safi: Int): Option[String] = (afi, safi) match {
+    case (25, 70) => Some("evpn")
+    case (1, 5) | (2, 5) => Some("mvpn")
+    case (25, 65) => Some("l2vpls")
+    case _ => None
+  }
+
+  /** One exotic route key as an mp_keys row. */
+  private def readExoticItem(rib: String, r: Reader, nh: Row): Row = rib match {
+    case "evpn" => Row("evpn", null, null, null, readEvpnItem(r), nh)
+    case "mvpn" => Row("mvpn", null, null, readMvpnItem(r), null, nh)
+    case _ =>
+      val (rd, l2) = readVplsItem(r)
+      Row("l2vpls", rd, l2, null, null, nh)
   }
 
   // ------------------------------------------------------------ BGP UPDATE
@@ -339,7 +485,10 @@ object BgpWire {
     var extcomms: Seq[Row] = null
     val mp = Seq.newBuilder[Row]
     val mpWd = Seq.newBuilder[Row]
+    val mpKeys = Seq.newBuilder[Row]
+    val mpKeysWd = Seq.newBuilder[Row]
     var sawMp = false; var sawMpWd = false
+    var sawMpKeys = false; var sawMpKeysWd = false
     while (r.off < paEnd) {
       val flags = r.u8()
       val tpeA = r.u8()
@@ -373,7 +522,6 @@ object BgpWire {
           while (r.off < attrEnd) b += Row(r.u32(), r.u32(), r.u32())
           lcomms = b.result()
         case 14 => // MP_REACH_NLRI
-          sawMp = true
           val afi = r.u16(); val safi = r.u8()
           val nhLen = r.u8()
           val famNh: Row = nhLen match {
@@ -388,38 +536,49 @@ object BgpWire {
             case n => r.skip(n); null
           }
           r.u8() // reserved
-          afiSafi.get((afi, safi)) match {
-            case Some((rib, hasLabel, hasRd, v6)) =>
-              val ps = Seq.newBuilder[Row]; val rds = Seq.newBuilder[Row]
-              val lbls = Seq.newBuilder[Integer]
-              while (r.off < attrEnd) {
-                val (p, rd, lbl) = readNlriItem(r, hasLabel, hasRd, v6)
-                ps += p; rds += rd; lbls += lbl
-              }
-              mp += Row(rib, ps.result(),
-                // fix nexthop plen to the family's host length
-                if (famNh == null) null
-                else pfxRow(famNh.getByte(0), famNh.getLong(1), famNh.getLong(2),
-                  if (famNh.getByte(0) == 6) 128 else 32),
-                if (hasRd) rds.result() else null,
-                if (hasLabel) lbls.result() else null)
-            case None => r.skip(attrEnd - r.off) // family out of decoder scope
+          // fix nexthop plen to the family's host length
+          val nhFixed = if (famNh == null) null
+            else pfxRow(famNh.getByte(0), famNh.getLong(1), famNh.getLong(2),
+              if (famNh.getByte(0) == 6) 128 else 32)
+          exoticFamily(afi, safi) match {
+            case Some(rib) =>
+              sawMpKeys = true
+              while (r.off < attrEnd) mpKeys += readExoticItem(rib, r, nhFixed)
+            case None => afiSafi.get((afi, safi)) match {
+              case Some((rib, hasLabel, hasRd, v6)) =>
+                sawMp = true
+                val ps = Seq.newBuilder[Row]; val rds = Seq.newBuilder[Row]
+                val lbls = Seq.newBuilder[Integer]
+                while (r.off < attrEnd) {
+                  val (p, rd, lbl) = readNlriItem(r, hasLabel, hasRd, v6)
+                  ps += p; rds += rd; lbls += lbl
+                }
+                mp += Row(rib, ps.result(), nhFixed,
+                  if (hasRd) rds.result() else null,
+                  if (hasLabel) lbls.result() else null)
+              case None => r.skip(attrEnd - r.off) // family out of decoder scope
+            }
           }
         case 15 => // MP_UNREACH_NLRI
-          sawMpWd = true
           val afi = r.u16(); val safi = r.u8()
-          afiSafi.get((afi, safi)) match {
-            case Some((rib, hasLabel, hasRd, v6)) =>
-              val ps = Seq.newBuilder[Row]; val rds = Seq.newBuilder[Row]
-              val lbls = Seq.newBuilder[Integer]
-              while (r.off < attrEnd) {
-                val (p, rd, lbl) = readNlriItem(r, hasLabel, hasRd, v6)
-                ps += p; rds += rd; lbls += lbl
-              }
-              mpWd += Row(rib, ps.result(), null,
-                if (hasRd) rds.result() else null,
-                if (hasLabel) lbls.result() else null)
-            case None => r.skip(attrEnd - r.off)
+          exoticFamily(afi, safi) match {
+            case Some(rib) =>
+              sawMpKeysWd = true
+              while (r.off < attrEnd) mpKeysWd += readExoticItem(rib, r, null)
+            case None => afiSafi.get((afi, safi)) match {
+              case Some((rib, hasLabel, hasRd, v6)) =>
+                sawMpWd = true
+                val ps = Seq.newBuilder[Row]; val rds = Seq.newBuilder[Row]
+                val lbls = Seq.newBuilder[Integer]
+                while (r.off < attrEnd) {
+                  val (p, rd, lbl) = readNlriItem(r, hasLabel, hasRd, v6)
+                  ps += p; rds += rd; lbls += lbl
+                }
+                mpWd += Row(rib, ps.result(), null,
+                  if (hasRd) rds.result() else null,
+                  if (hasLabel) lbls.result() else null)
+              case None => r.skip(attrEnd - r.off)
+            }
           }
         case _ => r.skip(attrEnd - r.off) // unknown attribute: honest skip
       }
@@ -431,6 +590,8 @@ object BgpWire {
     Row(msgId, sessionId, ts, nlri.result(), withdraws.result(), nexthop,
       if (sawMp) mp.result() else null,
       if (sawMpWd) mpWd.result() else null,
+      if (sawMpKeys) mpKeys.result() else null,
+      if (sawMpKeysWd) mpKeysWd.result() else null,
       origin, asList, med, localpref, comms, lcomms, extcomms)
   }
 

@@ -53,13 +53,26 @@ object UpdateDecompose {
   /** The decomposition itself: base updates (rib=ipv4u, base nexthop) +
     * base withdraws (active=false) + MP families (family rib, family
     * nexthop overriding the base — the attrs clone of
-    * src/bgprib.rs:1183-1201). */
+    * src/bgprib.rs:1183-1201). Wire-decoded frames (BgpWire.updateSchema)
+    * additionally carry `mp_keys`/`mp_keys_withdraws` — EVPN/MVPN/VPLS
+    * route keys — which land in their SAFI tables with the engine's key
+    * structs (the exotic arms of the 26-way dispatch,
+    * src/bgprib.rs:1016-1097). */
   def decompose(msgs: DataFrame): DataFrame = {
+    val nullRd = lit(null).cast(RouteEventGen.rdType)
+    val nullL2 = lit(null).cast(RouteEventGen.l2Type)
+    val nullMvpn = lit(null).cast(RouteEventGen.mvpnType)
+    val nullEvpn = lit(null).cast(RouteEventGen.evpnType)
     def row(rib: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column,
-        active: org.apache.spark.sql.Column, nh: org.apache.spark.sql.Column) =
+        active: org.apache.spark.sql.Column, nh: org.apache.spark.sql.Column,
+        rd: org.apache.spark.sql.Column = nullRd,
+        l2: org.apache.spark.sql.Column = nullL2,
+        mvpn: org.apache.spark.sql.Column = nullMvpn,
+        evpn: org.apache.spark.sql.Column = nullEvpn) =
       Seq(col("ts"), col("msg_id"), col("session_id"), rib.as("rib"),
         active.as("active"), p.as("prefix"), IpFns.pfxStr(p).as("prefix_str"),
-        nh.as("nexthop"))
+        nh.as("nexthop"), rd.as("rd"), l2.as("l2"), mvpn.as("mvpn"),
+        evpn.as("evpn"))
     val base = msgs.select(col("*"), explode(col("nlri")).as("p"))
       .select(row(lit("ipv4u"), col("p"), lit(true), col("nexthop")): _*)
     val withdrawn = msgs.select(col("*"), explode(col("withdraws")).as("p"))
@@ -68,6 +81,16 @@ object UpdateDecompose {
       .select(col("*"), explode(col("mp")).as("fam"))
       .select(col("*"), explode(col("fam.nlri")).as("p"))
       .select(row(col("fam.rib"), col("p"), lit(true), col("fam.nexthop")): _*)
-    base.unionByName(withdrawn).unionByName(mp)
+    val nullPfx = lit(null).cast(RouteEventGen.pfxType)
+    def exotic(colName: String, active: Boolean): Option[DataFrame] =
+      if (!msgs.columns.contains(colName)) None
+      else Some(msgs.where(col(colName).isNotNull)
+        .select(col("*"), explode(col(colName)).as("k"))
+        .select(row(col("k.rib"), nullPfx, lit(active), col("k.nexthop"),
+          rd = col("k.rd"), l2 = col("k.l2"), mvpn = col("k.mvpn"),
+          evpn = col("k.evpn")): _*))
+    val withExotic = Seq(exotic("mp_keys", active = true),
+      exotic("mp_keys_withdraws", active = false)).flatten
+    (Seq(base, withdrawn, mp) ++ withExotic).reduce(_ unionByName _)
   }
 }

@@ -39,11 +39,11 @@ class BgpWireSpec extends AnyFunSuite {
       == Seq(((10L << 24) + (9L << 16), 16)))
     val nh = r.getStruct(5)
     assert(nh.getLong(2) == (192L << 24) + (168L << 16) + (1L << 8) + 9)
-    assert(r.getString(8) == "IGP")
-    assert(r.getSeq[Long](9) == Seq(65001L, 200L))
-    assert(r.getLong(10) == 50L) // med
-    assert(r.isNullAt(11)) // no localpref
-    assert(r.getSeq[org.apache.spark.sql.Row](12).map(c => (c.getInt(0), c.getInt(1)))
+    assert(r.getString(10) == "IGP")
+    assert(r.getSeq[Long](11) == Seq(65001L, 200L))
+    assert(r.getLong(12) == 50L) // med
+    assert(r.isNullAt(13)) // no localpref
+    assert(r.getSeq[org.apache.spark.sql.Row](14).map(c => (c.getInt(0), c.getInt(1)))
       == Seq((10, 25), (20, 3)))
   }
 
@@ -83,6 +83,94 @@ class BgpWireSpec extends AnyFunSuite {
       == Seq(((0x2001L << 48) + 5L, 0L, 64)))
   }
 
+  test("golden: EVPN MAC/IP + IP-prefix routes decode to engine key structs") {
+    // MP_REACH afi 25 safi 70, nexthop 10.0.0.1; EVPN t2 (RD 401:601, zero
+    // ESI/tag, 48-bit MAC, IP 10.0.0.50, label) + t5 (RD 401:602, /24
+    // prefix 10.5.6.0 with gateway 10.5.6.1)
+    val msg = hex(marker + "006e" + "02" + "0000" + "0057" +
+      "80 0e 54" +
+      "0019 46" + "04" + "0a000001" + "00" +
+      "02 25" + "0000 0191 00000259" + "00000000000000000000" + "00000000" +
+      "30" + "aabbccddeeff" + "20" + "0a000032" + "000031" +
+      "05 22" + "0000 0191 0000025a" + "00000000000000000000" + "00000000" +
+      "18" + "0a050600" + "0a050601" + "000041")
+    val r = BgpWire.decodeUpdate(3L, 0, null, msg)
+    val keys = r.getSeq[org.apache.spark.sql.Row](8)
+    assert(keys.length == 2 && keys.forall(_.getString(0) == "evpn"))
+    val e2 = keys(0).getStruct(4)
+    assert(e2.getInt(0) == 2)
+    assert(e2.getStruct(1) == org.apache.spark.sql.Row(401L, 601L))
+    assert(e2.getStruct(2).getLong(2) == (10L << 24) + 50 && e2.getStruct(2).getInt(3) == 32)
+    assert(e2.isNullAt(3)) // no gateway on t2
+    val e5 = keys(1).getStruct(4)
+    assert(e5.getInt(0) == 5)
+    assert(e5.getStruct(2).getLong(2) == (10L << 24) + (5L << 16) + (6L << 8)
+      && e5.getStruct(2).getInt(3) == 24)
+    assert(e5.getStruct(3).getLong(2) == (10L << 24) + (5L << 16) + (6L << 8) + 1)
+    // family nexthop rides along
+    assert(keys(0).getStruct(5).getLong(2) == (10L << 24) + 1)
+  }
+
+  test("golden: MVPN t3/t4/t6 decode the per-type field sets") {
+    val msg = hex(marker + "0071" + "02" + "0000" + "005a" +
+      "80 0e 57" +
+      "0001 05" + "04" + "0a000002" + "00" +
+      "03 16" + "0000 012c 000001f4" + "20" + "0a010101" + "20" + "e0030101" + "0a090909" +
+      "04 1c" + "03 16" + "0000 0258 00000320" + "20" + "0a010102" + "20" + "e0030102" + "0a090908" + "0a070707" +
+      "06 16" + "0000 012d 000001f5" + "0000fde9" + "20" + "ac110001" + "20" + "e0030203")
+    val r = BgpWire.decodeUpdate(4L, 0, null, msg)
+    val keys = r.getSeq[org.apache.spark.sql.Row](8)
+    assert(keys.length == 3 && keys.forall(_.getString(0) == "mvpn"))
+    val t3 = keys(0).getStruct(3)
+    assert(t3.getInt(0) == 3)
+    assert(t3.getStruct(1) == org.apache.spark.sql.Row(300L, 500L))
+    assert(t3.getStruct(2).getLong(2) == (10L << 24) + (9L << 16) + (9L << 8) + 9) // originator
+    assert(t3.getStruct(3).getLong(2) == (10L << 24) + (1L << 16) + (1L << 8) + 1) // source
+    assert(t3.getStruct(4).getLong(2) == (224L << 24) + (3L << 16) + (1L << 8) + 1) // group
+    val t4 = keys(1).getStruct(3)
+    assert(t4.getInt(0) == 4 && t4.isNullAt(1)) // rd-less, S-PMSI key instead
+    assert(t4.getStruct(2).getLong(2) == (10L << 24) + (7L << 16) + (7L << 8) + 7)
+    assert(t4.getStruct(6) == org.apache.spark.sql.Row(600L, 800L)) // spmsi_rd
+    assert(t4.getStruct(7).getLong(2) == (10L << 24) + (9L << 16) + (9L << 8) + 8) // spmsi_originator
+    assert(t4.getStruct(8).getLong(2) == (10L << 24) + (1L << 16) + (1L << 8) + 2) // spmsi_source
+    assert(t4.getStruct(9).getLong(2) == (224L << 24) + (3L << 16) + (1L << 8) + 2) // spmsi_group
+    val t6 = keys(2).getStruct(3)
+    assert(t6.getInt(0) == 6)
+    assert(t6.getStruct(5).getLong(2) == (172L << 24) + (17L << 16) + 1) // rp
+    assert(t6.getStruct(4).getLong(2) == (224L << 24) + (3L << 16) + (2L << 8) + 3) // group
+  }
+
+  test("golden: VPLS NLRI via MP_UNREACH + decompose routes exotic keys to their tables") {
+    val vplsMsg = hex(marker + "0030" + "02" + "0000" + "0019" +
+      "80 0f 16" + "0019 41" +
+      "0011" + "0000 01f4 000002bc" + "0003" + "000a" + "000a" + "030201")
+    val r = BgpWire.decodeUpdate(5L, 1, null, vplsMsg)
+    val wd = r.getSeq[org.apache.spark.sql.Row](9) // mp_keys_withdraws
+    assert(wd.length == 1 && wd(0).getString(0) == "l2vpls")
+    assert(wd(0).getStruct(1) == org.apache.spark.sql.Row(500L, 700L)) // top-level rd
+    assert(wd(0).getStruct(2) == org.apache.spark.sql.Row(3, 10, 10)) // site/offset/range
+    // decompose: the exotic keys land in their SAFI tables with the engine
+    // key structs; the VPLS withdraw arrives active=false
+    val evpnMsg = hex(marker + "006e" + "02" + "0000" + "0057" +
+      "80 0e 54" +
+      "0019 46" + "04" + "0a000001" + "00" +
+      "02 25" + "0000 0191 00000259" + "00000000000000000000" + "00000000" +
+      "30" + "aabbccddeeff" + "20" + "0a000032" + "000031" +
+      "05 22" + "0000 0191 0000025a" + "00000000000000000000" + "00000000" +
+      "18" + "0a050600" + "0a050601" + "000041")
+    val rows = java.util.Arrays.asList(
+      BgpWire.decodeUpdate(5L, 1, null, vplsMsg),
+      BgpWire.decodeUpdate(6L, 2, null, evpnMsg))
+    val df = spark.createDataFrame(rows, BgpWire.updateSchema)
+    val out = UpdateDecompose.decompose(df)
+      .select("rib", "active", "rd", "l2", "mvpn.mtype", "evpn.etype")
+      .collect().map(_.toString).sorted.toSeq
+    assert(out == Seq(
+      "[evpn,true,null,null,null,2]",
+      "[evpn,true,null,null,null,5]",
+      "[l2vpls,false,[500,700],[3,10,10],null,null]"))
+  }
+
   test("malformed frames fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       BgpWire.decodeUpdate(0L, 0, null, hex("00" * 19)) // bad marker
@@ -114,6 +202,7 @@ class BgpWireSpec extends AnyFunSuite {
       Seq.empty[org.apache.spark.sql.Row],
       org.apache.spark.sql.Row(4.toByte, 0L, (192L << 24) + (168L << 16) + 77L, 32),
       null, null,
+      null, null,
       "Incomplete", Seq(100L, 65001L), 42L, 110L,
       Seq(org.apache.spark.sql.Row(10, 25)),
       Seq(org.apache.spark.sql.Row(1L, 2L, 3L)),
@@ -121,12 +210,12 @@ class BgpWireSpec extends AnyFunSuite {
     val df = s.createDataFrame(
       java.util.Arrays.asList(row), BgpWire.updateSchema)
     val got = BgpWire.decodeUpdates(BgpWire.encodeUpdates(df)).collect()(0)
-    assert(got.getString(8) == "Incomplete")
-    assert(got.getSeq[Long](9) == Seq(100L, 65001L))
-    assert(got.getLong(10) == 42L && got.getLong(11) == 110L)
-    assert(got.getSeq[org.apache.spark.sql.Row](12) == Seq(org.apache.spark.sql.Row(10, 25)))
-    assert(got.getSeq[org.apache.spark.sql.Row](13) == Seq(org.apache.spark.sql.Row(1L, 2L, 3L)))
-    assert(got.getSeq[org.apache.spark.sql.Row](14) == Seq(org.apache.spark.sql.Row(0, 2, 200L, 300L)))
+    assert(got.getString(10) == "Incomplete")
+    assert(got.getSeq[Long](11) == Seq(100L, 65001L))
+    assert(got.getLong(12) == 42L && got.getLong(13) == 110L)
+    assert(got.getSeq[org.apache.spark.sql.Row](14) == Seq(org.apache.spark.sql.Row(10, 25)))
+    assert(got.getSeq[org.apache.spark.sql.Row](15) == Seq(org.apache.spark.sql.Row(1L, 2L, 3L)))
+    assert(got.getSeq[org.apache.spark.sql.Row](16) == Seq(org.apache.spark.sql.Row(0, 2, 200L, 300L)))
     assert(got.getTimestamp(2).getTime == 1700000000000L)
   }
 
