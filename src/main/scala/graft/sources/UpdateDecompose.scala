@@ -57,40 +57,53 @@ object UpdateDecompose {
     * additionally carry `mp_keys`/`mp_keys_withdraws` — EVPN/MVPN/VPLS
     * route keys — which land in their SAFI tables with the engine's key
     * structs (the exotic arms of the 26-way dispatch,
-    * src/bgprib.rs:1016-1097). */
+    * src/bgprib.rs:1016-1097).
+    *
+    * SINGLE-PASS shape: the per-message output rows are built as one
+    * `concat` of array `transform`s and exploded ONCE. The union-of-explodes
+    * alternative re-evaluates the upstream per branch — behind the wire
+    * decoder that meant 5 full encode+decode passes over every message
+    * (measured ~2.5× total cost at sf0.1). One Generate = one scan, one
+    * decode, still zero shuffles. */
   def decompose(msgs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val nullPfx = lit(null).cast(RouteEventGen.pfxType)
     val nullRd = lit(null).cast(RouteEventGen.rdType)
     val nullL2 = lit(null).cast(RouteEventGen.l2Type)
     val nullMvpn = lit(null).cast(RouteEventGen.mvpnType)
     val nullEvpn = lit(null).cast(RouteEventGen.evpnType)
-    def row(rib: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column,
-        active: org.apache.spark.sql.Column, nh: org.apache.spark.sql.Column,
-        rd: org.apache.spark.sql.Column = nullRd,
-        l2: org.apache.spark.sql.Column = nullL2,
-        mvpn: org.apache.spark.sql.Column = nullMvpn,
-        evpn: org.apache.spark.sql.Column = nullEvpn) =
-      Seq(col("ts"), col("msg_id"), col("session_id"), rib.as("rib"),
-        active.as("active"), p.as("prefix"), IpFns.pfxStr(p).as("prefix_str"),
+    def item(rib: Column, p: Column, active: Column, nh: Column,
+        rd: Column = nullRd, l2: Column = nullL2, mvpn: Column = nullMvpn,
+        evpn: Column = nullEvpn): Column =
+      struct(rib.as("rib"), active.as("active"), p.as("prefix"),
         nh.as("nexthop"), rd.as("rd"), l2.as("l2"), mvpn.as("mvpn"),
         evpn.as("evpn"))
-    val base = msgs.select(col("*"), explode(col("nlri")).as("p"))
-      .select(row(lit("ipv4u"), col("p"), lit(true), col("nexthop")): _*)
-    val withdrawn = msgs.select(col("*"), explode(col("withdraws")).as("p"))
-      .select(row(lit("ipv4u"), col("p"), lit(false), col("nexthop")): _*)
-    val mp = msgs.where(col("mp").isNotNull)
-      .select(col("*"), explode(col("mp")).as("fam"))
-      .select(col("*"), explode(col("fam.nlri")).as("p"))
-      .select(row(col("fam.rib"), col("p"), lit(true), col("fam.nexthop")): _*)
-    val nullPfx = lit(null).cast(RouteEventGen.pfxType)
-    def exotic(colName: String, active: Boolean): Option[DataFrame] =
+    val base = transform(col("nlri"),
+      p => item(lit("ipv4u"), p, lit(true), col("nexthop")))
+    val withdrawn = transform(col("withdraws"),
+      p => item(lit("ipv4u"), p, lit(false), col("nexthop")))
+    val mp = flatten(transform(col("mp"), fam =>
+      transform(fam("nlri"), p => item(fam("rib"), p, lit(true), fam("nexthop")))))
+    def exoticArr(colName: String, active: Boolean): Option[Column] =
       if (!msgs.columns.contains(colName)) None
-      else Some(msgs.where(col(colName).isNotNull)
-        .select(col("*"), explode(col(colName)).as("k"))
-        .select(row(col("k.rib"), nullPfx, lit(active), col("k.nexthop"),
-          rd = col("k.rd"), l2 = col("k.l2"), mvpn = col("k.mvpn"),
-          evpn = col("k.evpn")): _*))
-    val withExotic = Seq(exotic("mp_keys", active = true),
-      exotic("mp_keys_withdraws", active = false)).flatten
-    (Seq(base, withdrawn, mp) ++ withExotic).reduce(_ unionByName _)
+      else Some(transform(col(colName), k =>
+        item(k("rib"), nullPfx, lit(active), k("nexthop"),
+          rd = k("rd"), l2 = k("l2"), mvpn = k("mvpn"), evpn = k("evpn"))))
+    // null family arrays contribute nothing; `slice(base, 1, 0)` is the
+    // cheapest same-typed empty array for the coalesce
+    val empty = slice(base, 1, 0)
+    val parts = Seq(Some(base), Some(withdrawn), Some(coalesce(mp, empty))) ++
+      Seq(exoticArr("mp_keys", active = true),
+        exoticArr("mp_keys_withdraws", active = false))
+        .map(_.map(a => coalesce(a, empty)))
+    msgs.select(col("ts"), col("msg_id"), col("session_id"),
+        explode(concat(parts.flatten: _*)).as("it"))
+      .select(col("ts"), col("msg_id"), col("session_id"),
+        col("it.rib").as("rib"), col("it.active").as("active"),
+        col("it.prefix").as("prefix"),
+        IpFns.pfxStr(col("it.prefix")).as("prefix_str"),
+        col("it.nexthop").as("nexthop"), col("it.rd").as("rd"),
+        col("it.l2").as("l2"), col("it.mvpn").as("mvpn"),
+        col("it.evpn").as("evpn"))
   }
 }
