@@ -320,6 +320,31 @@ object BgpWire {
     case _ => None
   }
 
+  /** One FlowSpec NLRI item (RFC 8955 §4): length-prefixed component list.
+    * The engine's fs4u key is the destination prefix (component type 1) —
+    * the reference's flowspec filter surface is trait-default beyond it
+    * (src/ribfilter.rs fs4u arms); other components (ports, protocol,
+    * DSCP, ...) are walked via their op/value lists and consumed. */
+  private def readFlowspecItem(r: Reader): Row = {
+    var len = r.u8()
+    if (len >= 240) len = ((len & 0x0F) << 8) | r.u8()
+    val end = r.off + len
+    var dst: Row = null
+    while (r.off < end) {
+      val t = r.u8()
+      if (t == 1 || t == 2) { // destination / source prefix
+        val bits = r.u8()
+        val p = readPrefixBits(r, bits, v6 = false)
+        if (t == 1) dst = p
+      } else { // numeric-op component: walk the (op, value) list
+        var op = 0
+        do { op = r.u8(); r.skip(1 << ((op >> 4) & 3)) } while ((op & 0x80) == 0)
+      }
+    }
+    require(r.off == end, "flowspec component list overran its length")
+    dst
+  }
+
   /** One exotic route key as an mp_keys row. */
   private def readExoticItem(rib: String, r: Reader, nh: Row): Row = rib match {
     case "evpn" => Row("evpn", null, null, null, readEvpnItem(r), nh)
@@ -544,6 +569,11 @@ object BgpWire {
             case Some(rib) =>
               sawMpKeys = true
               while (r.off < attrEnd) mpKeys += readExoticItem(rib, r, nhFixed)
+            case None if afi == 1 && safi == 133 => // FlowSpec v4 → fs4u
+              sawMp = true
+              val ps = Seq.newBuilder[Row]
+              while (r.off < attrEnd) ps += readFlowspecItem(r)
+              mp += Row("fs4u", ps.result(), nhFixed, null, null)
             case None => afiSafi.get((afi, safi)) match {
               case Some((rib, hasLabel, hasRd, v6)) =>
                 sawMp = true
@@ -565,6 +595,11 @@ object BgpWire {
             case Some(rib) =>
               sawMpKeysWd = true
               while (r.off < attrEnd) mpKeysWd += readExoticItem(rib, r, null)
+            case None if afi == 1 && safi == 133 =>
+              sawMpWd = true
+              val ps = Seq.newBuilder[Row]
+              while (r.off < attrEnd) ps += readFlowspecItem(r)
+              mpWd += Row("fs4u", ps.result(), null, null, null)
             case None => afiSafi.get((afi, safi)) match {
               case Some((rib, hasLabel, hasRd, v6)) =>
                 sawMpWd = true

@@ -171,6 +171,21 @@ class BgpWireSpec extends AnyFunSuite {
       "[l2vpls,false,[500,700],[3,10,10],null,null]"))
   }
 
+  test("golden: FlowSpec v4 decodes the destination prefix into fs4u") {
+    // MP_REACH afi 1 safi 133, empty nexthop; one flowspec NLRI of length 7:
+    // dst-prefix 10.7.0.0/16 + a dest-port component (eq 80) that must be
+    // walked via its op/value list and consumed
+    val msg = hex(marker + "0027" + "02" + "0000" + "0010" +
+      "80 0e 0d" + "0001 85" + "00" + "00" +
+      "07" + "01 10 0a07" + "04 81 50")
+    val r = BgpWire.decodeUpdate(8L, 0, null, msg)
+    val fam = r.getSeq[org.apache.spark.sql.Row](6) // mp
+    assert(fam.length == 1 && fam(0).getString(0) == "fs4u")
+    val ps = fam(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(ps.map(p => (p.getLong(2), p.getInt(3)))
+      == Seq(((10L << 24) + (7L << 16), 16)))
+  }
+
   test("malformed frames fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       BgpWire.decodeUpdate(0L, 0, null, hex("00" * 19)) // bad marker
