@@ -76,6 +76,36 @@ class FeedSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("wire ingest: framed BGP UPDATE bytes stream into decoded route rows") {
+    import graft.sources.{BgpWire, UpdateDecompose}
+    val stage = tmp()
+    val out = tmp() + "/wire_log"
+    val ckpt = tmp() + "/wire_ckpt"
+    val events = spark.read.parquet(s"$srcSf/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // frames on disk stand in for a BMP/BGP capture; the streaming side is
+    // the LIVE ingest path: bytes → decodeUpdates → decompose → log append
+    val frames = BgpWire.encodeUpdates(
+      UpdateDecompose.messages(events).limit(64)).localCheckpoint()
+    frames.repartition(2).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(frames.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = UpdateDecompose.decompose(BgpWire.decodeUpdates(stream))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def flat(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("msg_id", "rib", "active", "prefix_str")
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = flat(spark.read.parquet(out))
+    val batch = flat(UpdateDecompose.decompose(BgpWire.decodeUpdates(frames)))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("compaction keeps <= depth newest, deduped") {
     val stage = tmp()
     val out = tmp() + "/compact"
