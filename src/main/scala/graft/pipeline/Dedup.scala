@@ -367,11 +367,12 @@ object Dedup {
         .groupBy(col("x")).agg(min(col("lbl")).as("nlbl"))
         .select(col("x").as("id"), col("nlbl").as("lbl"))
     while (!done && it < maxIters) {
-      // TWO propagation hops per materialization: the checkpoint + action
-      // overhead dominates each round (the joins themselves are cheap on
-      // LSH near-cliques), and min-label propagation is monotone, so fusing
-      // hops changes nothing semantically — it just halves the round count
-      // (measured ~35% off the operator's bench cost at sf0.1)
+      // TWO propagation hops per materialization: min-label propagation is
+      // monotone, so fusing hops changes nothing semantically — it halves
+      // the localCheckpoint/action count per converged component diameter.
+      // In-bench effect at sf0.1 is within run noise (the joins are cheap
+      // on LSH near-cliques); the win grows with component diameter, where
+      // rounds — not join width — are the cost.
       val next = hop(hop(labels)).localCheckpoint()
       val s = lblSum(next)
       done = s == prev
