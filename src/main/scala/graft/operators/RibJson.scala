@@ -226,16 +226,26 @@ object RibJson {
   }
 
   /** The complete reference-shaped response document
-    * (src/bgpsvc.rs:688-707). Collects only the bounded page. */
+    * (src/bgpsvc.rs:688-707). Collects only the bounded page. Engine
+    * extension beyond the reference shape: a trailing `next_after` field —
+    * the keyset-continuation token (`after=` URL param) when this page is
+    * full, null otherwise — so deep pagination is reachable through the
+    * HTTP surface without skip-scans. */
   def response(events: DataFrame, ribName: String, filterStr: String,
       p: RibParams): String = {
     val (items, found, length) = jsonPage(events, ribName, filterStr, p)
-    val kv = items.select(col("item_key"), col("items_json")).collect()
-      .map(r => "\"" + r.getString(0).replace("\"", "\\\"") + "\":" + r.getString(1))
+    val rows = items.select(col("route_id"), col("item_key"), col("items_json")).collect()
+    val kv = rows
+      .map(r => "\"" + r.getString(1).replace("\"", "\\\"") + "\":" + r.getString(2))
+    val nextAfter =
+      if (found > 0 && rows.length >= p.limit && rows.nonEmpty)
+        rows.last.getLong(0).toString
+      else "null"
     s"""{"ribtype":"$ribName","length":$length,"skip":${p.skip},""" +
       s""""limit":${p.limit},"maxdepth":${p.maxDepth},"onlyactive":${p.onlyActive},""" +
       s""""changed_after":${p.changedAfterMs.map(_.toString).getOrElse("null")},""" +
       s""""changed_before":${p.changedBeforeMs.map(_.toString).getOrElse("null")},""" +
-      s""""found":$found,"items":{${kv.mkString(",")}}}"""
+      s""""found":$found,"items":{${kv.mkString(",")}},""" +
+      s""""next_after":$nextAfter}"""
   }
 }

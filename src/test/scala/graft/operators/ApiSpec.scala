@@ -67,6 +67,26 @@ class ApiSpec extends AnyFunSuite {
     val (pk3, _, _) = RibJson.jsonPage(d, "ipv4u", "10.1.0.0/16",
       params.copy(pageAfterId = Some(afterId2)))
     assert(keysOf(pk3) == (10 until 12).map(i => s"10.1.$i.0/24"))
+
+    // the same walk through the HTTP surface: next_after from the response
+    // document feeds the after= param of the next call
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def itemKeys(resp: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(resp).get("items").fieldNames.asScala.toSeq
+    }
+    val r1 = Api.handle(d, "/api/json/ipv4u?filter=10.1.0.0%2F16&limit=5").get
+    val tok1 = mapper.readTree(r1).get("next_after").asText
+    assert(itemKeys(r1) == (0 until 5).map(i => s"10.1.$i.0/24"))
+    val r2 = Api.handle(d,
+      s"/api/json/ipv4u?filter=10.1.0.0%2F16&limit=5&after=$tok1").get
+    assert(itemKeys(r2) == (5 until 10).map(i => s"10.1.$i.0/24"))
+    val tok2 = mapper.readTree(r2).get("next_after").asText
+    val r3 = Api.handle(d,
+      s"/api/json/ipv4u?filter=10.1.0.0%2F16&limit=5&after=$tok2").get
+    assert(itemKeys(r3) == (10 until 12).map(i => s"10.1.$i.0/24"))
+    // short final page → no continuation token
+    assert(mapper.readTree(r3).get("next_after").isNull)
   }
 
   test("params: unparseable values are ignored, keeping defaults") {
