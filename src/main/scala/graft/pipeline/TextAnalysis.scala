@@ -62,6 +62,20 @@ object TextAnalysis {
       "alpha_x1000" -> permille(alpha, nc))
   }
 
+  /** Type-token ratio ×1000 (lexical diversity): distinct case-folded
+    * words over total words — the standard templated/boilerplate-text
+    * signal (near-0 for generated spam, high for natural prose).
+    * floor(d·1000.0/t) over exact integer operands: one IEEE divide,
+    * exactly rounded, so any engine reproduces the same bits — the same
+    * oracle-safe permille pattern as qualityMetrics. Scan-local at any
+    * scale — one split per document, no shuffle. */
+  def typeTokenRatio(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    val distinct = size(array_distinct(transform(words, w => lower(w))))
+    floor(distinct.cast("double") * 1000.0 /
+      greatest(size(words), lit(1)).cast("double")).cast("long")
+  }
+
   /** Keep gate: reasonable length, some stopwords, mostly alphabetic —
     * the standard quality filter shape. */
   def qualityKeep(text: Column): Column = {

@@ -198,6 +198,18 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
+    // lexical diversity (type-token ratio): templated/boilerplate detection
+    "q_text_ttr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      d.select(col("source"), TextAnalysis.typeTokenRatio(col("text")).as("ttr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("ttr")).cast("long").as("sum_ttr"),
+          min(col("ttr")).cast("long").as("min_ttr"),
+          max(col("ttr")).cast("long").as("max_ttr"))
+        .orderBy(col("source"))
+    }),
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -708,6 +720,19 @@ object PipelineQueries {
       s"""SELECT lower(w) AS word, COUNT(*) AS n
          |FROM (SELECT unnest(string_split($docNorm, ' ')) AS w FROM documents) t
          |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q_text_ttr" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(FLOOR(
+         |      len(list_distinct(list_transform(string_split($docNorm, ' '), w -> lower(w)))) * 1000.0
+         |      / greatest(len(string_split($docNorm, ' ')), 1)) AS BIGINT) AS ttr
+         |  FROM documents
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(ttr) AS BIGINT) AS sum_ttr,
+         |  CAST(MIN(ttr) AS BIGINT) AS min_ttr,
+         |  CAST(MAX(ttr) AS BIGINT) AS max_ttr
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens,

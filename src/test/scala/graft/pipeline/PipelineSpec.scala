@@ -240,6 +240,16 @@ class PipelineSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("type-token ratio: diversity permille, case-folded") {
+    val d = Seq(
+      "spam spam spam spam",       // 1 distinct / 4 → 250
+      "The quick brown fox",       // 4 / 4 → 1000
+      "The the THE word",          // 2 / 4 → 500
+      "one").toDF("text")          // 1 / 1 → 1000
+    val got = d.select(TextAnalysis.typeTokenRatio(col("text"))).as[Long].collect()
+    assert(got.toSeq == Seq(250L, 1000L, 500L, 1000L))
+  }
+
   test("quality keep gate") {
     val good = "the quick brown fox jumps over the lazy dog and runs to the house in town"
     val bad = "@@ ## $$ %% ^^"
