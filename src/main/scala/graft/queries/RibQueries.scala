@@ -219,6 +219,29 @@ object RibQueries {
           countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
         .orderBy(col("rib"), col("active"))),
 
+    // the ATTRIBUTE TLVs through the same wire roundtrip: per-session sums
+    // over every decoded attr family (origin code, AS-path origin, MED,
+    // LOCAL_PREF, communities, large/extended communities) against pure
+    // events arithmetic — a byte-offset error in any attr encoder/decoder
+    // pair flips a sum
+    "q_wire_attrs" -> ((s, dir) => {
+      val decoded = graft.sources.BgpWire.decodeUpdates(
+        graft.sources.BgpWire.encodeUpdates(
+          graft.sources.UpdateDecompose.messages(Tables(s, dir, "events"))))
+      decoded.groupBy(col("session_id").cast("long").as("session_id"))
+        .agg(count(lit(1)).cast("long").as("n_msgs"),
+          sum(col("med")).cast("long").as("sum_med"),
+          sum(col("localpref")).cast("long").as("sum_lp"),
+          sum(element_at(col("as_list"), -1)).cast("long").as("sum_origin_as"),
+          sum(aggregate(col("comms"), lit(0L),
+            (acc, c) => acc + c.getField("b"))).cast("long").as("sum_comm_b"),
+          sum(when(col("origin") === "IGP", 0L).when(col("origin") === "EGP", 1L)
+            .otherwise(2L)).cast("long").as("sum_origin_code"),
+          sum(element_at(col("lcomms"), 1).getField("c")).cast("long").as("sum_lcomm_c"),
+          sum(element_at(col("extcomms"), 1).getField("b")).cast("long").as("sum_extcomm_b"))
+        .orderBy(col("session_id"))
+    }),
+
     // --- P6 JSON tree page: the STRUCTURAL face (page selection, in-depth
     // match, response filter, newest-maxDepth cap — everything the JSON tree
     // serializes except the text formatting) runs the full jsonPage
@@ -593,7 +616,20 @@ object RibQueries {
          |ORDER BY item_key, session_id, path_id, ts_ms, active, attrs_hash""".stripMargin),
     "q_ingest_decompose" -> decomposeOracle,
     // identical expectation: the wire roundtrip must be lossless
-    "q_wire_decompose" -> decomposeOracle)
+    "q_wire_decompose" -> decomposeOracle,
+    // attr arithmetic mirrors UpdateDecompose.messages (origin ↔ eid%3,
+    // origin AS = 65001 on odd eids else 200+uid%7, comms b-halves, ...)
+    "q_wire_attrs" ->
+      """WITH m AS (SELECT event_id AS eid, user_id AS uid FROM events)
+        |SELECT CAST(uid%4 AS BIGINT) AS session_id, COUNT(*) AS n_msgs,
+        |  CAST(SUM(eid%100) AS BIGINT) AS sum_med,
+        |  CAST(SUM(100+uid%10) AS BIGINT) AS sum_lp,
+        |  CAST(SUM(CASE WHEN eid%2=1 THEN 65001 ELSE 200+uid%7 END) AS BIGINT) AS sum_origin_as,
+        |  CAST(SUM(eid%50 + uid%10) AS BIGINT) AS sum_comm_b,
+        |  CAST(SUM(eid%3) AS BIGINT) AS sum_origin_code,
+        |  CAST(SUM(eid%5) AS BIGINT) AS sum_lcomm_c,
+        |  CAST(SUM(300+eid%5) AS BIGINT) AS sum_extcomm_b
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
 
   private val decomposeOracle: String =
       """WITH m AS (

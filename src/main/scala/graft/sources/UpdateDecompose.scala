@@ -36,6 +36,10 @@ object UpdateDecompose {
     val nh6 = struct(lit(6.toByte).as("version"),
       lit(0xFE80L << 48).as("ip_hi"), (uid % 256).cast("long").as("ip_lo"),
       lit(128).as("prefix_len"))
+    // path attributes mirror the RouteEventGen attr arithmetic so the
+    // wire roundtrip (q_wire_attrs) is oracle-checkable from `events`
+    val a1 = (lit(100L) + eid % 5).cast("long")
+    val a2 = (lit(200L) + uid % 7).cast("long")
     events.select(
       eid.as("msg_id"),
       (uid % 4).cast("int").as("session_id"),
@@ -47,7 +51,19 @@ object UpdateDecompose {
       when(eid % 4 === 0,
         array(struct(lit("ipv6u").as("rib"), array(pfx6).as("nlri"), nh6.as("nexthop"))))
         .otherwise(lit(null).cast(s"array<struct<rib:string,nlri:array<${RouteEventGen.pfxType}>,nexthop:${RouteEventGen.pfxType}>>"))
-        .as("mp"))
+        .as("mp"),
+      element_at(array(lit("IGP"), lit("EGP"), lit("Incomplete")), (eid % 3 + 1).cast("int"))
+        .as("origin"),
+      when(eid % 2 === 1, array(a1, a2, lit(65001L))).otherwise(array(a1, a2))
+        .as("as_list"),
+      (eid % 100).cast("long").as("med"),
+      (lit(100L) + uid % 10).as("localpref"),
+      array(struct(lit(10).as("a"), (eid % 50).cast("int").as("b")),
+        struct(lit(20).as("a"), (uid % 10).cast("int").as("b"))).as("comms"),
+      array(struct(lit(1L).as("a"), lit(2L).as("b"), (eid % 5).cast("long").as("c")))
+        .as("lcomms"),
+      array(struct(lit(0).as("ctype"), lit(2).as("subtype"),
+        (lit(200L) + uid % 4).as("a"), (lit(300L) + eid % 5).as("b"))).as("extcomms"))
   }
 
   /** The decomposition itself: base updates (rib=ipv4u, base nexthop) +
