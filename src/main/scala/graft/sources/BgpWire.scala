@@ -108,8 +108,10 @@ object BgpWire {
     (1, 4) -> ("ipv4lu", true, false, false),
     (1, 128) -> ("vpnv4u", true, true, false),
     (1, 129) -> ("vpnv4m", false, true, false),
+    // (2,2) plain v6 multicast intentionally absent: the reference has no
+    // ipv6m table (src/bgprib.rs:807-821) — such frames skip like any
+    // family out of scope
     (2, 1) -> ("ipv6u", false, false, true),
-    (2, 2) -> ("ipv6m", false, false, true),
     (2, 4) -> ("ipv6lu", true, false, true),
     (2, 128) -> ("vpnv6u", true, true, true),
     (2, 129) -> ("vpnv6m", false, true, true))
