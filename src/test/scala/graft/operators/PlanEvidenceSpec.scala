@@ -55,6 +55,20 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("wire decompose stays single-pass: one encode + one decode MapPartitions") {
+    // the union-of-explodes shape re-ran the upstream per branch (5 decode
+    // passes, ~2.2× measured); the concat-of-transforms + one-explode form
+    // must keep exactly the encode/decode MapPartitions pair in the plan
+    val events = graft.queries.Tables(spark, sf, "events")
+    val plan = graft.sources.UpdateDecompose.decompose(
+      graft.sources.BgpWire.decodeUpdates(graft.sources.BgpWire.encodeUpdates(
+        graft.sources.UpdateDecompose.messages(events))))
+      .queryExecution.executedPlan.toString
+    val nMapPartitions = "MapPartitions".r.findAllIn(plan).length
+    assert(nMapPartitions == 2, s"expected 2 MapPartitions, got $nMapPartitions:\n${plan.take(3000)}")
+    assert("Generate".r.findAllIn(plan).length == 1, plan.take(3000))
+  }
+
   test("keyset continuation (pageAfter) plans as TakeOrderedAndProject") {
     val tok = RibViews.pageToken(ring = true)
     val first = re.select(tok.as("t")).limit(1).collect()(0).getStruct(0)
