@@ -242,6 +242,30 @@ object RibQueries {
         .orderBy(col("session_id"))
     }),
 
+    // the SESSION layer end-to-end through real bytes: BMP PeerUp frames
+    // (embedding two framed OPENs, AS_TRANS + 4-octet-cap path included)
+    // build the session registry; route-monitoring frames dispatch against
+    // it — unregistered sessions must DROP (src/bmppeer.rs:32-58) — and the
+    // per-session sums replicate in pure events arithmetic
+    "q_wire_sessions" -> ((s, dir) => {
+      val bmp = graft.sources.BgpWire.decodeBmpFrames(
+        graft.sources.BgpSession.bmpStream(Tables(s, dir, "events")))
+      val reg = graft.sources.BgpSession.sessionRegistry(bmp)
+      graft.sources.BgpSession.dispatchUpdates(bmp, reg)
+        .groupBy(col("session_id").cast("long").as("session_id"))
+        .agg(count(lit(1)).cast("long").as("n_msgs"),
+          sum(col("med")).cast("long").as("sum_med"),
+          sum(size(col("nlri"))).cast("long").as("n_nlri"),
+          sum(size(col("withdraws"))).cast("long").as("n_withdraws"),
+          sum(element_at(col("as_list"), -1)).cast("long").as("sum_origin_as"))
+        .join(broadcast(reg), Seq("session_id"))
+        .select(col("peer_as"), col("local_asn"), col("local_hold"),
+          col("remote_hold"), col("local_addr_lo"),
+          col("n_caps_matched").as("n_caps"), col("n_msgs"), col("sum_med"),
+          col("n_nlri"), col("n_withdraws"), col("sum_origin_as"))
+        .orderBy(col("peer_as"))
+    }),
+
     // --- P6 JSON tree page: the STRUCTURAL face (page selection, in-depth
     // match, response filter, newest-maxDepth cap — everything the JSON tree
     // serializes except the text formatting) runs the full jsonPage
@@ -629,7 +653,26 @@ object RibQueries {
         |  CAST(SUM(eid%3) AS BIGINT) AS sum_origin_code,
         |  CAST(SUM(eid%5) AS BIGINT) AS sum_lcomm_c,
         |  CAST(SUM(300+eid%5) AS BIGINT) AS sum_extcomm_b
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // session-layer arithmetic mirrors BgpSession.bmpStream: registration
+    // gate sess%3<>0, OPEN fields 70000+s/90+s (sent), 65000+s/30+3s
+    // (received), local addr 192.168.0.s, 2 matched capabilities
+    "q_wire_sessions" ->
+      """WITH m AS (SELECT user_id%4 AS sess, event_id AS eid, user_id AS uid
+        |           FROM events)
+        |SELECT CAST(65000+sess AS BIGINT) AS peer_as,
+        |  CAST(70000+sess AS BIGINT) AS local_asn,
+        |  CAST(90+sess AS INT) AS local_hold,
+        |  CAST(30+3*sess AS INT) AS remote_hold,
+        |  CAST(3232235520+sess AS BIGINT) AS local_addr_lo,
+        |  CAST(2 AS INT) AS n_caps,
+        |  COUNT(*) AS n_msgs,
+        |  CAST(SUM(eid%100) AS BIGINT) AS sum_med,
+        |  CAST(SUM(1 + eid%2) AS BIGINT) AS n_nlri,
+        |  CAST(SUM(CASE WHEN eid%3=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_withdraws,
+        |  CAST(SUM(CASE WHEN eid%2=1 THEN 65001 ELSE 200+uid%7 END) AS BIGINT) AS sum_origin_as
+        |FROM m WHERE sess%3<>0
+        |GROUP BY sess ORDER BY peer_as""".stripMargin)
 
   private val decomposeOracle: String =
       """WITH m AS (

@@ -121,7 +121,7 @@ object BgpWire {
 
   // ---------------------------------------------------------------- bytes
 
-  private final class Reader(val b: Array[Byte], var off: Int, val end: Int) {
+  private[sources] final class Reader(val b: Array[Byte], var off: Int, val end: Int) {
     def u8(): Int = { val v = b(off) & 0xFF; off += 1; v }
     def u16(): Int = (u8() << 8) | u8()
     def u32(): Long = (u16().toLong << 16) | u16()
@@ -130,7 +130,7 @@ object BgpWire {
     def remaining: Int = end - off
   }
 
-  private final class Writer {
+  private[sources] final class Writer {
     val out = new ByteArrayOutputStream()
     def u8(v: Int): this.type = { out.write(v & 0xFF); this }
     def u16(v: Int): this.type = { u8(v >> 8); u8(v) }
@@ -161,7 +161,7 @@ object BgpWire {
   }
 
   /** Read `bits` prefix bits into (hi, lo) halves (v6) or a 32-bit addr. */
-  private def readPrefixBits(r: Reader, bits: Int, v6: Boolean): Row = {
+  private[sources] def readPrefixBits(r: Reader, bits: Int, v6: Boolean): Row = {
     val nBytes = (bits + 7) / 8
     var hi = 0L; var lo = 0L
     (0 until nBytes).foreach { i =>
@@ -190,13 +190,13 @@ object BgpWire {
 
   /** Type-0 (2B admin ASN + 4B number) and type-1 (4B IP + 2B number) RDs
     * → the engine's (rdh, rdl) halves (X6 parse, src/ribfilter.rs:76-99). */
-  private def readRd(r: Reader): Row = r.u16() match {
+  private[sources] def readRd(r: Reader): Row = r.u16() match {
     case 0 => Row(r.u16().toLong, r.u32())
     case 1 => Row(r.u32(), r.u16().toLong)
     case _ => Row(r.u32(), r.u16().toLong) // type-2: 4B ASN + 2B number
   }
 
-  private def writeRd(w: Writer, rdh: Long, rdl: Long): Unit = {
+  private[sources] def writeRd(w: Writer, rdh: Long, rdl: Long): Unit = {
     // encoder emits type 0 (the generator's RDs are small admin/number
     // pairs); decoder handles types 0/1/2
     w.u16(0); w.u16(rdh.toInt); w.u32(rdl)
@@ -358,10 +358,10 @@ object BgpWire {
 
   // ------------------------------------------------------------ BGP UPDATE
 
-  private val Marker = Array.fill[Byte](16)(0xFF.toByte)
+  private[sources] val Marker = Array.fill[Byte](16)(0xFF.toByte)
 
   /** Frame a BGP message: 16-byte marker + u16 total length + u8 type. */
-  private def frameBgp(msgType: Int, body: Array[Byte]): Array[Byte] = {
+  private[sources] def frameBgp(msgType: Int, body: Array[Byte]): Array[Byte] = {
     val w = new Writer
     w.raw(Marker).u16(19 + body.length).u8(msgType).raw(body)
     w.bytes
@@ -687,9 +687,11 @@ object BgpWire {
     w.bytes
   }
 
-  /** Decode one BMP message (route-monitoring fully; other types surface
-    * their type name with null payload — the session registry consumes
-    * PeerUp/PeerDown out of band, reference src/bmppeer.rs:60-101). */
+  /** Decode one BMP message: route-monitoring and peer-up carry their
+    * post-per-peer-header payload in `update` (the embedded framed UPDATE
+    * for type 0; local addr + ports + the two framed OPENs for type 3 —
+    * consumed by `BgpSession.decodePeerUpBody`); other types surface their
+    * type name with null payload (reference src/bmppeer.rs:30-63). */
   def decodeBmp(bytes: Array[Byte]): Row = {
     val r = new Reader(bytes, 0, bytes.length)
     val v = r.u8()
@@ -714,7 +716,7 @@ object BgpWire {
     val bgpId = r.u32()
     val tsSec = r.u32(); val tsUsec = r.u32()
     val ts = new java.sql.Timestamp(tsSec * 1000L + tsUsec / 1000)
-    val payload = if (tpe == 0 && r.remaining > 0)
+    val payload = if ((tpe == 0 || tpe == 3) && r.remaining > 0)
       java.util.Arrays.copyOfRange(r.b, r.off, r.end) else null
     Row(typeName, rd, peerAddr, peerAs, bgpId, ts, payload)
   }

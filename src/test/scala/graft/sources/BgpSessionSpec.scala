@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import BgpSession._
+
+/** The BGP session layer (reference: src/bgppeer.rs — OPEN exchange,
+  * capability negotiation + the unsupported-capability retry, NOTIFICATION,
+  * keepalive cadence, lifecycle dispatch — and the BMP PeerUp session
+  * registry of src/bmppeer.rs:30-63 / src/bgpsvc.rs:59-73).
+  *
+  * The OPEN and NOTIFICATION goldens are HAND-ASSEMBLED hex, independent of
+  * the encoder, so the codecs are pinned against RFC 4271/5492/6793 wire
+  * bytes — not against this repo's own serializer. */
+class BgpSessionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val marker = "ff" * 16
+
+  // OPEN: ver 4, AS_TRANS (real ASN 70000 in the 4-octet cap), hold 90,
+  // router-id 1.2.3.4, caps MP(1,1) + route-refresh + 4-octet-AS
+  private val goldenOpenHex = marker +
+    "002d" + "01" + // total 45, type OPEN
+    "04" + "5ba0" + "005a" + "01020304" + // ver, AS_TRANS=23456, hold 90, rid
+    "10" + "02 0e" + // opt params 16B: one type-2 (capabilities) of 14B
+    "01 04 0001 00 01" + // MP afi 1 safi 1
+    "02 00" + // route-refresh
+    "41 04 00011170" // 4-octet AS 70000
+  private val goldenOpen = Open(70000L, 90, 0x01020304L,
+    Vector(Cap.Mp(1, 1), Cap.RouteRefresh, Cap.FourOctetAs(70000L)))
+
+  test("golden OPEN: decode recovers the 4-octet ASN through AS_TRANS") {
+    val (tpe, blen) = decodeHead(hex(goldenOpenHex))
+    assert(tpe == 1 && blen == 26)
+    val o = decodeOpenBody(hex(goldenOpenHex).drop(19))
+    assert(o == goldenOpen)
+    assert(o.wireAs2 == AsTrans)
+  }
+
+  test("golden OPEN: encoder reproduces the hand-assembled bytes exactly") {
+    assert(encodeOpen(goldenOpen).sameElements(hex(goldenOpenHex)))
+  }
+
+  test("OPEN with a small ASN keeps it in the 2-octet field") {
+    val o = Open(65001L, 180, 7L, Vector(Cap.Mp(1, 1)))
+    assert(o.wireAs2 == 65001L)
+    assert(decodeOpenBody(encodeOpenBody(o)) == o)
+  }
+
+  test("unknown capabilities and non-capability optional params survive/skip") {
+    // opt params: type 9 (opaque, 2B) then caps with an unknown code 99
+    val body = hex("04" + "fde9" + "00b4" + "0a0b0c0d" +
+      "08" + "09 02 aabb" + "02 02" + "63 00")
+    val o = decodeOpenBody(body)
+    assert(o.asn == 65001L && o.holdTime == 180)
+    assert(o.caps == Vector(Cap.Unknown(99, Vector.empty)))
+  }
+
+  test("golden NOTIFICATION 2/7 embeds the refused capability") {
+    val msg = hex(marker + "0017" + "03" + "02 07" + "02 00")
+    val (tpe, _) = decodeHead(msg)
+    assert(tpe == 3)
+    val n = decodeNotificationBody(msg.drop(19))
+    assert(n.errorText == "OPEN Message Error: Unsupported Capability")
+    assert(n.refusedCapability.contains(Cap.RouteRefresh))
+    assert(encodeNotification(n).sameElements(msg))
+  }
+
+  test("notification error texts follow RFC 4271 §6 / RFC 4486") {
+    assert(Notification(6, 2, Vector.empty).errorText
+      == "Cease: Administrative Shutdown")
+    assert(Notification(4, 0, Vector.empty).errorText == "Hold Timer Expired")
+    assert(Notification(3, 11, Vector.empty).errorText
+      == "UPDATE Message Error: Malformed AS_PATH")
+  }
+
+  test("decodeHead rejects bad marker, bad length, unknown type") {
+    val ok = hex(marker + "0013" + "04")
+    assert(decodeHead(ok) == (4, 0))
+    val badMarker = ok.clone(); badMarker(3) = 0
+    intercept[IllegalArgumentException](decodeHead(badMarker))
+    intercept[IllegalArgumentException](decodeHead(hex(marker + "0012" + "04")))
+    intercept[IllegalArgumentException](decodeHead(hex(marker + "0013" + "05")))
+  }
+
+  test("matchCaps keeps the intersection; removeCapability drops by kind") {
+    val local = Seq[Cap](Cap.Mp(1, 1), Cap.Mp(2, 1), Cap.RouteRefresh,
+      Cap.FourOctetAs(70000L))
+    val remote = Seq[Cap](Cap.Mp(1, 1), Cap.FourOctetAs(65010L))
+    // own 4-octet ASN is kept (each side announces its own)
+    assert(matchCaps(local, remote)
+      == Seq(Cap.Mp(1, 1), Cap.FourOctetAs(70000L)))
+    assert(removeCapability(local, Cap.Mp(2, 1))
+      == Seq(Cap.Mp(1, 1), Cap.RouteRefresh, Cap.FourOctetAs(70000L)))
+    assert(removeCapability(local, Cap.FourOctetAs(0L))
+      == Seq(Cap.Mp(1, 1), Cap.Mp(2, 1), Cap.RouteRefresh))
+  }
+
+  test("passive handshake: echo with our router-id, adopt peer AS/hold (quirks)") {
+    val local = Open(65001L, 180, 0x0A0A0A0AL,
+      Vector(Cap.Mp(1, 1), Cap.Mp(2, 1), Cap.RouteRefresh))
+    val peer = Open(65010L, 30, 0x14141414L, Vector(Cap.Mp(1, 1)))
+    val (adopted, replyBytes, desc) =
+      passiveHandshake(local, peerV4 = true, 0L, (10L << 24) + 9,
+        encodeOpen(peer))
+    // bgppeer.rs:85-88: as_num and hold_time adopted wholesale; local caps
+    // narrowed to the intersection
+    assert(adopted.asn == 65010L && adopted.holdTime == 30)
+    assert(adopted.caps == Vector(Cap.Mp(1, 1)))
+    // the reply is the PEER's OPEN with only router_id swapped
+    val reply = decodeOpenBody(replyBytes.drop(19))
+    assert(reply == peer.copy(routerId = 0x0A0A0A0AL))
+    assert(desc.remote.open == peer && desc.remote.addrLo == (10L << 24) + 9)
+    // non-OPEN first frame is a state error (bgppeer.rs:79-81)
+    intercept[IllegalArgumentException](
+      passiveHandshake(local, peerV4 = true, 0L, 0L, encodeKeepalive))
+  }
+
+  test("active handshake: established / capability-retry / failure") {
+    val local = Open(65001L, 180, 1L,
+      Vector(Cap.Mp(1, 1), Cap.RouteRefresh))
+    val peer = Open(65010L, 90, 2L, Vector(Cap.Mp(1, 1)))
+    activeStep(local, peerV4 = true, 0L, 5L, encodeOpen(peer)) match {
+      case ActiveResult.Established(adopted, desc) =>
+        assert(adopted.holdTime == 90 && adopted.caps == Vector(Cap.Mp(1, 1)))
+        assert(desc.remote.open == peer)
+      case other => fail(s"unexpected $other")
+    }
+    // NOTIFICATION 2/7 carrying the refused cap → retry without it
+    // (bgppeer.rs:143-151)
+    val refuse = encodeNotification(Notification(2, 7, Vector[Byte](2, 0)))
+    activeStep(local, peerV4 = true, 0L, 5L, refuse) match {
+      case ActiveResult.RetryWithout(next, cap) =>
+        assert(cap == Cap.RouteRefresh)
+        assert(next.caps == Vector(Cap.Mp(1, 1)))
+      case other => fail(s"unexpected $other")
+    }
+    val shutdown = encodeNotification(Notification(6, 2, Vector.empty))
+    assert(activeStep(local, peerV4 = true, 0L, 5L, shutdown)
+      == ActiveResult.Failed(
+        "Notification received: Cease: Administrative Shutdown"))
+    assert(activeStep(local, peerV4 = true, 0L, 5L, encodeKeepalive)
+      == ActiveResult.Failed("Invalid message type received: 4"))
+  }
+
+  test("keepalive cadence: hold_time/3 (bgppeer.rs:181-184)") {
+    assert(!keepaliveDue(29, 90))
+    assert(keepaliveDue(30, 90))
+    assert(keepaliveDue(31, 90))
+  }
+
+  test("runPassive: full recorded session — handshake, echoes, updates, close") {
+    val local = Open(65001L, 180, 1L, Vector(Cap.Mp(1, 1)))
+    val peer = Open(65010L, 30, 2L, Vector(Cap.Mp(1, 1)))
+    // a minimal real UPDATE: one NLRI 10.1.2.0/24, no attrs, no withdraws
+    val update = hex(marker + "001b" + "02" + "0000" + "0000" + "18 0a0102")
+    val frames = Iterator(encodeOpen(peer), encodeKeepalive, update,
+      encodeKeepalive, encodeNotification(Notification(6, 2, Vector.empty)),
+      encodeKeepalive /* after close: must not be consumed */)
+    val (desc, out, updates, closed) =
+      runPassive(local, peerV4 = true, 0L, 7L, frames)
+    assert(desc.remote.open == peer)
+    assert(out.length == 3) // reply OPEN + two keepalive echoes
+    assert(decodeHead(out(0))._1 == 1)
+    assert(out.tail.forall(f => decodeHead(f)._1 == 4))
+    assert(updates.length == 1)
+    // the handed-off frame decodes with the engine's UPDATE decoder as-is
+    val dec = BgpWire.decodeUpdate(1L, 0, null, updates(0))
+    assert(dec.getSeq[org.apache.spark.sql.Row](3).map(p =>
+      (p.getLong(2), p.getInt(3))) == Seq(((10L << 24) + (1L << 16) + (2L << 8), 24)))
+    assert(closed.contains("BGP notification: Cease: Administrative Shutdown"))
+    // OPEN in established state closes the session (bgppeer.rs:220-223)
+    assert(dispatch(encodeOpen(peer)) == Action.Close("Incorrect open message!"))
+  }
+
+  test("BMP PeerUp roundtrip: registry fields incl. AS_TRANS recovery") {
+    val sent = Open(70001L, 91, 11L,
+      Vector(Cap.Mp(1, 1), Cap.FourOctetAs(70001L)))
+    val recv = Open(65001L, 33, 22L,
+      Vector(Cap.Mp(1, 1), Cap.FourOctetAs(65001L)))
+    val frame = encodeBmpPeerUp(1L, 101L, (10L << 24) + 1, 65001L, 1001L,
+      7L, 0L, (192L << 24) | (168L << 16) | 1L, 179, 30001, sent, recv)
+    val row = BgpWire.decodeBmp(frame)
+    assert(row.getString(0) == "peer_up")
+    assert(row.getLong(3) == 65001L) // header peer AS
+    val pu = decodePeerUpBody(row.getAs[Array[Byte]](6))
+    assert(!pu.localV6 && pu.localLo == ((192L << 24) | (168L << 16) | 1L))
+    assert(pu.localPort == 179 && pu.remotePort == 30001)
+    assert(pu.openSent == sent) // 70001 recovered through AS_TRANS + cap 65
+    assert(pu.openRecv == recv)
+  }
+
+  test("session registry + dispatch: unregistered sessions drop") {
+    import spark.implicits._
+    val events = (0L until 64L).map(i => (i, i % 8, new java.sql.Timestamp(1700000000000L + i * 1000)))
+      .toDF("event_id", "user_id", "ts")
+    val bmp = BgpWire.decodeBmpFrames(bmpStream(events))
+    val reg = sessionRegistry(bmp)
+    // sessions are user_id%4 = 0..3; registered: %3 != 0 → {1, 2}
+    val regRows = reg.select("peer_as", "local_asn", "local_hold",
+      "remote_hold", "n_caps_matched").orderBy("peer_as").collect()
+    assert(regRows.map(_.getLong(0)).toSeq == Seq(65001L, 65002L))
+    assert(regRows.map(_.getLong(1)).toSeq == Seq(70001L, 70002L))
+    assert(regRows.map(_.getInt(2)).toSeq == Seq(91, 92))
+    assert(regRows.map(_.getInt(3)).toSeq == Seq(33, 36))
+    assert(regRows.map(_.getInt(4)).toSeq == Seq(2, 2))
+    val updates = dispatchUpdates(bmp, reg)
+    // 64 events over sessions 0..3 (16 each); only sessions 1 and 2 pass
+    assert(updates.count() == 32L)
+    // dispatched messages carry the registry ids and decode losslessly
+    val perSession = updates.groupBy("session_id").count()
+      .orderBy("session_id").collect()
+    assert(perSession.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      == Seq((1, 16L), (2, 16L)))
+  }
+}
