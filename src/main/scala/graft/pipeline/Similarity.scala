@@ -133,6 +133,20 @@ object Similarity {
     cents
   }
 
+  /** Content clustering for corpus curation: nearest-centroid assignment
+    * against the deterministic k-means centroids — the IVF training stage
+    * reused as a first-class clustering operator (cluster-balanced training
+    * mixes, per-topic diversity analysis, cluster-scoped dedup). Returns
+    * (id, v, cluster). The assignment is a narrow scan-level projection
+    * against broadcast centroid literals: the corpus never shuffles, cost
+    * is one pass — the same 100 TB posture as the IVF query path. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cluster", cellOf(col("v"), cents))
+  }
+
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 2): DataFrame = {

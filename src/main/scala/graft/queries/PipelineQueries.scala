@@ -146,6 +146,31 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // --- content clustering (curation) ----------------------------------
+    // deterministic k-means assignment as a first-class operator: cluster
+    // sizes + integer id aggregates (exact hash compare); the oracle
+    // replays assignment against the trained centroid literals
+    "q_embed_clusters" -> ((s, dir) =>
+      Similarity.kmeansAssign(emb(s, dir), "vec_id", "embedding")
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(col("id")).cast("long").as("sum_ids"),
+          min(col("id")).cast("long").as("min_id"),
+          max(col("id")).cast("long").as("max_id"))
+        .orderBy(col("cluster"))),
+    // cluster-balanced training mix: down-weight clusters 0/1 to 200‰,
+    // keep 600‰ elsewhere — clustering composed with the deterministic
+    // stratified sampler, still a single scan-level predicate downstream
+    // of assignment
+    "q_embed_cluster_sample" -> ((s, dir) =>
+      Sampling.stratified(
+        Similarity.kmeansAssign(emb(s, dir), "vec_id", "embedding")
+          .withColumn("cluster_s", col("cluster").cast("string")),
+        "id", "cluster_s", Map("0" -> 200, "1" -> 200),
+        defaultPermille = 600, salt = "cb")
+        .select(col("id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("id"))),
+
     // --- text analysis --------------------------------------------------
     "q_text_langid" -> ((s, dir) =>
       docs(s, dir).groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -395,11 +420,11 @@ object PipelineQueries {
     * None outside Verify → the entry is omitted (rows-only, as before). */
   @volatile var oracleContext: Option[(SparkSession, String)] = None
 
-  /** DuckDB replica of Similarity.ivfTopK downstream of training: centroid
-    * literals → argmax cell assignment (ties → lowest cell, matching
-    * array_position-first-max), nprobe=4 probe cells (score desc, cell desc,
-    * matching reverse(array_sort)), candidate join, exact cosine top-10. */
-  private def ivfOracleSql(cents: Array[Array[Double]]): String = {
+  /** Shared WITH prefix: centroid literals → per-(vector, cell) scores →
+    * argmax cell assignment (ties → lowest cell, matching
+    * array_position-first-max). Used by the IVF, clustering and
+    * cluster-sample oracles. */
+  private def centroidAssignCte(cents: Array[Array[Double]]): String = {
     def fmt(x: Double): String = java.lang.Double.toString(x)
     val wRows = cents.zipWithIndex.flatMap { case (w, cell) =>
       w.zipWithIndex.map { case (x, j) => s"($cell,${j + 1},${fmt(x)})" }
@@ -421,7 +446,15 @@ object PipelineQueries {
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
        |    FROM sc) t WHERE rn = 1
-       |), pcells AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB replica of Similarity.ivfTopK downstream of training:
+    * assignment CTE + nprobe=4 probe cells (score desc, cell desc, matching
+    * reverse(array_sort)), candidate join, exact cosine top-10. */
+  private def ivfOracleSql(cents: Array[Array[Double]]): String = {
+    centroidAssignCte(cents) +
+    s""", pcells AS (
        |  SELECT vec_id AS probe_id, cell FROM (
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
@@ -448,14 +481,39 @@ object PipelineQueries {
        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
   }
 
-  private def ivfOracleEntry: Map[String, String] =
-    oracleContext.flatMap { case (s, dir) =>
-      try Some("q_sim_ivf" ->
-        ivfOracleSql(Similarity.ivfCentroids(emb(s, dir), "vec_id", "embedding")))
-      catch { case _: Throwable => None }
-    }.toMap
+  /** Per-cluster rollup over the assignment (q_embed_clusters): integer
+    * aggregates only, so the hash compare is exact. */
+  private def clustersOracleSql(cents: Array[Array[Double]]): String =
+    centroidAssignCte(cents) +
+    s"""
+       |SELECT CAST(cell AS BIGINT) AS cluster, COUNT(*) AS n_vecs,
+       |  CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+       |  CAST(MIN(vec_id) AS BIGINT) AS min_id,
+       |  CAST(MAX(vec_id) AS BIGINT) AS max_id
+       |FROM assign GROUP BY cell ORDER BY cluster""".stripMargin
 
-  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracleEntry
+  /** Cluster-balanced deterministic sample (q_embed_cluster_sample):
+    * assignment CTE + the portable char-fold keep predicate. */
+  private def clusterSampleOracleSql(cents: Array[Array[Double]]): String =
+    centroidAssignCte(cents) +
+    s"""
+       |SELECT vec_id AS id, CAST(cell AS BIGINT) AS cluster FROM assign
+       |WHERE ${sqlCharFold("'cb:' || CAST(vec_id AS VARCHAR)", 31L, 1073741789L)} % 1000
+       |  < (CASE WHEN cell = 0 THEN 200 WHEN cell = 1 THEN 200 ELSE 600 END)
+       |ORDER BY id""".stripMargin
+
+  private def centroidOracleEntries: Map[String, String] =
+    oracleContext.flatMap { case (s, dir) =>
+      try {
+        val cents = Similarity.ivfCentroids(emb(s, dir), "vec_id", "embedding")
+        Some(Map(
+          "q_sim_ivf" -> ivfOracleSql(cents),
+          "q_embed_clusters" -> clustersOracleSql(cents),
+          "q_embed_cluster_sample" -> clusterSampleOracleSql(cents)))
+      } catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
+
+  def oracleSql: Map[String, String] = staticOracleSql ++ centroidOracleEntries
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->

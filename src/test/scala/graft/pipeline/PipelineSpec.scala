@@ -70,6 +70,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.size <= 30)
   }
 
+  test("kmeans clustering partitions the corpus; cluster sample is nested-deterministic") {
+    val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding")
+    val n = emb.count()
+    // every vector lands in exactly one cluster
+    assert(assigned.count() == n)
+    assert(assigned.select("id").distinct().count() == n)
+    val nClusters = assigned.select("cluster").distinct().count()
+    assert(nClusters > 1 && nClusters <= 16)
+    // balanced sample: per-cluster keep decision is deterministic and a
+    // strict subset; a lower uniform rate nests inside a higher one
+    val s1 = Sampling.stratified(
+      assigned.withColumn("cs", col("cluster").cast("string")),
+      "id", "cs", Map("0" -> 200), 600, salt = "cb")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.stratified(
+      assigned.withColumn("cs", col("cluster").cast("string")),
+      "id", "cs", Map("0" -> 200), 600, salt = "cb")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < n)
+    val s3 = Sampling.stratified(
+      assigned.withColumn("cs", col("cluster").cast("string")),
+      "id", "cs", Map("0" -> 100), 300, salt = "cb")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+  }
+
   test("ivf ANN recall@10 vs brute force") {
     val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
     val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
