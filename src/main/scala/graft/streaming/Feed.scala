@@ -12,6 +12,11 @@ import graft.filter.FilterCompiler
 case class SessionLive(session_id: Int, n_events: Long, last_ts_ms: Long,
     last_event_id: Long, last_rib: String)
 
+/** One decoded BMP frame as the session gate sees it (key fields from the
+  * per-peer header + the embedded framed BGP message bytes). */
+case class BmpGateEvent(msg_type: String, rdh: Long, rdl: Long,
+    addr_hi: Long, addr_lo: Long, ts_ms: Long, update: Array[Byte])
+
 /** Structured Streaming surface of the engine (SURVEY.md §2.6 ST1-ST5).
   *
   * The reference runs a tokio broadcast bus (capacity 2, laggards dropped,
@@ -116,6 +121,43 @@ object Feed {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** ST9: the BMP per-peer dispatch as STREAMING custom state — the live
+    * form of `BgpSession.dispatchUpdates`. The reference keeps a `sessids`
+    * map per BMP connection (src/bmppeer.rs:12): a PeerUp registers the
+    * (RD, peer address) key (lines 32-46); RouteMonitoring frames pass only
+    * if the key is registered, otherwise they DROP (lines 48-58). Here the
+    * map is per-key GroupState over a stream of decoded BMP frames
+    * (`BgpWire.decodeBmpFrames`), and `flatMapGroupsWithState` is the right
+    * stateful form because one input row emits 0 or 1 rows depending on the
+    * key's state. Reference quirks kept: PeerDown does NOT unregister (the
+    * reference's catch-all arm only logs it, line 61), so state lives until
+    * restart — NoTimeout mirrors that; a production deployment would set an
+    * idle timeout here. Within a micro-batch, rows process in event-time
+    * order (PeerUp wins ties), so admission is deterministic, not
+    * batch-iterator-order dependent. */
+  def bmpSessionGate(bmp: DataFrame): Dataset[BmpGateEvent] = {
+    import bmp.sparkSession.implicits._
+    bmp.where(col("msg_type").isin("peer_up", "route_monitoring"))
+      .select(col("msg_type"), col("peer_rd.rdh").as("rdh"),
+        col("peer_rd.rdl").as("rdl"), col("peer_addr.ip_hi").as("addr_hi"),
+        col("peer_addr.ip_lo").as("addr_lo"),
+        unix_millis(col("ts")).as("ts_ms"), col("update"))
+      .as[BmpGateEvent]
+      .groupByKey(e => (e.rdh, e.rdl, e.addr_hi, e.addr_lo))
+      .flatMapGroupsWithState[Boolean, BmpGateEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        var registered = state.getOption.getOrElse(false)
+        val out = Vector.newBuilder[BmpGateEvent]
+        rows.toVector.sortBy(e => (e.ts_ms, e.msg_type)).foreach { e =>
+          if (e.msg_type == "peer_up") registered = true
+          else if (registered) out += e
+        }
+        if (registered) state.update(true)
+        out.result().iterator
+      }
+  }
 
   /** ST7: per-session running state via `mapGroupsWithState` — the custom-
     * state form for semantics windows/aggs can't express: each session's

@@ -199,6 +199,67 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet) // nothing lost vs batch dedup
   }
 
+  test("ST9 flatMapGroupsWithState BMP gate: pre-registration frames drop, later ones pass") {
+    import graft.sources.{BgpSession, BgpWire, UpdateDecompose}
+    import spark.implicits._
+    val stage = tmp()
+    val ckpt = tmp() + "/ckpt"
+    // 16 deterministic messages over sessions uid%4 = 0..3 (4 each)
+    val events = (0L until 16L).map(i =>
+      (i, i, new java.sql.Timestamp(1700000000000L + i * 1000)))
+      .toDF("event_id", "user_id", "ts")
+    // event-time encodes the intended order (the gate sorts by ts within a
+    // batch, so admission is the same whether the files land in one
+    // micro-batch or three): early RMs at t=1000+eid, PeerUps at t=5000,
+    // late RMs at t=9000+eid
+    val frames = BgpWire.encodeUpdates(UpdateDecompose.messages(events))
+      .collect().map(r => (r.getInt(1).toLong, r.getLong(0),
+        BgpWire.encodeBmpRouteMonitoring(r.getInt(1).toLong,
+          100 + r.getInt(1), (10L << 24) + r.getInt(1), 65000 + r.getInt(1),
+          1000 + r.getInt(1),
+          (if (r.getLong(0) < 8) 1000L else 9000L) + r.getLong(0), 0L,
+          r.getAs[Array[Byte]](3))))
+    def peerUp(s: Long) = BgpSession.encodeBmpPeerUp(s, 100 + s,
+      (10L << 24) + s, 65000 + s, 1000 + s, 5000L, 0L,
+      (192L << 24) | (168L << 16) | s, 179, 30000 + s.toInt,
+      BgpSession.Open(70000 + s, 90, 1L, Vector(BgpSession.Cap.Mp(1, 1))),
+      BgpSession.Open(65000 + s, 30, 2L, Vector(BgpSession.Cap.Mp(1, 1))))
+    // three files → up to three micro-batches: early RMs (eid<8; all must
+    // drop), then PeerUps for sessions 1/2, then late RMs (eid>=8; 1/2 pass)
+    frames.filter(_._2 < 8).map(_._3).toSeq.toDF("bytes")
+      .coalesce(1).write.parquet(s"$stage/s0")
+    Seq(peerUp(1), peerUp(2)).toDF("bytes")
+      .coalesce(1).write.parquet(s"$stage/s1")
+    frames.filter(_._2 >= 8).map(_._3).toSeq.toDF("bytes")
+      .coalesce(1).write.parquet(s"$stage/s2")
+    // pin file mtimes so FileStreamSource (which orders by modification
+    // time) always sees s0 → s1 → s2, even on a coarse-mtime filesystem
+    Seq("s0", "s1", "s2").zipWithIndex.foreach { case (d, i) =>
+      Files.list(java.nio.file.Paths.get(s"$stage/$d")).forEach { p =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+    val stream = spark.readStream
+      .schema("bytes binary").option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/s*")
+    val q = Feed.bmpSessionGate(BgpWire.decodeBmpFrames(stream))
+      .writeStream.format("memory").queryName("bmp_gate")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.sql("SELECT rdh, update FROM bmp_gate").collect()
+      .map(r => (r.getLong(0),
+        // med == event_id in this fixture (eid < 100): recover which
+        // messages passed by decoding the admitted frames for real
+        BgpWire.decodeUpdate(0L, 0, null, r.getAs[Array[Byte]](1)).getLong(12)))
+    // sessions {1, 2}, only the post-registration half: eids 9, 10, 13, 14
+    assert(admitted.map(_._1).toSet == Set(1L, 2L))
+    assert(admitted.map(_._2).toSet == Set(9L, 10L, 13L, 14L))
+    assert(admitted.length == 4)
+  }
+
   test("ST7 mapGroupsWithState session tracker converges to the batch rollup") {
     val stage = tmp()
     val ckpt = tmp() + "/ckpt"
