@@ -69,6 +69,32 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert("Generate".r.findAllIn(plan).length == 1, plan.take(3000))
   }
 
+  test("BMP dispatch joins the registry by broadcast; frames never shuffle") {
+    // the registry is a bounded dimension (one row per monitored session):
+    // a shuffled join here would move the whole frame stream at 100 TB
+    val events = graft.queries.Tables(spark, sf, "events")
+    val bmp = graft.sources.BgpWire.decodeBmpFrames(
+      graft.sources.BgpSession.bmpStream(events))
+    val reg = graft.sources.BgpSession.sessionRegistry(bmp)
+    val plan = graft.sources.BgpSession.dispatchUpdates(bmp, reg)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("kmeans assignment is a scan-level projection: no Exchange") {
+    val emb = graft.queries.Tables(spark, sf, "embeddings")
+    val cents = graft.pipeline.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding")
+    // assignment against trained centroid literals (same path kmeansAssign
+    // takes after training): one narrow projection over the corpus scan
+    val assigned = graft.pipeline.Similarity.kmeansAssign(
+      emb, "vec_id", "embedding")
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(cents.nonEmpty)
+  }
+
   test("keyset continuation (pageAfter) plans as TakeOrderedAndProject") {
     val tok = RibViews.pageToken(ring = true)
     val first = re.select(tok.as("t")).limit(1).collect()(0).getStruct(0)
