@@ -89,6 +89,23 @@ object Api {
     }
   }
 
+  /** The handshake-registered session registry as a /api/sessions document
+    * — the wire-level face: the reference serializes its peer map of
+    * `BgpSessionDesc` pairs, i.e. both sides' OPEN parameters
+    * (src/bgpsvc.rs:436-462). Input is `BgpSession.sessionRegistry` output
+    * (a bounded dimension; the collect is O(sessions)). */
+  def wireSessionsJson(registry: DataFrame): String = {
+    val rows = registry.orderBy(col("session_id")).collect()
+    rows.map { r =>
+      def L(n: String) = r.getLong(r.fieldIndex(n))
+      def I(n: String) = r.getInt(r.fieldIndex(n))
+      s"""{"session_id":${L("session_id")},"rd":"${L("rdh")}:${L("rdl")}",""" +
+        s""""peer_as":${L("peer_as")},"local_as":${L("local_asn")},""" +
+        s""""hold_time":${I("remote_hold")},"router_id":${L("remote_router_id")},""" +
+        s""""caps_matched":${I("n_caps_matched")}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Session registry document (reference serializes its session map,
     * src/bgpsvc.rs:436-462; engine-canonical shape from the log). */
   def sessionsJson(events: DataFrame): String = {

@@ -107,6 +107,23 @@ class ApiSpec extends AnyFunSuite {
         "Established", "BMP"))
   }
 
+  test("wire sessions document serializes the handshake registry") {
+    import spark.implicits._
+    val events = (0L until 16L).map(i =>
+      (i, i, new java.sql.Timestamp(base + i * 1000))).toDF("event_id", "user_id", "ts")
+    val reg = graft.sources.BgpSession.sessionRegistry(
+      graft.sources.BgpWire.decodeBmpFrames(
+        graft.sources.BgpSession.bmpStream(events)))
+    val json = Api.wireSessionsJson(reg)
+    // registered sessions are uid%4 ∈ {1, 2}; fields come from the decoded
+    // OPENs (local_as through the AS_TRANS + 4-octet-cap path)
+    assert(json ==
+      """[{"session_id":1,"rd":"1:101","peer_as":65001,"local_as":70001,""" +
+      """"hold_time":33,"router_id":33686017,"caps_matched":2},""" +
+      """{"session_id":2,"rd":"2:102","peer_as":65002,"local_as":70002,""" +
+      """"hold_time":36,"router_id":33686018,"caps_matched":2}]""")
+  }
+
   test("router: ping, state, statistics, sessions, json; 404s") {
     val d = events
     assert(Api.handle(d, "/api/ping").contains("pong"))
