@@ -127,6 +127,38 @@ object TextAnalysis {
           greatest(col("__total"), lit(1)).cast("double")).cast("long")
           .as("repetition_x1000"))
 
+  /** Cross-document boilerplate score: the permille of a document's
+    * DISTINCT k-shingles that are corpus-common — appearing in at least
+    * `minDocs` distinct documents. The C4/RefinedWeb-style boilerplate
+    * signal (navigation chrome, license blurbs, templated headers score
+    * high; original prose scores low), complementing [[withRepetition]]
+    * (WITHIN-doc duplication) and Dedup.ngramJaccard (pairwise overlap):
+    * this is each document against the whole corpus.
+    *
+    * Shape: distinct (doc, shingle) pairs → per-shingle document frequency
+    * (one exchange on the shingle, map-side combined) → frequency joins
+    * back to the pairs co-partitioned on the same key (no extra exchange)
+    * → per-doc rollup (one exchange on id). Linear, two shuffles, no
+    * all-pairs anything. `hashed=true` (production) shingles as xxhash64
+    * longs — narrow shuffle keys at corpus scale; `hashed=false` keeps
+    * shingle STRINGS, the engine-portable identity the DuckDB oracle
+    * replays (a spec pins both forms equal). The permille uses integer
+    * division (`div`) so it is exact in any engine. */
+  def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minDocs: Int = 3, hashed: Boolean = true): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      explode(Dedup.shingles(col(textCol), k)).as("s"))
+    val pairs = (if (hashed) base.select(col("id"), xxhash64(col("s")).as("s"))
+      else base).distinct()
+    val dfreq = pairs.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
+    pairs.join(dfreq, "s")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("dfreq") >= minDocs, 1L).otherwise(0L)).cast("long")
+          .as("n_common"))
+      .withColumn("boilerplate_x1000", expr("n_common * 1000 div n_shingles"))
+  }
+
   /** Document fingerprint: 64-bit hash of the whitespace/case-normalized
     * text — the exact-dedup key and the cheap "same content" signature. */
   def fingerprint(text: Column): Column =

@@ -235,6 +235,24 @@ object PipelineQueries {
           max(col("ttr")).cast("long").as("max_ttr"))
         .orderBy(col("source"))
     }),
+    // cross-document boilerplate: per-doc share of corpus-common 3-shingles
+    // (appearing in >= 3 distinct docs), rolled up per source. The oracle
+    // path keeps shingle strings (engine-portable identity); the hashed
+    // production path is pinned equal by spec
+    "q_text_boilerplate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      TextAnalysis.boilerplateRatio(d, "doc_id", "text", k = 3, minDocs = 3,
+        hashed = false)
+        .join(d.select(col("doc_id"), col("source")),
+          col("id") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("boilerplate_x1000")).cast("long").as("sum_bp"),
+          max(col("boilerplate_x1000")).cast("long").as("max_bp"),
+          sum(col("n_common")).cast("long").as("sum_common"))
+        .orderBy(col("source"))
+    }),
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -643,6 +661,35 @@ object PipelineQueries {
          |FROM r
          |WHERE len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) > 0
          |ORDER BY doc_id""").stripMargin,
+    // shingle construction mirrors Dedup.shingles (incl. the <k-words
+    // whole-text arm); integer-division permille matches Spark's `div`
+    "q_text_boilerplate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, string_split($docNorm, ' ') AS words
+         |  FROM documents
+         |), sh0 AS (
+         |  SELECT doc_id, words[i]||' '||words[i+1]||' '||words[i+2] AS s
+         |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-1)) AS i
+         |        FROM d WHERE len(words) >= 3)
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, s FROM sh0
+         |  UNION
+         |  SELECT DISTINCT doc_id, array_to_string(words, ' ') AS s
+         |  FROM d WHERE len(words) < 3
+         |), dfq AS (
+         |  SELECT s, COUNT(*) AS dfreq FROM sh GROUP BY s
+         |), per AS (
+         |  SELECT sh.doc_id, COUNT(*) AS n_sh,
+         |    CAST(SUM(CASE WHEN dfq.dfreq >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_common
+         |  FROM sh JOIN dfq USING (s) GROUP BY sh.doc_id
+         |)
+         |SELECT d2.source, COUNT(*) AS n_docs,
+         |  CAST(SUM((per.n_common * 1000) // per.n_sh) AS BIGINT) AS sum_bp,
+         |  CAST(MAX((per.n_common * 1000) // per.n_sh) AS BIGINT) AS max_bp,
+         |  CAST(SUM(per.n_common) AS BIGINT) AS sum_common
+         |FROM per JOIN documents d2 USING (doc_id)
+         |GROUP BY d2.source ORDER BY d2.source""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${sqlCharFold("'mix1:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000

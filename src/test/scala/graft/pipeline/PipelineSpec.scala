@@ -70,6 +70,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.size <= 30)
   }
 
+  test("boilerplate ratio: hand fixture + hashed form equals string form") {
+    // shared shingle "terms of service" appears in 3 docs (>= minDocs=3);
+    // doc 4 is original prose; doc 5 is short (<k words → whole-text arm)
+    val d = Seq(
+      (1L, "terms of service apply here"),
+      (2L, "terms of service apply now"),
+      (3L, "read the terms of service"),
+      (4L, "completely original text content"),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateRatio(d, "doc_id", "text", k = 3,
+      minDocs = 3, hashed = false).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1: shingles {terms of service, of service apply, service apply here}
+    //   → 1 of 3 common → 333‰
+    assert(r(1L) == ((3L, 1L, 333L)))
+    assert(r(2L) == ((3L, 1L, 333L)))
+    assert(r(3L) == ((3L, 1L, 333L)))
+    assert(r(4L) == ((2L, 0L, 0L)))
+    assert(r(5L) == ((1L, 0L, 0L)))
+    // the xxhash64 production path computes identical ratios on the corpus
+    val str = TextAnalysis.boilerplateRatio(docs, "doc_id", "text",
+      hashed = false).orderBy("id").collect().map(_.toSeq).toSeq
+    val hsh = TextAnalysis.boilerplateRatio(docs, "doc_id", "text",
+      hashed = true).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(str == hsh)
+  }
+
   test("kmeans clustering partitions the corpus; cluster sample is nested-deterministic") {
     val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding")
     val n = emb.count()
