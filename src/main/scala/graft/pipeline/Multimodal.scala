@@ -69,6 +69,20 @@ object Multimodal {
         expr(s"substring(payload, off + 1, $frameLen)").as("frame"))
   }
 
+  /** Frame-level dedup: content-hash the sampled frames and count, per
+    * distinct frame, its occurrences and the number of DISTINCT assets
+    * carrying it — the signal a pipeline prunes on (intro/outro cards,
+    * test patterns, still segments repeat across a corpus; a real pipeline
+    * would hash decoded pixels or a perceptual hash, here it is the frame
+    * bytes the stub decoder yields). One exchange on the frame hash,
+    * map-side combined; returns (frame_md5, n_assets, n_occurrences). */
+  def duplicateFrames(blobs: DataFrame, n: Int = 4, frameLen: Int = 16): DataFrame =
+    frameSample(blobs, n, frameLen)
+      .select(col("asset_id"), md5(col("frame")).as("frame_md5"))
+      .groupBy(col("frame_md5"))
+      .agg(countDistinct(col("asset_id")).as("n_assets"),
+        count(lit(1)).as("n_occurrences"))
+
   /** 12-byte container header: magic "GFT0", uint16-BE width, uint16-BE
     * height, uint32-BE duration_ms (0 where the modality doesn't carry the
     * field). The synthetic container format whose header [[decodeStub]]

@@ -305,6 +305,18 @@ object PipelineQueries {
           octet_length(col("frame")).cast("long").as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
         .orderBy(col("asset_id"), col("frame_idx"))),
+    // frame-level dedup rollup: planted duplicate documents make identical
+    // byte slices recur across assets; the oracle replays the slice + md5
+    // arithmetic and the same rollup
+    "q_multimodal_frame_dedup" -> ((s, dir) =>
+      Multimodal.duplicateFrames(Multimodal.blobsFromDocuments(docs(s, dir)))
+        .agg(sum(col("n_occurrences")).cast("long").as("n_frames"),
+          count(lit(1)).cast("long").as("n_distinct_frames"),
+          sum(when(col("n_assets") >= 2, 1L).otherwise(0L)).cast("long")
+            .as("n_shared_frames"),
+          sum(when(col("n_assets") >= 2, col("n_occurrences")).otherwise(0L))
+            .cast("long").as("dup_frame_rows"))),
+
     // decode runs over CONTAINERIZED payloads: the 12-byte GFT0 header is
     // parsed for real (magic + big-endian u16/u16/u32) inside the decoder;
     // the sum_parsed_* columns are derived from those parsed bytes, so a
@@ -939,6 +951,21 @@ object PipelineQueries {
         |FROM documents, (SELECT unnest(range(4)) AS f) ff
         |WHERE doc_id % 3 <> 0
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    "q_multimodal_frame_dedup" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS asset_id,
+        |    md5(substring(text, CAST((f * length(text)) // 4 AS BIGINT) + 1, 16)) AS fh
+        |  FROM documents, (SELECT unnest(range(4)) AS f) ff
+        |  WHERE doc_id % 3 <> 0
+        |), per AS (
+        |  SELECT fh, COUNT(DISTINCT asset_id) AS na, COUNT(*) AS cnt
+        |  FROM fr GROUP BY fh
+        |)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_frames,
+        |  COUNT(*) AS n_distinct_frames,
+        |  CAST(SUM(CASE WHEN na >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_frames,
+        |  CAST(SUM(CASE WHEN na >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_frame_rows
+        |FROM per""".stripMargin,
     // Byte-bucket replica of Multimodal.decodeStub: feature dim j > 0 iff
     // the BODY (payload minus the 12-byte GFT0 header) has a byte in
     // [32j, 32j+32). The corpus is ASCII (checked: 0 rows match [^\x00-\x7F]
