@@ -317,6 +317,34 @@ object BgpSession {
     }
   }
 
+  /** Drive the active-open retry loop over a recorded exchange: send OPEN,
+    * read the peer's answer, strip refused capabilities and retry —
+    * reference start_active's `loop`/`continue` (src/bgppeer.rs:102-165).
+    * `answers` yields the peer's response to each successive OPEN we send;
+    * returns every OPEN we sent plus the terminal result. Bounded by the
+    * capability count: each retry removes one, as in the reference. */
+  def runActive(local: Open, peerV4: Boolean, peerHi: Long, peerLo: Long,
+      answers: Iterator[Array[Byte]]):
+      (Vector[Array[Byte]], ActiveResult) = {
+    val sent = Vector.newBuilder[Array[Byte]]
+    var params = local
+    var result: ActiveResult = null
+    var done = false
+    while (!done) {
+      sent += encodeOpen(params)
+      if (!answers.hasNext) {
+        result = ActiveResult.Failed("peer closed during handshake"); done = true
+      } else activeStep(params, peerV4, peerHi, peerLo, answers.next()) match {
+        case r @ ActiveResult.RetryWithout(next, _) =>
+          result = r
+          if (next.caps == params.caps) done = true // nothing left to strip
+          else params = next
+        case r => result = r; done = true
+      }
+    }
+    (sent.result(), result)
+  }
+
   // -------------------------------------------------------------- lifecycle
 
   /** What the established-state loop does with one inbound frame (reference

@@ -147,6 +147,36 @@ class BgpSessionSpec extends AnyFunSuite {
       == ActiveResult.Failed("Invalid message type received: 4"))
   }
 
+  test("runActive: capability-retry loop strips refused caps until accepted") {
+    val local = Open(65001L, 180, 1L,
+      Vector(Cap.Mp(1, 1), Cap.Mp(2, 1), Cap.RouteRefresh))
+    val peer = Open(65010L, 90, 2L, Vector(Cap.Mp(1, 1), Cap.Mp(2, 1)))
+    // the peer refuses route-refresh, then MP(2,1), then accepts
+    val answers = Iterator(
+      encodeNotification(Notification(2, 7, Vector[Byte](2, 0))),
+      encodeNotification(Notification(2, 7, Vector[Byte](1, 4, 0, 2, 0, 1))),
+      encodeOpen(peer))
+    val (sent, result) = runActive(local, peerV4 = true, 0L, 9L, answers)
+    assert(sent.length == 3)
+    // each successive OPEN carries one capability fewer
+    assert(decodeOpenBody(sent(0).drop(19)).caps.length == 3)
+    assert(decodeOpenBody(sent(1).drop(19)).caps
+      == Vector(Cap.Mp(1, 1), Cap.Mp(2, 1)))
+    assert(decodeOpenBody(sent(2).drop(19)).caps == Vector(Cap.Mp(1, 1)))
+    result match {
+      case ActiveResult.Established(adopted, desc) =>
+        assert(adopted.holdTime == 90)
+        assert(adopted.caps == Vector(Cap.Mp(1, 1)))
+        assert(desc.remote.open == peer)
+      case other => fail(s"unexpected $other")
+    }
+    // a peer that hangs up mid-retry fails cleanly
+    val (sent2, r2) = runActive(local, peerV4 = true, 0L, 9L,
+      Iterator(encodeNotification(Notification(2, 7, Vector[Byte](2, 0)))))
+    assert(sent2.length == 2)
+    assert(r2 == ActiveResult.Failed("peer closed during handshake"))
+  }
+
   test("keepalive cadence: hold_time/3 (bgppeer.rs:181-184)") {
     assert(!keepaliveDue(29, 90))
     assert(keepaliveDue(30, 90))
