@@ -107,6 +107,22 @@ object Similarity {
     * the query path ([[ivfTopK]] calls this). */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    // training is a pure function of (corpus plan, cols, nlist, iters) —
+    // hash-min seeds, fixed Lloyd iterations — so memoize per semantic
+    // plan: the IVF query, the clustering ops and the oracle generator all
+    // train over the same corpus and would otherwise re-run the k
+    // aggregation passes each
+    val key = (corpus.semanticHash(), idCol, vecCol, nlist, iters)
+    centroidCache.computeIfAbsent(key,
+      _ => trainCentroids(corpus, idCol, vecCol, nlist, iters))
+  }
+
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Int, Int),
+      Array[Array[Double]]]()
+
+  private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Array[Array[Double]] = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     var cents: Array[Array[Double]] = c
       .orderBy(pmod(xxhash64(col("id")), lit(1000003L)), col("id")).limit(nlist)
