@@ -136,6 +136,18 @@ object RibQueries {
           countDistinct(col("prefix_str")).cast("long").as("n_prefixes"),
           sum(when(col("active"), 1L).otherwise(0L)).cast("long").as("n_active"))
         .orderBy(col("origin_as"))),
+    // community rollup: events/active/rib-spread per community value — the
+    // "which communities tag how much of the table" policy view; explode +
+    // map-side-combined aggregation, same shape as wordfreq
+    "q_rib_communities" -> ((s, dir) =>
+      re(s, dir).select(col("active"), col("rib"),
+        explode(col("attrs.comms")).as("c"))
+        .groupBy(col("c.a").cast("long").as("comm_a"),
+          col("c.b").cast("long").as("comm_b"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("active"), 1L).otherwise(0L)).cast("long").as("n_active"),
+          countDistinct(col("rib")).cast("long").as("n_ribs"))
+        .orderBy(col("comm_a"), col("comm_b"))),
     // flap detection: activity transitions per ring (lag window on the
     // ring_id surrogate), rolled up per rib — route-stability analytics
     "q_rib_flaps" -> ((s, dir) => {
@@ -556,6 +568,19 @@ object RibQueries {
         |  COUNT(DISTINCT prefix_str) AS n_prefixes,
         |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
         |FROM re GROUP BY 1 ORDER BY 1""".stripMargin),
+    // communities mirror the generator: (10, eid%50) and (20, uid%10) per
+    // event (c1b/c2b in the cte)
+    "q_rib_communities" -> (cte +
+      """, cx AS (
+        |  SELECT 10 AS ca, c1b AS cb, rib, active FROM re
+        |  UNION ALL
+        |  SELECT 20 AS ca, c2b AS cb, rib, active FROM re
+        |)
+        |SELECT CAST(ca AS BIGINT) AS comm_a, CAST(cb AS BIGINT) AS comm_b,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        |  COUNT(DISTINCT rib) AS n_ribs
+        |FROM cx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q_rib_flaps" -> (cte +
       s"""SELECT rib, COUNT(*) AS n_transitions,
          |  COUNT(DISTINCT (keyip, keyx2, plen, rdh, rdl, label, session_id,
