@@ -207,6 +207,41 @@ class BgpSessionSpec extends AnyFunSuite {
     assert(dispatch(encodeOpen(peer)) == Action.Close("Incorrect open message!"))
   }
 
+  test("golden BMP PeerUp: hand-assembled frame pins encoder AND decoder") {
+    // RFC 7854 §4.10: common header (v3, len 154, type 3), per-peer header
+    // (type 1/RD-instance, v4 flags, RD 1:101, peer 10.0.0.1, AS 65001,
+    // bgp-id 1001, ts 7s), local 192.168.0.1 ports 179/30001, then the two
+    // framed OPENs (sent: AS 70001 via AS_TRANS + cap 65, hold 91, rid 11;
+    // received: AS 65001, hold 33, rid 22)
+    val sentOpenHex = marker + "002b" + "01" +
+      "04" + "5ba0" + "005b" + "0000000b" + "0e" + "02 0c" +
+      "01 04 0001 00 01" + "41 04 00011171"
+    val recvOpenHex = marker + "002b" + "01" +
+      "04" + "fde9" + "0021" + "00000016" + "0e" + "02 0c" +
+      "01 04 0001 00 01" + "41 04 0000fde9"
+    val frameHex = "03" + "0000009a" + "03" +
+      "01 00" + "0000 0001 00000065" + "000000000000000000000000 0a000001" +
+      "0000fde9" + "000003e9" + "00000007" + "00000000" +
+      "000000000000000000000000 c0a80001" + "00b3" + "7531" +
+      sentOpenHex + recvOpenHex
+    val bytes = hex(frameHex)
+    val row = BgpWire.decodeBmp(bytes)
+    assert(row.getString(0) == "peer_up")
+    assert(row.getStruct(1).getLong(0) == 1L && row.getStruct(1).getLong(1) == 101L)
+    assert(row.getLong(3) == 65001L && row.getLong(4) == 1001L)
+    val pu = decodePeerUpBody(row.getAs[Array[Byte]](6))
+    val sent = Open(70001L, 91, 11L,
+      Vector(Cap.Mp(1, 1), Cap.FourOctetAs(70001L)))
+    val recv = Open(65001L, 33, 22L,
+      Vector(Cap.Mp(1, 1), Cap.FourOctetAs(65001L)))
+    assert(pu == PeerUp(localV6 = false, 0L, (192L << 24) | (168L << 16) | 1L,
+      179, 30001, sent, recv))
+    // and the encoder reproduces the hand-assembled bytes exactly
+    assert(encodeBmpPeerUp(1L, 101L, (10L << 24) + 1, 65001L, 1001L, 7L, 0L,
+      (192L << 24) | (168L << 16) | 1L, 179, 30001, sent, recv)
+      .sameElements(bytes))
+  }
+
   test("BMP PeerUp roundtrip: registry fields incl. AS_TRANS recovery") {
     val sent = Open(70001L, 91, 11L,
       Vector(Cap.Mp(1, 1), Cap.FourOctetAs(70001L)))
