@@ -111,11 +111,20 @@ object Similarity {
     // hash-min seeds, fixed Lloyd iterations — so memoize per semantic
     // plan: the IVF query, the clustering ops and the oracle generator all
     // train over the same corpus and would otherwise re-run the k
-    // aggregation passes each
+    // aggregation passes each. The memo assumes data under a given plan is
+    // immutable for the JVM lifetime (true of the engine's parquet
+    // fixtures); after rewriting files in place, call
+    // [[clearCentroidCache]]. Bounded: wholesale-cleared past 64 entries
+    // (each value is only nlist×dim doubles, but plans accumulate).
+    if (centroidCache.size > 64) centroidCache.clear()
     val key = (corpus.semanticHash(), idCol, vecCol, nlist, iters)
     centroidCache.computeIfAbsent(key,
       _ => trainCentroids(corpus, idCol, vecCol, nlist, iters))
   }
+
+  /** Drop memoized training results (use after overwriting input data in
+    * place — the semantic-plan key cannot see data changes). */
+  def clearCentroidCache(): Unit = centroidCache.clear()
 
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Int, Int),

@@ -57,11 +57,17 @@ object BgpSession {
     case Cap.RouteRefresh => w.u8(2).u8(0)
     case Cap.FourOctetAs(asn) => w.u8(65).u8(4).u32(asn)
     case Cap.Unknown(code, body) =>
+      require(body.length <= 255, s"capability $code body ${body.length}B > 255")
       w.u8(code).u8(body.length); body.foreach(b => w.u8(b & 0xFF))
   }
 
   private def decodeCap(r: Reader): Cap = {
     val code = r.u8(); val len = r.u8(); val end = r.off + len
+    // a lying length byte must fail cleanly (the callers turn this into a
+    // session failure, reference src/bgppeer.rs:145-146), not index past
+    // the buffer
+    require(r.remaining >= len, s"capability $code claims $len bytes, " +
+      s"${r.remaining} remain")
     val cap = code match {
       case 1 if len == 4 =>
         val afi = r.u16(); r.u8(); Cap.Mp(afi, r.u8())
@@ -117,7 +123,11 @@ object BgpSession {
     val capsB = capsW.bytes
     if (capsB.isEmpty) w.u8(0)
     else {
-      // one optional parameter of type 2 (capabilities, RFC 5492 §4)
+      // one optional parameter of type 2 (capabilities, RFC 5492 §4); the
+      // u8 length fields wrap silently past 253 bytes of caps — refuse to
+      // emit a corrupt OPEN instead
+      require(capsB.length <= 253,
+        s"capabilities encode to ${capsB.length}B > 253 (u8 length fields)")
       w.u8(capsB.length + 2).u8(2).u8(capsB.length).raw(capsB)
     }
     w.bytes
@@ -197,11 +207,13 @@ object BgpSession {
 
     /** The capability TLV embedded after code+subcode when the peer refuses
       * one (reference src/bgppeer.rs:145: `BgpCapability::from_buffer(
-      * &buf[2..])`). */
+      * &buf[2..])`). A malformed TLV yields None — the reference's
+      * `if let Ok(cap)` falls through to session failure on a parse error
+      * (src/bgppeer.rs:146-151), it does not crash the peer task. */
     def refusedCapability: Option[Cap] =
       if (code == 2 && subcode == 7 && data.length >= 2) {
         val arr = data.toArray
-        Some(decodeCap(new Reader(arr, 0, arr.length)))
+        scala.util.Try(decodeCap(new Reader(arr, 0, arr.length))).toOption
       } else None
   }
 
@@ -437,11 +449,17 @@ object BgpSession {
     w.bytes
   }
 
-  def decodePeerUpBody(payload: Array[Byte]): PeerUp = {
+  /** `peerV6`: the session's address family from the per-peer header flags
+    * (one TCP session is one family, so the local address shares it). RFC
+    * 7854 gives the 16-byte local-address field no flag of its own; without
+    * the hint, 12-leading-zero bytes are read as v4-mapped — which would
+    * misread a v6 local address in ::/96 (e.g. ::1). */
+  def decodePeerUpBody(payload: Array[Byte],
+      peerV6: Option[Boolean] = None): PeerUp = {
     val r = new Reader(payload, 0, payload.length)
     // local address: 16 bytes; v4-mapped = 12 zero bytes + addr
     val head12 = (0 until 12).map(_ => r.u8())
-    val v6 = head12.exists(_ != 0)
+    val v6 = peerV6.getOrElse(head12.exists(_ != 0))
     var hi = 0L; var lo = 0L
     if (v6) {
       head12.take(8).zipWithIndex.foreach { case (b, i) => hi |= b.toLong << (56 - 8 * i) }
@@ -487,22 +505,35 @@ object BgpSession {
     StructField("n_caps_matched", IntegerType, nullable = false)))
 
   /** PeerUp frames → the session registry (reference register_session on
-    * PeerUpNotification, src/bmppeer.rs:32-46). `session_id` is a
-    * dense_rank over the session KEY — deterministic where the reference's
-    * arrival-order counter is not (arrival order does not survive a
-    * distributed replay); the registry is a bounded dimension (one row per
-    * monitored session), so the single-partition rank window is a
-    * deliberate non-cost and the result broadcasts. */
+    * PeerUpNotification, src/bmppeer.rs:32-46). A session that bounces
+    * (PeerUp, PeerDown — which the reference deliberately ignores — then
+    * PeerUp again) produces several PeerUps for one key; the reference's
+    * BTreeMap insert keeps the LATEST, so the registry keeps one row per
+    * key: newest by header timestamp, payload-hash tiebreak for
+    * determinism. `session_id` is a dense_rank over the session KEY —
+    * deterministic where the reference's arrival-order counter is not
+    * (arrival order does not survive a distributed replay); the registry is
+    * a bounded dimension (one row per monitored session), so the
+    * single-partition windows are a deliberate non-cost and the result
+    * broadcasts. */
   def sessionRegistry(bmp: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(registrySchema)
-    val decoded = bmp
+    val latest = bmp
       .where(col("msg_type") === "peer_up" && col("update").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("peer_rd.rdh"), col("peer_rd.rdl"),
+            col("peer_addr.ip_hi"), col("peer_addr.ip_lo"))
+          .orderBy(col("ts").desc, xxhash64(col("update")))))
+      .where(col("__rn") === 1)
+    val decoded = latest
       .select(col("peer_rd.rdh"), col("peer_rd.rdl"),
         col("peer_addr.ip_hi"), col("peer_addr.ip_lo"),
-        col("peer_as"), col("peer_bgp_id"), col("update"))
+        col("peer_as"), col("peer_bgp_id"), col("update"),
+        col("peer_addr.version"))
       .mapPartitions { it =>
         it.map { row =>
-          val pu = decodePeerUpBody(row.getAs[Array[Byte]](6))
+          val pu = decodePeerUpBody(row.getAs[Array[Byte]](6),
+            peerV6 = Some(row.getByte(7) == 6))
           val matched = matchCaps(pu.openSent.caps, pu.openRecv.caps)
           Row(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
             row.getLong(4), row.getLong(5), pu.localLo, pu.localPort,
@@ -536,7 +567,10 @@ object BgpSession {
             65000 + s, 1000 + s, tsSec, 0L, row.getAs[Array[Byte]](2)))
         }
       }(enc)
-    val pu = frames.select(col("session_id")).distinct()
+    // session set from the PRE-ENCODE message stream: the byte encoder is
+    // opaque to column pruning, so deriving it from `frames` would re-run
+    // the full UPDATE encode of every message just to read session_id
+    val pu = UpdateDecompose.messages(events).select(col("session_id")).distinct()
       .where(col("session_id") % 3 =!= 0)
       .mapPartitions { it =>
         it.map { row =>

@@ -259,6 +259,44 @@ class BgpSessionSpec extends AnyFunSuite {
     assert(pu.openRecv == recv)
   }
 
+  test("malformed frames fail cleanly: lying cap length, oversize caps") {
+    // NOTIFICATION 2/7 claiming a 4-byte cap body but carrying none: the
+    // reference fails the session on a bad TLV, it does not crash
+    val lying = Notification(2, 7, Vector[Byte](0x41, 0x04))
+    assert(lying.refusedCapability.isEmpty)
+    val local = Open(65001L, 180, 1L, Vector(Cap.Mp(1, 1)))
+    assert(activeStep(local, peerV4 = true, 0L, 5L, encodeNotification(lying))
+      == ActiveResult.Failed(
+        "Notification received: OPEN Message Error: Unsupported Capability"))
+    // an OPEN whose caps cannot fit the u8 length fields refuses to encode
+    // (silent wrap would emit corrupt bytes)
+    val tooMany = Open(65001L, 180, 1L,
+      Vector.tabulate(50)(i => Cap.Mp(1, i)))
+    intercept[IllegalArgumentException](encodeOpenBody(tooMany))
+    intercept[IllegalArgumentException](encodeOpenBody(Open(65001L, 180, 1L,
+      Vector(Cap.Unknown(99, Vector.fill(300)(0.toByte))))))
+    // a truncated capability inside an OPEN body fails loudly too
+    intercept[IllegalArgumentException](
+      decodeOpenBody(hex("04 fde9 00b4 0a0b0c0d 04" + "02 02" + "41 04")))
+  }
+
+  test("registry keeps the LATEST PeerUp per session key (bounce)") {
+    import spark.implicits._
+    def up(holdSent: Int, tsSec: Long) = BgpSession.encodeBmpPeerUp(
+      1L, 101L, (10L << 24) + 1, 65001L, 1001L, tsSec, 0L,
+      (192L << 24) | (168L << 16) | 1L, 179, 30001,
+      Open(70001L, holdSent, 11L, Vector(Cap.Mp(1, 1))),
+      Open(65001L, 33, 22L, Vector(Cap.Mp(1, 1))))
+    // same key, two registrations: the reference's map insert overwrites,
+    // so the newer (ts 900, hold 95) must win and the join must not fan out
+    val bmp = BgpWire.decodeBmpFrames(
+      Seq(up(90, 100L), up(95, 900L)).toDF("bytes"))
+    val reg = sessionRegistry(bmp)
+    val rows = reg.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getInt(rows(0).fieldIndex("local_hold")) == 95)
+  }
+
   test("session registry + dispatch: unregistered sessions drop") {
     import spark.implicits._
     val events = (0L until 64L).map(i => (i, i % 8, new java.sql.Timestamp(1700000000000L + i * 1000)))
