@@ -259,6 +259,46 @@ class BgpSessionSpec extends AnyFunSuite {
     assert(pu.openRecv == recv)
   }
 
+  test("property: OPEN and NOTIFICATION codecs roundtrip over random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1337L + i)))
+    // caps without 4-octet-AS (its value must track the ASN, added below);
+    // unknown codes avoid 1/2/65 so they decode as Unknown, not as a known
+    // kind with a different shape
+    val genBaseCap: Gen[Cap] = Gen.oneOf(
+      Gen.zip(Gen.choose(1, 3), Gen.choose(1, 133)).map { case (a, s) => Cap.Mp(a, s) },
+      Gen.const(Cap.RouteRefresh),
+      Gen.zip(Gen.oneOf(64, 67, 70, 128), Gen.listOfN(3, Gen.choose(0, 255)))
+        .map { case (c, b) => Cap.Unknown(c, b.map(_.toByte).toVector) })
+    val genOpen: Gen[Open] = for {
+      asn <- Gen.oneOf(Gen.choose(0L, 65535L), Gen.choose(65536L, 0xFFFFFFFFL))
+      hold <- Gen.choose(0, 65535)
+      rid <- Gen.choose(0L, 0xFFFFFFFFL)
+      base <- Gen.listOfN(4, genBaseCap)
+      withFour <- Gen.oneOf(true, false)
+    } yield {
+      val caps = if (asn > 0xFFFFL || withFour)
+        base.toVector :+ Cap.FourOctetAs(asn) else base.toVector
+      Open(asn, hold, rid, caps)
+    }
+    samples(genOpen, 300).foreach { o =>
+      val framed = encodeOpen(o)
+      val (tpe, blen) = decodeHead(framed)
+      assert(tpe == 1 && framed.length == 19 + blen)
+      assert(decodeOpenBody(framed.drop(19)) == o, s"roundtrip mismatch for $o")
+    }
+    val genNotif: Gen[Notification] = for {
+      code <- Gen.choose(0, 255)
+      sub <- Gen.choose(0, 255)
+      data <- Gen.listOfN(6, Gen.choose(0, 255))
+    } yield Notification(code, sub, data.map(_.toByte).toVector)
+    samples(genNotif, 200).foreach { n =>
+      assert(decodeNotificationBody(encodeNotification(n).drop(19)) == n)
+    }
+  }
+
   test("malformed frames fail cleanly: lying cap length, oversize caps") {
     // NOTIFICATION 2/7 claiming a 4-byte cap body but carrying none: the
     // reference fails the session on a bad TLV, it does not crash
