@@ -91,17 +91,24 @@ object BgpSession {
     local.filter {
       case Cap.Mp(a, s) => remoteMp((a, s))
       case Cap.RouteRefresh => remote.contains(Cap.RouteRefresh)
-      case Cap.FourOctetAs(_) => remote.exists(_.code == 65)
+      // a well-formed 4-octet-AS on the remote side, not any TLV that
+      // happens to carry code 65 (a malformed one decodes as Unknown(65))
+      case Cap.FourOctetAs(_) => remote.exists(_.isInstanceOf[Cap.FourOctetAs])
       case u: Cap.Unknown => remote.contains(u)
     }
   }
 
   /** Drop one capability after the peer refused it (reference
-    * `remove_capability`, src/bgppeer.rs:148): MP families by (afi, safi),
-    * others by code. */
+    * `remove_capability`, src/bgppeer.rs:148): MP families by (afi, safi);
+    * RouteRefresh / FourOctetAs by kind; Unknown only on an exact match —
+    * a refused TLV we never announced (e.g. a malformed MP cap decoding as
+    * Unknown(1, ...)) must remove NOTHING, not every capability sharing
+    * its code byte. */
   def removeCapability(caps: Seq[Cap], refused: Cap): Seq[Cap] = refused match {
     case mp: Cap.Mp => caps.filterNot(_ == mp)
-    case c => caps.filterNot(_.code == c.code)
+    case Cap.RouteRefresh => caps.filterNot(_ == Cap.RouteRefresh)
+    case _: Cap.FourOctetAs => caps.filterNot(_.isInstanceOf[Cap.FourOctetAs])
+    case u: Cap.Unknown => caps.filterNot(_ == u)
   }
 
   // ------------------------------------------------------------------- OPEN
@@ -148,6 +155,11 @@ object BgpSession {
     while (r.off < optEnd) {
       val ptype = r.u8(); val plen = r.u8(); val pend = r.off + plen
       if (ptype == 2) while (r.off < pend) caps += decodeCap(r)
+      // a capability that overran its parameter boundary must fail, not
+      // rewind and double-parse the already-consumed bytes as a fresh
+      // optional parameter
+      require(r.off <= pend, s"capability overran optional parameter " +
+        s"(at ${r.off}, boundary $pend)")
       r.skip(pend - r.off) // non-capability optional params: opaque skip
     }
     val cs = caps.result()
@@ -347,10 +359,15 @@ object BgpSession {
       if (!answers.hasNext) {
         result = ActiveResult.Failed("peer closed during handshake"); done = true
       } else activeStep(params, peerV4, peerHi, peerLo, answers.next()) match {
-        case r @ ActiveResult.RetryWithout(next, _) =>
-          result = r
-          if (next.caps == params.caps) done = true // nothing left to strip
-          else params = next
+        case r @ ActiveResult.RetryWithout(next, cap) =>
+          if (next.caps == params.caps) {
+            // the refusal named a capability we never announced (or one
+            // already stripped): retrying the identical OPEN would loop
+            // forever — this is a terminal failure, not a pending retry
+            result = ActiveResult.Failed(
+              s"peer refused a capability not announced: $cap")
+            done = true
+          } else { result = r; params = next }
         case r => result = r; done = true
       }
     }
@@ -388,9 +405,13 @@ object BgpSession {
 
   /** The keepalive cadence: send when a third of the hold time elapsed since
     * the last send (reference keep_interval = hold_time/3,
-    * src/bgppeer.rs:181-184). */
+    * src/bgppeer.rs:181-184). Divergence, documented: a negotiated hold
+    * time of ZERO means no keepalives at all (RFC 4271 §4.4); the
+    * reference's zero keep_interval would send one every loop tick — a
+    * flood we deliberately do not replicate (same spirit as the SURVEY
+    * §7.5 subscription-filter fix). */
   def keepaliveDue(elapsedSec: Long, holdTimeSec: Int): Boolean =
-    elapsedSec >= holdTimeSec / 3
+    holdTimeSec > 0 && elapsedSec >= holdTimeSec / 3
 
   /** Drive a full passive session over a recorded frame sequence: handshake
     * on the first frame, dispatch the rest, stop at the first Close. Returns
@@ -452,14 +473,19 @@ object BgpSession {
   /** `peerV6`: the session's address family from the per-peer header flags
     * (one TCP session is one family, so the local address shares it). RFC
     * 7854 gives the 16-byte local-address field no flag of its own; without
-    * the hint, 12-leading-zero bytes are read as v4-mapped — which would
-    * misread a v6 local address in ::/96 (e.g. ::1). */
+    * the hint, 12-leading-zero bytes (the BMP v4 layout) and the RFC 4291
+    * ::ffff:a.b.c.d mapped form are read as v4 — a v6 local address inside
+    * ::/96 (e.g. ::1) would still be misread, which is why callers that
+    * HAVE the per-peer flags (sessionRegistry) pass the hint. */
   def decodePeerUpBody(payload: Array[Byte],
       peerV6: Option[Boolean] = None): PeerUp = {
     val r = new Reader(payload, 0, payload.length)
-    // local address: 16 bytes; v4-mapped = 12 zero bytes + addr
+    // local address: 16 bytes; v4 = 12 zero bytes + addr, or ::ffff:v4
     val head12 = (0 until 12).map(_ => r.u8())
-    val v6 = peerV6.getOrElse(head12.exists(_ != 0))
+    val v4Mapped = head12.take(10).forall(_ == 0) &&
+      ((head12(10) == 0 && head12(11) == 0) ||
+        (head12(10) == 0xFF && head12(11) == 0xFF))
+    val v6 = peerV6.getOrElse(!v4Mapped)
     var hi = 0L; var lo = 0L
     if (v6) {
       head12.take(8).zipWithIndex.foreach { case (b, i) => hi |= b.toLong << (56 - 8 * i) }
@@ -493,6 +519,7 @@ object BgpSession {
     StructField("peer_addr_lo", LongType, nullable = false),
     StructField("peer_as", LongType, nullable = false),
     StructField("peer_bgp_id", LongType, nullable = false),
+    StructField("local_addr_hi", LongType, nullable = false),
     StructField("local_addr_lo", LongType, nullable = false),
     StructField("local_port", IntegerType, nullable = false),
     StructField("remote_port", IntegerType, nullable = false),
@@ -536,10 +563,10 @@ object BgpSession {
             peerV6 = Some(row.getByte(7) == 6))
           val matched = matchCaps(pu.openSent.caps, pu.openRecv.caps)
           Row(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
-            row.getLong(4), row.getLong(5), pu.localLo, pu.localPort,
-            pu.remotePort, pu.openSent.asn, pu.openSent.holdTime,
-            pu.openSent.routerId, pu.openRecv.asn, pu.openRecv.holdTime,
-            pu.openRecv.routerId, matched.length)
+            row.getLong(4), row.getLong(5), pu.localHi, pu.localLo,
+            pu.localPort, pu.remotePort, pu.openSent.asn,
+            pu.openSent.holdTime, pu.openSent.routerId, pu.openRecv.asn,
+            pu.openRecv.holdTime, pu.openRecv.routerId, matched.length)
         }
       }(enc)
     decoded.withColumn("session_id",
@@ -594,7 +621,11 @@ object BgpSession {
     * (src/bmppeer.rs:48-58). The registry is a bounded dimension →
     * broadcast inner join; the frame stream itself never shuffles. */
   def dispatchUpdates(bmp: DataFrame, registry: DataFrame): DataFrame = {
-    val rm = bmp.where(col("msg_type") === "route_monitoring")
+    // a header-only RM frame decodes with a null payload — drop it like
+    // the reference's dispatch (which simply never yields a frame for it)
+    // instead of letting decodeUpdate NPE the job
+    val rm = bmp.where(col("msg_type") === "route_monitoring" &&
+        col("update").isNotNull)
       .select(col("peer_rd.rdh").as("f_rdh"), col("peer_rd.rdl").as("f_rdl"),
         col("peer_addr.ip_hi").as("f_hi"), col("peer_addr.ip_lo").as("f_lo"),
         col("ts"), col("update"))

@@ -55,7 +55,10 @@ object Feed {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        push(batch.collect().iterator) // a micro-batch of matching frames
+        // one partition on the driver at a time — a burst batch (initial
+        // RIB dump against a broad filter) must not materialize whole
+        import scala.jdk.CollectionConverters._
+        push(batch.toLocalIterator().asScala)
       }
   }
 

@@ -98,6 +98,25 @@ class BgpSessionSpec extends AnyFunSuite {
       == Seq(Cap.Mp(1, 1), Cap.RouteRefresh, Cap.FourOctetAs(70000L)))
     assert(removeCapability(local, Cap.FourOctetAs(0L))
       == Seq(Cap.Mp(1, 1), Cap.Mp(2, 1), Cap.RouteRefresh))
+    // a refused TLV we never announced (malformed MP decoding as
+    // Unknown(1, ...)) removes NOTHING — code-1 MP families must survive
+    assert(removeCapability(local, Cap.Unknown(1, Vector[Byte](0, 1)))
+      == local)
+    // ...and matchCaps must not let a malformed Unknown(65) stand in for a
+    // well-formed 4-octet-AS on the remote side
+    assert(matchCaps(Seq(Cap.FourOctetAs(70000L)),
+      Seq(Cap.Unknown(65, Vector[Byte](1)))).isEmpty)
+  }
+
+  test("runActive fails (not retries) on refusal of an unannounced capability") {
+    val local = Open(65001L, 180, 1L, Vector(Cap.Mp(1, 1)))
+    val (sent, r) = runActive(local, peerV4 = true, 0L, 9L, Iterator(
+      encodeNotification(Notification(2, 7, Vector[Byte](2, 0))))) // RR: never sent
+    assert(sent.length == 1)
+    r match {
+      case ActiveResult.Failed(msg) => assert(msg.contains("not announced"))
+      case other => fail(s"unexpected $other")
+    }
   }
 
   test("passive handshake: echo with our router-id, adopt peer AS/hold (quirks)") {
@@ -177,10 +196,14 @@ class BgpSessionSpec extends AnyFunSuite {
     assert(r2 == ActiveResult.Failed("peer closed during handshake"))
   }
 
-  test("keepalive cadence: hold_time/3 (bgppeer.rs:181-184)") {
+  test("keepalive cadence: hold_time/3 (bgppeer.rs:181-184); zero hold sends none") {
     assert(!keepaliveDue(29, 90))
     assert(keepaliveDue(30, 90))
     assert(keepaliveDue(31, 90))
+    // RFC 4271 §4.4: hold time 0 → no keepalives (documented divergence
+    // from the reference's every-tick flood)
+    assert(!keepaliveDue(0, 0))
+    assert(!keepaliveDue(100000, 0))
   }
 
   test("runPassive: full recorded session — handshake, echoes, updates, close") {
