@@ -62,6 +62,41 @@ object Feed {
       }
   }
 
+  /** The outbound WebSocket frame per event (reference EventUpdate /
+    * EventWithdraw custom serializers, src/subscriber.rs:24-57): updates
+    * carry `attrs`, withdraws carry only `sessionid` + `addrs` — exactly
+    * the reference's two frame shapes, rendered with codegen'd `to_json`
+    * over the event columns (null struct fields are omitted, so plain-rib
+    * frames carry no `rd`). */
+  def eventFrame: org.apache.spark.sql.Column = {
+    val addrs = struct(col("rib").as("rib"),
+      col("prefix_str").as("prefix"), col("rd").as("rd"))
+    val sid = col("session_id").as("sessionid")
+    when(col("active"),
+      to_json(struct(sid, col("attrs").as("attrs"), addrs.as("addrs"))))
+      .otherwise(to_json(struct(sid, addrs.as("addrs"))))
+  }
+
+  /** ST2 with the wire face: the subscription feed as ready-to-send
+    * text frames — the WebSocket adapter writes each string verbatim. */
+  def subscribeJson(eventStream: DataFrame, rib: String, filter: String)(
+      push: Iterator[String] => Unit): DataStreamWriter[Row] =
+    subscribe(eventStream.withColumn("__frame", eventFrame), rib, filter) {
+      rows => push(rows.map(r => r.getString(r.fieldIndex("__frame"))))
+    }
+
+  /** The inbound WebSocket command (reference ClientCmd,
+    * src/subscriber.rs:15-23): `{"Subscribe":{"rib":"..","filter":".."}}`
+    * → (rib, filter). Malformed input yields None — the reference warns
+    * and keeps the connection (src/subscriber.rs:119-121). */
+  def parseClientCmd(text: String): Option[(String, String)] = {
+    def field(k: String): Option[String] =
+      ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(text).map(_.group(1).replace("\\\"", "\""))
+    if (!text.contains("\"Subscribe\"")) None
+    else for { rib <- field("rib"); f <- field("filter") } yield (rib, f)
+  }
+
   /** ST4: the periodic retention/compaction job — rewrite the log keeping
     * the newest `historyDepth` records per ring, OnlyDiffer-deduped (the
     * reference's purge, src/bgprib.rs:875-902). Batch job on a schedule. */

@@ -199,6 +199,33 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet) // nothing lost vs batch dedup
   }
 
+  test("event frames match the reference's two WS shapes; client cmd parses") {
+    val events = spark.read.parquet(s"$srcSf/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val re = graft.sources.RouteEventGen.fromEvents(events)
+    val one = re.where(col("rib") === "ipv4u" && col("active"))
+      .select(Feed.eventFrame).limit(1).collect()(0).getString(0)
+    // update frame: sessionid + attrs + addrs (subscriber.rs:24-40)
+    assert(one.startsWith("{\"sessionid\":"))
+    assert(one.contains("\"attrs\":{") && one.contains("\"addrs\":{\"rib\":\"ipv4u\",\"prefix\":\"10."))
+    val wd = re.where(col("rib") === "ipv4u" && !col("active"))
+      .select(Feed.eventFrame).limit(1).collect()(0).getString(0)
+    // withdraw frame: NO attrs (subscriber.rs:41-57)
+    assert(wd.startsWith("{\"sessionid\":") && !wd.contains("\"attrs\""))
+    assert(wd.contains("\"addrs\":{\"rib\":\"ipv4u\""))
+    // a VPN event's addrs carries the rd; a plain rib's omits it
+    val vpn = re.where(col("rib") === "vpnv4u" && col("active"))
+      .select(Feed.eventFrame).limit(1).collect()(0).getString(0)
+    assert(vpn.contains("\"rd\":{"))
+    assert(!one.contains("\"rd\""))
+    // inbound command envelope (subscriber.rs:15-23); malformed → None
+    assert(Feed.parseClientCmd(
+      """{"Subscribe":{"rib":"vpnv4u","filter":"10.0.0.0/8"}}""")
+      .contains(("vpnv4u", "10.0.0.0/8")))
+    assert(Feed.parseClientCmd("""{"Subscribe":{"rib":"ipv4u"}}""").isEmpty)
+    assert(Feed.parseClientCmd("""{"Ping":{}}""").isEmpty)
+  }
+
   test("ST9 flatMapGroupsWithState BMP gate: pre-registration frames drop, later ones pass") {
     import graft.sources.{BgpSession, BgpWire, UpdateDecompose}
     import spark.implicits._
