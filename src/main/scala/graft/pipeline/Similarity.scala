@@ -116,8 +116,15 @@ object Similarity {
     // fixtures); after rewriting files in place, call
     // [[clearCentroidCache]]. Bounded: wholesale-cleared past 64 entries
     // (each value is only nlist×dim doubles, but plans accumulate).
-    if (centroidCache.size > 64) centroidCache.clear()
-    val key = (corpus.semanticHash(), idCol, vecCol, nlist, iters)
+    // the canonicalized plan string is the discriminator — semanticHash
+    // alone is a 32-bit plan hash, and a silent collision between two
+    // different corpus plans would hand the wrong centroids to every
+    // downstream path (IVF, clustering, the oracle generator)
+    val key = (corpus.queryExecution.analyzed.canonicalized.toString,
+      idCol, vecCol, nlist, iters)
+    centroidCache.synchronized {
+      if (centroidCache.size > 64) centroidCache.clear()
+    }
     centroidCache.computeIfAbsent(key,
       _ => trainCentroids(corpus, idCol, vecCol, nlist, iters))
   }
@@ -127,7 +134,7 @@ object Similarity {
   def clearCentroidCache(): Unit = centroidCache.clear()
 
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Int),
       Array[Array[Double]]]()
 
   private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,

@@ -118,7 +118,12 @@ object GraftConfig {
         }
       }
     }
-    out.map { case (k, v) => k -> v.toMap }.toMap
+    // ListMap both levels: section order is meaningful to the config
+    // surface (the peers vector follows file order), and a plain .toMap
+    // would silently reorder past 4 entries
+    scala.collection.immutable.ListMap.from(out.iterator.map {
+      case (k, v) => k -> (scala.collection.immutable.ListMap.from(v): Map[String, Option[String]])
+    })
   }
 
   // ------------------------------------------------------------- helpers

@@ -88,14 +88,25 @@ object Feed {
   /** The inbound WebSocket command (reference ClientCmd,
     * src/subscriber.rs:15-23): `{"Subscribe":{"rib":"..","filter":".."}}`
     * → (rib, filter). Malformed input yields None — the reference warns
-    * and keeps the connection (src/subscriber.rs:119-121). */
-  def parseClientCmd(text: String): Option[(String, String)] = {
-    def field(k: String): Option[String] =
-      ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-        .findFirstMatchIn(text).map(_.group(1).replace("\\\"", "\""))
-    if (!text.contains("\"Subscribe\"")) None
-    else for { rib <- field("rib"); f <- field("filter") } yield (rib, f)
-  }
+    * and keeps the connection (src/subscriber.rs:119-121). A real JSON
+    * parse, not a regex: the rib/filter keys must live INSIDE the
+    * Subscribe object, and filter values containing escapes or
+    * `"rib"`-shaped substrings parse exactly. */
+  def parseClientCmd(text: String): Option[(String, String)] =
+    try {
+      val root = cmdMapper.readTree(text)
+      val sub = if (root == null) null else root.get("Subscribe")
+      if (sub == null || !sub.isObject) None
+      else {
+        val rib = sub.get("rib"); val f = sub.get("filter")
+        if (rib != null && rib.isTextual && f != null && f.isTextual)
+          Some((rib.asText, f.asText))
+        else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // Jackson rides on Spark's own classpath — no extra dependency
+  private lazy val cmdMapper = new com.fasterxml.jackson.databind.ObjectMapper
 
   /** ST4: the periodic retention/compaction job — rewrite the log keeping
     * the newest `historyDepth` records per ring, OnlyDiffer-deduped (the
@@ -176,7 +187,11 @@ object Feed {
     * batch-iterator-order dependent. */
   def bmpSessionGate(bmp: DataFrame): Dataset[BmpGateEvent] = {
     import bmp.sparkSession.implicits._
-    bmp.where(col("msg_type").isin("peer_up", "route_monitoring"))
+    // header-only RouteMonitoring frames (null payload) drop here, exactly
+    // like the batch dispatchUpdates — a registered key must not admit a
+    // frame that NPEs the downstream decodeUpdate
+    bmp.where(col("msg_type").isin("peer_up", "route_monitoring") &&
+        (col("msg_type") === "peer_up" || col("update").isNotNull))
       .select(col("msg_type"), col("peer_rd.rdh").as("rdh"),
         col("peer_rd.rdl").as("rdl"), col("peer_addr.ip_hi").as("addr_hi"),
         col("peer_addr.ip_lo").as("addr_lo"),

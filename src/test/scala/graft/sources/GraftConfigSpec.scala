@@ -112,6 +112,18 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(v4.peer.contains(HostPort("10.1.1.1", 1790)))
   }
 
+  test("parseIni keeps file order past 4 sections (peers vector follows the file)") {
+    val ini = (1 to 8).map(i =>
+      s"[peer_$i]\nmode=bgppassive\npeeras=${64500 + i}").mkString(
+      "[main]\nhttplisten=127.0.0.1:8080\nwhoisjsonconfig=w.json\n", "\n", "")
+    val parsed = GraftConfig.parseIni(ini)
+    assert(parsed.keys.toVector ==
+      "main" +: (1 to 8).map(i => s"peer_$i").toVector)
+    // and the engine-level peers vector follows the same order
+    val cfg = fromIniText(ini).toOption.get
+    assert(cfg.peers.map(_.peerAs) == (1 to 8).map(i => 64500L + i).toVector)
+  }
+
   test("config-level errors: missing main, no valid peers") {
     assert(fromIniText("[peer_x]\nmode=bgppassive")
       == Left("Missing section 'main' in ini file"))

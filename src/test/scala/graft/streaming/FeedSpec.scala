@@ -224,6 +224,23 @@ class FeedSpec extends AnyFunSuite {
       .contains(("vpnv4u", "10.0.0.0/8")))
     assert(Feed.parseClientCmd("""{"Subscribe":{"rib":"ipv4u"}}""").isEmpty)
     assert(Feed.parseClientCmd("""{"Ping":{}}""").isEmpty)
+    // a filter value carrying a "rib"-key-shaped substring parses as the
+    // literal filter text (the old regex extraction would mis-parse)
+    assert(Feed.parseClientCmd(
+      """{"Subscribe":{"rib":"ipv4u","filter":"\"rib\":\"evil\""}}""")
+      .contains(("ipv4u", "\"rib\":\"evil\"")))
+    // full JSON unescaping, not just \" — a backslash in the filter survives
+    assert(Feed.parseClientCmd(
+      """{"Subscribe":{"rib":"ipv4u","filter":"a\\b"}}""")
+      .contains(("ipv4u", "a\\b".replace("\\\\", "\\"))))
+    // rib/filter keys in a SIBLING object must not leak into Subscribe
+    assert(Feed.parseClientCmd(
+      """{"Other":{"rib":"x","filter":"y"},"Subscribe":{"rib":"ipv4u"}}""").isEmpty)
+    // non-string values, non-object Subscribe, truncated JSON, junk → None
+    assert(Feed.parseClientCmd("""{"Subscribe":{"rib":5,"filter":"f"}}""").isEmpty)
+    assert(Feed.parseClientCmd("""{"Subscribe":"x"}""").isEmpty)
+    assert(Feed.parseClientCmd("""{"Subscribe":{"rib":"a","filter":"b""").isEmpty)
+    assert(Feed.parseClientCmd("not json at all").isEmpty)
   }
 
   test("ST9 flatMapGroupsWithState BMP gate: pre-registration frames drop, later ones pass") {
