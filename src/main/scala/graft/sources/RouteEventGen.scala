@@ -65,6 +65,13 @@ object RouteEventGen {
       spark.read.parquet(dir)
     })
 
+  /** Directory of the materialized event log — for streaming readers that
+    * tail the log as a file source (the log IS the bus, Feed ST1). */
+  def routeEventsDir(spark: SparkSession, sfDir: String): String = {
+    routeEvents(spark, sfDir) // ensure materialized
+    s"$snapshotRoot/${java.lang.Integer.toHexString(sfDir.hashCode)}"
+  }
+
   /** Bucketed variant of the event log: pre-hash-partitioned by `ring_id`
     * into `nBuckets` files at write time (`bucketBy` + in-bucket sort by
     * (ring_id, ts)), so every ring-keyed window/aggregation/join scans with

@@ -1,0 +1,210 @@
+package graft.server
+
+import java.net.{HttpURLConnection, Socket, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.{Api, RibJson, Statistics}
+import graft.sources.RouteEventGen
+import graft.streaming.Feed
+
+/** End-to-end transport drive: a real loopback socket against the embedded
+  * server, every route compared to the engine document it must carry
+  * (reference surface: src/main.rs:139-168). The WS test runs a REAL
+  * Structured Streaming subscription per client — upgrade, Subscribe
+  * command, event frames over the wire, close handshake. */
+class ServerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val events = RouteEventGen.routeEvents(spark, sfDir)
+  private lazy val logDir = RouteEventGen.routeEventsDir(spark, sfDir)
+
+  private def withServer[A](routes: ServerRoutes)(f: Int => A): A = {
+    val srv = new GraftServer(routes)
+    try f(srv.boundPort) finally srv.close()
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(10000); conn.setReadTimeout(60000)
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (in == null) "" else new String(in.readAllBytes(), UTF_8)
+    (code, body)
+  }
+
+  test("HTTP routes carry the engine documents verbatim") {
+    val routes = ServerRoutes(events = () => events)
+    withServer(routes) { port =>
+      assert(get(port, "/api/ping") == (200, "pong"))
+      assert(get(port, "/api/state") == (200, "Established"))
+      // the filtered rib page IS RibJson.response for the same params
+      val path = "/api/json/ipv4u?filter=10.4.0.0%2F14&limit=5"
+      val expected = RibJson.response(events, "ipv4u", "10.4.0.0/14",
+        RibJson.RibParams(limit = 5))
+      assert(get(port, path) == (200, expected))
+      assert(expected.contains("\"items\""))
+      assert(get(port, "/api/statistics") ==
+        (200, Statistics.statisticsJson(events)))
+      assert(get(port, "/api/sessions") == (200, Api.sessionsJson(events)))
+      // unknown rib names dispatch to ipv4u (src/ribservice.rs:277)
+      assert(get(port, "/api/json/nonsense?limit=5")._2 ==
+        get(port, "/api/json/ipv4u?limit=5")._2)
+      // reference 404s: unknown /api route, and a bare /api prefix
+      assert(get(port, "/api/nope") == (404, "Not Found"))
+      assert(get(port, "/nothing/here") == (404, "Not Found"))
+    }
+  }
+
+  test("non-GET methods 404 (src/main.rs:140-142)") {
+    withServer(ServerRoutes(events = () => events)) { port =>
+      val conn = new URL(s"http://127.0.0.1:$port/api/ping")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write("x".getBytes(UTF_8))
+      assert(conn.getResponseCode == 404)
+    }
+  }
+
+  test("static files: / → index.html, nested paths, traversal stays inside") {
+    val root = Files.createTempDirectory("graft_www")
+    Files.writeString(root.resolve("index.html"), "<html>graft</html>")
+    Files.createDirectories(root.resolve("js"))
+    Files.writeString(root.resolve("js/app.js"), "let x=1")
+    val routes = ServerRoutes(events = () => events, httpRoot = Some(root))
+    withServer(routes) { port =>
+      assert(get(port, "/") == (200, "<html>graft</html>"))
+      assert(get(port, "/js/app.js") == (200, "let x=1"))
+      assert(get(port, "/missing.css") == (404, "Not Found"))
+      // path traversal cannot escape the root
+      assert(get(port, "/%2e%2e/%2e%2e/etc/passwd")._1 == 404)
+    }
+  }
+
+  test("whois + dns routes: kind regexes, findstr body, error shapes") {
+    val fake: (String, Option[String]) => String = (q, srv) => srv match {
+      case None =>
+        "% comment line\nrefer: whois.example-two.net\nsome: noise\n"
+      case Some("whois.example-two.net") =>
+        "% RIPE\naut-num: " + q + "\nas-name: TEST\n# trailer\n"
+      case Some(other) => s"nothing from $other"
+    }
+    val routes = ServerRoutes(events = () => events, whoisFetch = fake,
+      dnsPtr = name => s"resolved($name)")
+    withServer(routes) { port =>
+      // kind "as" chases the referral until the aut-num line appears, then
+      // findstr drops everything before the match and all comments
+      assert(get(port, "/api/whois/as?query=AS65001") ==
+        (200, "aut-num: AS65001\nas-name: TEST"))
+      // raw has no check regex, so the chase stops at the first server and
+      // the body keeps its comment lines verbatim
+      assert(get(port, "/api/whois/raw?query=AS65001")._2.contains(
+        "% comment line\nrefer: whois.example-two.net"))
+      // no query param → the reference's literal invalid-query body, 200
+      assert(get(port, "/api/whois/as") == (200, "Invalid WHOIS query"))
+      // dns PTR route goes through the injected resolver
+      assert(get(port, "/api/dns/10.4.0.1") == (200, "resolved(10.4.0.1)"))
+      // injected failure → 500 Error: (src/whoissvc.rs:531-538)
+      val failing = routes.copy(dnsPtr =
+        _ => throw new RuntimeException("nxdomain"))
+      withServer(failing) { p2 =>
+        val (code, body) = get(p2, "/api/dns/10.9.9.9")
+        assert(code == 500 && body.startsWith("Error: "))
+      }
+    }
+  }
+
+  test("WS: upgrade handshake, Subscribe → streamed event frames, close") {
+    import graft.filter.FilterCompiler
+    val filter = "10.4.0.0/14"
+    val expected = events
+      .where(col("rib") === "ipv4u" && FilterCompiler.accept(filter))
+      .select(Feed.eventFrame).collect().map(_.getString(0)).toSet
+    assert(expected.nonEmpty)
+
+    val routes = ServerRoutes(
+      events = () => events,
+      subscribe = (rib, f, push) => {
+        val stream = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "8").parquet(logDir)
+        val q = Feed.subscribeJson(stream, rib, f)(_.foreach(push)).start()
+        () => q.stop()
+      })
+    withServer(routes) { port =>
+      val sock = new Socket("127.0.0.1", port)
+      sock.setSoTimeout(120000)
+      try {
+        val out = sock.getOutputStream
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        out.write(("GET /api/ws HTTP/1.1\r\nHost: 127.0.0.1\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+          "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(UTF_8))
+        out.flush()
+        // 101 with the RFC-exact accept for the RFC-example nonce
+        val head = new StringBuilder
+        while (!head.endsWith("\r\n\r\n")) head.append(in.read().toChar)
+        assert(head.startsWith("HTTP/1.1 101 "))
+        assert(head.toString.contains(
+          "Sec-WebSocket-Accept: s3pPLMBiTxaQ9kYGzzhZRbK+xOo="))
+        val mask = Array[Byte](0x11, 0x22, 0x33, 0x44)
+        // a malformed command is tolerated (warn-and-keep, subscriber.rs:119)
+        out.write(HttpWire.encodeClientFrame(HttpWire.OpText,
+          "not json".getBytes(UTF_8), mask))
+        // then the real Subscribe
+        val cmd = s"""{"Subscribe":{"rib":"ipv4u","filter":"$filter"}}"""
+        out.write(HttpWire.encodeClientFrame(HttpWire.OpText,
+          cmd.getBytes(UTF_8), mask))
+        out.flush()
+        // the initial dump arrives as one text frame per matching event
+        val got = scala.collection.mutable.Set[String]()
+        while (got.size < expected.size) {
+          val f = HttpWire.readServerFrame(in).getOrElse(
+            fail("connection closed before all frames arrived"))
+          if (f.opcode == HttpWire.OpText) got += f.text
+        }
+        assert(got.toSet == expected)
+        // close handshake: client close → server echoes close
+        out.write(HttpWire.encodeClientFrame(HttpWire.OpClose,
+          Array[Byte](0x03, 0xe8.toByte), mask))
+        out.flush()
+        var closed = false
+        while (!closed) {
+          HttpWire.readServerFrame(in) match {
+            case None => closed = true // already torn down
+            case Some(f) if f.opcode == HttpWire.OpClose => closed = true
+            case _ => // late data frames racing the close are fine
+          }
+        }
+      } finally sock.close()
+    }
+  }
+
+  test("WS: ping is ponged; a non-upgrade GET /api/ws is 400") {
+    withServer(ServerRoutes(events = () => events)) { port =>
+      assert(get(port, "/api/ws")._1 == 400) // src/main.rs:112-115
+      val sock = new Socket("127.0.0.1", port)
+      sock.setSoTimeout(30000)
+      try {
+        val out = sock.getOutputStream
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        out.write(("GET /api/ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+          "Connection: Upgrade\r\nSec-WebSocket-Key: AQIDBAUGBwgJCgsMDQ4PEA==\r\n\r\n")
+          .getBytes(UTF_8)); out.flush()
+        val head = new StringBuilder
+        while (!head.endsWith("\r\n\r\n")) head.append(in.read().toChar)
+        assert(head.startsWith("HTTP/1.1 101 "))
+        out.write(HttpWire.encodeClientFrame(HttpWire.OpPing,
+          "hb".getBytes(UTF_8), Array[Byte](1, 2, 3, 4))); out.flush()
+        val pong = HttpWire.readServerFrame(in).get
+        assert(pong.opcode == HttpWire.OpPong && pong.text == "hb")
+      } finally sock.close()
+    }
+  }
+}
