@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Cbor._
+
+/** One route history entry lifted out of a reference snapshot file. */
+final case class SnapshotRoute(
+    snapshot: String, rib: String, route_key: String,
+    session_id: Long, path_id: Long, ts_ms: Long,
+    active: Boolean,
+    origin: Option[String], nexthop: Option[String], aspath: Option[String],
+    med: Option[Long], localpref: Option[Long],
+    labels: Option[Seq[Long]])
+
+/** Reader for the reference's CBOR snapshot files — the migration path: an
+  * existing bgpexplorer deployment's RIB state loads straight into the
+  * engine's event-log shape.
+  *
+  * Format (src/bgprib.rs:903-918 write_snapshot / 977-1015 load_snapshot):
+  * 15 sequential CBOR documents, one per SAFI table in this exact order:
+  * ipv4u ipv4m ipv4lu vpnv4u vpnv4m ipv6u ipv6lu vpnv6u vpnv6m l2vpls
+  * mvpn evpn fs4u ipv4mdt ipv6mdt. Each document is the table's `items`
+  * map, and every wrapper struct is `#[serde(transparent)]`, so the
+  * nesting is maps all the way down (src/bgprib.rs:310-398):
+  *
+  *   route_key → session_id → path_id → ts_millis → BgpAttrEntry
+  *
+  * with ts_millis an i64 (src/timestamp.rs:58-65) and BgpAttrEntry a
+  * 3-field struct map `{"Active", "Attrs", "Labels"}`
+  * (src/bgpattrs.rs:375-386, BAE_VARS) whose Attrs map carries the 13
+  * BA_VARS fields `Origin … PmsiTa` (src/bgpattrs.rs:51-65).
+  *
+  * Route keys and attr values are zettabgp serde output whose exact shape
+  * varies with that crate's version; the renderer below canonicalizes the
+  * common shapes (derive-style struct maps, enum newtype-variant maps,
+  * octet-array IP addresses, `{addr, prefixlen}` prefixes) and falls back
+  * to a deterministic compact rendering for anything else — imports never
+  * fail on an unrecognized attribute shape, they preserve it readably.
+  *
+  * Scale posture: one file = one reference process's RIB (bounded by that
+  * process's memory, by construction). [[load]] decodes a directory of
+  * snapshot files as a `binaryFile` source, one decode task per file —
+  * a fleet's worth of snapshots imports file-parallel with no driver
+  * materialization; nothing is collected.
+  */
+object Snapshot {
+
+  /** Table order of write_snapshot (src/bgprib.rs:903-918). */
+  val ribOrder: Vector[String] = Vector(
+    "ipv4u", "ipv4m", "ipv4lu", "vpnv4u", "vpnv4m", "ipv6u", "ipv6lu",
+    "vpnv6u", "vpnv6m", "l2vpls", "mvpn", "evpn", "fs4u", "ipv4mdt", "ipv6mdt")
+
+  /** Decode one snapshot file's bytes → route entries. Fails loudly on a
+    * truncated file (fewer than 15 documents) — a partial snapshot must
+    * not silently import as an empty tail of tables. */
+  def decodeFile(name: String, bytes: Array[Byte]): Iterator[SnapshotRoute] = {
+    val in = new ByteArrayInputStream(bytes)
+    val docs = ribOrder.map { rib =>
+      rib -> Cbor.decode(in).getOrElse(throw new CborError(
+        s"snapshot $name truncated: EOF before the $rib table"))
+    }
+    docs.iterator.flatMap { case (rib, doc) => tableRows(name, rib, doc) }
+  }
+
+  private def tableRows(name: String, rib: String,
+      doc: Value): Iterator[SnapshotRoute] = doc match {
+    case CMap(routes) => routes.iterator.flatMap { case (key, sessions) =>
+      val keyStr = render(key)
+      asMap(sessions, s"$rib sessions").iterator.flatMap { case (sid, paths) =>
+        asMap(paths, s"$rib paths").iterator.flatMap { case (pid, hist) =>
+          asMap(hist, s"$rib history").iterator.map { case (ts, entry) =>
+            attrEntry(name, rib, keyStr, asLong(sid, "session id"),
+              asLong(pid, "path id"), asLong(ts, "timestamp"), entry)
+          }
+        }
+      }
+    }
+    case other => throw new CborError(
+      s"$rib table is not a map: ${other.getClass.getSimpleName}")
+  }
+
+  private def attrEntry(name: String, rib: String, key: String, sid: Long,
+      pid: Long, tsMs: Long, v: Value): SnapshotRoute = v match {
+    case m: CMap =>
+      val active = m.get("Active") match {
+        case Some(CBool(b)) => b
+        case other => throw new CborError(s"BgpAttrEntry.Active: $other")
+      }
+      val attrs = m.get("Attrs") match {
+        case Some(am: CMap) => am
+        case other => throw new CborError(s"BgpAttrEntry.Attrs: $other")
+      }
+      val labels = m.get("Labels") match {
+        case Some(CNull) | None => None
+        // MplsLabels is a labels vector however wrapped; collect the ints
+        case Some(l) => Some(collectInts(l))
+      }
+      SnapshotRoute(name, rib, key, sid, pid, tsMs, active,
+        origin = attrs.get("Origin").map(render),
+        nexthop = attrs.get("Nexthop").map(render),
+        aspath = attrs.get("Aspath").map(render),
+        med = attrs.get("Med").collect { case CInt(i) => i },
+        localpref = attrs.get("Localpref").collect { case CInt(i) => i },
+        labels = labels)
+    case other => throw new CborError(s"BgpAttrEntry is not a map: $other")
+  }
+
+  private def asMap(v: Value, what: String): Vector[(Value, Value)] = v match {
+    case CMap(entries) => entries
+    case other => throw new CborError(s"$what is not a map: $other")
+  }
+
+  private def asLong(v: Value, what: String): Long = v match {
+    case CInt(l) => l
+    case other => throw new CborError(s"$what is not an integer: $other")
+  }
+
+  private def collectInts(v: Value): Vector[Long] = v match {
+    case CInt(l) => Vector(l)
+    case CArr(items) => items.flatMap(collectInts)
+    case CMap(entries) => entries.flatMap { case (_, x) => collectInts(x) }
+    case CTag(_, x) => collectInts(x)
+    case _ => Vector.empty
+  }
+
+  /** Canonical rendering of a zettabgp serde value. Recognized shapes:
+    *   - `{addr: .., prefixlen: n}` (BgpAddrV4/V6 derive shape) → "addr/n"
+    *   - 4 small ints (Ipv4Addr octets, serde non-human-readable) → dotted
+    *     quad; 16 → colon-grouped v6 hex (no zero compression — canonical,
+    *     not display form)
+    *   - single-entry map with a text key (serde enum newtype variant,
+    *     e.g. BgpAddr::V4) → the inner rendering
+    *   - text/int/bool → literal; anything else → compact deterministic
+    *     `[..]` / `{k:v}` / hex form
+    */
+  def render(v: Value): String = v match {
+    case CText(s) => s
+    case CInt(l) => l.toString
+    case CBig(b) => b.toString
+    case CBool(b) => b.toString
+    case CNull => "null"
+    case CUndefined => "undefined"
+    case CSimple(s) => s"simple($s)"
+    case CFloat(d) => d.toString
+    case CBytes(b) => b.map(x => f"${x & 0xff}%02x").mkString
+    case CTag(_, x) => render(x)
+    case m @ CMap(entries) =>
+      (m.get("addr"), m.get("prefixlen")) match {
+        case (Some(addr), Some(CInt(len))) => s"${render(addr)}/$len"
+        case _ => entries match {
+          case Vector((CText(variant), inner)) =>
+            // enum newtype variant: V4/V6/... wrappers render transparently
+            if (variant.length <= 3) render(inner)
+            else s"$variant(${render(inner)})"
+          case _ =>
+            entries.map { case (k, x) => s"${render(k)}:${render(x)}" }
+              .mkString("{", ",", "}")
+        }
+      }
+    case CArr(items) =>
+      if (items.length == 4 && items.forall {
+        case CInt(i) => i >= 0 && i <= 255; case _ => false
+      }) items.map { case CInt(i) => i.toString; case _ => "" }.mkString(".")
+      else if (items.length == 16 && items.forall {
+        case CInt(i) => i >= 0 && i <= 255; case _ => false
+      }) {
+        val oct = items.map { case CInt(i) => i.toInt; case _ => 0 }
+        oct.grouped(2).map(p => f"${(p(0) << 8) | p(1)}%x").mkString(":")
+      }
+      else items.map(render).mkString("[", ",", "]")
+  }
+
+  /** Import every snapshot file under `path` (file or directory), one
+    * decode task per file — the distributed form of load_snapshot
+    * (src/bgprib.rs:977-1015). */
+  def load(spark: SparkSession, path: String): Dataset[SnapshotRoute] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        decodeFile(p.substring(p.lastIndexOf('/') + 1), bytes)
+      }
+  }
+
+  /** The imported snapshot as engine event-log-shaped rows: newest entry
+    * per (rib, key, session, path) marked current — the `q_rib_current`
+    * view of a loaded snapshot. */
+  def currentRoutes(snap: Dataset[SnapshotRoute]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rib"), col("route_key"), col("session_id"), col("path_id"))
+      .orderBy(col("ts_ms").desc)
+    snap.toDF.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("active")).drop("__rn")
+  }
+}

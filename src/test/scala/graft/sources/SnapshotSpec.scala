@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Cbor._
+
+/** CBOR codec goldens (RFC 8949 Appendix A vectors — public test vectors)
+  * and the snapshot import: a hand-assembled golden snapshot in the
+  * reference's exact layout (15 sequential table maps, 4-level nesting,
+  * BAE_VARS/BA_VARS field names) loads into route rows, and the
+  * q_rib_current-style view over it matches the expected counts. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def dec1(bytes: Array[Byte]): Value =
+    Cbor.decode(new ByteArrayInputStream(bytes)).get
+
+  test("RFC 8949 Appendix A golden vectors decode") {
+    assert(dec1(hex("00")) == CInt(0))
+    assert(dec1(hex("17")) == CInt(23))
+    assert(dec1(hex("1818")) == CInt(24))
+    assert(dec1(hex("1a000f4240")) == CInt(1000000))
+    assert(dec1(hex("1b000000e8d4a51000")) == CInt(1000000000000L))
+    // 18446744073709551615 (uint64 max) exceeds Long
+    assert(dec1(hex("1bffffffffffffffff")) == CBig(BigInt("18446744073709551615")))
+    assert(dec1(hex("20")) == CInt(-1))
+    assert(dec1(hex("3903e7")) == CInt(-1000))
+    assert(dec1(hex("f4")) == CBool(false))
+    assert(dec1(hex("f6")) == CNull)
+    assert(dec1(hex("6449455446")) == CText("IETF"))
+    assert(dec1(hex("62225c")) == CText("\"\\"))
+    assert(dec1(hex("8301820203820405")) ==
+      CArr(Vector(CInt(1), CArr(Vector(CInt(2), CInt(3))),
+        CArr(Vector(CInt(4), CInt(5))))))
+    assert(dec1(hex("a26161016162820203")) ==
+      CMap(Vector(CText("a") -> CInt(1),
+        CText("b") -> CArr(Vector(CInt(2), CInt(3))))))
+    // indefinite-length: bytes chunks, text chunks, array, map
+    assert(dec1(hex("5f42010243030405ff")).asInstanceOf[CBytes].v.toSeq ==
+      Seq[Byte](1, 2, 3, 4, 5))
+    assert(dec1(hex("7f657374726561646d696e67ff")) == CText("streaming"))
+    assert(dec1(hex("9f018202039f0405ffff")) ==
+      CArr(Vector(CInt(1), CArr(Vector(CInt(2), CInt(3))),
+        CArr(Vector(CInt(4), CInt(5))))))
+    assert(dec1(hex("bf61610161629f0203ffff")) ==
+      CMap(Vector(CText("a") -> CInt(1),
+        CText("b") -> CArr(Vector(CInt(2), CInt(3))))))
+    // floats: half, single, double precision
+    assert(dec1(hex("f90001")) == CFloat(5.960464477539063e-8))
+    assert(dec1(hex("fa47c35000")) == CFloat(100000.0))
+    assert(dec1(hex("fb7e37e43c8800759c")) == CFloat(1.0e300))
+    assert(dec1(hex("f97c00")) == CFloat(Double.PositiveInfinity))
+    // tag 1 (epoch seconds)
+    assert(dec1(hex("c11a514b67b0")) == CTag(1, CInt(1363896240)))
+  }
+
+  test("encoder/decoder roundtrip over nested structures") {
+    val v = CMap(Vector(
+      CText("k") -> CArr(Vector(CInt(-500), CInt(0), CInt(1L << 40),
+        CBytes(Array[Byte](1, 2, 3)), CText("x"), CBool(true), CNull)),
+      CInt(42) -> CMap(Vector(CText("in") -> CFloat(2.5))),
+      CText("big") -> CBig(BigInt("18446744073709551615"))))
+    assert(dec1(Cbor.encode(v)) == v)
+  }
+
+  // ------------------------------------------------- snapshot fixture
+
+  private def v4key(a: Int, b: Int, c: Int, d: Int, len: Int): Value =
+    CMap(Vector(
+      CText("addr") -> CArr(Vector(CInt(a), CInt(b), CInt(c), CInt(d))),
+      CText("prefixlen") -> CInt(len)))
+
+  private def entry(active: Boolean, med: Option[Long],
+      labels: Option[Seq[Long]] = None): Value =
+    CMap(Vector(
+      CText("Active") -> CBool(active),
+      CText("Attrs") -> CMap(Vector(
+        CText("Origin") -> CText("Igp"),
+        CText("Nexthop") -> CMap(Vector(
+          CText("V4") -> CArr(Vector(CInt(192), CInt(0), CInt(2), CInt(1))))),
+        CText("Aspath") -> CArr(Vector(CInt(65001), CInt(65002))),
+        CText("Comms") -> CArr(Vector.empty),
+        CText("LComms") -> CArr(Vector.empty),
+        CText("ExtComms") -> CArr(Vector.empty),
+        CText("Med") -> med.map(CInt(_)).getOrElse(CNull),
+        CText("Localpref") -> CNull,
+        CText("Atomicaggregate") -> CNull,
+        CText("Aggregatoras") -> CNull,
+        CText("Originator") -> CNull,
+        CText("Clusterlist") -> CNull,
+        CText("PmsiTa") -> CNull)),
+      CText("Labels") ->
+        labels.map(ls => CArr(ls.toVector.map(CInt(_)))).getOrElse(CNull)))
+
+  private def hist(entries: (Long, Value)*): Value =
+    CMap(entries.toVector.map { case (ts, e) => (CInt(ts): Value) -> e })
+
+  /** The golden snapshot: ipv4u carries two routes (one with a 2-deep
+    * history whose newest entry is a withdraw), ipv6u one labelled route,
+    * the other 13 tables empty — write_snapshot order verbatim. */
+  private def goldenSnapshot: Array[Byte] = {
+    val ipv4u = CMap(Vector(
+      v4key(10, 0, 0, 0, 8) -> CMap(Vector(
+        (CInt(1): Value) -> CMap(Vector(
+          (CInt(0): Value) -> hist(
+            1000L -> entry(active = true, med = Some(100)),
+            2000L -> entry(active = false, med = None)))))),
+      v4key(10, 4, 0, 0, 14) -> CMap(Vector(
+        (CInt(1): Value) -> CMap(Vector(
+          (CInt(7): Value) -> hist(
+            1500L -> entry(active = true, med = Some(5)))))))))
+    val v6addr = CArr((Vector(0x20, 0x01, 0x0d, 0xb8) ++
+      Vector.fill(12)(0)).map(i => CInt(i.toLong)))
+    val ipv6u = CMap(Vector(
+      (CMap(Vector(CText("addr") -> v6addr,
+        CText("prefixlen") -> CInt(32))): Value) -> CMap(Vector(
+        (CInt(2): Value) -> CMap(Vector(
+          (CInt(0): Value) -> hist(
+            3000L -> entry(active = true, med = None,
+              labels = Some(Seq(100, 200))))))))))
+    val empty = CMap(Vector.empty)
+    val docs = Snapshot.ribOrder.map {
+      case "ipv4u" => ipv4u
+      case "ipv6u" => ipv6u
+      case _ => empty
+    }
+    docs.flatMap(Cbor.encode).toArray
+  }
+
+  test("golden snapshot decodes into the expected route rows") {
+    val rows = Snapshot.decodeFile("s1", goldenSnapshot).toVector
+    assert(rows.length == 4)
+    val r1 = rows.find(r => r.route_key == "10.0.0.0/8" && r.ts_ms == 1000L).get
+    assert(r1.rib == "ipv4u" && r1.session_id == 1 && r1.path_id == 0)
+    assert(r1.active && r1.med.contains(100L) && r1.localpref.isEmpty)
+    assert(r1.origin.contains("Igp"))
+    assert(r1.nexthop.contains("192.0.2.1")) // V4 enum wrapper is transparent
+    assert(r1.aspath.contains("[65001,65002]"))
+    assert(r1.labels.isEmpty)
+    val r2 = rows.find(r => r.route_key == "10.0.0.0/8" && r.ts_ms == 2000L).get
+    assert(!r2.active && r2.med.isEmpty)
+    val r3 = rows.find(_.route_key == "10.4.0.0/14").get
+    assert(r3.path_id == 7 && r3.med.contains(5L))
+    val r6 = rows.find(_.rib == "ipv6u").get
+    assert(r6.route_key == "2001:db8:0:0:0:0:0:0/32")
+    assert(r6.session_id == 2 && r6.labels.contains(Seq(100L, 200L)))
+  }
+
+  test("truncated snapshot fails loudly, naming the missing table") {
+    val docs = Snapshot.ribOrder.take(9).map(_ => Cbor.encode(CMap(Vector.empty)))
+    val err = intercept[CborError] {
+      Snapshot.decodeFile("bad", docs.flatten.toArray).toVector
+    }
+    assert(err.getMessage.contains("l2vpls")) // the 10th table
+  }
+
+  test("Spark import: file-parallel load + current view (q_rib_current shape)") {
+    val dir = Files.createTempDirectory("graft_snap")
+    Files.write(dir.resolve("router-a.snapshot"), goldenSnapshot)
+    Files.write(dir.resolve("router-b.snapshot"), goldenSnapshot)
+    val snap = Snapshot.load(spark, dir.toString)
+    assert(snap.count() == 8) // 4 rows × 2 files
+    assert(snap.filter(_.snapshot == "router-a.snapshot").count() == 4)
+    // newest-active per (rib, key, session, path): the 10.0.0.0/8 history
+    // ends on a withdraw → drops out; the other two routes survive, per file
+    val cur = Snapshot.currentRoutes(
+      snap.filter(_.snapshot == "router-a.snapshot"))
+    val keys = cur.collect().map(r =>
+      r.getAs[String]("route_key")).sorted.toSeq
+    assert(keys == Seq("10.4.0.0/14", "2001:db8:0:0:0:0:0:0/32"))
+  }
+}
