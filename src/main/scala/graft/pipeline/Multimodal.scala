@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus the decode/feature-extract plumbing a training
   * pipeline needs.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment) behind [[decodeStub]] — a deterministic fake that stands in
-  * for a real decoder. Everything around it is real and tested: the blob
-  * schema, the partition-preserving `mapPartitions` batch shape (the Scala
-  * analog of `mapInPandas` — one iterator per partition, streaming, no
-  * per-row driver round-trips), and the feature schema contract.
+  * Image decode is REAL for the formats the JVM ships decoders for
+  * (BMP/PNG/JPEG/GIF via `javax.imageio`, [[decodeImages]]): actual pixel
+  * access, channel statistics from the decoded raster. Audio/video decode
+  * remains STUBBED behind [[decodeStub]] (no media libraries for those in
+  * this environment) — a deterministic fake standing in for the decoder.
+  * Everything around both is real and tested: the blob schema, the
+  * partition-preserving `mapPartitions` batch shape (the Scala analog of
+  * `mapInPandas` — one iterator per partition, streaming, no per-row
+  * driver round-trips), and the feature schema contracts.
   */
 object Multimodal {
 
@@ -82,6 +85,90 @@ object Multimodal {
       .groupBy(col("frame_md5"))
       .agg(countDistinct(col("asset_id")).as("n_assets"),
         count(lit(1)).as("n_occurrences"))
+
+  // ------------------------------------------------------- real image path
+
+  /** A solid-colour 24-bit BMP as a Column: the 54-byte
+    * BITMAPFILEHEADER+BITMAPINFOHEADER with little-endian fields, then
+    * `w×h` BGR pixels — built entirely with hex/lpad/repeat/unhex column
+    * arithmetic (scan-speed, no UDF), so a deterministic image corpus can
+    * be planted straight in a query and the oracle can predict the decoded
+    * channel statistics arithmetically. `w` is restricted to multiples of
+    * 4/3-alignment (row stride w·3 divisible by 4) so no pad bytes are
+    * needed. */
+  def bmpPayload(r: Column, g: Column, b: Column, w: Int = 4, h: Int = 2): Column = {
+    require(w > 0 && h > 0 && (w * 3) % 4 == 0,
+      s"w=$w must keep the BMP row stride (w*3) 4-byte aligned")
+    def le(value: Long, nBytes: Int): String =
+      (0 until nBytes).map(i => f"${(value >> (8 * i)) & 0xff}%02x").mkString
+    val pixelBytes = w.toLong * 3 * h
+    val header = "424d" + le(54 + pixelBytes, 4) + le(0, 4) + le(54, 4) +
+      le(40, 4) + le(w.toLong, 4) + le(h.toLong, 4) + le(1, 2) + le(24, 2) +
+      le(0, 4) + le(pixelBytes, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
+    def ch(c: Column): Column = lpad(hex(c.cast("long") % 256), 2, "0")
+    unhex(concat(lit(header),
+      repeat(concat(ch(b), ch(g), ch(r)), w * h)))
+  }
+
+  /** A deterministic real-image blob table from `documents`: every doc
+    * becomes a solid-colour BMP whose channels are doc_id arithmetic —
+    * decodable by any BMP decoder, predictable by the oracle. */
+  def imageBlobs(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id.as("asset_id"), lit("image").as("modality"),
+      bmpPayload(id % 256, (id * 7) % 256, (id * 13) % 256).as("payload"))
+  }
+
+  /** Decoded-image statistics schema: dimensions and integer-division
+    * channel means over the REAL decoded raster. */
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("img_w", LongType, nullable = false),
+    StructField("img_h", LongType, nullable = false),
+    StructField("mean_r", LongType, nullable = false),
+    StructField("mean_g", LongType, nullable = false),
+    StructField("mean_b", LongType, nullable = false)))
+
+  /** REAL pixel decode via `javax.imageio` — BMP/PNG/JPEG/GIF payloads
+    * decode to a raster whose dimensions and per-channel integer means are
+    * emitted; unrecognized payloads are dropped (a production pipeline
+    * would route them to a quarantine sink). Same `mapPartitions` contract
+    * as [[decodeStub]]: iterator in, iterator out, partitioning preserved,
+    * nothing touches the driver. Per-pixel `getRGB` is fine at thumbnail
+    * sizes; a bulk-raster read is the drop-in for large assets. */
+  def decodeImages(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(imageStatsSchema)
+    blobs.select("asset_id", "payload").mapPartitions { it =>
+      // ImageIO defaults to tmp-file caching per stream: disable for the
+      // in-memory decode loop (once per partition, cheap)
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = if (row.isNullAt(1)) Array.emptyByteArray
+          else row.getAs[Array[Byte]](1)
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        } catch { case _: Exception => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Some(Row(id, w.toLong, h.toLong, sr / n, sg / n, sb / n))
+        }
+      }
+    }(enc)
+  }
 
   /** 12-byte container header: magic "GFT0", uint16-BE width, uint16-BE
     * height, uint32-BE duration_ms (0 where the modality doesn't carry the

@@ -333,6 +333,15 @@ object PipelineQueries {
           sum(col("parsed_duration_ms")).cast("long").as("sum_parsed_dur"))
         .orderBy(col("modality"))),
 
+    // REAL javax.imageio pixel decode: deterministic solid-colour BMPs are
+    // planted column-side (bmpPayload hex arithmetic), ImageIO decodes the
+    // raster in mapPartitions, and the decoded dimensions + integer channel
+    // means must reproduce the planted doc_id arithmetic exactly — a wrong
+    // stride, header field, or channel order flips the hash
+    "q_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeImages(Multimodal.imageBlobs(docs(s, dir)))
+        .orderBy(col("asset_id"))),
+
     // --- enrichment (E1-E3 cache-table pattern) -------------------------
     "q_whois_enrich" -> ((s, dir) =>
       graft.enrich.Whois.enrichOriginAs(
@@ -988,6 +997,15 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN doc_id%3=0 THEN doc_id%480+48 ELSE 0 END) AS BIGINT) AS sum_parsed_h,
         |  CAST(SUM(CASE WHEN doc_id%3<>0 THEN doc_id%60000+1000 ELSE 0 END) AS BIGINT) AS sum_parsed_dur
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the engine decodes real BMP bytes; the oracle predicts what the
+    // decoder must recover from the planted solid-colour fixtures
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS asset_id, CAST(4 AS BIGINT) AS img_w,
+        |  CAST(2 AS BIGINT) AS img_h,
+        |  CAST(doc_id % 256 AS BIGINT) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "q_whois_enrich" -> (RibQueries.cte +
       """SELECT 'AS'||(CASE WHEN eid%2=1 THEN 65001 ELSE a2 END)
         |    ||'-ORG-'||((CASE WHEN eid%2=1 THEN 65001 ELSE a2 END)%2) AS whois_org,

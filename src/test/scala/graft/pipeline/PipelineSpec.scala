@@ -281,6 +281,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(raw(0).isNullAt(4) && raw(0).isNullAt(5) && raw(0).isNullAt(6))
   }
 
+  test("real image decode recovers planted BMP dimensions and channel means") {
+    val d = Seq((10L, "x"), (300L, "y")).toDF("doc_id", "text")
+    val stats = Multimodal.decodeImages(Multimodal.imageBlobs(d))
+      .orderBy("asset_id").collect()
+    assert(stats.length == 2)
+    // solid colour → mean == planted channel value; 300 wraps mod 256
+    assert(stats(0).toSeq == Seq(10L, 4L, 2L, 10L, 70L, 130L))
+    assert(stats(1).toSeq == Seq(300L, 4L, 2L, 300L % 256, (300L * 7) % 256, (300L * 13) % 256))
+  }
+
+  test("image decode handles an independently ImageIO-encoded PNG") {
+    // encode with ImageIO directly (not our BMP builder) so decoder and
+    // fixture can't share a hidden convention
+    val img = new java.awt.image.BufferedImage(3, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3; y <- 0 until 5) img.setRGB(x, y, (20 << 16) | (40 << 8) | 60)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val blobs = Seq((1L, "image", bos.toByteArray))
+      .toDF("asset_id", "modality", "payload")
+    val row = Multimodal.decodeImages(blobs).collect()(0)
+    assert(row.toSeq == Seq(1L, 3L, 5L, 20L, 40L, 60L))
+  }
+
+  test("image decode drops undecodable payloads instead of failing") {
+    val blobs = Seq(
+      (1L, "image", "not an image at all".getBytes("UTF-8")),
+      (2L, "image", Array.emptyByteArray),
+      (3L, "image", null)
+    ).toDF("asset_id", "modality", "payload")
+    assert(Multimodal.decodeImages(blobs).count() == 0L)
+    // a decodable row among garbage still comes through
+    val mixed = Multimodal.imageBlobs(Seq((5L, "t")).toDF("doc_id", "text"))
+      .unionByName(blobs)
+    assert(Multimodal.decodeImages(mixed).select("asset_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("arithHash64 one-pass dual fold is bit-identical to the two-fold form") {
     val d = Seq("", "a", "hello world", "the quick brown fox jumps", "ünïcödé")
       .toDF("s")
