@@ -136,10 +136,13 @@ object TextAnalysis {
     * this is each document against the whole corpus.
     *
     * Shape: distinct (doc, shingle) pairs → per-shingle document frequency
-    * (one exchange on the shingle, map-side combined) → frequency joins
-    * back to the pairs co-partitioned on the same key (no extra exchange)
-    * → per-doc rollup (one exchange on id). Linear, two shuffles, no
-    * all-pairs anything. `hashed=true` (production) shingles as xxhash64
+    * (one exchange on the shingle, map-side combined) → the ≥minDocs
+    * COMMON set (small by definition — boilerplate is the rare tail of the
+    * shingle distribution) left-joins back to the pairs, so AQE's runtime
+    * size stats turn the join into a broadcast under its threshold
+    * (sort-merge fallback above it, never worse than joining full dfreq)
+    * → per-doc rollup (one exchange on id). Linear, no all-pairs
+    * anything. `hashed=true` (production) shingles as xxhash64
     * longs — narrow shuffle keys at corpus scale; `hashed=false` keeps
     * shingle STRINGS, the engine-portable identity the DuckDB oracle
     * replays (a spec pins both forms equal). The permille uses integer
@@ -150,12 +153,16 @@ object TextAnalysis {
       explode(Dedup.shingles(col(textCol), k)).as("s"))
     val pairs = (if (hashed) base.select(col("id"), xxhash64(col("s")).as("s"))
       else base).distinct()
-    val dfreq = pairs.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
-    pairs.join(dfreq, "s")
+    // join input is the FILTERED common set, not full dfreq: the build side
+    // shrinks from |distinct shingles| to |boilerplate shingles|, which is
+    // what lets AQE broadcast it at runtime
+    val common = pairs.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
+      .where(col("dfreq") >= minDocs)
+      .select(col("s"), lit(1L).as("is_common"))
+    pairs.join(common, Seq("s"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_shingles"),
-        sum(when(col("dfreq") >= minDocs, 1L).otherwise(0L)).cast("long")
-          .as("n_common"))
+        sum(coalesce(col("is_common"), lit(0L))).cast("long").as("n_common"))
       .withColumn("boilerplate_x1000", expr("n_common * 1000 div n_shingles"))
   }
 

@@ -543,7 +543,7 @@ object BgpSession {
     * a bounded dimension (one row per monitored session), so the
     * single-partition windows are a deliberate non-cost and the result
     * broadcasts. */
-  def sessionRegistry(bmp: DataFrame): DataFrame = {
+  def sessionRegistry(bmp: DataFrame, maxSessions: Int = 1 << 20): DataFrame = {
     val enc = RowEncoder.encoderFor(registrySchema)
     val latest = bmp
       .where(col("msg_type") === "peer_up" && col("update").isNotNull)
@@ -552,6 +552,18 @@ object BgpSession {
             col("peer_addr.ip_hi"), col("peer_addr.ip_lo"))
           .orderBy(col("ts").desc, xxhash64(col("update")))))
       .where(col("__rn") === 1)
+    // Scale guard: the session_id assignment below is an UNPARTITIONED
+    // dense_rank — correct and cheap for the registry's bounded dimension
+    // (one row per monitored session) but a single-partition sort of
+    // everything if a fact stream is fed in by mistake. Fail loudly before
+    // that sort: a deliberate extra job over the already-deduped PeerUp
+    // rows, early-stopped by the limit, tiny for any real registry.
+    val sessions = latest.select(lit(1)).limit(maxSessions + 1).count()
+    require(sessions <= maxSessions,
+      s"sessionRegistry: more than $maxSessions distinct sessions — this is " +
+        "a bounded control-plane dimension (one row per monitored peer); a " +
+        "fact stream was probably passed instead of PeerUp frames. Raise " +
+        "maxSessions only if the peer dimension is genuinely this large.")
     val decoded = latest
       .select(col("peer_rd.rdh"), col("peer_rd.rdl"),
         col("peer_addr.ip_hi"), col("peer_addr.ip_lo"),

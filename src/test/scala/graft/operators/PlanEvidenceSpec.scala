@@ -95,6 +95,18 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(cents.nonEmpty)
   }
 
+  test("boilerplate common-shingle join broadcasts at runtime via AQE") {
+    // the join input is the ≥minDocs COMMON set (small — boilerplate is the
+    // rare tail), not full dfreq: AQE's runtime size stats must turn the
+    // pairs⋈common join into a broadcast; full-dfreq could never broadcast
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bp = graft.pipeline.TextAnalysis.boilerplateRatio(docs, "doc_id", "text")
+    bp.count() // materialize: AQE finalizes join strategy from runtime stats
+    val plan = bp.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("keyset continuation (pageAfter) plans as TakeOrderedAndProject") {
     val tok = RibViews.pageToken(ring = true)
     val first = re.select(tok.as("t")).limit(1).collect()(0).getStruct(0)

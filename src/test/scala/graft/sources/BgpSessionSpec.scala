@@ -360,6 +360,21 @@ class BgpSessionSpec extends AnyFunSuite {
     assert(rows(0).getInt(rows(0).fieldIndex("local_hold")) == 95)
   }
 
+  test("registry scale guard: over-threshold session count fails loudly") {
+    import spark.implicits._
+    val events = (0L until 64L).map(i => (i, i % 8, new java.sql.Timestamp(1700000000000L + i * 1000)))
+      .toDF("event_id", "user_id", "ts")
+    val bmp = BgpWire.decodeBmpFrames(bmpStream(events))
+    // fixture registers 2 sessions: threshold 1 must trip BEFORE the
+    // unpartitioned dense_rank sort, with a message naming the misuse
+    val ex = intercept[IllegalArgumentException] {
+      sessionRegistry(bmp, maxSessions = 1).collect()
+    }
+    assert(ex.getMessage.contains("fact stream"))
+    // and the same input passes untouched at the default threshold
+    assert(sessionRegistry(bmp).count() == 2L)
+  }
+
   test("session registry + dispatch: unregistered sessions drop") {
     import spark.implicits._
     val events = (0L until 64L).map(i => (i, i % 8, new java.sql.Timestamp(1700000000000L + i * 1000)))
