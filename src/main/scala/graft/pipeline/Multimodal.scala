@@ -170,6 +170,165 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------- real video path
+
+  /** A deterministic real-video blob table from `documents`: every doc
+    * becomes a 3-frame clip of concatenated solid-colour BMPs (the
+    * raw-video analog — frame boundaries live in each frame's own header,
+    * not in a fixed stride), frame i's channels shifted by `i*17` so the
+    * oracle can predict every frame's decoded statistics. */
+  def videoBlobs(docs: DataFrame, nFrames: Int = 3): DataFrame = {
+    val id = col("doc_id")
+    val frames = (0 until nFrames).map(i =>
+      bmpPayload((id + i * 17) % 256, (id * 7 + i * 17) % 256,
+        (id * 13 + i * 17) % 256))
+    docs.select(id.as("asset_id"), lit("video").as("modality"),
+      concat(frames: _*).as("payload"))
+  }
+
+  /** Per-frame decoded-video statistics: [[imageStatsSchema]] plus the
+    * frame index. */
+  val videoStatsSchema: StructType = StructType(
+    StructField("frame_idx", LongType, nullable = false) +:
+      imageStatsSchema.fields.toSeq)
+
+  /** REAL video-frame decode: walk the concatenated-BMP container by each
+    * frame's own BITMAPFILEHEADER size field (bytes 2-5, little-endian) —
+    * no fixed-stride assumption — and ImageIO-decode every frame.
+    * Malformed tails stop the walk for that asset (frames decoded so far
+    * are kept); payloads with no leading frame are dropped. Same
+    * partition-preserving `mapPartitions` contract as [[decodeImages]]. */
+  def decodeVideoFrames(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoStatsSchema)
+    blobs.select("asset_id", "payload").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = if (row.isNullAt(1)) Array.emptyByteArray
+          else row.getAs[Array[Byte]](1)
+        val out = Vector.newBuilder[Row]
+        var off = 0
+        var idx = 0L
+        var ok = true
+        while (ok && off + 6 <= payload.length &&
+            payload(off) == 'B'.toByte && payload(off + 1) == 'M'.toByte) {
+          val size = (payload(off + 2) & 0xffL) | ((payload(off + 3) & 0xffL) << 8) |
+            ((payload(off + 4) & 0xffL) << 16) | ((payload(off + 5) & 0xffL) << 24)
+          if (size < 54 || off + size > payload.length) ok = false
+          else {
+            val img = try {
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                payload, off, size.toInt))
+            } catch { case _: Exception => null }
+            if (img == null) ok = false
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              out += Row(idx, id, w.toLong, h.toLong, sr / n, sg / n, sb / n)
+              idx += 1
+              off += size.toInt
+            }
+          }
+        }
+        out.result()
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------- real audio path
+
+  /** A mono 8-bit PCM WAV as a Column: the 44-byte RIFF/fmt/data header
+    * with little-endian fields, then `nSamples` unsigned sample bytes at a
+    * constant planted amplitude — the audio twin of [[bmpPayload]], built
+    * with the same hex/repeat/unhex column arithmetic (scan-speed, no
+    * UDF), so the oracle can predict the decoded frame count and mean
+    * amplitude exactly. */
+  def wavPayload(amp: Column, nSamples: Int, sampleRate: Int = 8000): Column = {
+    require(nSamples > 0, "nSamples must be positive")
+    def le(value: Long, nBytes: Int): String =
+      (0 until nBytes).map(i => f"${(value >> (8 * i)) & 0xff}%02x").mkString
+    def ascii(s: String): String = s.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    val header = ascii("RIFF") + le(36L + nSamples, 4) + ascii("WAVE") +
+      ascii("fmt ") + le(16, 4) + le(1, 2) + le(1, 2) +
+      le(sampleRate.toLong, 4) + le(sampleRate.toLong, 4) /* byteRate: 1ch×8bit */ +
+      le(1, 2) + le(8, 2) + ascii("data") + le(nSamples.toLong, 4)
+    unhex(concat(lit(header),
+      repeat(lpad(hex(amp.cast("long") % 256), 2, "0"), nSamples)))
+  }
+
+  /** A deterministic real-audio blob table from `documents`: every doc
+    * becomes a constant-amplitude PCM WAV whose amplitude and length are
+    * doc_id arithmetic — decodable by any WAV reader, predictable by the
+    * oracle (odd docs get the longer clip). */
+  def audioBlobs(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val amp = (id * 11) % 256
+    docs.select(id.as("asset_id"), lit("audio").as("modality"),
+      when(id % 2 === 0, wavPayload(amp, 16))
+        .otherwise(wavPayload(amp, 32)).as("payload"))
+  }
+
+  /** Decoded-audio statistics schema: format fields and the integer mean
+    * of the REAL decoded sample stream. */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("bits", LongType, nullable = false),
+    StructField("mean_amp", LongType, nullable = false)))
+
+  /** REAL audio decode via `javax.sound.sampled` — WAV/PCM payloads decode
+    * through `AudioSystem` to format fields plus the integer mean of the
+    * unsigned 8-bit sample stream; undecodable payloads are dropped (same
+    * quarantine posture as [[decodeImages]]). Same partition-preserving
+    * `mapPartitions` contract: iterator in, iterator out, nothing on the
+    * driver. */
+  def decodeAudio(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
+    blobs.select("asset_id", "payload").mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = if (row.isNullAt(1)) Array.emptyByteArray
+          else row.getAs[Array[Byte]](1)
+        val decoded = try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 8) None // stats below assume u8 PCM
+            else {
+              val buf = new Array[Byte](4096)
+              var sum = 0L; var n = 0L
+              var read = ais.read(buf)
+              while (read > 0) {
+                var i = 0
+                while (i < read) { sum += buf(i) & 0xff; i += 1 }
+                n += read
+                read = ais.read(buf)
+              }
+              if (n == 0) None
+              else Some(Row(id, n / fmt.getFrameSize, fmt.getSampleRate.toLong,
+                fmt.getChannels.toLong, fmt.getSampleSizeInBits.toLong, sum / n))
+            }
+          } finally ais.close()
+        } catch { case _: Exception => None }
+        decoded
+      }
+    }(enc)
+  }
+
   /** 12-byte container header: magic "GFT0", uint16-BE width, uint16-BE
     * height, uint32-BE duration_ms (0 where the modality doesn't carry the
     * field). The synthetic container format whose header [[decodeStub]]

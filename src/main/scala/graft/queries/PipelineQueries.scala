@@ -342,6 +342,22 @@ object PipelineQueries {
       Multimodal.decodeImages(Multimodal.imageBlobs(docs(s, dir)))
         .orderBy(col("asset_id"))),
 
+    // REAL javax.sound.sampled audio decode: deterministic 8-bit PCM WAVs
+    // planted column-side (wavPayload hex arithmetic, length varies by
+    // parity), AudioSystem decodes the stream in mapPartitions, and the
+    // decoded frame counts + mean amplitude must reproduce the planted
+    // arithmetic exactly
+    "q_multimodal_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(Multimodal.audioBlobs(docs(s, dir)))
+        .orderBy(col("asset_id"))),
+
+    // REAL video-frame decode: 3-frame concatenated-BMP clips walked by
+    // each frame's own header size field, every frame ImageIO-decoded;
+    // per-frame channel means must reproduce the planted i*17 shift
+    "q_multimodal_video" -> ((s, dir) =>
+      Multimodal.decodeVideoFrames(Multimodal.videoBlobs(docs(s, dir)))
+        .orderBy(col("asset_id"), col("frame_idx"))),
+
     // --- enrichment (E1-E3 cache-table pattern) -------------------------
     "q_whois_enrich" -> ((s, dir) =>
       graft.enrich.Whois.enrichOriginAs(
@@ -1006,6 +1022,27 @@ object PipelineQueries {
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
         |  CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // the engine decodes real WAV bytes; the oracle predicts what the
+    // decoder must recover from the planted constant-amplitude fixtures
+    "q_multimodal_audio" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 32 END AS BIGINT) AS n_frames,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(8 AS BIGINT) AS bits,
+        |  CAST((doc_id * 11) % 256 AS BIGINT) AS mean_amp
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // the engine walks the real frame container; the oracle replays the
+    // planted per-frame channel arithmetic
+    "q_multimodal_video" ->
+      """SELECT f.i AS frame_idx, d.doc_id AS asset_id,
+        |  CAST(4 AS BIGINT) AS img_w, CAST(2 AS BIGINT) AS img_h,
+        |  CAST((d.doc_id + f.i * 17) % 256 AS BIGINT) AS mean_r,
+        |  CAST((d.doc_id * 7 + f.i * 17) % 256 AS BIGINT) AS mean_g,
+        |  CAST((d.doc_id * 13 + f.i * 17) % 256 AS BIGINT) AS mean_b
+        |FROM documents d
+        |CROSS JOIN (SELECT CAST(UNNEST([0,1,2]) AS BIGINT) AS i) f
+        |ORDER BY asset_id, frame_idx""".stripMargin,
     "q_whois_enrich" -> (RibQueries.cte +
       """SELECT 'AS'||(CASE WHEN eid%2=1 THEN 65001 ELSE a2 END)
         |    ||'-ORG-'||((CASE WHEN eid%2=1 THEN 65001 ELSE a2 END)%2) AS whois_org,

@@ -317,6 +317,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeImages(mixed).select("asset_id").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("real video decode walks frames by their own header size, per-frame stats") {
+    val d = Seq((9L, "x")).toDF("doc_id", "text")
+    val frames = Multimodal.decodeVideoFrames(Multimodal.videoBlobs(d))
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 3)
+    frames.zipWithIndex.foreach { case (r, i) =>
+      assert(r.toSeq == Seq(i.toLong, 9L, 4L, 2L,
+        (9L + i * 17) % 256, (9L * 7 + i * 17) % 256, (9L * 13 + i * 17) % 256))
+    }
+  }
+
+  test("video decode keeps decoded frames when the container tail is malformed") {
+    val d = Seq((9L, "x")).toDF("doc_id", "text")
+    // truncate the 3-frame clip mid-frame-3: frames 0 and 1 must survive
+    val clipped = Multimodal.videoBlobs(d)
+      .withColumn("payload", expr("substring(payload, 1, 78*2 + 30)"))
+    assert(Multimodal.decodeVideoFrames(clipped).count() == 2L)
+    // garbage payload → no frames, no failure
+    val junk = Seq((1L, "video", "no frames here".getBytes("UTF-8")))
+      .toDF("asset_id", "modality", "payload")
+    assert(Multimodal.decodeVideoFrames(junk).count() == 0L)
+  }
+
+  test("real audio decode recovers planted WAV format and amplitude") {
+    val d = Seq((10L, "x"), (25L, "y")).toDF("doc_id", "text")
+    val stats = Multimodal.decodeAudio(Multimodal.audioBlobs(d))
+      .orderBy("asset_id").collect()
+    assert(stats.length == 2)
+    // even doc → 16 frames, odd → 32; constant amplitude → mean == planted
+    assert(stats(0).toSeq == Seq(10L, 16L, 8000L, 1L, 8L, (10L * 11) % 256))
+    assert(stats(1).toSeq == Seq(25L, 32L, 8000L, 1L, 8L, (25L * 11) % 256))
+  }
+
+  test("audio decode handles an independently AudioSystem-encoded WAV") {
+    // encode with javax.sound.sampled directly (not our wavPayload builder)
+    // so decoder and fixture can't share a hidden convention
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 11025f, 8, 1, 1, 11025f, false)
+    val samples = Array.fill[Byte](40)(200.toByte) // unsigned 200
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(samples), fmt, 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val blobs = Seq((1L, "audio", bos.toByteArray))
+      .toDF("asset_id", "modality", "payload")
+    val row = Multimodal.decodeAudio(blobs).collect()(0)
+    assert(row.toSeq == Seq(1L, 40L, 11025L, 1L, 8L, 200L))
+  }
+
+  test("audio decode drops undecodable payloads instead of failing") {
+    val blobs = Seq(
+      (1L, "audio", "definitely not a wav".getBytes("UTF-8")),
+      (2L, "audio", Array.emptyByteArray),
+      (3L, "audio", null)
+    ).toDF("asset_id", "modality", "payload")
+    assert(Multimodal.decodeAudio(blobs).count() == 0L)
+    val mixed = Multimodal.audioBlobs(Seq((5L, "t")).toDF("doc_id", "text"))
+      .unionByName(blobs)
+    assert(Multimodal.decodeAudio(mixed).select("asset_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("arithHash64 one-pass dual fold is bit-identical to the two-fold form") {
     val d = Seq("", "a", "hello world", "the quick brown fox jumps", "ünïcödé")
       .toDF("s")
