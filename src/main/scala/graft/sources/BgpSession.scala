@@ -556,15 +556,24 @@ object BgpSession {
     // dense_rank — correct and cheap for the registry's bounded dimension
     // (one row per monitored session) but a single-partition sort of
     // everything if a fact stream is fed in by mistake. Fail loudly before
-    // that sort: a deliberate extra job over the already-deduped PeerUp
-    // rows, early-stopped by the limit, tiny for any real registry.
-    val sessions = latest.select(lit(1)).limit(maxSessions + 1).count()
-    require(sessions <= maxSessions,
-      s"sessionRegistry: more than $maxSessions distinct sessions — this is " +
-        "a bounded control-plane dimension (one row per monitored peer); a " +
-        "fact stream was probably passed instead of PeerUp frames. Raise " +
-        "maxSessions only if the peer dimension is genuinely this large.")
-    val decoded = latest
+    // that sort. The check materializes the capped deduped rows into a
+    // cache and counts THAT, so the guard costs no second pass over the
+    // (expensive) upstream frame pipeline: the registry below is built
+    // from the same cached rows. The cache is bounded by maxSessions+1
+    // registry rows by construction and evictable like any Spark cache.
+    val capped = latest.limit(maxSessions + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sessions = capped.count()
+    if (sessions > maxSessions) {
+      capped.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"sessionRegistry: more than $maxSessions distinct sessions — this " +
+          "is a bounded control-plane dimension (one row per monitored " +
+          "peer); a fact stream was probably passed instead of PeerUp " +
+          "frames. Raise maxSessions only if the peer dimension is " +
+          "genuinely this large.")
+    }
+    val decoded = capped
       .select(col("peer_rd.rdh"), col("peer_rd.rdl"),
         col("peer_addr.ip_hi"), col("peer_addr.ip_lo"),
         col("peer_as"), col("peer_bgp_id"), col("update"),
