@@ -28,6 +28,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Host-speed calibration: a fixed single-thread CPU-bound loop, timed
+    // at start and end of the run. The sandbox is a shared VM — whole runs
+    // can land in a host-contention episode (observed: a no-change pair
+    // with 72/91 queries uniformly ~2× apart). calib_sec makes such
+    // episodes visible in the artifact so cross-run comparisons can be
+    // normalized instead of mis-read as regressions.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 400000000) { // xorshift64*, ~0.5 s on an uncontended core
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27; i += 1
+      }
+      if (x == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibrate()
     // warm the JVM/codegen paths (classloading + Janino + parquet reader
     // init cost ~10 s on first action) and the source page cache, so the
     // ingest line measures the derive+write pipeline, not cold-start
@@ -77,8 +93,10 @@ object Bench {
     val replicaTotal = r4(total - prodTotal)
     val replicaList = results.keys.filter(isReplica).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibEnd = calibrate()
+    val calib = s""""calib_sec":[${r4(calibStart)},${r4(calibEnd)}]"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,"replica_queries":$replicaList}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,"replica_queries":$replicaList,$calib}"""
     println(line)
     // full artifact on disk: immune to stdout head/tail truncation
     try {
@@ -98,6 +116,6 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowestProd,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,"n_queries":${results.size},"queries_shown":"slowest 20 of ${results.size} production; full map in BENCH_full.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowestProd,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,$calib,"n_queries":${results.size},"queries_shown":"slowest 20 of ${results.size} production; full map in BENCH_full.json"}""")
   }
 }

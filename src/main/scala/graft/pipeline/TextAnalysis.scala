@@ -166,6 +166,36 @@ object TextAnalysis {
       .withColumn("boilerplate_x1000", expr("n_common * 1000 div n_shingles"))
   }
 
+  /** Vocabulary coverage ×1000: the permille of a document's word
+    * occurrences that fall inside the corpus top-K case-folded vocabulary.
+    * The complement (1000 − coverage) is the out-of-vocabulary rate — the
+    * standard garbled-text / wrong-domain quality signal (mojibake, OCR
+    * noise, and off-domain documents score low coverage against the
+    * corpus head).
+    *
+    * Shape: one exchange builds the global term counts (map-side
+    * combined); the top-K vocabulary is a TakeOrdered with the
+    * deterministic (count desc, word asc) tie-break — K rows by
+    * definition, so the join back to the word stream is an explicit
+    * [[broadcast]] (unlike boilerplate's data-dependent common set, the
+    * build side here is statically bounded) — then one exchange on id for
+    * the per-doc rollup. Linear, no all-pairs, no unpartitioned window.
+    * Integer-division permille keeps the score engine-portable. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w0"))
+      .select(col("id"), lower(col("w0")).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(topK)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(coalesce(col("in_vocab"), lit(0L))).cast("long").as("n_in_vocab"))
+      .withColumn("vocab_x1000", expr("n_in_vocab * 1000 div n_words"))
+  }
+
   /** Document fingerprint: 64-bit hash of the whitespace/case-normalized
     * text — the exact-dedup key and the cheap "same content" signature. */
   def fingerprint(text: Column): Column =

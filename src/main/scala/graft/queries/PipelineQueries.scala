@@ -223,6 +223,22 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
+    // vocabulary coverage (OOV-rate complement): permille of each doc's
+    // word occurrences inside the corpus top-50 vocabulary; per-source
+    // rollup keeps the oracle compact while every per-doc permille feeds it
+    "q_text_vocab" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      TextAnalysis.vocabCoverage(d, "doc_id", "text", topK = 50)
+        .join(d.select(col("doc_id"), col("source")),
+          col("id") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("vocab_x1000")).cast("long").as("sum_cov"),
+          min(col("vocab_x1000")).cast("long").as("min_cov"),
+          max(col("vocab_x1000")).cast("long").as("max_cov"))
+        .orderBy(col("source"))
+    }),
     // lexical diversity (type-token ratio): templated/boilerplate detection
     "q_text_ttr" -> ((s, dir) => {
       val d = docs(s, dir).select(col("source"),
@@ -725,6 +741,30 @@ object PipelineQueries {
          |  CAST(SUM((per.n_common * 1000) // per.n_sh) AS BIGINT) AS sum_bp,
          |  CAST(MAX((per.n_common * 1000) // per.n_sh) AS BIGINT) AS max_bp,
          |  CAST(SUM(per.n_common) AS BIGINT) AS sum_common
+         |FROM per JOIN documents d2 USING (doc_id)
+         |GROUP BY d2.source ORDER BY d2.source""".stripMargin,
+    // top-K selection uses the same deterministic (count desc, word asc)
+    // tie-break in both engines; integer-division permille matches `div`
+    "q_text_vocab" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, lower(w) AS w
+         |  FROM (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |), vocab AS (
+         |  SELECT w FROM (
+         |    SELECT w, COUNT(*) AS n FROM words GROUP BY 1
+         |    ORDER BY n DESC, w LIMIT 50)
+         |), per AS (
+         |  SELECT words.doc_id, COUNT(*) AS n_words,
+         |    CAST(SUM(CASE WHEN vocab.w IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_in
+         |  FROM words LEFT JOIN vocab ON words.w = vocab.w
+         |  GROUP BY words.doc_id
+         |)
+         |SELECT d2.source, COUNT(*) AS n_docs,
+         |  CAST(SUM((per.n_in * 1000) // per.n_words) AS BIGINT) AS sum_cov,
+         |  CAST(MIN((per.n_in * 1000) // per.n_words) AS BIGINT) AS min_cov,
+         |  CAST(MAX((per.n_in * 1000) // per.n_words) AS BIGINT) AS max_cov
          |FROM per JOIN documents d2 USING (doc_id)
          |GROUP BY d2.source ORDER BY d2.source""".stripMargin,
     "q_sample_stratified" ->

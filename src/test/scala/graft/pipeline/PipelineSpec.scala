@@ -222,6 +222,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getInt(1) == 3)
   }
 
+  test("vocabulary coverage: top-K membership permille with deterministic ties") {
+    // corpus counts: the=4, cat=4, dog=2, zebra=1, ant=1 → top-2 = {cat, the}
+    val d = Seq(
+      (1L, "the cat the cat"),          // 4/4 in vocab → 1000
+      (2L, "the dog cat dog"),          // 2/4 → 500
+      (3L, "zebra ant the cat")         // 2/4 → 500
+    ).toDF("doc_id", "text")
+    val cov = TextAnalysis.vocabCoverage(d, "doc_id", "text", topK = 2)
+      .orderBy("id").collect()
+    assert(cov.map(_.getLong(3)).toSeq == Seq(1000L, 500L, 500L))
+    assert(cov.map(_.getLong(1)).toSeq == Seq(4L, 4L, 4L))
+    // tie-break is (count desc, word asc): at K=4 the tied singletons
+    // admit alphabetically — ant in, zebra out → vocab {cat,the,dog,ant}
+    val covK4 = TextAnalysis.vocabCoverage(d, "doc_id", "text", topK = 4)
+      .orderBy("id").collect()
+    assert(covK4.map(_.getLong(3)).toSeq == Seq(1000L, 1000L, 750L))
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val d = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "id")
     val fps = d.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
