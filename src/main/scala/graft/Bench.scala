@@ -37,7 +37,7 @@ object Bench {
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L; var i = 0
-      while (i < 400000000) { // xorshift64*, ~0.5 s on an uncontended core
+      while (i < 400000000) { // xorshift64*, ~0.9 s on this host when quiet
         x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27; i += 1
       }
       if (x == 42L) println("") // defeat dead-code elimination

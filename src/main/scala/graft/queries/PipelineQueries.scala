@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -238,6 +238,27 @@ object PipelineQueries {
           min(col("vocab_x1000")).cast("long").as("min_cov"),
           max(col("vocab_x1000")).cast("long").as("max_cov"))
         .orderBy(col("source"))
+    }),
+    // sequence packing: concatenate-then-chunk layout of the corpus token
+    // stream into 512-token context windows — per-doc global offsets via
+    // the distributed two-phase prefix sum (never a single-task window)
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Packing.packSequences(d, "doc_id", "text", seqLen = 512)
+        .orderBy(col("id"))
+    }),
+    // chunk manifest rollup: per context window, how many docs feed it and
+    // the token fill — every chunk but the last must fill to exactly 512
+    "q_pack_manifest" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val packed = Packing.packSequences(d, "doc_id", "text", seqLen = 512)
+      Packing.chunkManifest(packed, seqLen = 512)
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens_in_chunk")).cast("long").as("n_toks"))
+        .orderBy(col("chunk"))
     }),
     // lexical diversity (type-token ratio): templated/boilerplate detection
     "q_text_ttr" -> ((s, dir) => {
@@ -767,6 +788,47 @@ object PipelineQueries {
          |  CAST(MAX((per.n_in * 1000) // per.n_words) AS BIGINT) AS max_cov
          |FROM per JOIN documents d2 USING (doc_id)
          |GROUP BY d2.source ORDER BY d2.source""".stripMargin,
+    // global prefix sum replicated as a plain window cumsum (the oracle can
+    // afford the single-task plan the engine avoids); integer-div chunks
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM t
+         |)
+         |SELECT id, n_tokens, start_offset,
+         |  start_offset // 512 AS first_chunk,
+         |  (start_offset + n_tokens - 1) // 512 AS last_chunk,
+         |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+         |    AS n_chunks
+         |FROM c ORDER BY id""".stripMargin,
+    "q_pack_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM t
+         |), spans AS (
+         |  SELECT id, n_tokens, start_offset,
+         |    unnest(generate_series(start_offset // 512,
+         |      (start_offset + n_tokens - 1) // 512)) AS chunk
+         |  FROM c WHERE n_tokens > 0
+         |)
+         |SELECT chunk, COUNT(*) AS n_docs,
+         |  CAST(SUM(least((chunk + 1) * 512, start_offset + n_tokens)
+         |    - greatest(chunk * 512, start_offset)) AS BIGINT) AS n_toks
+         |FROM spans GROUP BY chunk ORDER BY chunk""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${sqlCharFold("'mix1:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000

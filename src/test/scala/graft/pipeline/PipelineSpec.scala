@@ -240,6 +240,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(covK4.map(_.getLong(3)).toSeq == Seq(1000L, 1000L, 750L))
   }
 
+  test("sequence packing: global offsets, chunk spans, empty docs") {
+    // tokens: 4, 7, 0, 12, 3 → offsets 0, 4, 11, 11, 23; seqLen 10
+    val d = Seq(
+      (10L, "a b c d"),
+      (20L, "a b c d e f g"),
+      (30L, ""),
+      (40L, "a b c d e f g h i j k l"),
+      (50L, "x y z")
+    ).toDF("doc_id", "text")
+    val r = Packing.packSequences(d, "doc_id", "text", seqLen = 10, buckets = 3)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (10L, 4L, 0L, 0L, 0L, 1L),   // [0,4) in chunk 0
+      (20L, 7L, 4L, 0L, 1L, 2L),   // [4,11) crosses the 10 boundary
+      (30L, 0L, 11L, 1L, 1L, 0L),  // empty doc: zero chunks, pinned start
+      (40L, 12L, 11L, 1L, 2L, 2L), // [11,23) spans chunks 1-2
+      (50L, 3L, 23L, 2L, 2L, 1L))) // [23,26) in chunk 2
+  }
+
+  test("sequence packing: bucket count never changes the layout") {
+    val one = Packing.packSequences(docs, "doc_id", "text", 512, buckets = 1)
+      .orderBy("id").collect().toSeq
+    val many = Packing.packSequences(docs, "doc_id", "text", 512, buckets = 7)
+      .orderBy("id").collect().toSeq
+    assert(one == many)
+    // offsets telescope: last doc's end == total token count
+    val total = docs.select(sum(size(split(col("text"), "\\s+")))).first().getLong(0)
+    val last = one.last
+    assert(last.getLong(2) + last.getLong(1) == total)
+  }
+
+  test("chunk manifest: every window but the last fills to seqLen") {
+    val packed = Packing.packSequences(docs, "doc_id", "text", 512)
+    val fills = Packing.chunkManifest(packed, 512)
+      .groupBy(col("chunk")).agg(sum(col("n_tokens_in_chunk")).as("n"))
+      .orderBy(col("chunk")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fills.nonEmpty)
+    assert(fills.init.forall(_._2 == 512L), "a non-final chunk under-filled")
+    assert(fills.last._2 <= 512L)
+    assert(fills.map(_._1).toSeq == fills.indices.map(_.toLong))
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val d = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "id")
     val fps = d.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
