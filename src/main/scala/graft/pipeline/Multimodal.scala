@@ -170,6 +170,100 @@ object Multimodal {
     }(enc)
   }
 
+  /** A two-tone 24-bit BMP as a Column: left half one colour, right half
+    * another — same header/stride arithmetic as [[bmpPayload]], but the
+    * image now has horizontal structure, so a resize's sampling choices
+    * (which source column feeds which target pixel) become observable in
+    * the channel statistics instead of vanishing into a solid field. */
+  def bmpPayload2(rl: Column, gl: Column, bl: Column,
+      rr: Column, gr: Column, br: Column, w: Int = 4, h: Int = 2): Column = {
+    require(w > 0 && h > 0 && w % 2 == 0 && (w * 3) % 4 == 0,
+      s"w=$w must be even and keep the BMP row stride (w*3) 4-byte aligned")
+    def le(value: Long, nBytes: Int): String =
+      (0 until nBytes).map(i => f"${(value >> (8 * i)) & 0xff}%02x").mkString
+    val pixelBytes = w.toLong * 3 * h
+    val header = "424d" + le(54 + pixelBytes, 4) + le(0, 4) + le(54, 4) +
+      le(40, 4) + le(w.toLong, 4) + le(h.toLong, 4) + le(1, 2) + le(24, 2) +
+      le(0, 4) + le(pixelBytes, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
+    def ch(c: Column): Column = lpad(hex(c.cast("long") % 256), 2, "0")
+    val row = concat(repeat(concat(ch(bl), ch(gl), ch(rl)), w / 2),
+      repeat(concat(ch(br), ch(gr), ch(rr)), w / 2))
+    unhex(concat(lit(header), repeat(row, h)))
+  }
+
+  /** Deterministic two-tone image blobs from `documents`: left-half and
+    * right-half channels are independent doc_id arithmetic, so resized
+    * rasters have oracle-predictable means and edge pixels. */
+  def imageBlobs2(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id.as("asset_id"), lit("image").as("modality"),
+      bmpPayload2(id % 256, (id * 7) % 256, (id * 13) % 256,
+        (id * 3) % 256, (id * 5) % 256, (id * 11) % 256).as("payload"))
+  }
+
+  /** Resized-image statistics schema: target dimensions, integer-division
+    * channel means over the RESIZED raster, and the red channel of the
+    * first/last target column — the probes that pin which source columns
+    * the resampler actually selected. */
+  val resizeStatsSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("out_w", LongType, nullable = false),
+    StructField("out_h", LongType, nullable = false),
+    StructField("mean_r", LongType, nullable = false),
+    StructField("mean_g", LongType, nullable = false),
+    StructField("mean_b", LongType, nullable = false),
+    StructField("left_r", LongType, nullable = false),
+    StructField("right_r", LongType, nullable = false)))
+
+  /** REAL image resize: ImageIO decode then an explicit nearest-neighbour
+    * resample with the floor mapping `src = dst * srcDim div outDim` — the
+    * deterministic choice (no Graphics2D interpolation state), so any
+    * engine can predict every target pixel. Emits target dimensions,
+    * channel means and edge probes of the resized raster. Same
+    * `mapPartitions` contract as [[decodeImages]]: iterator in/out,
+    * partitioning preserved, undecodable payloads dropped. A production
+    * variant would re-encode the resized raster back into a payload
+    * column; the statistics row is what the oracle can falsify. */
+  def resizeImages(blobs: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"target ${outW}x$outH must be positive")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizeStatsSchema)
+    blobs.select("asset_id", "payload").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = if (row.isNullAt(1)) Array.emptyByteArray
+          else row.getAs[Array[Byte]](1)
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        } catch { case _: Exception => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var leftR = 0L; var rightR = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * w / outW
+              val rgb = img.getRGB(sx, sy)
+              val r = (rgb >> 16) & 0xff
+              sr += r; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              if (y == 0 && x == 0) leftR = r
+              if (y == 0 && x == outW - 1) rightR = r
+              x += 1
+            }
+            y += 1
+          }
+          val n = outW.toLong * outH
+          Some(Row(id, outW.toLong, outH.toLong, sr / n, sg / n, sb / n,
+            leftR, rightR))
+        }
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------------- real video path
 
   /** A deterministic real-video blob table from `documents`: every doc

@@ -379,6 +379,14 @@ object PipelineQueries {
       Multimodal.decodeImages(Multimodal.imageBlobs(docs(s, dir)))
         .orderBy(col("asset_id"))),
 
+    // REAL nearest-neighbour resize over two-tone planted BMPs: the floor
+    // mapping (src = dst*srcDim div outDim) picks source columns {0,2} of
+    // the 4x2 fixture, so every resized mean and edge probe is doc_id
+    // arithmetic the oracle replays exactly
+    "q_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(Multimodal.imageBlobs2(docs(s, dir)), 2, 2)
+        .orderBy(col("asset_id"))),
+
     // REAL javax.sound.sampled audio decode: deterministic 8-bit PCM WAVs
     // planted column-side (wavPayload hex arithmetic, length varies by
     // parity), AudioSystem decodes the stream in mapPartitions, and the
@@ -1123,6 +1131,17 @@ object PipelineQueries {
         |  CAST(doc_id % 256 AS BIGINT) AS mean_r,
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
         |  CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // the engine really decodes and resamples pixels; the oracle replays
+    // the two-tone arithmetic through the floor mapping
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS asset_id, CAST(2 AS BIGINT) AS out_w,
+        |  CAST(2 AS BIGINT) AS out_h,
+        |  CAST((doc_id % 256 + (doc_id * 3) % 256) // 2 AS BIGINT) AS mean_r,
+        |  CAST(((doc_id * 7) % 256 + (doc_id * 5) % 256) // 2 AS BIGINT) AS mean_g,
+        |  CAST(((doc_id * 13) % 256 + (doc_id * 11) % 256) // 2 AS BIGINT) AS mean_b,
+        |  CAST(doc_id % 256 AS BIGINT) AS left_r,
+        |  CAST((doc_id * 3) % 256 AS BIGINT) AS right_r
         |FROM documents ORDER BY asset_id""".stripMargin,
     // the engine decodes real WAV bytes; the oracle predicts what the
     // decoder must recover from the planted constant-amplitude fixtures

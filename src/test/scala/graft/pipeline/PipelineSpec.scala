@@ -366,6 +366,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.toSeq == Seq(1L, 3L, 5L, 20L, 40L, 60L))
   }
 
+  test("real resize: two-tone BMP down- and up-samples to predictable rasters") {
+    val d = Seq((10L, "x"), (77L, "y")).toDF("doc_id", "text")
+    val blobs = Multimodal.imageBlobs2(d) // 4x2, left/right tone per doc_id
+    // 4x2 -> 2x2: floor mapping picks source columns {0, 2} = {left, right}
+    val down = Multimodal.resizeImages(blobs, 2, 2).orderBy("asset_id").collect()
+    def tones(id: Long) = (id % 256, (id * 7) % 256, (id * 13) % 256,
+      (id * 3) % 256, (id * 5) % 256, (id * 11) % 256)
+    for ((row, id) <- down.zip(Seq(10L, 77L))) {
+      val (rl, gl, bl, rr, gr, br) = tones(id)
+      assert(row.toSeq == Seq(id, 2L, 2L,
+        (rl + rr) / 2, (gl + gr) / 2, (bl + br) / 2, rl, rr))
+    }
+    // 4x2 -> 8x4: each source column doubles; means unchanged, edges pinned
+    val up = Multimodal.resizeImages(blobs, 8, 4).orderBy("asset_id").collect()
+    for ((row, id) <- up.zip(Seq(10L, 77L))) {
+      val (rl, gl, bl, rr, gr, br) = tones(id)
+      assert(row.toSeq == Seq(id, 8L, 4L,
+        (rl + rr) / 2, (gl + gr) / 2, (bl + br) / 2, rl, rr))
+    }
+  }
+
+  test("resize handles an independently ImageIO-encoded image") {
+    // 4x1 PNG with red channel 10,20,30,40 encoded by ImageIO itself:
+    // 4->2 must select columns {0,2}; mean over {10,30} is 20
+    val img = new java.awt.image.BufferedImage(4, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) img.setRGB(x, 0, ((10 * (x + 1)) << 16) | (5 << 8) | 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val blobs = Seq((1L, "image", bos.toByteArray))
+      .toDF("asset_id", "modality", "payload")
+    val row = Multimodal.resizeImages(blobs, 2, 1).collect()(0)
+    assert(row.toSeq == Seq(1L, 2L, 1L, 20L, 5L, 7L, 10L, 30L))
+  }
+
   test("image decode drops undecodable payloads instead of failing") {
     val blobs = Seq(
       (1L, "image", "not an image at all".getBytes("UTF-8")),
