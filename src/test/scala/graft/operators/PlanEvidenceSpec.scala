@@ -107,6 +107,17 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("sequence packing windows stay partitioned: no single-task cumsum") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val packed = graft.pipeline.Packing.packSequences(
+      docs, "doc_id", "text", seqLen = 512, buckets = 8)
+    val plan = packed.queryExecution.executedPlan.toString
+    // the whole point of the two-phase prefix sum: the running-sum window
+    // partitions on the range bucket, never Window.orderBy over everything
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
   test("keyset continuation (pageAfter) plans as TakeOrderedAndProject") {
     val tok = RibViews.pageToken(ring = true)
     val first = re.select(tok.as("t")).limit(1).collect()(0).getStruct(0)
