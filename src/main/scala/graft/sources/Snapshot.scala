@@ -187,6 +187,158 @@ object Snapshot {
       }
   }
 
+  // ----------------------------------------------------------- export path
+
+  /** BA_VARS key order (src/bgpattrs.rs:51-65) — write_snapshot emits the
+    * full 13-field Attrs map with null placeholders, and so do we. */
+  private val baVars = Vector("Origin", "Nexthop", "Aspath", "Comms",
+    "LComms", "ExtComms", "Med", "Localpref", "Atomicaggregate",
+    "Aggregatoras", "Originator", "Clusterlist", "PmsiTa")
+
+  /** Tables whose reference route-key type is the bare BgpAddrV4/V6
+    * (src/bgprib.rs:807-821): these export as the serde `{addr, prefixlen}`
+    * struct map the reference loader deserializes. Wrapper-keyed tables
+    * (RD/label/L2/MVPN/EVPN/MDT) export their engine-canonical display key
+    * as CBOR text — lossless through [[load]] (our reader renders any key
+    * to the same string), explicitly NOT claimed reference-deserializable. */
+  private val plainKeyRibs = Set("ipv4u", "ipv4m", "ipv6u")
+
+  /** Export the engine route-event log as reference-layout snapshot files:
+    * each output file is a complete, individually-loadable snapshot — the
+    * 15 CBOR table documents in write_snapshot order (src/bgprib.rs:903-918),
+    * nested `key → session → path → ts_ms → BgpAttrEntry` maps with
+    * BTreeMap-sorted keys. `shards` controls the export parallelism: rows
+    * are hash-partitioned on `route_id`, so one route's entire history
+    * always lands in a single file; `shards = 1` produces the one-file form
+    * a reference instance loads at startup. Memory per task is one shard's
+    * tree — size shards so a shard fits an executor, exactly like any
+    * sort-within-partition. Origin/nexthop/as-path/med/localpref export in
+    * the golden-pinned serde shapes; communities export as canonical u32 /
+    * (a,b,c) integer forms; extended communities stay empty (no
+    * unambiguous public serde shape to target).
+    */
+  def write(events: DataFrame, dir: String, shards: Int = 1): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val rows = events.select(
+      col("rib"), col("prefix.version").as("pv"), col("prefix.ip_hi").as("phi"),
+      col("prefix.ip_lo").as("plo"), col("prefix.prefix_len").as("plen"),
+      graft.operators.RibJson.itemKey.as("key_text"),
+      col("session_id").cast("long").as("sid"), col("path_id").as("pid"),
+      unix_millis(col("ts")).as("ts_ms"), col("active"),
+      col("attrs.origin").as("origin"), col("attrs.nexthop.version").as("nv"),
+      col("attrs.nexthop.ip_hi").as("nhi"), col("attrs.nexthop.ip_lo").as("nlo"),
+      col("attrs.as_list").as("as_list"), col("attrs.med").as("med"),
+      col("attrs.localpref").as("localpref"),
+      col("labels").cast("array<bigint>").as("labels"),
+      col("attrs.comms").as("comms"), col("attrs.lcomms").as("lcomms"),
+      col("route_id"))
+    rows.repartition(shards, col("route_id")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val bytes = encodeShard(it)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"part-$pid%05d.cbor"), bytes)
+          ()
+        }
+    }
+  }
+
+  /** Sortable route-key representation: plain prefixes order by
+    * (addr, prefixlen) like the reference's BTreeMap<BgpAddrV4/V6>; text
+    * keys order lexically after them. */
+  private type K = (Int, BigInt, Int, String)
+
+  private def encodeShard(it: Iterator[org.apache.spark.sql.Row]): Array[Byte] = {
+    import scala.collection.mutable
+    // rib -> key -> sid -> pid -> ts -> entry
+    val tables = mutable.Map.empty[String,
+      mutable.Map[K, mutable.Map[Long, mutable.Map[Long, mutable.TreeMap[Long, Value]]]]]
+    it.foreach { r =>
+      val rib = r.getString(0)
+      val key: K =
+        if (plainKeyRibs(rib) && !r.isNullAt(1)) {
+          val v6 = r.getByte(1) == 6
+          val addr = (BigInt(r.getLong(2)) << 64) | (BigInt(r.getLong(3)) & BigInt("ffffffffffffffff", 16))
+          (if (v6) 1 else 0, addr, r.getInt(4), "")
+        } else (2, BigInt(0), 0, r.getString(5))
+      val entry = attrEntryValue(r)
+      tables.getOrElseUpdate(rib, mutable.Map.empty)
+        .getOrElseUpdate(key, mutable.Map.empty)
+        .getOrElseUpdate(r.getLong(6), mutable.Map.empty)
+        .getOrElseUpdate(r.getLong(7), mutable.TreeMap.empty)
+        .update(r.getLong(8), entry)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ribOrder.foreach { rib =>
+      val t = tables.getOrElse(rib, mutable.Map.empty[K,
+        mutable.Map[Long, mutable.Map[Long, mutable.TreeMap[Long, Value]]]])
+      val routes = t.toVector.sortBy(_._1).map { case (k, sessions) =>
+        (keyValue(k): Value) -> (CMap(sessions.toVector.sortBy(_._1).map {
+          case (sid, paths) => (CInt(sid): Value) -> (CMap(
+            paths.toVector.sortBy(_._1).map { case (pid, hist) =>
+              (CInt(pid): Value) -> (CMap(hist.toVector.map {
+                case (ts, e) => (CInt(ts): Value) -> e
+              }): Value)
+            }): Value)
+        }): Value)
+      }
+      out.write(Cbor.encode(CMap(routes)))
+    }
+    out.toByteArray
+  }
+
+  private def keyValue(k: K): Value = k match {
+    case (2, _, _, text) => CText(text)
+    case (kind, addr, len, _) =>
+      val n = if (kind == 1) 16 else 4
+      val octets = (0 until n).map(i =>
+        CInt(((addr >> (8 * (n - 1 - i))) & 0xff).toLong): Value).toVector
+      CMap(Vector(CText("addr") -> CArr(octets), CText("prefixlen") -> CInt(len.toLong)))
+  }
+
+  private def attrEntryValue(r: org.apache.spark.sql.Row): Value = {
+    val origin = r.getString(10) match {
+      case "IGP" => "Igp"; case "EGP" => "Egp"; case _ => "Incomplete"
+    }
+    val nexthop: Value =
+      if (r.isNullAt(11)) CNull
+      else if (r.getByte(11) == 6) {
+        val addr = (BigInt(r.getLong(12)) << 64) | (BigInt(r.getLong(13)) & BigInt("ffffffffffffffff", 16))
+        CMap(Vector(CText("V6") -> CArr((0 until 16).map(i =>
+          CInt(((addr >> (8 * (15 - i))) & 0xff).toLong): Value).toVector)))
+      } else {
+        val lo = r.getLong(13)
+        CMap(Vector(CText("V4") -> CArr((0 until 4).map(i =>
+          CInt((lo >> (8 * (3 - i))) & 0xff): Value).toVector)))
+      }
+    val aspath: Value =
+      if (r.isNullAt(14)) CArr(Vector.empty)
+      else CArr(r.getSeq[Long](14).map(a => CInt(a): Value).toVector)
+    val comms: Value =
+      if (r.isNullAt(18)) CArr(Vector.empty)
+      else CArr(r.getSeq[org.apache.spark.sql.Row](18).map(c =>
+        CInt((c.getInt(0).toLong << 16) | c.getInt(1).toLong): Value).toVector)
+    val lcomms: Value =
+      if (r.isNullAt(19)) CArr(Vector.empty)
+      else CArr(r.getSeq[org.apache.spark.sql.Row](19).map(c =>
+        CArr(Vector(CInt(c.getLong(0)), CInt(c.getLong(1)), CInt(c.getLong(2)))): Value).toVector)
+    def optInt(i: Int): Value = if (r.isNullAt(i)) CNull else CInt(r.getLong(i))
+    val attrVals = Map[String, Value](
+      "Origin" -> CText(origin), "Nexthop" -> nexthop, "Aspath" -> aspath,
+      "Comms" -> comms, "LComms" -> lcomms, "ExtComms" -> CArr(Vector.empty),
+      "Med" -> optInt(15), "Localpref" -> optInt(16))
+    val labels: Value =
+      if (r.isNullAt(17)) CNull
+      else CArr(r.getSeq[Long](17).map(l => CInt(l): Value).toVector)
+    CMap(Vector(
+      CText("Active") -> CBool(r.getBoolean(9)),
+      CText("Attrs") -> CMap(baVars.map(k =>
+        (CText(k): Value) -> attrVals.getOrElse(k, CNull)).toVector),
+      CText("Labels") -> labels))
+  }
+
   /** The imported snapshot as engine event-log-shaped rows: newest entry
     * per (rib, key, session, path) marked current — the `q_rib_current`
     * view of a loaded snapshot. */
