@@ -432,4 +432,52 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }
+
+  /** Substring-level dedup: mark the token spans covered by word k-grams
+    * that repeat anywhere in the corpus (including elsewhere in the same
+    * document) — the span-removal signal of exact-substring training-data
+    * dedup, where document-level dedup misses long passages pasted into
+    * otherwise-distinct pages.
+    *
+    * Output: one row per document — `id, n_tokens, n_dup_tokens` (tokens
+    * covered by the UNION of repeated k-gram spans) and the integer
+    * permille `dup_x1000`. Documents shorter than k carry zero coverage.
+    *
+    * Shape: gram rows are linear in corpus tokens (one per k-gram start,
+    * built by a scan-level `transform(sequence(...))` over the split —
+    * the k words fold into a portable 31-bit hash, so the shuffle key is
+    * a long, not a string). One exchange counts gram occurrences
+    * (map-side combined); occurrences keep their span via a LEFT SEMI
+    * join against the repeated set (no row multiplication — AQE
+    * broadcasts the repeated side when it is small, its usual state); the
+    * span union explodes k token indices ONLY for repeated occurrences,
+    * then one per-doc rollup exchange. Never all-pairs, never a global
+    * sort; the hot-gram skew case is the boilerplate skew case and gets
+    * the same AQE treatment (SkewSpec). At corpus scale swap
+    * [[arithHash31]] for [[arithHash64]] if the ~2³¹ gram-key space
+    * saturates. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minCount: Int = 2): DataFrame = {
+    require(k > 0 && minCount >= 2, s"k=$k must be positive, minCount=$minCount >= 2")
+    val words = df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(col("id"), col("ws"), size(col("ws")).cast("long").as("n_tokens"))
+    val grams = words.where(col("n_tokens") >= k)
+      .select(col("id"), col("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(n_tokens as int) - $k), i -> array_join(slice(ws, i + 1, $k), ' '))")))
+      .select(col("id"), col("n_tokens"), col("pos"),
+        arithHash31(col("col")).as("g"))
+    val repeated = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= minCount)
+      .select(col("g"))
+    val covered = grams.join(repeated, Seq("g"), "left_semi")
+      .select(col("id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tok"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("tok")).cast("long").as("n_dup_tokens"))
+    words.select(col("id"), col("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("dup_x1000", expr("n_dup_tokens * 1000 div n_tokens"))
+  }
 }

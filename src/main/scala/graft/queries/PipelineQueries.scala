@@ -239,6 +239,22 @@ object PipelineQueries {
           max(col("vocab_x1000")).cast("long").as("max_cov"))
         .orderBy(col("source"))
     }),
+    // substring-level dedup: permille of each doc's tokens covered by word
+    // 5-grams that repeat anywhere in the corpus (the exact-substring
+    // span-removal signal); per-source rollup
+    "q_dedup_spans" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.repeatedSpans(d, "doc_id", "text", k = 5)
+        .join(d.select(col("doc_id"), col("source")),
+          col("id") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("dup_x1000")).cast("long").as("sum_dup"),
+          max(col("dup_x1000")).cast("long").as("max_dup"),
+          sum(col("n_dup_tokens")).cast("long").as("sum_dup_tokens"))
+        .orderBy(col("source"))
+    }),
     // sequence packing: concatenate-then-chunk layout of the corpus token
     // stream into 512-token context windows — per-doc global offsets via
     // the distributed two-phase prefix sum (never a single-task window)
@@ -794,6 +810,37 @@ object PipelineQueries {
          |  CAST(SUM((per.n_in * 1000) // per.n_words) AS BIGINT) AS sum_cov,
          |  CAST(MIN((per.n_in * 1000) // per.n_words) AS BIGINT) AS min_cov,
          |  CAST(MAX((per.n_in * 1000) // per.n_words) AS BIGINT) AS max_cov
+         |FROM per JOIN documents d2 USING (doc_id)
+         |GROUP BY d2.source ORDER BY d2.source""".stripMargin,
+    // grams fold through the same portable 31-bit hash; coverage is the
+    // distinct-token union of repeated spans, permille by integer division
+    "q_dedup_spans" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split($docNorm, ' ') AS words
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, words
+         |  FROM d
+         |), grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ${sqlCharFold("array_to_string(words[i:i+4], ' ')", 31L, 1073741789L)} AS g
+         |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-3)) AS i
+         |        FROM w WHERE n_tokens >= 5)
+         |), rep AS (
+         |  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+         |), cov AS (
+         |  SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_dup
+         |  FROM (SELECT grams.doc_id, unnest(generate_series(pos, pos + 4)) AS tok
+         |        FROM grams JOIN rep USING (g))
+         |  GROUP BY doc_id
+         |), per AS (
+         |  SELECT w.doc_id, w.n_tokens, COALESCE(cov.n_dup, 0) AS n_dup
+         |  FROM w LEFT JOIN cov USING (doc_id)
+         |)
+         |SELECT d2.source, COUNT(*) AS n_docs,
+         |  CAST(SUM((per.n_dup * 1000) // per.n_tokens) AS BIGINT) AS sum_dup,
+         |  CAST(MAX((per.n_dup * 1000) // per.n_tokens) AS BIGINT) AS max_dup,
+         |  CAST(SUM(per.n_dup) AS BIGINT) AS sum_dup_tokens
          |FROM per JOIN documents d2 USING (doc_id)
          |GROUP BY d2.source ORDER BY d2.source""".stripMargin,
     // global prefix sum replicated as a plain window cumsum (the oracle can

@@ -240,6 +240,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(covK4.map(_.getLong(3)).toSeq == Seq(1000L, 1000L, 750L))
   }
 
+  test("repeated spans: cross-doc, within-doc, short-doc and unique cases") {
+    val d = Seq(
+      (1L, "a b c d e f"),                 // shares "a b c d e" with doc 2
+      (2L, "x a b c d e y"),
+      (3L, "q r s t u v q r s t u v"),     // repeats its own 5-grams
+      (4L, "m n o p"),                     // shorter than k: zero coverage
+      (5L, "zz yy xx ww vv uu")            // all grams unique
+    ).toDF("doc_id", "text")
+    val r = Dedup.repeatedSpans(d, "doc_id", "text", k = 5)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 6L, 5L, 833L),    // tokens 0-4 covered
+      (2L, 7L, 5L, 714L),    // tokens 1-5 covered
+      (3L, 12L, 12L, 1000L), // union of [0,5)∪[1,6)∪[6,11)∪[7,12) = all
+      (4L, 4L, 0L, 0L),
+      (5L, 6L, 0L, 0L)))
+  }
+
   test("sequence packing: global offsets, chunk spans, empty docs") {
     // tokens: 4, 7, 0, 12, 3 → offsets 0, 4, 11, 11, 23; seqLen 10
     val d = Seq(
