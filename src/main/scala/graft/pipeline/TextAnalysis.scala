@@ -196,6 +196,58 @@ object TextAnalysis {
       .withColumn("vocab_x1000", expr("n_in_vocab * 1000 div n_words"))
   }
 
+  /** Hashed linear classifier score (fastText-style model-based quality
+    * filtering — the wiki-vs-commoncrawl gate of CCNet/LLaMA pipelines,
+    * distinct from the heuristic [[qualityMetrics]]): each case-folded
+    * token hashes into one of `weights.length` buckets via the
+    * engine-portable 31-bit char fold, and the document's raw score is the
+    * sum of the bucket weights. The weight vector is the MODEL — trained
+    * offline, passed in as data; this operator is only the (distributed)
+    * inference pass.
+    *
+    * Weights must be NON-NEGATIVE small ints: a signed model is shifted by
+    * its most-negative weight (score shifts by `n_words·shift`, thresholds
+    * shift with it), which keeps the permille margin inside non-negative
+    * integer division — Spark's `div` truncates toward zero where other
+    * engines floor, so negative operands would drift across engines.
+    *
+    * Shape: the weight table rides into the plan as an array literal
+    * (hashed-trick models are statically bounded — 2^18 floats in real
+    * fastText; here whatever `weights.length` the caller trained), so
+    * scoring is scan-local — no join, no shuffle, no broadcast exchange,
+    * one pass over the token array per document. Linear at any corpus
+    * size.
+    *
+    * Same re-inlining caution as [[withRepetition]]: gate via a projected
+    * column + join (or [[classifierKeep]] over a materialized column), not
+    * by `.where()` on this expression directly. */
+  def classifierScore(text: Column, weights: Seq[Int]): Column = {
+    require(weights.nonEmpty && weights.forall(_ >= 0),
+      "weights must be non-empty and non-negative (shift a signed model)")
+    val d = weights.length
+    val wlit = typedlit(weights.toArray)
+    val words = filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+    aggregate(words, lit(0L), (acc, w) =>
+      acc + element_at(wlit, (Dedup.arithHash31(w) % d).cast("int") + 1).cast("long"))
+  }
+
+  /** Classifier margin ×1000: raw score per word, integer-division
+    * permille — the length-normalized form a keep threshold compares
+    * against (a weight vector in [0,6] with neutral 3 puts the natural
+    * gate at 3000). Empty documents score 0. */
+  def classifierMargin(text: Column, weights: Seq[Int]): Column = {
+    val words = filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+    val n = greatest(size(words), lit(1)).cast("long")
+    // floor == truncation here: both operands non-negative by construction
+    floor(classifierScore(text, weights).cast("double") * 1000.0 /
+      n.cast("double")).cast("long")
+  }
+
+  /** Model-based keep gate: margin ≥ threshold (permille units). */
+  def classifierKeep(text: Column, weights: Seq[Int],
+      thresholdPermille: Long): Column =
+    classifierMargin(text, weights) >= thresholdPermille
+
   /** Document fingerprint: 64-bit hash of the whitespace/case-normalized
     * text — the exact-dedup key and the cheap "same content" signature. */
   def fingerprint(text: Column): Column =

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Curate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Tokenizer}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -288,6 +288,48 @@ object PipelineQueries {
           max(col("ttr")).cast("long").as("max_ttr"))
         .orderBy(col("source"))
     }),
+    // model-based quality filtering: hashed-linear (fastText-style)
+    // classifier margin per doc, per-source rollup + keep count at the
+    // neutral-3000 gate. The weight vector is planted (bucket b →
+    // (37b+11) mod 7, values 0..6) but the ORACLE gets it as a literal
+    // list — the two sides share no derivation, only the model data
+    "q_text_classifier" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      d.select(col("source"),
+          TextAnalysis.classifierMargin(col("text"), classifierWeights).as("margin"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("margin")).cast("long").as("sum_margin"),
+          min(col("margin")).cast("long").as("min_margin"),
+          max(col("margin")).cast("long").as("max_margin"),
+          sum(when(col("margin") >= 3000L, 1L).otherwise(0L)).cast("long")
+            .as("n_keep"))
+        .orderBy(col("source"))
+    }),
+    // BPE tokenizer induction, round 1: corpus-weighted adjacent char-pair
+    // counts over the distinct-word table, top-20 merge candidates with the
+    // deterministic (count desc, pair asc) tie-break
+    "q_text_bpe" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Tokenizer.topPairs(Tokenizer.wordSymbols(d, "text"), 20)
+        .orderBy(col("n").desc, col("pair"))
+    }),
+    // BPE round 2: the argmax round-1 pair is merged into the symbol table
+    // (greedy left-to-right, exactly reference BPE) and pairs re-counted.
+    // The oracle replays the merge INDEPENDENTLY as a string replace —
+    // while symbols are single chars the two are provably the same
+    // operation — so applyMerge is checked end-to-end, not round-tripped
+    "q_text_bpe2" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val syms0 = Tokenizer.wordSymbols(d, "text")
+      val top = Tokenizer.topPairs(syms0, 1).collect()
+      val Array(a, b) = top(0).getString(0).split(" ", 2)
+      Tokenizer.topPairs(Tokenizer.applyMerge(syms0, a, b), 20)
+        .orderBy(col("n").desc, col("pair"))
+    }),
     // cross-document boilerplate: per-doc share of corpus-common 3-shingles
     // (appearing in >= 3 distinct docs), rolled up per source. The oracle
     // path keeps shingle strings (engine-portable identity); the hashed
@@ -427,6 +469,11 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n_events"),
           countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
         .orderBy(col("whois_org"))))
+
+  /** Planted 64-bucket weight vector for the classifier query (values
+    * 0..6, neutral 3 → natural keep gate at margin 3000). A real trained
+    * model drops in the same way — the operator takes the vector as data. */
+  private val classifierWeights: Seq[Int] = (0 until 64).map(b => (b * 37 + 11) % 7)
 
   private val docNorm = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
 
@@ -812,6 +859,81 @@ object PipelineQueries {
          |  CAST(MAX((per.n_in * 1000) // per.n_words) AS BIGINT) AS max_cov
          |FROM per JOIN documents d2 USING (doc_id)
          |GROUP BY d2.source ORDER BY d2.source""".stripMargin,
+    // the weight vector rides in as a LITERAL list (no shared derivation);
+    // margin = (raw*1000) // n_words, both operands non-negative so
+    // truncation == floor in every engine. Wordless docs keep margin 0 via
+    // the LEFT JOIN (Spark scores them 0 through the greatest(n,1) guard)
+    "q_text_classifier" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, lower(w) AS w
+         |  FROM (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE w <> ''
+         |), scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(([${classifierWeights.mkString(", ")}])
+         |      [(${sqlCharFold("w", 31L, 1073741789L)} % 64) + 1]) AS BIGINT)
+         |      AS raw
+         |  FROM words GROUP BY doc_id
+         |), margins AS (
+         |  SELECT d.source,
+         |    COALESCE((scored.raw * 1000) // scored.n_words, 0) AS margin
+         |  FROM documents d LEFT JOIN scored USING (doc_id)
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(margin) AS BIGINT) AS sum_margin,
+         |  CAST(MIN(margin) AS BIGINT) AS min_margin,
+         |  CAST(MAX(margin) AS BIGINT) AS max_margin,
+         |  CAST(SUM(CASE WHEN margin >= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep
+         |FROM margins GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_bpe" ->
+      s"""WITH words AS (
+         |  SELECT lower(w) AS w
+         |  FROM (SELECT unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE regexp_matches(lower(w), '^[a-z]+$$') AND length(w) >= 2
+         |), wc AS (
+         |  SELECT w, COUNT(*) AS freq FROM words GROUP BY 1
+         |), pairs AS (
+         |  SELECT substr(w, CAST(i AS INTEGER), 1) || ' ' ||
+         |    substr(w, CAST(i + 1 AS INTEGER), 1) AS pair, freq
+         |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wc)
+         |)
+         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+         |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // merge replay by string replace: left-to-right non-overlapping, the
+    // same greedy semantics as applyMerge's fold while symbols are single
+    // chars; chr(1) marks the merged symbol, mapped back in the pair name
+    "q_text_bpe2" ->
+      s"""WITH words AS (
+         |  SELECT lower(w) AS w
+         |  FROM (SELECT unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE regexp_matches(lower(w), '^[a-z]+$$') AND length(w) >= 2
+         |), wc AS (
+         |  SELECT w, COUNT(*) AS freq FROM words GROUP BY 1
+         |), p1 AS (
+         |  SELECT substr(w, CAST(i AS INTEGER), 1) || ' ' ||
+         |    substr(w, CAST(i + 1 AS INTEGER), 1) AS pair, freq
+         |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wc)
+         |), top1 AS (
+         |  SELECT replace(pair, ' ', '') AS m FROM (
+         |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+         |    FROM p1 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+         |), tw AS (
+         |  SELECT replace(w, (SELECT m FROM top1), chr(1)) AS w2, freq
+         |  FROM wc
+         |), p2 AS (
+         |  SELECT replace(substr(w2, CAST(i AS INTEGER), 1), chr(1),
+         |      (SELECT m FROM top1)) || ' ' ||
+         |    replace(substr(w2, CAST(i + 1 AS INTEGER), 1), chr(1),
+         |      (SELECT m FROM top1)) AS pair, freq
+         |  FROM (SELECT w2, freq, unnest(range(1, length(w2))) AS i
+         |        FROM tw WHERE length(w2) >= 2)
+         |)
+         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+         |FROM p2 GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     // grams fold through the same portable 31-bit hash; coverage is the
     // distinct-token union of repeated spans, permille by integer division
     "q_dedup_spans" ->

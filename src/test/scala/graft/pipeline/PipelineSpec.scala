@@ -621,4 +621,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1).getString(0) == "no pii here at all")
     assert(r(1).getLong(1) == 0L)
   }
+
+  test("hashed linear classifier agrees with an independent Scala model") {
+    val weights = (0 until 16).map(b => (b * 5 + 2) % 7)
+    def refScore(text: String): Long = {
+      val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      words.map { w =>
+        val f = w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L)
+        weights((f % 16).toInt).toLong
+      }.sum
+    }
+    val texts = Seq("The cat sat on the mat", "mat the on sat cat The",
+      "", "zebra", "Mixed CASE words HERE")
+    val d = texts.toDF("text")
+    val got = d.select(TextAnalysis.classifierScore(col("text"), weights))
+      .as[Long].collect().toSeq
+    assert(got == texts.map(refScore))
+    assert(got(0) == got(1)) // bag-of-words: order-invariant
+    val m = d.select(TextAnalysis.classifierMargin(col("text"), weights))
+      .as[Long].collect().toSeq
+    val expM = texts.map { t =>
+      val n = math.max(t.toLowerCase.trim.split("\\s+").count(_.nonEmpty), 1)
+      refScore(t) * 1000 / n
+    }
+    assert(m == expM)
+    assert(m(2) == 0L) // empty doc scores margin 0, not an error
+    // keep gate is the margin threshold
+    val k = d.select(TextAnalysis.classifierKeep(col("text"), weights, m(0)))
+      .as[Boolean].collect().toSeq
+    assert(k(0) && k(1))
+  }
+
+  test("BPE induction: canonical merge sequence with deterministic ties") {
+    // low*5 lower*2 newest*6 widest*3: round-1 max is the 9-9 tie
+    // (e s)/(s t) -> pair-asc admits (e s); then (es t)=9; then the 7-7
+    // (l o)/(o w) tie -> (l o)
+    val d = Seq(
+      Seq.fill(5)("low").mkString(" ") + " lower lower",
+      Seq.fill(6)("newest").mkString(" "),
+      "widest widest widest").toDF("text")
+    val merges = Tokenizer.bpeTrain(d, "text", 3)
+    assert(merges == Seq(("e s", 9L), ("es t", 9L), ("l o", 7L)))
+  }
+
+  test("BPE merge fold is greedy left-to-right non-overlapping") {
+    val d = Seq("aaa aaa aaaa").toDF("text")
+    val syms = Tokenizer.wordSymbols(d, "text")
+    val merged = Tokenizer.applyMerge(syms, "a", "a")
+      .select(col("w"), col("syms")).as[(String, Seq[String])].collect().toMap
+    assert(merged("aaa") == Seq("aa", "a"))
+    assert(merged("aaaa") == Seq("aa", "aa"))
+    // a fully-merged 2-char word leaves the pair stream (1 symbol left)
+    val d2 = Seq("ab ab abc").toDF("text")
+    val s2 = Tokenizer.applyMerge(Tokenizer.wordSymbols(d2, "text"), "a", "b")
+    val pairs = Tokenizer.pairCounts(s2).as[(String, Long)].collect().toMap
+    assert(pairs == Map("ab c" -> 1L))
+  }
+
+  test("BPE word table case-folds and keeps only [a-z]{2,} words") {
+    val d = Seq("Hello WORLD ab3 ok x").toDF("text")
+    val ws = Tokenizer.wordSymbols(d, "text")
+      .select("w").as[String].collect().toSet
+    assert(ws == Set("hello", "world", "ok"))
+  }
 }
