@@ -66,6 +66,31 @@ object Tokenizer {
           .otherwise(concat(acc, array(x)))))
   }
 
+  /** A trained merge list applied in training order — the ENCODE direction
+    * of BPE. Each merge is one scan-local fold; for large merge lists,
+    * checkpoint every ~16 merges (nested-lambda plans grow linearly) the
+    * same way bpeTrain truncates per-round. */
+  def encodeSymbols(syms: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(syms) { case (s, (a, b)) => applyMerge(s, a, b) }
+
+  /** Per-document token counts under a trained BPE model: (id, n_words,
+    * n_bpe_tokens) over the qualifying ([a-z]{2,}) words. The distinct-word
+    * table is encoded ONCE (merge folds never touch the corpus); the word
+    * stream joins it on the word — an AQE-broadcastable build side, since
+    * the encoded vocabulary is Heaps'-law small. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+    val wt = encodeSymbols(wordSymbols(df, textCol), merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+    words.join(wt, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Train `rounds` BPE merges: each round takes the argmax pair (one
     * aggregation job; only ONE row reaches the driver — the same
     * bounded-driver-state posture as k-means centroids) and folds it into

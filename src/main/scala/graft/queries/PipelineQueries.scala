@@ -330,6 +330,24 @@ object PipelineQueries {
       Tokenizer.topPairs(Tokenizer.applyMerge(syms0, a, b), 20)
         .orderBy(col("n").desc, col("pair"))
     }),
+    // BPE encode: per-doc token counts under a 2-merge model trained on
+    // the corpus itself; the oracle re-derives BOTH merges and the encoded
+    // word lengths independently in SQL (string-replace replay)
+    "q_text_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val merges = Tokenizer.bpeTrain(d, "text", 2).map { case (p, _) =>
+        val Array(a, b) = p.split(" ", 2); (a, b)
+      }
+      Tokenizer.tokenCounts(d, "doc_id", "text", merges)
+        .join(d.select(col("doc_id"), col("source")),
+          col("id") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("sum_words"),
+          sum(col("n_bpe_tokens")).cast("long").as("sum_bpe"))
+        .orderBy(col("source"))
+    }),
     // cross-document boilerplate: per-doc share of corpus-common 3-shingles
     // (appearing in >= 3 distinct docs), rolled up per source. The oracle
     // path keeps shingle strings (engine-portable identity); the hashed
@@ -934,6 +952,59 @@ object PipelineQueries {
          |)
          |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
          |FROM p2 GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // both merges re-derived in SQL; encoded length via chained replaces:
+    // round-1 merge chars -> chr(1), then the round-2 pattern (components
+    // mapped into w2-space) -> chr(2); length(w3) IS the token count
+    "q_text_bpe_encode" ->
+      s"""WITH w0 AS (
+         |  SELECT doc_id, lower(w) AS w
+         |  FROM (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE regexp_matches(lower(w), '^[a-z]+$$') AND length(w) >= 2
+         |), wc AS (
+         |  SELECT w, COUNT(*) AS freq FROM w0 GROUP BY 1
+         |), p1 AS (
+         |  SELECT substr(w, CAST(i AS INTEGER), 1) || ' ' ||
+         |    substr(w, CAST(i + 1 AS INTEGER), 1) AS pair, freq
+         |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wc)
+         |), top1 AS (
+         |  SELECT replace(pair, ' ', '') AS m FROM (
+         |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+         |    FROM p1 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+         |), tw AS (
+         |  SELECT w, replace(w, (SELECT m FROM top1), chr(1)) AS w2, freq
+         |  FROM wc
+         |), p2 AS (
+         |  SELECT replace(substr(w2, CAST(i AS INTEGER), 1), chr(1),
+         |      (SELECT m FROM top1)) || ' ' ||
+         |    replace(substr(w2, CAST(i + 1 AS INTEGER), 1), chr(1),
+         |      (SELECT m FROM top1)) AS pair, freq
+         |  FROM (SELECT w2, freq, unnest(range(1, length(w2))) AS i
+         |        FROM tw WHERE length(w2) >= 2)
+         |), top2 AS (
+         |  SELECT pair FROM (
+         |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+         |    FROM p2 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+         |), pat2 AS (
+         |  SELECT replace(string_split(pair, ' ')[1], (SELECT m FROM top1),
+         |      chr(1)) ||
+         |    replace(string_split(pair, ' ')[2], (SELECT m FROM top1),
+         |      chr(1)) AS p
+         |  FROM top2
+         |), enc AS (
+         |  SELECT w, CAST(length(replace(w2, (SELECT p FROM pat2), chr(2)))
+         |    AS BIGINT) AS n_tok
+         |  FROM tw
+         |), per AS (
+         |  SELECT w0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(enc.n_tok) AS BIGINT) AS n_bpe
+         |  FROM w0 JOIN enc USING (w) GROUP BY 1
+         |)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(per.n_words) AS BIGINT) AS sum_words,
+         |  CAST(SUM(per.n_bpe) AS BIGINT) AS sum_bpe
+         |FROM per JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // grams fold through the same portable 31-bit hash; coverage is the
     // distinct-token union of repeated spans, permille by integer division
     "q_dedup_spans" ->

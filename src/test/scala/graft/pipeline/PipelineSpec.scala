@@ -678,6 +678,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Map("ab c" -> 1L))
   }
 
+  test("BPE encode: per-doc token counts under a trained model") {
+    val d = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ") + " lower lower"),
+      (2L, Seq.fill(6)("newest").mkString(" ")),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(d, "text", 2).map { case (p, _) =>
+      val Array(a, b) = p.split(" ", 2); (a, b)
+    }
+    assert(merges == Seq(("e", "s"), ("es", "t")))
+    // low: 3 syms (untouched); lower: 5; newest: n,e,w,est = 4; widest: 4
+    val r = Tokenizer.tokenCounts(d, "doc_id", "text", merges)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 7L, 25L), (2L, 6L, 24L), (3L, 3L, 12L)))
+  }
+
   test("BPE word table case-folds and keeps only [a-z]{2,} words") {
     val d = Seq("Hello WORLD ab3 ok x").toDF("text")
     val ws = Tokenizer.wordSymbols(d, "text")
