@@ -38,4 +38,37 @@ object Sampling {
     }
     df.where(samplePermille(col(idCol), salt) < rate)
   }
+
+  /** Keep rates that hit a per-stratum token BUDGET: rate = min(1000,
+    * 1000·budget div total) — integer division (engine-portable,
+    * conservative: the expected kept mass never exceeds the budget).
+    * One map-side-combined aggregation; only |strata| rows reach the
+    * driver. Strata with no budget entry get rate 0 (dropped). */
+  def tokenBudgetRates(df: DataFrame, strataCol: String, weightCol: String,
+      budgets: String => Option[Long]): Map[String, Int] = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("long").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    totals.map { case (s, t) =>
+      val rate = budgets(s) match {
+        case Some(b) if t > 0 => math.min(1000L, b * 1000L / t).toInt
+        case _ => 0
+      }
+      s -> rate
+    }.toMap
+  }
+
+  /** Token-budget mixture (Pile/Dolma-style training-mix construction):
+    * deterministically downsample each stratum so its kept token mass
+    * approaches its budget, leaving under-budget strata whole. The derived
+    * rates fold into [[stratified]]'s literal CASE chain, so the mixture
+    * is still ONE scan-level predicate over the corpus — the aggregation
+    * that sizes the strata is the only extra pass, and it is map-side
+    * combined down to |strata| rows. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, budgetPerStratum: Long,
+      salt: String = "s"): DataFrame =
+    stratified(df, idCol, strataCol,
+      tokenBudgetRates(df, strataCol, weightCol, _ => Some(budgetPerStratum)),
+      defaultPermille = 0, salt = salt)
 }

@@ -389,6 +389,21 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // token-budget mixture: per-source keep rates derived from a 1000-word
+    // budget (integer permille, clamped), applied as one scan predicate;
+    // the oracle recomputes totals, rates and the hash predicate itself
+    "q_sample_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+        .withColumn("n_words", TextAnalysis.wordCount(col("text")).cast("long"))
+      Sampling.tokenBudgetMix(d, "doc_id", "source", "n_words",
+        budgetPerStratum = 1000L, salt = "mix")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("kept_words"))
+        .orderBy(col("source"))
+    }),
+
     // The full curation chain as one plan: dedup → quality → repetition cap
     // → redact → sample (planted PII so the redaction stage is falsifiable)
     "q_pipeline_curate" -> ((s, dir) => {
@@ -1083,6 +1098,30 @@ object PipelineQueries {
          |  < (CASE WHEN source = 'src0' THEN 800
          |          WHEN source = 'src2' THEN 150 ELSE 500 END)
          |ORDER BY doc_id""".stripMargin,
+    // totals → integer-permille rates (clamped at 1000) → the same
+    // char-fold predicate; a source kept whole shows its full word mass
+    "q_sample_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_words
+         |  FROM documents
+         |), tot AS (
+         |  SELECT source, CAST(SUM(n_words) AS BIGINT) AS total
+         |  FROM d GROUP BY 1
+         |), rates AS (
+         |  SELECT source, CASE WHEN total <= 0 THEN 0
+         |    WHEN (1000 * 1000) // total > 1000 THEN 1000
+         |    ELSE (1000 * 1000) // total END AS rate
+         |  FROM tot
+         |), keep AS (
+         |  SELECT d.doc_id, d.source, d.n_words
+         |  FROM d JOIN rates USING (source)
+         |  WHERE ${sqlCharFold("'mix:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000
+         |    < rate
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS kept_words
+         |FROM keep GROUP BY source ORDER BY source""".stripMargin,
     // Full LSH replica: integer-exact sign bits (see Similarity.rhpSignature)
     // → chunk buckets → candidate join → exact cosine re-rank. planes=16,
     // chunks=4; Spark's 0-based dim index ≡ generate_subscripts - 1.

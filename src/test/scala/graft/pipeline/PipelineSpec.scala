@@ -693,6 +693,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Seq((1L, 7L, 25L), (2L, 6L, 24L), (3L, 3L, 12L)))
   }
 
+  test("token-budget mix: under-budget strata whole, over-budget rated down") {
+    // A: 2 docs x 5 words = 10, budget 20 -> rate min(1000, 20000/10) = 1000
+    // B: 8 docs x 5 words = 40, budget 20 -> rate 20*1000/40 = 500
+    val d = (Seq((1L, "A"), (2L, "A")) ++ (10L to 17L).map(i => (i, "B")))
+      .map { case (i, s) => (i, s, "a b c d e") }
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_words", TextAnalysis.wordCount(col("text")).cast("long"))
+    val rates = Sampling.tokenBudgetRates(d, "source", "n_words", _ => Some(20L))
+    assert(rates == Map("A" -> 1000, "B" -> 500))
+    val kept = Sampling.tokenBudgetMix(d, "doc_id", "source", "n_words", 20L,
+      salt = "mx").select("doc_id").as[Long].collect().toSet
+    def coord(id: Long) =
+      s"mx:$id".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L) % 1000
+    val expect = Set(1L, 2L) ++ (10L to 17L).filter(coord(_) < 500)
+    assert(kept == expect)
+    // no-budget strata drop; zero-total strata never divide by zero
+    val r0 = Sampling.tokenBudgetRates(d, "source", "n_words",
+      s => if (s == "A") Some(20L) else None)
+    assert(r0 == Map("A" -> 1000, "B" -> 0))
+  }
+
   test("BPE word table case-folds and keeps only [a-z]{2,} words") {
     val d = Seq("Hello WORLD ab3 ok x").toDF("text")
     val ws = Tokenizer.wordSymbols(d, "text")
