@@ -324,7 +324,10 @@ object PipelineQueries {
     "q_text_bpe2" -> ((s, dir) => {
       val d = docs(s, dir).select(
         regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
-      val syms0 = Tokenizer.wordSymbols(d, "text")
+      // the word table feeds both the argmax pass and the re-count:
+      // checkpoint it once (the bpeTrain discipline) instead of rebuilding
+      // it from the corpus per pass
+      val syms0 = Tokenizer.wordSymbols(d, "text").localCheckpoint()
       val top = Tokenizer.topPairs(syms0, 1).collect()
       val Array(a, b) = top(0).getString(0).split(" ", 2)
       Tokenizer.topPairs(Tokenizer.applyMerge(syms0, a, b), 20)

@@ -118,6 +118,31 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  test("classifier scoring is scan-local: model literal, no Exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = (0 until 64).map(b => (b * 37 + 11) % 7)
+    val scored = docs.select(col("doc_id"),
+      graft.pipeline.TextAnalysis.classifierMargin(col("text"), w).as("m"))
+    val plan = scored.queryExecution.executedPlan.toString
+    // the hashing-trick weight table rides in as an array literal: inference
+    // must be a pure projection over the scan — no join, no broadcast
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("BPE pair stats: two combined exchanges and a TakeOrdered argmax") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val top = graft.pipeline.Tokenizer.topPairs(
+      graft.pipeline.Tokenizer.wordSymbols(docs, "text"), 20)
+    val plan = top.queryExecution.executedPlan.toString
+    // word rollup + pair rollup, each map-side combined; the top-K is a
+    // TakeOrderedAndProject, never a global sort
+    assert(plan.split("Exchange").length - 1 == 2, plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Sort ") || plan.contains("TakeOrderedAndProject"),
+      plan.take(3000))
+  }
+
   test("keyset continuation (pageAfter) plans as TakeOrderedAndProject") {
     val tok = RibViews.pageToken(ring = true)
     val first = re.select(tok.as("t")).limit(1).collect()(0).getStruct(0)
