@@ -46,12 +46,19 @@ object Sampling {
     * driver. Strata with no budget entry get rate 0 (dropped). */
   def tokenBudgetRates(df: DataFrame, strataCol: String, weightCol: String,
       budgets: String => Option[Long]): Map[String, Int] = {
-    val totals = df.groupBy(col(strataCol))
+    // null strata can't carry a budget and would NPE stratified()'s
+    // rate-chain sort; null weight sums read as empty strata
+    val totals = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
       .agg(sum(col(weightCol)).cast("long").as("total"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
     totals.map { case (s, t) =>
       val rate = budgets(s) match {
-        case Some(b) if t > 0 => math.min(1000L, b * 1000L / t).toInt
+        // BigInt sidesteps b*1000 overflow for huge "no limit" budgets;
+        // the clamp makes b >= t mean "keep the stratum whole"
+        case Some(b) if t > 0 && b >= 0 =>
+          (BigInt(b) * 1000 / t).min(1000).toInt
         case _ => 0
       }
       s -> rate

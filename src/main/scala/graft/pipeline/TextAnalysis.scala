@@ -238,9 +238,10 @@ object TextAnalysis {
   def classifierMargin(text: Column, weights: Seq[Int]): Column = {
     val words = filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
     val n = greatest(size(words), lit(1)).cast("long")
-    // floor == truncation here: both operands non-negative by construction
-    floor(classifierScore(text, weights).cast("double") * 1000.0 /
-      n.cast("double")).cast("long")
+    // EXACT integer division (IntegralDivide via the registry's `div`):
+    // no double rounding however large score*1000 grows, and truncation
+    // equals floor because both operands are non-negative by construction
+    call_function("div", classifierScore(text, weights) * 1000L, n)
   }
 
   /** Model-based keep gate: margin ≥ threshold (permille units). */

@@ -79,12 +79,20 @@ object Tokenizer {
     * stream joins it on the word — an AQE-broadcastable build side, since
     * the encoded vocabulary is Heaps'-law small. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)]): DataFrame =
+    tokenCountsFor(df, idCol, textCol,
+      encodeSymbols(wordSymbols(df, textCol), merges))
+
+  /** [[tokenCounts]] against an ALREADY-encoded symbol table — the path to
+    * take right after [[bpeTrainTable]], whose final table is exactly this
+    * argument: re-deriving it from the corpus would repeat the word-count
+    * exchange for no new information. */
+  def tokenCountsFor(df: DataFrame, idCol: String, textCol: String,
+      encoded: DataFrame): DataFrame = {
     val words = df.select(col(idCol).as("id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-    val wt = encodeSymbols(wordSymbols(df, textCol), merges)
-      .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+    val wt = encoded.select(col("w"), size(col("syms")).cast("long").as("n_tok"))
     words.join(wt, Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_words"),
@@ -99,7 +107,14 @@ object Tokenizer {
     * duplicateClusters discipline). Returns the merge list in training
     * order with counts; fewer than `rounds` entries when the table runs
     * dry. */
-  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): Seq[(String, Long)] = {
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): Seq[(String, Long)] =
+    bpeTrainTable(df, textCol, rounds)._1
+
+  /** [[bpeTrain]] that also returns the final (checkpointed) symbol table —
+    * feed it straight to [[tokenCountsFor]] to encode without re-scanning
+    * the corpus. */
+  def bpeTrainTable(df: DataFrame, textCol: String,
+      rounds: Int): (Seq[(String, Long)], DataFrame) = {
     var syms = wordSymbols(df, textCol).localCheckpoint()
     val merges = Seq.newBuilder[(String, Long)]
     var r = 0
@@ -115,6 +130,6 @@ object Tokenizer {
       }
       r += 1
     }
-    merges.result()
+    (merges.result(), syms)
   }
 }

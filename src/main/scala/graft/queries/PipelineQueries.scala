@@ -339,10 +339,10 @@ object PipelineQueries {
     "q_text_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"),
         regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
-      val merges = Tokenizer.bpeTrain(d, "text", 2).map { case (p, _) =>
-        val Array(a, b) = p.split(" ", 2); (a, b)
-      }
-      Tokenizer.tokenCounts(d, "doc_id", "text", merges)
+      // bpeTrainTable's final checkpointed table IS the encoded vocabulary:
+      // encode joins against it instead of re-scanning the corpus
+      val (_, encoded) = Tokenizer.bpeTrainTable(d, "text", 2)
+      Tokenizer.tokenCountsFor(d, "doc_id", "text", encoded)
         .join(d.select(col("doc_id"), col("source")),
           col("id") === col("doc_id"))
         .groupBy(col("source"))
@@ -1106,7 +1106,7 @@ object PipelineQueries {
     "q_sample_budget" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
-         |    CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_words
+         |    CAST(len(string_split(trim($docNorm), ' ')) AS BIGINT) AS n_words
          |  FROM documents
          |), tot AS (
          |  SELECT source, CAST(SUM(n_words) AS BIGINT) AS total

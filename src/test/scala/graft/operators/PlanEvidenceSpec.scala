@@ -139,8 +139,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
     // TakeOrderedAndProject, never a global sort
     assert(plan.split("Exchange").length - 1 == 2, plan.take(3000))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
-    assert(!plan.contains("Sort ") || plan.contains("TakeOrderedAndProject"),
-      plan.take(3000))
+    assert(!plan.contains("Sort "), plan.take(3000))
   }
 
   test("keyset continuation (pageAfter) plans as TakeOrderedAndProject") {

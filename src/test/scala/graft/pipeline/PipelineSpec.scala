@@ -712,6 +712,18 @@ class PipelineSpec extends AnyFunSuite {
     val r0 = Sampling.tokenBudgetRates(d, "source", "n_words",
       s => if (s == "A") Some(20L) else None)
     assert(r0 == Map("A" -> 1000, "B" -> 0))
+    // null strata are ignored (not an NPE in the rate chain) and a huge
+    // "no limit" budget keeps strata whole instead of overflowing negative
+    val dn = d.unionByName(
+      Seq((99L, null.asInstanceOf[String], "a b"))
+        .toDF("doc_id", "source", "text")
+        .withColumn("n_words",
+          TextAnalysis.wordCount(col("text")).cast("long")))
+    val rBig = Sampling.tokenBudgetRates(dn, "source", "n_words",
+      _ => Some(Long.MaxValue))
+    assert(rBig == Map("A" -> 1000, "B" -> 1000))
+    assert(Sampling.tokenBudgetMix(dn, "doc_id", "source", "n_words",
+      Long.MaxValue).count() == 10L)
   }
 
   test("BPE word table case-folds and keeps only [a-z]{2,} words") {
