@@ -65,6 +65,42 @@ object Sampling {
     }.toMap
   }
 
+  /** Epoch-weighted mixture (repeat-factor upsampling): per-stratum target
+    * epochs in permille — 2500 means every row appears twice and the
+    * deterministic half of the stratum a third time; 300 means a 0.3×
+    * downsample. The GPT-3/DoReMi-style mix where premium sources are
+    * seen multiple times per training pass.
+    *
+    * Each emitted row carries a `copy` index (1..k) so downstream
+    * shuffles, dedup keys, and packing treat repeats as distinct rows.
+    * Deterministic: full epochs replicate unconditionally; the fractional
+    * epoch keeps rows whose (salt, id) coordinate falls below the
+    * fraction — the same portable hash as [[sample]], so replicas nest
+    * across epoch changes. The per-stratum base/fraction fold into TWO
+    * literal CASE chains (no runtime division); the explode multiplies
+    * only by each row's own copy count, so output size is exactly the
+    * epoch-weighted mass — scan-local, no shuffle, no state. */
+  def withEpochs(df: DataFrame, idCol: String, strataCol: String,
+      epochsPermille: Map[String, Int], defaultPermille: Int,
+      salt: String = "s"): DataFrame = {
+    require((epochsPermille.values ++ Seq(defaultPermille)).forall(_ >= 0),
+      "epoch permilles must be non-negative")
+    def chain(f: Int => Int): Column =
+      epochsPermille.toSeq.sortBy(_._1).foldLeft(lit(f(defaultPermille))) {
+        case (acc, (k, v)) =>
+          when(col(strataCol) === lit(k), lit(f(v))).otherwise(acc)
+      }
+    val copies = chain(_ / 1000) +
+      when(samplePermille(col(idCol), salt) < chain(_ % 1000), 1).otherwise(0)
+    // the >0 guard must precede explode: Spark's sequence(1, 0) would step
+    // DOWNWARD ([1, 0]), not produce the empty array DuckDB's
+    // generate_series gives
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Token-budget mixture (Pile/Dolma-style training-mix construction):
     * deterministically downsample each stratum so its kept token mass
     * approaches its budget, leaving under-budget strata whole. The derived

@@ -407,6 +407,20 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // epoch-weighted mixture: src0 seen 2.5x (full double + deterministic
+    // half), src1 downsampled to 0.3x, everything else exactly once; the
+    // copy index makes repeats distinct rows
+    "q_sample_epochs" -> ((s, dir) => {
+      Sampling.withEpochs(docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", Map("src0" -> 2500, "src1" -> 300),
+        defaultPermille = 1000, salt = "ep")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          max(col("copy")).cast("long").as("max_copy"))
+        .orderBy(col("source"))
+    }),
+
     // The full curation chain as one plan: dedup → quality → repetition cap
     // → redact → sample (planted PII so the redaction stage is falsifiable)
     "q_pipeline_curate" -> ((s, dir) => {
@@ -1125,6 +1139,30 @@ object PipelineQueries {
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_words) AS BIGINT) AS kept_words
          |FROM keep GROUP BY source ORDER BY source""".stripMargin,
+    // base/frac epochs as CASE chains; generate_series replays the copy
+    // explode (empty for 0 copies, where Spark guards before sequence())
+    "q_sample_epochs" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN 2
+         |         WHEN source = 'src1' THEN 0 ELSE 1 END AS base,
+         |    CASE WHEN source = 'src0' THEN 500
+         |         WHEN source = 'src1' THEN 300 ELSE 0 END AS frac
+         |  FROM documents
+         |), k AS (
+         |  SELECT doc_id, source,
+         |    base + CASE WHEN
+         |      ${sqlCharFold("'ep:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000
+         |      < frac THEN 1 ELSE 0 END AS copies
+         |  FROM r
+         |), e AS (
+         |  SELECT doc_id, source, unnest(generate_series(1, copies)) AS copy
+         |  FROM k WHERE copies > 0
+         |)
+         |SELECT source, COUNT(*) AS n_rows,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(MAX(copy) AS BIGINT) AS max_copy
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
     // Full LSH replica: integer-exact sign bits (see Similarity.rhpSignature)
     // → chunk buckets → candidate join → exact cosine re-rank. planes=16,
     // chunks=4; Spark's 0-based dim index ≡ generate_subscripts - 1.

@@ -726,6 +726,31 @@ class PipelineSpec extends AnyFunSuite {
       Long.MaxValue).count() == 10L)
   }
 
+  test("epoch mixture: full copies plus deterministic fractional epoch") {
+    val d = (1L to 30L).map(i =>
+        (i, if (i <= 10) "A" else if (i <= 20) "B" else "C"))
+      .toDF("doc_id", "source")
+    def coord(id: Long) =
+      s"ep:$id".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L) % 1000
+    val out = Sampling.withEpochs(d, "doc_id", "source",
+      Map("A" -> 2500, "B" -> 300), defaultPermille = 1000, salt = "ep")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val expect = (1L to 30L).flatMap { i =>
+      val copies =
+        if (i <= 10) 2 + (if (coord(i) < 500) 1 else 0)
+        else if (i <= 20) (if (coord(i) < 300) 1 else 0)
+        else 1
+      if (copies > 0) Some(i -> copies.toLong) else None
+    }.toMap
+    assert(out == expect)
+    // copy indices are 1..k, distinct per repeat
+    val copies = Sampling.withEpochs(d, "doc_id", "source",
+      Map("A" -> 2500), 1000, "ep")
+      .where(col("doc_id") === 1L).select("copy").as[Int].collect().sorted
+    assert(copies.toSeq == (1 to (2 + (if (coord(1) < 500) 1 else 0))))
+  }
+
   test("BPE word table case-folds and keeps only [a-z]{2,} words") {
     val d = Seq("Hello WORLD ab3 ok x").toDF("text")
     val ws = Tokenizer.wordSymbols(d, "text")
