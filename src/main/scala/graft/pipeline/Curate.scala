@@ -19,17 +19,30 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   /** Curated corpus: canonical members (min id per content fingerprint)
-    * that pass the quality gate and the within-doc repetition cap, PII
+    * that pass the quality gate (and, when a model is supplied, the
+    * hashed-linear classifier gate — heuristics first, model second, the
+    * standard pipeline order) and the within-doc repetition cap, PII
     * redacted, deterministically sampled at `samplePermille` under `salt`.
-    * Adds `repetition_x1000`, `redacted`, `n_red` to the surviving rows. */
+    * Adds `repetition_x1000`, `redacted`, `n_red` to the surviving rows.
+    *
+    * `classifier` = (weights, margin threshold). The gate is a direct
+    * scan predicate: unlike the repetition column it references the token
+    * array only twice (score + count), so pushdown costs a second split —
+    * linear, not the quadratic alias re-inlining repetitionByDoc avoids. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       maxRepetitionPermille: Int = 300, samplePermille: Int = 1000,
-      salt: String = "cur", shingleK: Int = 3): DataFrame = {
+      salt: String = "cur", shingleK: Int = 3,
+      classifier: Option[(Seq[Int], Long)] = None): DataFrame = {
     val byFp = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
     val deduped = docs
       .withColumn("__keep_id", min(col(idCol)).over(byFp))
       .where(col("__keep_id") === col(idCol)).drop("__keep_id")
-    val qualified = deduped.where(TextAnalysis.qualityKeep(col(textCol)))
+    val heurGated = deduped.where(TextAnalysis.qualityKeep(col(textCol)))
+    val qualified = classifier match {
+      case Some((w, thr)) =>
+        heurGated.where(TextAnalysis.classifierKeep(col(textCol), w, thr))
+      case None => heurGated
+    }
     // gate on the AGGREGATE repetition form: filtering on the scan-local
     // column re-inlines its lambda chain through predicate pushdown
     // (quadratic split-per-lambda, measured 8× — see TextAnalysis caution)

@@ -434,6 +434,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // curation with the model gate: heuristics first, classifier second,
+    // then the repetition cap — the full five-stage chain plus inference
+    "q_pipeline_curate2" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        plantedPii(col("doc_id"),
+          regexp_replace(trim(col("text")), "\\s+", " ")).as("text"))
+      Curate.curate(d, "doc_id", "text", maxRepetitionPermille = 50,
+        samplePermille = 600, salt = "cur",
+        classifier = Some((classifierWeights, 3000L)))
+        .select(col("doc_id"), col("source"), col("repetition_x1000"),
+          col("n_red"), col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- multimodal -----------------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.blobsFromDocuments(docs(s, dir))
@@ -727,6 +741,101 @@ object PipelineQueries {
     }.getOrElse(Map.empty)
 
   def oracleSql: Map[String, String] = staticOracleSql ++ centroidOracleEntries
+
+
+  /** The curation-chain oracle; `classifierThr` inserts the hashed-linear
+    * classifier stage between the heuristic quality gate (q0) and the
+    * repetition cap — the same stage order as Curate.curate. */
+  private def curateOracleSql(classifierThr: Option[Long]): String = {
+    val gateCtes = classifierThr match {
+      case Some(thr) =>
+        s""", cw AS (
+           |  SELECT doc_id, lower(w) AS w
+           |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM q0) x
+           |  WHERE w <> ''
+           |), cs AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+           |    CAST(SUM(([${classifierWeights.mkString(", ")}])
+           |      [(${sqlCharFold("w", 31L, 1073741789L)} % 64) + 1]) AS BIGINT) AS raw
+           |  FROM cw GROUP BY doc_id
+           |), q AS (
+           |  SELECT q0.doc_id, q0.source, q0.t FROM q0
+           |  JOIN cs USING (doc_id)
+           |  WHERE (cs.raw * 1000) // cs.nw >= $thr
+           |)""".stripMargin
+      case None => ", q AS (SELECT doc_id, source, t FROM q0)"
+    }
+    s"""WITH t0 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 5 = 0 THEN $docNorm
+         |      || ' contact u' || CAST(doc_id AS VARCHAR)
+         |      || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.com or http://h' || CAST(doc_id % 9 AS VARCHAR)
+         |      || '.example/p' || CAST(doc_id AS VARCHAR)
+         |      || ' at 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+         |    ELSE $docNorm END AS t
+         |  FROM documents
+         |), ded AS (
+         |  SELECT doc_id, source, t FROM (
+         |    SELECT doc_id, source, t,
+         |      MIN(doc_id) OVER (PARTITION BY lower(t)) AS keep_id
+         |    FROM t0) x
+         |  WHERE keep_id = doc_id
+         |), m AS (
+         |  SELECT doc_id, source, t,
+         |    len(string_split(t, ' ')) AS n_words,
+         |    length(t) AS n_chars,
+         |    len(regexp_extract_all(t, '[A-Za-z]')) AS alpha,
+         |    len(regexp_extract_all(t,'\\bthe\\b'))+len(regexp_extract_all(t,'\\band\\b'))
+         |      +len(regexp_extract_all(t,'\\bof\\b'))+len(regexp_extract_all(t,'\\bto\\b'))
+         |      +len(regexp_extract_all(t,'\\bin\\b'))
+         |      +len(regexp_extract_all(t,'\\bder\\b'))+len(regexp_extract_all(t,'\\bdie\\b'))
+         |      +len(regexp_extract_all(t,'\\bund\\b'))+len(regexp_extract_all(t,'\\bdas\\b'))
+         |      +len(regexp_extract_all(t,'\\bist\\b'))
+         |      +len(regexp_extract_all(t,'\\ble\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
+         |      +len(regexp_extract_all(t,'\\bet\\b'))+len(regexp_extract_all(t,'\\bles\\b'))
+         |      +len(regexp_extract_all(t,'\\bdes\\b'))
+         |      +len(regexp_extract_all(t,'\\bel\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
+         |      +len(regexp_extract_all(t,'\\blos\\b'))+len(regexp_extract_all(t,'\\bque\\b'))
+         |      +len(regexp_extract_all(t,'\\bde\\b')) AS stop
+         |  FROM ded
+         |), q0 AS (
+         |  SELECT doc_id, source, t FROM m
+         |  WHERE n_words >= 10
+         |    AND CAST(FLOOR(stop*1000.0/greatest(n_words,1)) AS BIGINT) >= 20
+         |    AND CAST(FLOOR(alpha*1000.0/greatest(n_chars,1)) AS BIGINT) >= 600
+         |)$gateCtes, dw AS (
+         |  SELECT doc_id, source, t, string_split(t, ' ') AS words FROM q
+         |), shm AS (
+         |  SELECT doc_id, words[i]||' '||words[i+1]||' '||words[i+2] AS s
+         |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-1)) AS i
+         |        FROM dw WHERE len(words) >= 3) x
+         |  UNION ALL
+         |  SELECT doc_id, array_to_string(words, ' ') AS s FROM dw WHERE len(words) < 3
+         |), rep AS (
+         |  SELECT doc_id,
+         |    CAST(FLOOR((COUNT(*) - COUNT(DISTINCT s)) * 1000.0 / COUNT(*)) AS BIGINT) AS r
+         |  FROM shm GROUP BY doc_id
+         |), kept AS (
+         |  SELECT dw.doc_id, dw.source, dw.t, rep.r FROM dw
+         |  JOIN rep ON rep.doc_id = dw.doc_id
+         |  WHERE rep.r <= 50
+         |), red AS (
+         |  SELECT doc_id, source, r,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+         |      AS redacted
+         |  FROM kept
+         |)
+         |SELECT doc_id, source, r AS repetition_x1000,
+         |  CAST(len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) AS BIGINT) AS n_red,
+         |  redacted
+         |FROM red
+         |WHERE ${sqlCharFold("'cur:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 < 600
+         |ORDER BY doc_id""".stripMargin
+  }
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1316,77 +1425,10 @@ object PipelineQueries {
     // arithmetic, the q_text_repetition shingle arithmetic, the q_text_redact
     // regex chain, the q_sample_stratified hash predicate — each fragment
     // individually proven by its standalone oracle.
-    "q_pipeline_curate" ->
-      s"""WITH t0 AS (
-         |  SELECT doc_id, source,
-         |    CASE WHEN doc_id % 5 = 0 THEN $docNorm
-         |      || ' contact u' || CAST(doc_id AS VARCHAR)
-         |      || '@ex' || CAST(doc_id % 7 AS VARCHAR)
-         |      || '.com or http://h' || CAST(doc_id % 9 AS VARCHAR)
-         |      || '.example/p' || CAST(doc_id AS VARCHAR)
-         |      || ' at 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
-         |    ELSE $docNorm END AS t
-         |  FROM documents
-         |), ded AS (
-         |  SELECT doc_id, source, t FROM (
-         |    SELECT doc_id, source, t,
-         |      MIN(doc_id) OVER (PARTITION BY lower(t)) AS keep_id
-         |    FROM t0) x
-         |  WHERE keep_id = doc_id
-         |), m AS (
-         |  SELECT doc_id, source, t,
-         |    len(string_split(t, ' ')) AS n_words,
-         |    length(t) AS n_chars,
-         |    len(regexp_extract_all(t, '[A-Za-z]')) AS alpha,
-         |    len(regexp_extract_all(t,'\\bthe\\b'))+len(regexp_extract_all(t,'\\band\\b'))
-         |      +len(regexp_extract_all(t,'\\bof\\b'))+len(regexp_extract_all(t,'\\bto\\b'))
-         |      +len(regexp_extract_all(t,'\\bin\\b'))
-         |      +len(regexp_extract_all(t,'\\bder\\b'))+len(regexp_extract_all(t,'\\bdie\\b'))
-         |      +len(regexp_extract_all(t,'\\bund\\b'))+len(regexp_extract_all(t,'\\bdas\\b'))
-         |      +len(regexp_extract_all(t,'\\bist\\b'))
-         |      +len(regexp_extract_all(t,'\\ble\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
-         |      +len(regexp_extract_all(t,'\\bet\\b'))+len(regexp_extract_all(t,'\\bles\\b'))
-         |      +len(regexp_extract_all(t,'\\bdes\\b'))
-         |      +len(regexp_extract_all(t,'\\bel\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
-         |      +len(regexp_extract_all(t,'\\blos\\b'))+len(regexp_extract_all(t,'\\bque\\b'))
-         |      +len(regexp_extract_all(t,'\\bde\\b')) AS stop
-         |  FROM ded
-         |), q AS (
-         |  SELECT doc_id, source, t FROM m
-         |  WHERE n_words >= 10
-         |    AND CAST(FLOOR(stop*1000.0/greatest(n_words,1)) AS BIGINT) >= 20
-         |    AND CAST(FLOOR(alpha*1000.0/greatest(n_chars,1)) AS BIGINT) >= 600
-         |), dw AS (
-         |  SELECT doc_id, source, t, string_split(t, ' ') AS words FROM q
-         |), shm AS (
-         |  SELECT doc_id, words[i]||' '||words[i+1]||' '||words[i+2] AS s
-         |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-1)) AS i
-         |        FROM dw WHERE len(words) >= 3) x
-         |  UNION ALL
-         |  SELECT doc_id, array_to_string(words, ' ') AS s FROM dw WHERE len(words) < 3
-         |), rep AS (
-         |  SELECT doc_id,
-         |    CAST(FLOOR((COUNT(*) - COUNT(DISTINCT s)) * 1000.0 / COUNT(*)) AS BIGINT) AS r
-         |  FROM shm GROUP BY doc_id
-         |), kept AS (
-         |  SELECT dw.doc_id, dw.source, dw.t, rep.r FROM dw
-         |  JOIN rep ON rep.doc_id = dw.doc_id
-         |  WHERE rep.r <= 50
-         |), red AS (
-         |  SELECT doc_id, source, r,
-         |    regexp_replace(regexp_replace(regexp_replace(t,
-         |      'https?://[^\\s]+', '<URL>', 'g'),
-         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
-         |      AS redacted
-         |  FROM kept
-         |)
-         |SELECT doc_id, source, r AS repetition_x1000,
-         |  CAST(len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) AS BIGINT) AS n_red,
-         |  redacted
-         |FROM red
-         |WHERE ${sqlCharFold("'cur:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 < 600
-         |ORDER BY doc_id""".stripMargin,
+    "q_pipeline_curate" -> curateOracleSql(None),
+    // same chain with the model gate between heuristics and the
+    // repetition cap (mirrors Curate.curate stage order)
+    "q_pipeline_curate2" -> curateOracleSql(Some(3000L)),
     "q_multimodal_meta" ->
       """SELECT CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  COUNT(*) AS n_assets,

@@ -608,6 +608,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.keySet == Set(1L, 3L))
     assert(r(1L) == ((0L, 0L, good)))
     assert(r(3L)._1 == 1L && r(3L)._3.contains("<EMAIL>"))
+    // the optional model gate actually gates: an unreachable threshold
+    // empties the chain, a zero threshold changes nothing
+    val w = (0 until 16).map(b => (b * 5 + 2) % 7)
+    assert(Curate.curate(d, "doc_id", "text", maxRepetitionPermille = 50,
+      samplePermille = 1000, salt = "t",
+      classifier = Some((w, Long.MaxValue))).count() == 0L)
+    assert(Curate.curate(d, "doc_id", "text", maxRepetitionPermille = 50,
+      samplePermille = 1000, salt = "t",
+      classifier = Some((w, 0L))).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 3L))
   }
 
   test("pii redaction: urls before emails before ips, counts consistent") {
