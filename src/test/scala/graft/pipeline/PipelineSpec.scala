@@ -761,6 +761,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(copies.toSeq == (1 to (2 + (if (coord(1) < 500) 1 else 0))))
   }
 
+  test("property: classifier score = bag-of-words hash sum on random texts") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(41L + i)))
+    val w = (0 until 32).map(b => (b * 11 + 5) % 9)
+    def ref(text: String): Long =
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).map { t =>
+        val f = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L)
+        w((f % 32).toInt).toLong
+      }.sum
+    val genWord = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a' to 'f')).map(_.mkString))
+    val genText = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val texts = samples(genText, 40)
+    val d = texts.map(t => (t, t.split(" ").reverse.mkString(" ")))
+      .toDF("t1", "t2")
+    val got = d.select(TextAnalysis.classifierScore(col("t1"), w),
+        TextAnalysis.classifierScore(col("t2"), w))
+      .as[(Long, Long)].collect().toSeq
+    got.zip(texts).foreach { case ((s1, s2), t) =>
+      assert(s1 == ref(t), t)  // engine == independent model
+      assert(s1 == s2, t)      // order invariance
+    }
+  }
+
+  test("property: greedy merge preserves content and eliminates the pair") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(97L + i)))
+    def model(xs: Seq[String]): Seq[String] =
+      xs.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == "a" && x == "b")
+          acc.init :+ "ab"
+        else acc :+ x
+      }
+    val genSyms = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.toVector))
+    val arrays = samples(genSyms, 60).zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }
+    val d = arrays.toDF("id", "syms")
+    val got = Tokenizer.applyMerge(d, "a", "b")
+      .select("id", "syms").as[(Long, Seq[String])].collect().toMap
+    arrays.foreach { case (i, a) =>
+      val m = model(a)
+      assert(got(i) == m, a)
+      assert(got(i).mkString == a.mkString, a)  // content preserved
+      // the merged pair never survives adjacent in the output
+      assert(!got(i).zip(got(i).drop(1)).contains(("a", "b")), a)
+    }
+  }
+
   test("BPE word table case-folds and keeps only [a-z]{2,} words") {
     val d = Seq("Hello WORLD ab3 ok x").toDF("text")
     val ws = Tokenizer.wordSymbols(d, "text")
