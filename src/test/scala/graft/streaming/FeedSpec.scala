@@ -199,6 +199,33 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet) // nothing lost vs batch dedup
   }
 
+  test("ST: streamed classifier gate admits exactly the batch keep set") {
+    val s = spark
+    import s.implicits._
+    val stage = tmp()
+    val w = (0 until 64).map(b => (b * 37 + 11) % 7)
+    val docs = spark.read.parquet(s"$srcSf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    // the gate is stateless (model is an array literal), so it applies to
+    // a stream unchanged — same Column, no watermark, no state store
+    val q = stream
+      .where(graft.pipeline.TextAnalysis.classifierKeep(col("text"), w, 3000L))
+      .writeStream.format("memory").queryName("clf_gate")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT doc_id FROM clf_gate")
+      .as[Long].collect().toSet
+    val batch = docs
+      .where(graft.pipeline.TextAnalysis.classifierKeep(col("text"), w, 3000L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < docs.count())
+  }
+
   test("event frames match the reference's two WS shapes; client cmd parses") {
     val events = spark.read.parquet(s"$srcSf/events.parquet")
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
