@@ -204,6 +204,83 @@ object Similarity {
       .select(col("probe_id"), col("id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Product-quantization codebooks: the embedding dimension splits into
+    * `m` contiguous subspaces and each subspace trains its own
+    * deterministic k-means codebook of `ksub` sub-centroids — the FAISS-PQ
+    * layout. Training per subspace reuses the memoized deterministic Lloyd
+    * pipeline ([[ivfCentroids]] over a sub-vector projection — each
+    * subspace is its own semantic plan, so the memo keys them apart).
+    * Returns [m][ksub][dsub]. Only m·ksub·dsub doubles reach the driver. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).toArray.map { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as(vecCol))
+      ivfCentroids(sub, idCol, vecCol, ksub, iters)
+    }
+  }
+
+  /** PQ codes: (id, v, codes) with `codes(s)` the nearest sub-centroid of
+    * subspace s — the compressed representation (m small ints instead of
+    * dim floats; at 100 TB THIS is what a compressed-domain scan reads).
+    * Scan-local projection against codebook literals, no shuffle; the
+    * per-subspace argmax shares [[cellOf]]'s first-max tie-break. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = books(0)(0).length
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    c.withColumn("codes", array(books.zipWithIndex.map { case (bk, s) =>
+      cellOf(slice(col("v"), s * dsub + 1, dsub), bk)
+    }: _*))
+  }
+
+  /** PQ ANN (asymmetric-distance computation + exact re-rank): candidates
+    * rank by the cosine between the probe and each corpus vector's
+    * RECONSTRUCTION — per subspace, one table lookup of the probe·centroid
+    * dot and the centroid's squared norm, both codebook literals, so the
+    * compressed-domain pass reads only the m-int code per row; the top
+    * `rerank` candidates per probe are re-scored with exact cosine. Same
+    * output shape as the other ANN ops; recall < 1 by construction
+    * (pinned against bruteForceTopK by spec). At 100 TB: probes broadcast,
+    * the corpus scan is compressed-domain, only `rerank` rows per probe
+    * touch full vectors again. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 8, rerank: Int = 50,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    val dsub = books(0)(0).length
+    val encoded = pqEncode(corpus, idCol, vecCol, books)
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+    // Σ_s table_s[code_s]: probe·sub-centroid dots (ADC numerator) and the
+    // reconstruction's squared norm — both resolved per row by code lookup
+    val approxDot = (0 until m).map { s =>
+      val tab = array(books(s).map(wc =>
+        dotLit(slice(col("pv"), s * dsub + 1, dsub), wc)): _*)
+      element_at(tab, element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val recNorm2 = (0 until m).map { s =>
+      val tab = array(books(s).map(wc => lit(wc.map(x => x * x).sum)): _*)
+      element_at(tab, element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val joined = encoded.join(broadcast(p), col("id") =!= col("probe_id"))
+      .withColumn("adc", approxDot / (norm(col("pv")) * sqrt(recNorm2)))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("id"))
+    val cands = joined.withColumn("crank", row_number().over(wAdc))
+      .where(col("crank") <= rerank)
+    val scored = cands.withColumn("cosine",
+      dot(col("v"), col("pv")) / (norm(col("v")) * norm(col("pv"))))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** LSH-bucketed ANN: signature chunks as buckets, exact cosine re-rank of
     * the candidates only. Same output shape as bruteForceTopK; recall < 1
     * by construction (ScalaTest pins it against brute force). */

@@ -146,6 +146,17 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // PQ ANN: per-subspace codebooks (deterministic k-means) → m-int codes
+    // → compressed-domain ADC scan → exact re-rank; the oracle re-derives
+    // encoding, ADC and re-rank from the codebook literals
+    "q_sim_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      Similarity.pqTopK(e, probes, "vec_id", "embedding", 10)
+        .select(col("probe_id"), col("id"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // --- content clustering (curation) ----------------------------------
     // deterministic k-means assignment as a first-class operator: cluster
     // sizes + integer id aggregates (exact hash compare); the oracle
@@ -733,12 +744,93 @@ object PipelineQueries {
     oracleContext.flatMap { case (s, dir) =>
       try {
         val cents = Similarity.ivfCentroids(emb(s, dir), "vec_id", "embedding")
+        val books = Similarity.pqCodebooks(emb(s, dir), "vec_id", "embedding")
         Some(Map(
           "q_sim_ivf" -> ivfOracleSql(cents),
+          "q_sim_pq" -> pqOracleSql(books),
           "q_embed_clusters" -> clustersOracleSql(cents),
           "q_embed_cluster_sample" -> clusterSampleOracleSql(cents)))
       } catch { case _: Throwable => None }
     }.getOrElse(Map.empty)
+
+  /** DuckDB replica of Similarity.pqTopK downstream of training: the
+    * codebooks ride in as VALUES literals keyed (subspace, cell); encoding
+    * is the per-subspace argmax (first-max tie-break via ORDER BY cell),
+    * ADC is Σ_s probe·centroid − reconstruction-norm cosine, then the
+    * exact-cosine re-rank of the top-50 — independently of the engine's
+    * lookup-table formulation. */
+  private def pqOracleSql(books: Array[Array[Array[Double]]]): String = {
+    def fmt(x: Double): String = java.lang.Double.toString(x)
+    val dsub = books(0)(0).length
+    val wRows = books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.zipWithIndex.flatMap { case (wc, cell) =>
+        wc.zipWithIndex.map { case (x, j) => s"($s,$cell,${j + 1},${fmt(x)})" }
+      }
+    }.mkString(", ")
+    val nRows = books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.zipWithIndex.map { case (wc, cell) =>
+        s"($s,$cell,${fmt(wc.map(x => x * x).sum)})" }
+    }.mkString(", ")
+    s"""WITH w AS (SELECT * FROM (VALUES $wRows) t(s, cell, j, wx)),
+       |wn AS (SELECT * FROM (VALUES $nRows) t(s, cell, n2)),
+       |v AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |), vs AS (
+       |  SELECT vec_id, CAST((i - 1) // $dsub AS INTEGER) AS s,
+       |    CAST(i - ((i - 1) // $dsub) * $dsub AS INTEGER) AS j, x
+       |  FROM v
+       |), sc AS (
+       |  SELECT vs.vec_id, w.s, w.cell,
+       |    SUM(vs.x * w.wx) - MAX(wn.n2) / 2 AS score
+       |  FROM vs JOIN w ON vs.s = w.s AND vs.j = w.j
+       |  JOIN wn ON wn.s = w.s AND wn.cell = w.cell
+       |  GROUP BY 1, 2, 3
+       |), assign AS (
+       |  SELECT vec_id, s, cell FROM (
+       |    SELECT vec_id, s, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |        ORDER BY score DESC, cell) AS rn
+       |    FROM sc) t WHERE rn = 1
+       |), ptab AS (
+       |  SELECT vs.vec_id AS probe_id, w.s, w.cell, SUM(vs.x * w.wx) AS pd
+       |  FROM vs JOIN w ON vs.s = w.s AND vs.j = w.j
+       |  WHERE vs.vec_id IN (0, 17, 42)
+       |  GROUP BY 1, 2, 3
+       |), pnorm AS (
+       |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
+       |), adc AS (
+       |  SELECT pt.probe_id, a.vec_id AS id,
+       |    SUM(pt.pd) AS dotsum, SUM(wn.n2) AS rn2
+       |  FROM assign a
+       |  JOIN ptab pt ON pt.s = a.s AND pt.cell = a.cell
+       |  JOIN wn ON wn.s = a.s AND wn.cell = a.cell
+       |  WHERE a.vec_id <> pt.probe_id
+       |  GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT probe_id, id FROM (
+       |    SELECT adc.probe_id, adc.id,
+       |      ROW_NUMBER() OVER (PARTITION BY adc.probe_id
+       |        ORDER BY adc.dotsum / (np.nrm * sqrt(adc.rn2)) DESC, adc.id) AS rn
+       |    FROM adc JOIN pnorm np ON np.vec_id = adc.probe_id) t
+       |  WHERE rn <= 50
+       |), scored AS (
+       |  SELECT cand.probe_id, cand.id,
+       |    SUM(pv.x * cx.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+       |  FROM cand
+       |  JOIN v pv ON pv.vec_id = cand.probe_id
+       |  JOIN v cx ON cx.vec_id = cand.id AND cx.i = pv.i
+       |  JOIN pnorm np ON np.vec_id = cand.probe_id
+       |  JOIN pnorm nc ON nc.vec_id = cand.id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
+       |  SELECT probe_id, id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = staticOracleSql ++ centroidOracleEntries
 

@@ -70,6 +70,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.size <= 30)
   }
 
+  test("pq ANN: codes well-formed, recall@10 vs brute force") {
+    val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
+    val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(pq.contains).toDouble / bf.size
+    // coarse 8-cell codebooks + top-50 rerank cut; must clearly beat chance
+    assert(recall >= 0.3, s"recall=$recall")
+    assert(pq.size == 30) // exactly k per probe: the ADC scan sees all rows
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+      books.forall(_.forall(_.length == 16)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .select(col("codes")).as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // encoding is deterministic across invocations
+    val codes2 = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .select(col("codes")).as[Seq[Int]].collect()
+    assert(codes.toSeq == codes2.toSeq)
+  }
+
   test("boilerplate ratio: hand fixture + hashed form equals string form") {
     // shared shingle "terms of service" appears in 3 docs (>= minDocs=3);
     // doc 4 is original prose; doc 5 is short (<k words → whole-text arm)
