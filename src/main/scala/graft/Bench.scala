@@ -49,17 +49,28 @@ object Bench {
     // ingest line measures the derive+write pipeline, not cold-start
     spark.range(1000).selectExpr("sum(id)").collect()
     try {
-      spark.read.parquet(s"$sfDir/events.parquet").count()
+      graft.queries.Tables(spark, sfDir, "events").count()
       // compile the derivation expressions once on a bounded slice
       graft.sources.RouteEventGen.fromEvents(
-        spark.read.parquet(s"$sfDir/events.parquet").limit(2000)).count()
+        graft.queries.Tables(spark, sfDir, "events").limit(2000)).count()
     } catch { case _: Throwable => () }
+    // Error discipline (VERDICT r8 item 2): a query that throws must NEVER
+    // be booked as a timing — r8 recorded six time-to-crash rows that read
+    // as an 8× speedup. Failed runs are recorded per-query as `err`,
+    // errored queries are excluded from every total, the artifact carries
+    // an explicit "errors" list, and the process exits nonzero so the
+    // driver's bench step goes red instead of green-with-lies.
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    def errMsg(e: Throwable): String = {
+      val m = Option(e.getMessage).getOrElse(e.getClass.getName)
+      m.replaceAll("\\s+", " ").take(160)
+    }
     // ingest once (materialize the derived route-event log) so per-query
     // timings measure the queries, not the shared ingest. Not repeated: the
     // second run would measure the page cache, not the pipeline.
     val tIngest0 = System.nanoTime()
     try graft.sources.RouteEventGen.routeEvents(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable => errors("ingest_route_events") = errMsg(e) }
     val ingestSec = (System.nanoTime() - tIngest0) / 1e9
     // stable name order: per-query timings comparable across rounds
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -69,8 +80,10 @@ object Bench {
       System.gc() // start each pass from a comparable heap
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable => errors.getOrElseUpdate(name, errMsg(e)) }
       }
     }
     def median(xs: List[Double]): Double = {
@@ -78,8 +91,13 @@ object Bench {
       s(s.length / 2) // odd reps -> true median; even -> upper-middle
     }
     def r4(d: Double): Double = math.rint(d * 1e4) / 1e4
-    val results = names.map { case (name, _) => name -> r4(median(samples(name))) }
-      .toMap ++ Map("ingest_route_events" -> r4(ingestSec))
+    // a query is a RESULT only if at least one pass completed; all-passes-
+    // failed queries appear solely in "errors" (partial failures keep the
+    // successful-pass median and are still flagged)
+    val results = names.collect { case (name, _) if samples(name).nonEmpty =>
+      name -> r4(median(samples(name)))
+    }.toMap ++ (if (errors.contains("ingest_route_events")) Map.empty[String, Double]
+                else Map("ingest_route_events" -> r4(ingestSec)))
     // `*_arith` queries are oracle-replica verification paths (portable-hash
     // re-derivations of the xxhash64 production twins), not operators a user
     // would run — split them out so the slowest-PRODUCTION-query reading is
@@ -95,8 +113,15 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibEnd = calibrate()
     val calib = s""""calib_sec":[${r4(calibStart)},${r4(calibEnd)}]"""
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errField = """"errors":""" + errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,"replica_queries":$replicaList,$calib}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,"replica_queries":$replicaList,$errField,$calib}"""
     println(line)
     // full artifact on disk: immune to stdout head/tail truncation
     try {
@@ -116,6 +141,13 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowestProd,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,$calib,"n_queries":${results.size},"queries_shown":"slowest 20 of ${results.size} production; full map in BENCH_full.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowestProd,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,$calib,"n_errors":${errors.size},"n_queries":${results.size},"queries_shown":"slowest 20 of ${results.size} production; full map in BENCH_full.json"}""")
+    // a broken production query means the bench artifact is incomplete:
+    // fail the step rather than let an N-queries-short total read as a win
+    if (errors.keys.exists(k => !isReplica(k))) {
+      System.err.println(s"[bench] ${errors.size} queries errored: " +
+        errors.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -238,8 +238,18 @@ object Snapshot {
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val bytes = encodeShard(it)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"part-$pid%05d.cbor"), bytes)
+          // stage + atomic move: a periodic exporter (Feed.compact's
+          // snapshot cadence) overwrites the same shard names every tick —
+          // a reader (or a crash) mid-write must see the previous complete
+          // file, never a torn one. ATOMIC_MOVE is same-directory, so it
+          // holds on any local/posix fs; object stores get the usual
+          // rename-as-copy caveat, same as every Spark committer.
+          val tmp = java.nio.file.Paths.get(dir, f".part-$pid%05d.cbor.tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(dir, f"part-$pid%05d.cbor"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           ()
         }
     }

@@ -110,10 +110,17 @@ object Feed {
 
   /** ST4: the periodic retention/compaction job — rewrite the log keeping
     * the newest `historyDepth` records per ring, OnlyDiffer-deduped (the
-    * reference's purge, src/bgprib.rs:875-902). Batch job on a schedule. */
+    * reference's purge, src/bgprib.rs:875-902). Batch job on a schedule.
+    *
+    * `snapshotDir`: when set, each compaction tick ALSO exports the
+    * compacted log as a CBOR snapshot in the reference's own on-disk
+    * format (Snapshot.write) — mirroring the reference's `snapshot_every`
+    * timer (src/config.rs:476-485), which couples its purge cadence to the
+    * periodic CBOR dump. A legacy bgpexplorer instance can load the emitted
+    * directory directly, so the streaming engine can feed one end-to-end. */
   def compact(spark: SparkSession, logDir: String, outDir: String,
       historyDepth: Int = 10, bucketTable: Option[String] = None,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8, snapshotDir: Option[String] = None): Unit = {
     val log = spark.read.parquet(logDir)
     val kept = graft.operators.RibViews.retained(
       graft.operators.RibViews.onlyDiffer(log), historyDepth)
@@ -133,6 +140,11 @@ object Feed {
       case None =>
         kept.write.mode("overwrite").parquet(outDir)
     }
+    // export AFTER the compacted write from the same `kept` plan: the
+    // snapshot sees exactly the retained rows, and a crash between the two
+    // writes leaves a stale-but-loadable snapshot, never a torn one
+    // (Snapshot.write stages per-shard files then moves them into place)
+    snapshotDir.foreach(d => graft.sources.Snapshot.write(kept, d))
   }
 
   /** ST5: recover the latest RIB state from the durable log — the snapshot

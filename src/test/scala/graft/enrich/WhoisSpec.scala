@@ -119,8 +119,7 @@ class WhoisSpec extends AnyFunSuite {
   }
 
   test("origin-AS enrichment derives the last ASN and a deterministic org") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
     val enriched = Whois.enrichOriginAs(
       graft.sources.RouteEventGen.fromEvents(events))
     val row = enriched.where(col("event_id") === 1) // eid 1: odd → as_list ends 65001

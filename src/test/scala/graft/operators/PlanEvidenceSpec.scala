@@ -55,6 +55,27 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("json page rollup groups on surrogate longs and compiles its codegen") {
+    // all three rollup levels and the key-flag aggregate must key on the
+    // route_id surrogate (one long), never the wide 9-column route-key
+    // struct — the struct key blew Janino's method limit and fell back to
+    // interpreted eval (SCALE.md P6 wart). SparkTestBase runs with
+    // spark.sql.codegen.fallback=false, so actually EXECUTING the page
+    // proves every generated stage compiles; the plan-string check pins
+    // the grouping keys so a regression is named, not just slow.
+    val (items, found, length) = RibJson.jsonPage(re, "ipv4u", "10.4.0.0/14",
+      RibJson.RibParams(skip = 0, limit = 20, maxDepth = 5))
+    val plan = items.queryExecution.executedPlan.toString
+    val aggKeys = "(?:HashAggregate|ObjectHashAggregate)\\(keys=\\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(aggKeys.nonEmpty, plan.take(3000))
+    aggKeys.foreach { k =>
+      assert(!k.contains("rib#") && !k.contains("__rk"),
+        s"wide-struct aggregate key leaked back into the page rollup: [$k]")
+    }
+    assert(items.collect().length > 0 && found > 0 && length > 0)
+  }
+
   test("wire decompose stays single-pass: one encode + one decode MapPartitions") {
     // the union-of-explodes shape re-ran the upstream per branch (5 decode
     // passes, ~2.2× measured); the concat-of-transforms + one-explode form

@@ -184,9 +184,7 @@ class RibViewsSpec extends AnyFunSuite {
   }
 
   test("range-prune hint never changes scan results (O2 equivalence)") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
     // materialized (as the production log is): composing the acceptance
     // tree directly over the inline derivation CASE trees exceeds Janino's
     // method limit, and SparkTestBase runs with codegen fallback DISABLED

@@ -10,9 +10,7 @@ class StatisticsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
   test("approx store counts stay within the HLL++ error bound of exact") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
     val d = graft.sources.RouteEventGen.fromEvents(events)
     val exact = Statistics.storeCounts(d).collect()(0)
     val approx = Statistics.storeCounts(d, approx = true, rsd = 0.02).collect()(0)

@@ -37,8 +37,7 @@ class SessionTransportSpec extends AnyFunSuite {
 
   test("loopback TCP: negotiate, keepalive, UPDATE dispatch, NOTIFICATION close") {
     // one real UPDATE frame off the wire fixtures (sf0.001 events)
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
     val updateFrame = BgpWire.encodeUpdates(
       UpdateDecompose.messages(events).limit(1))
       .select("bytes").collect()(0).getAs[Array[Byte]](0)

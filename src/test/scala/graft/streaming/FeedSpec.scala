@@ -21,8 +21,7 @@ class FeedSpec extends AnyFunSuite {
     val stage = tmp()
     val logDir = tmp() + "/log"
     val ckpt = tmp() + "/ckpt"
-    val events = spark.read.parquet(s"$srcSf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, srcSf, "events")
     // stage the source as 4 files → 4 micro-batches with maxFilesPerTrigger=1
     events.repartition(4).write.mode("overwrite").parquet(stage)
     val stream = spark.readStream
@@ -53,8 +52,7 @@ class FeedSpec extends AnyFunSuite {
 
   test("subscription feed applies rib gate AND the compiled filter") {
     val stage = tmp()
-    val events = spark.read.parquet(s"$srcSf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, srcSf, "events")
     // subscribers tail the DERIVED event log (the log IS the bus — ST1):
     // the compiled filter runs over stored columns, exactly the production
     // shape; filtering over the inline derivation CASE trees would exceed
@@ -81,8 +79,7 @@ class FeedSpec extends AnyFunSuite {
     val stage = tmp()
     val out = tmp() + "/wire_log"
     val ckpt = tmp() + "/wire_ckpt"
-    val events = spark.read.parquet(s"$srcSf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, srcSf, "events")
     // frames on disk stand in for a BMP/BGP capture; the streaming side is
     // the LIVE ingest path: bytes → decodeUpdates → decompose → log append
     val frames = BgpWire.encodeUpdates(
@@ -109,8 +106,7 @@ class FeedSpec extends AnyFunSuite {
   test("compaction keeps <= depth newest, deduped") {
     val stage = tmp()
     val out = tmp() + "/compact"
-    val events = spark.read.parquet(s"$srcSf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, srcSf, "events")
     graft.sources.RouteEventGen.fromEvents(events)
       .write.mode("overwrite").parquet(stage)
     Feed.compact(spark, stage, out, historyDepth = 2)
@@ -128,10 +124,37 @@ class FeedSpec extends AnyFunSuite {
       .toString.contains("Exchange"))
   }
 
+  test("compaction tick emits a loadable CBOR snapshot of the retained rows") {
+    // the reference couples its purge cadence to a periodic CBOR dump
+    // (`snapshot_every`, src/config.rs:476-485): a compaction tick with
+    // snapshotDir set must leave a snapshot a legacy instance could load,
+    // and it must reflect the RETAINED (deduped, depth-capped) rows — not
+    // the raw log
+    val stage = tmp()
+    val out = tmp() + "/compact"
+    val snapDir = tmp() + "/snap"
+    val events = graft.queries.Tables(spark, srcSf, "events")
+    graft.sources.RouteEventGen.fromEvents(events)
+      .where(col("attrs_hash") % 29 === 0) // bounded slice: CBOR is driver-light but the tree is per-shard memory
+      .write.mode("overwrite").parquet(stage)
+    Feed.compact(spark, stage, out, historyDepth = 2,
+      snapshotDir = Some(snapDir))
+    val compacted = spark.read.parquet(out)
+    val loaded = graft.sources.Snapshot.load(spark, snapDir)
+    assert(loaded.count() == compacted.count(),
+      "snapshot must carry exactly the retained rows")
+    // a second tick overwrites in place and stays loadable (the cadence
+    // case: same shard names every tick, atomic replace)
+    Feed.compact(spark, stage, out, historyDepth = 1,
+      snapshotDir = Some(snapDir))
+    val loaded2 = graft.sources.Snapshot.load(spark, snapDir)
+    assert(loaded2.count() == spark.read.parquet(out).count())
+    assert(loaded2.count() <= loaded.count()) // depth 1 retains no more
+  }
+
   test("compaction with bucketTable refuses a log without ring_id") {
     val stage = tmp()
-    val events = spark.read.parquet(s"$srcSf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, srcSf, "events")
     // strip the surrogate: asking for a bucketed target must now fail
     // loudly instead of silently writing a plain (unbucketed) directory
     graft.sources.RouteEventGen.fromEvents(events).drop("ring_id")
@@ -146,8 +169,7 @@ class FeedSpec extends AnyFunSuite {
 
   test("ST6 watermarked windowed live stats equal the batch rollup") {
     val stage = tmp()
-    val events = spark.read.parquet(s"$srcSf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, srcSf, "events")
     events.repartition(3).write.mode("overwrite").parquet(stage)
     val routeStream = graft.sources.RouteEventGen.fromEvents(
       spark.readStream.schema(events.schema)
@@ -227,8 +249,7 @@ class FeedSpec extends AnyFunSuite {
   }
 
   test("event frames match the reference's two WS shapes; client cmd parses") {
-    val events = spark.read.parquet(s"$srcSf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, srcSf, "events")
     val re = graft.sources.RouteEventGen.fromEvents(events)
     val one = re.where(col("rib") === "ipv4u" && col("active"))
       .select(Feed.eventFrame).limit(1).collect()(0).getString(0)
@@ -334,8 +355,7 @@ class FeedSpec extends AnyFunSuite {
   test("ST7 mapGroupsWithState session tracker converges to the batch rollup") {
     val stage = tmp()
     val ckpt = tmp() + "/ckpt"
-    val events = spark.read.parquet(s"$srcSf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.queries.Tables(spark, srcSf, "events")
     events.repartition(3).write.mode("overwrite").parquet(stage)
     val routeStream = graft.sources.RouteEventGen.fromEvents(
       spark.readStream.schema(events.schema)
