@@ -433,6 +433,57 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Semantic dedup, SemDeDup-style (cluster-then-prune): partition the
+    * embedding space with the deterministic k-means (Similarity
+    * .kmeansAssign — broadcast centroid literals, the corpus never
+    * shuffles for assignment), then inside each cluster drop every vector
+    * that has a MORE CENTRAL near-duplicate (pairwise cosine ≥
+    * `threshold`). Centrality is the cosine to the own cluster's centroid;
+    * ties break on lower id — the keep decision is a deterministic
+    * pairwise domination, no transitive closure, so the DuckDB oracle can
+    * replay it exactly. Cross-cluster near-duplicates are missed by
+    * construction — the standard SemDeDup recall/scale trade (the
+    * clustering IS the blocking stage).
+    *
+    * Returns one row per vector: (id, cluster, keep_flag).
+    *
+    * 100 TB posture: assignment and centrality are scan-level projections
+    * against literal centroids (no join); the only shuffle keys on
+    * `cluster`, and the pair join is quadratic ONLY within a cluster — at
+    * corpus scale `nlist` grows with the corpus (SemDeDup practice:
+    * ~√n..n/10k clusters) so cluster populations stay bounded; hot
+    * clusters are ordinary AQE skew-join territory. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, iters: Int = 2): DataFrame = {
+    import graft.pipeline.Similarity
+    val cents = Similarity.ivfCentroids(emb, idCol, vecCol, nlist, iters)
+    // (id, v, cluster) + per-row norm and centroid cosine: element_at over
+    // an array of per-centroid dot literals — one cell evaluation per row,
+    // same no-generator discipline as the IVF scorer
+    val cnorm = cents.map(w => math.sqrt(w.map(x => x * x).sum))
+    val cdots = array(cents.zipWithIndex.map { case (w, i) =>
+      graft.functions.VecDot(col("v"), lit(w)) / lit(cnorm(i)) }: _*)
+    val withC = Similarity.kmeansAssign(emb, idCol, vecCol, nlist, iters)
+      .withColumn("n", graft.functions.VecDot.norm(col("v")))
+      .withColumn("ccos", element_at(cdots, col("cluster") + 1) / col("n"))
+    val l = withC.select(col("id").as("a"), col("v").as("va"),
+      col("n").as("na"), col("cluster").as("cl"), col("ccos").as("ca"))
+    val r = withC.select(col("id").as("b"), col("v").as("vb"),
+      col("n").as("nb"), col("cluster").as("cr"), col("ccos").as("cb"))
+    // directed domination pairs: a outranks b within the cluster
+    val dominated = l.join(r,
+        col("cl") === col("cr") && col("a") =!= col("b") &&
+          (col("ca") > col("cb") ||
+            (col("ca") === col("cb") && col("a") < col("b"))))
+      .withColumn("cosine",
+        graft.functions.VecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("b")).distinct()
+    withC.join(dominated, withC("id") === dominated("b"), "left_outer")
+      .select(col("id"), col("cluster").cast("long").as("cluster"),
+        when(col("b").isNull, 1L).otherwise(0L).as("keep_flag"))
+  }
+
   /** Substring-level dedup: mark the token spans covered by word k-grams
     * that repeat anywhere in the corpus (including elsewhere in the same
     * document) — the span-removal signal of exact-substring training-data

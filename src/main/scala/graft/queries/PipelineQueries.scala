@@ -37,11 +37,16 @@ object PipelineQueries {
     val scaled = base.where(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("label"),
         transform(col("v"), x => x * lit(0.5d)).as("v"))
-    val dim = ((col("vec_id") / lit(10)).cast("long") % 64).cast("int")
+    // dim MUST be materialized before the id aliasing: a bare col("vec_id")
+    // inside the zip_with lambda resolves LATERALLY to the `vec_id+100000`
+    // alias of the same select (Spark lambda bodies resolve after the
+    // projection), silently shifting which dimension is damped — caught by
+    // the q_dedup_semantic oracle (the cosine oracle's 0.93 margin hid it)
     val bumped = base.where(col("vec_id") % 10 === 5)
+      .withColumn("__dim", ((col("vec_id") / lit(10)).cast("long") % 64).cast("int"))
       .select((col("vec_id") + 100000).as("vec_id"), col("label"),
         zip_with(col("v"), sequence(lit(0), lit(63)),
-          (x, i) => when(i === dim, x * lit(0.75d)).otherwise(x)).as("v"))
+          (x, i) => when(i === col("__dim"), x * lit(0.75d)).otherwise(x)).as("v"))
     base.unionByName(scaled).unionByName(bumped)
   }
 
@@ -107,6 +112,16 @@ object PipelineQueries {
         blockCol = Some("label"))
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
+    // SemDeDup cluster-then-prune over the planted near-dup fixture: the
+    // deterministic k-means is the blocking stage, centrality (cosine to
+    // the own centroid) elects the keeper; the oracle replays assignment
+    // against the trained centroid literals plus the domination rule,
+    // fully independently (semanticOracleSql)
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(plantedEmb(s, dir).select(col("vec_id"), col("v")),
+        "vec_id", "v", 0.9)
+        .select(col("id").as("vec_id"), col("cluster"), col("keep_flag"))
+        .orderBy(col("vec_id"))),
     // Pairs → components → canonical election: the decision stage of the
     // dedup pipeline (checked against a DuckDB recursive-CTE closure)
     "q_dedup_clusters" -> ((s, dir) => {
@@ -745,13 +760,90 @@ object PipelineQueries {
       try {
         val cents = Similarity.ivfCentroids(emb(s, dir), "vec_id", "embedding")
         val books = Similarity.pqCodebooks(emb(s, dir), "vec_id", "embedding")
+        // semantic dedup trains over the PLANTED corpus (the query input),
+        // so its centroid literals come from the same plan the query uses
+        val pcents = Similarity.ivfCentroids(
+          plantedEmb(s, dir).select(col("vec_id"), col("v")), "vec_id", "v")
         Some(Map(
           "q_sim_ivf" -> ivfOracleSql(cents),
           "q_sim_pq" -> pqOracleSql(books),
           "q_embed_clusters" -> clustersOracleSql(cents),
-          "q_embed_cluster_sample" -> clusterSampleOracleSql(cents)))
+          "q_embed_cluster_sample" -> clusterSampleOracleSql(cents),
+          "q_dedup_semantic" -> semanticOracleSql(pcents)))
       } catch { case _: Throwable => None }
     }.getOrElse(Map.empty)
+
+  /** DuckDB replica of Dedup.semanticDedup over the planted fixture:
+    * rebuild the planted vectors (same arithmetic as the cosine oracle),
+    * assign cells against the trained centroid literals (argmax
+    * dot − ‖w‖²/2, ties → lowest cell), compute centroid-cosine
+    * centrality, then apply the pairwise domination rule — a vector drops
+    * iff a same-cluster vector with (higher ccos, or equal ccos and lower
+    * id) sits at cosine ≥ 0.9. Every stage is re-derived from the
+    * literals; only the trained centroids are shared with the engine. */
+  private def semanticOracleSql(cents: Array[Array[Double]]): String = {
+    def fmt(x: Double): String = java.lang.Double.toString(x)
+    val wRows = cents.zipWithIndex.flatMap { case (w, cell) =>
+      w.zipWithIndex.map { case (x, j) => s"($cell,${j + 1},${fmt(x)})" }
+    }.mkString(", ")
+    val hRows = cents.zipWithIndex.map { case (w, cell) =>
+      s"($cell,${fmt(w.map(x => x * x).sum / 2)})" }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, i, x FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, i, x * 0.5 FROM base WHERE vec_id % 10 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 100000, i,
+       |    CASE WHEN i - 1 = (vec_id // 10) % 64 THEN x * 0.75 ELSE x END
+       |  FROM base WHERE vec_id % 10 = 5
+       |), w AS (SELECT * FROM (VALUES $wRows) t(cell, i, wx)),
+       |wh AS (SELECT * FROM (VALUES $hRows) t(cell, h)),
+       |sc AS (
+       |  SELECT v.vec_id, w.cell, SUM(v.x * w.wx) - MAX(wh.h) AS score
+       |  FROM v JOIN w ON v.i = w.i JOIN wh ON wh.cell = w.cell
+       |  GROUP BY 1, 2
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |    FROM sc) t WHERE rn = 1
+       |), vnorm AS (SELECT vec_id, sqrt(SUM(x*x)) AS vn FROM v GROUP BY 1),
+       |cnorm AS (SELECT cell, sqrt(SUM(wx*wx)) AS cn FROM w GROUP BY 1),
+       |cdot AS (
+       |  SELECT v.vec_id, w.cell, SUM(v.x * w.wx) AS d
+       |  FROM v JOIN w ON v.i = w.i GROUP BY 1, 2
+       |), cc AS (
+       |  SELECT a.vec_id, a.cell, cd.d / (vn.vn * cn.cn) AS ccos
+       |  FROM assign a
+       |  JOIN cdot cd ON cd.vec_id = a.vec_id AND cd.cell = a.cell
+       |  JOIN vnorm vn ON vn.vec_id = a.vec_id
+       |  JOIN cnorm cn ON cn.cell = a.cell
+       |), pc AS (
+       |  SELECT la.vec_id AS a, lb.vec_id AS b,
+       |    SUM(va.x * vb.x) / (MAX(na.vn) * MAX(nb.vn)) AS cosine
+       |  FROM assign la JOIN assign lb
+       |    ON la.cell = lb.cell AND la.vec_id <> lb.vec_id
+       |  JOIN v va ON va.vec_id = la.vec_id
+       |  JOIN v vb ON vb.vec_id = lb.vec_id AND vb.i = va.i
+       |  JOIN vnorm na ON na.vec_id = la.vec_id
+       |  JOIN vnorm nb ON nb.vec_id = lb.vec_id
+       |  GROUP BY 1, 2
+       |), dropped AS (
+       |  SELECT DISTINCT pc.b AS b FROM pc
+       |  JOIN cc ca ON ca.vec_id = pc.a
+       |  JOIN cc cb ON cb.vec_id = pc.b
+       |  WHERE pc.cosine >= 0.9
+       |    AND (ca.ccos > cb.ccos OR (ca.ccos = cb.ccos AND pc.a < pc.b))
+       |)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cluster,
+       |  CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+       |FROM assign a LEFT JOIN dropped d ON d.b = a.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB replica of Similarity.pqTopK downstream of training: the
     * codebooks ride in as VALUES literals keyed (subspace, cell); encoding

@@ -24,6 +24,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("semantic dedup: planted copies dropped, keepers dominate, total preserved") {
+    import graft.functions.VecDot
+    // plant exact-direction copies (ids +1000): SemDeDup must drop them in
+    // favor of the more-central original (exact ccos tie → lower id wins)
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val copies = base.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("v"), x => x * lit(0.25d)).as("v"))
+    val planted = base.unionByName(copies)
+    val out = Dedup.semanticDedup(planted, "vec_id", "v", 0.95)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == planted.count())
+    val dropped = rows.filter(_._3 == 0L).map(_._1).toSet
+    val kept = rows.filter(_._3 == 1L).map(_._1).toSet
+    // every planted copy whose cluster matches its original must be dropped,
+    // and the original kept (same direction → cosine 1 ≥ τ, ccos exact tie,
+    // lower id dominates); cross-cluster landings are the documented miss
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val copyIds = rows.map(_._1).filter(id => id >= 1000 && cluster.contains(id - 1000))
+    val sameCell = copyIds.filter(id => cluster(id) == cluster(id - 1000))
+    assert(sameCell.nonEmpty, "no copy landed in its original's cluster")
+    sameCell.foreach { id =>
+      assert(dropped.contains(id), s"copy $id not dropped")
+      assert(kept.contains(id - 1000), s"original ${id - 1000} not kept")
+    }
+    // internal consistency: every dropped vector has a same-cluster keeper
+    // at cosine >= threshold (recomputed independently here)
+    val vecs = planted.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    dropped.foreach { id =>
+      val witnesses = kept.filter(k => cluster(k) == cluster(id) &&
+        cos(vecs(k), vecs(id)) >= 0.95)
+      assert(witnesses.nonEmpty, s"dropped $id has no qualifying keeper")
+    }
+  }
+
   test("minhash LSH recall vs exact jaccard >= 0.8 on near-dup pairs") {
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3)
       .where(col("inter") * 10 >= col("union_n") * 8) // jaccard >= 0.8
