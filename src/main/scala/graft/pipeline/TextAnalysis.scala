@@ -166,6 +166,47 @@ object TextAnalysis {
       .withColumn("boilerplate_x1000", expr("n_common * 1000 div n_shingles"))
   }
 
+  /** C4-style corpus-level line dedup: across the WHOLE corpus, each
+    * distinct line (after the fingerprint normalization: trim, lowercase,
+    * whitespace collapse) is kept exactly once — at its first occurrence
+    * in (doc_id, position) order — and every later occurrence is removed.
+    * This is the boilerplate-stripping pass of the C4/mC4 pipelines (nav
+    * menus, cookie banners, share buttons repeat across pages; document-
+    * level dedup never sees them).
+    *
+    * Returns one row per document: (id, n_lines, n_kept, kept_text) where
+    * kept_text is the surviving lines re-joined in original order —
+    * exact-string checkable against an independent replica.
+    *
+    * Shape: lines explode scan-side (linear in corpus bytes); ONE exchange
+    * keys on the 64-bit line fingerprint with a map-side-combined
+    * `min(struct(id, pos))` — deliberately the groupBy+join form, NOT a
+    * `row_number` window: a hot boilerplate line ("Share this article" on
+    * every page) would funnel its entire partition into one window task,
+    * while the combine form reduces it map-side and joins the 1-row-per-
+    * fingerprint first-occurrence table back (AQE handles the join skew).
+    * One final exchange on id re-assembles documents. Linear, no
+    * all-pairs, no unpartitioned window. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "pos", "line")
+      .withColumn("fp", fingerprint(col("line")))
+    val firsts = lines.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val kept = lines.join(firsts, Seq("fp"))
+      .withColumn("keep",
+        (col("id") === col("f.id") && col("pos") === col("f.pos")).cast("long"))
+    kept.groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("keep") === 1L,
+            struct(col("pos"), col("line"))))),
+          x => x("line"))).as("kept_text"))
+  }
+
   /** Vocabulary coverage ×1000: the permille of a document's word
     * occurrences that fall inside the corpus top-K case-folded vocabulary.
     * The complement (1000 − coverage) is the out-of-vocabulary rate — the

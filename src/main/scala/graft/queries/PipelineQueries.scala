@@ -50,6 +50,20 @@ object PipelineQueries {
     base.unionByName(scaled).unionByName(bumped)
   }
 
+  /** Deterministically planted boilerplate LINES (the fixture text is a
+    * single line, so cross-page repeating lines — the C4 line-dedup target
+    * — are appended column-side on id strides; the %5 stride carries a
+    * two-variant tail so some planted lines repeat without being global). */
+  private def plantedLineDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nshare this article - follow us")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit("\n(c) example media syndication")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("\nrelated story "), (col("doc_id") % 2).cast("string")))
+        .otherwise(lit(""))).as("text"))
+
   /** Deterministically planted PII for every doc_id % 5 == 0 document —
     * the fixture contains no addresses at all (verified), so a redaction
     * query over raw text is vacuous. Pure integer→string arithmetic, so
@@ -249,6 +263,16 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
+    // C4-style corpus-level line dedup over planted boilerplate lines (the
+    // fixture text is single-line, so repeating nav/share/copyright lines
+    // are planted column-side on id strides — same discipline as the
+    // planted PII/embedding fixtures); keep-first semantics, re-assembled
+    // text exact-string-checked
+    "q_text_linededup" -> ((s, dir) =>
+      TextAnalysis.lineDedup(plantedLineDocs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("kept_text"))
+        .orderBy(col("doc_id"))),
     // vocabulary coverage (OOV-rate complement): permille of each doc's
     // word occurrences inside the corpus top-50 vocabulary; per-source
     // rollup keeps the oracle compact while every per-doc permille feeds it
@@ -1149,6 +1173,38 @@ object PipelineQueries {
          |FROM r
          |WHERE len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) > 0
          |ORDER BY doc_id""").stripMargin,
+    // planted-line rebuild + keep-first line dedup: the dedup key is the
+    // fingerprint NORMALIZATION (trim, lower, whitespace collapse) — the
+    // oracle groups on the normalized string itself where the engine
+    // groups on its 64-bit hash, so the equivalence classes match unless
+    // xxhash64 collides (the q_dedup_exact-established risk posture);
+    // 1-based generate_subscripts vs 0-based posexplode is harmless (only
+    // ordering and per-doc tie-breaks consume pos). COALESCE('') matches
+    // Spark's concat_ws over an empty array for fully-deduped docs.
+    "q_text_linededup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'share this article - follow us' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '(c) example media syndication' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'related story ' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END
+         |    AS t
+         |  FROM documents
+         |), ls AS (
+         |  SELECT doc_id, generate_subscripts(a, 1) AS i, unnest(a) AS l
+         |  FROM (SELECT doc_id, string_split(t, chr(10)) AS a FROM d)
+         |), keyed AS (
+         |  SELECT doc_id, i, l,
+         |    regexp_replace(lower(trim(l)), '\\s+', ' ', 'g') AS k
+         |  FROM ls
+         |), ranked AS (
+         |  SELECT doc_id, i, l,
+         |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, i) AS rn
+         |  FROM keyed
+         |)
+         |SELECT doc_id, COUNT(*) AS n_lines,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN l END, chr(10) ORDER BY i), '') AS kept_text
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // shingle construction mirrors Dedup.shingles (incl. the <k-words
     // whole-text arm); integer-division permille matches Spark's `div`
     "q_text_boilerplate" ->

@@ -24,6 +24,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("line dedup keeps first corpus occurrence, reassembles in order") {
+    val d = Seq(
+      (1L, "alpha beta\nShare This\ngamma"),
+      (2L, "share  this\ndelta\nalpha beta"), // "share this" normalizes into doc 1's line
+      (3L, "delta\nepsilon")                  // delta already seen in doc 2
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lineDedup(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // doc 1: all three lines are corpus-first
+    assert(r(1L) == ((3L, 3L, "alpha beta\nShare This\ngamma")))
+    // doc 2: "share  this" (≡ "Share This") and "alpha beta" drop, delta survives
+    assert(r(2L) == ((3L, 1L, "delta")))
+    // doc 3: delta seen in doc 2 → drops; epsilon survives
+    assert(r(3L) == ((2L, 1L, "epsilon")))
+  }
+
   test("semantic dedup: planted copies dropped, keepers dominate, total preserved") {
     import graft.functions.VecDot
     // plant exact-direction copies (ids +1000): SemDeDup must drop them in
