@@ -26,12 +26,20 @@ object Verify {
     // the same fixture the queries run against
     graft.queries.PipelineQueries.oracleContext = Some((spark, sfDir))
     new java.io.File(outDir).mkdirs()
+    // Error rows are an artifact, not just stderr (VERDICT r8 item 3): a
+    // query that fails to dump must leave a machine-readable trace next to
+    // the outputs, so a downstream compare that only walks result dirs can
+    // still see WHICH queries are absent and why instead of silently
+    // shrinking its denominator.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1)))
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val m = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = m.replaceAll("\\s+", " ").take(200)
+        System.err.println(s"[verify] $name failed: $m")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +57,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

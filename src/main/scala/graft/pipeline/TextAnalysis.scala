@@ -237,6 +237,59 @@ object TextAnalysis {
       .withColumn("vocab_x1000", expr("n_in_vocab * 1000 div n_words"))
   }
 
+  /** Corpus-trained bigram language-model score — the distributed analog
+    * of CCNet's KenLM perplexity filter (docs far from the corpus
+    * distribution score low; the standard statistical-quality gate next
+    * to the discriminative [[classifierMargin]]). The LM is add-k smoothed:
+    * P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁) + k·V) over case-folded whitespace
+    * words, and each document scores the average natural-log probability
+    * of its bigram stream, reported in integer MICRO-nats
+    * (floor(avg·10⁶)) — floating-point ln sums agree across engines only
+    * to ~10⁻¹² relative, so the fixed-point floor puts ~10⁻⁶ between the
+    * value and the nearest boundary and the oracle compare stays exact.
+    * Documents with fewer than two words carry n_bigrams = 0 and score 0.
+    *
+    * Shape: two global count aggregations (unigram, bigram — both
+    * map-side combined; the vocabulary size V is the 1-row distinct
+    * count); the doc bigram stream then joins the bigram-count table on
+    * the bigram key and the unigram table on w₁ — both plain shuffled
+    * equi-joins that AQE sizes (the count tables are far smaller than the
+    * stream after combine; Zipf-hot keys are its skew-join case) — and one
+    * final per-doc rollup. Linear end-to-end, no windows, no all-pairs;
+    * at 100 TB this is two count passes + two joins, the exact shape of a
+    * distributed n-gram-LM build. A pre-trained external LM would instead
+    * broadcast its table and drop both joins — this operator trains
+    * in-corpus so the whole path stays self-contained and oracle-checkable. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("ws"))
+      .select(col("id"), col("ws"), size(col("ws")).as("nw"))
+    val bigrams = words.where(col("nw") >= 2)
+      .select(col("id"), posexplode(expr(
+        "transform(sequence(0, nw - 2), i -> struct(ws[i] as w1, ws[i + 1] as w2))")))
+      .select(col("id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val unis = words.select(col("id"), explode(col("ws")).as("w"))
+    val uniCounts = unis.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vocabSize = uniCounts.count() // 1-row driver scalar: |V|
+    val biCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val scored = bigrams
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts.withColumnRenamed("w", "w1"), Seq("w1"))
+      .withColumn("lp", log((col("cb") + lit(k)) /
+        (col("cu") + lit(k * vocabSize))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        floor(avg(col("lp")) * lit(1e6)).cast("long").as("lm_micro_nats"))
+    // docs with < 2 words never enter the bigram stream: re-attach with a
+    // zero score so the output is total over the corpus
+    words.select(col("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_micro_nats"), lit(0L)).as("lm_micro_nats"))
+  }
+
   /** Hashed linear classifier score (fastText-style model-based quality
     * filtering — the wiki-vs-commoncrawl gate of CCNet/LLaMA pipelines,
     * distinct from the heuristic [[qualityMetrics]]): each case-folded

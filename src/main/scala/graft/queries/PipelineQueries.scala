@@ -263,6 +263,13 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
+    // corpus-trained bigram LM quality score (the CCNet perplexity-filter
+    // analog): add-k smoothed, integer micro-nats so the cross-engine
+    // float compare is exact
+    "q_text_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_micro_nats"))
+        .orderBy(col("doc_id"))),
     // C4-style corpus-level line dedup over planted boilerplate lines (the
     // fixture text is single-line, so repeating nav/share/copyright lines
     // are planted column-side on id strides — same discipline as the
@@ -1173,6 +1180,40 @@ object PipelineQueries {
          |FROM r
          |WHERE len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) > 0
          |ORDER BY doc_id""").stripMargin,
+    // bigram-LM replica: identical smoothing arithmetic on exact integer
+    // counts (the division operands are bit-identical doubles in both
+    // engines), DuckDB `ln` (natural log — its `log` is base-10), and the
+    // same micro-nat floor; per-term ulp drift on ln stays ~10⁻¹⁴ relative
+    // against the 10⁻⁶ fixed-point grid
+    "q_text_lm" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+         |  FROM documents
+         |), w2 AS (SELECT doc_id, ws, len(ws) AS nw FROM d),
+         |uni AS (SELECT unnest(ws) AS w FROM w2),
+         |uc AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY w),
+         |v AS (SELECT COUNT(*) AS nv FROM uc),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2x
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |        FROM w2 WHERE nw >= 2)
+         |), bc AS (SELECT w1, w2x, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT bg.doc_id,
+         |    ln((bc.cb + 0.5) / (uc.cu + 0.5 * (SELECT nv FROM v))) AS lp
+         |  FROM bg
+         |  JOIN bc ON bc.w1 = bg.w1 AND bc.w2x = bg.w2x
+         |  JOIN uc ON uc.w = bg.w1
+         |), agg AS (
+         |  SELECT doc_id, COUNT(*) AS nb,
+         |    CAST(floor(AVG(lp) * 1000000) AS BIGINT) AS mn
+         |  FROM sc GROUP BY doc_id
+         |)
+         |SELECT dd.doc_id, COALESCE(agg.nb, 0) AS n_bigrams,
+         |  COALESCE(agg.mn, 0) AS lm_micro_nats
+         |FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id
+         |ORDER BY dd.doc_id""".stripMargin,
     // planted-line rebuild + keep-first line dedup: the dedup key is the
     // fingerprint NORMALIZATION (trim, lower, whitespace collapse) — the
     // oracle groups on the normalized string itself where the engine

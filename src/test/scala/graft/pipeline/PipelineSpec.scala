@@ -24,6 +24,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("bigram LM score matches the closed-form model on a tiny corpus") {
+    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // counts: c(a)=4 (3 in doc1+doc2... recounted below), V={a,b,solo}
+    // unigrams: doc1 a,b,a; doc2 a,b; doc3 solo → c(a)=3, c(b)=2, c(solo)=1, V=3
+    val v = 3
+    val pBA = (2 + 0.5) / (3 + 0.5 * v) // c(a b)=2 (doc1, doc2), c(a)=3
+    val pAB = (1 + 0.5) / (2 + 0.5 * v) // c(b a)=1 (doc1), c(b)=2
+    val e1 = math.floor((math.log(pBA) + math.log(pAB)) / 2 * 1e6).toLong
+    val e2 = math.floor(math.log(pBA) * 1e6).toLong
+    assert(r(1L) == ((2L, e1)))
+    assert(r(2L) == ((1L, e2)))
+    assert(r(3L) == ((0L, 0L))) // single-word doc: no bigrams, zero score
+  }
+
   test("line dedup keeps first corpus occurrence, reassembles in order") {
     val d = Seq(
       (1L, "alpha beta\nShare This\ngamma"),
