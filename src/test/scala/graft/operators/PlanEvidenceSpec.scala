@@ -139,6 +139,26 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  test("line dedup plans as groupBy+join: no window, no single partition") {
+    // the keep-first election must be the map-side-combined min + join
+    // form — a row_number window over the line fingerprint would funnel
+    // every occurrence of a hot boilerplate line into one task
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ld = graft.pipeline.TextAnalysis.lineDedup(docs, "doc_id", "text")
+    val plan = ld.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
+  test("bigram LM is linear: count aggs + equi-joins, no window/cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = graft.pipeline.TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+    val plan = lm.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+    assert(!plan.contains("Cartesian"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
   test("classifier scoring is scan-local: model literal, no Exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val w = (0 until 64).map(b => (b * 37 + 11) % 7)
