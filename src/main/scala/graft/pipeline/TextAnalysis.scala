@@ -237,6 +237,30 @@ object TextAnalysis {
       .withColumn("vocab_x1000", expr("n_in_vocab * 1000 div n_words"))
   }
 
+  /** Markup stripping — the WET-extraction / C4 pre-step that turns
+    * crawled HTML-ish text into trainable prose: removes `<...>` tags,
+    * single-decodes the five core entities (`&amp;` LAST, so a
+    * double-encoded `&amp;lt;` yields the literal `&lt;` and not `<`),
+    * and collapses the whitespace the removals leave behind. Regex is
+    * RE2-compatible (no lookaround/backrefs) and the entity decodes are
+    * literal replaces, so an external SQL engine replays the pass
+    * bit-identically. Pure scan-level projection: no shuffle, no state —
+    * at 100 TB this runs at read speed ahead of every other gate.
+    *
+    * Returns (id, n_tags, text) with the stripped text under the original
+    * column name so the result drops into any downstream stage. */
+  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tagRe = "<[^>]*>"
+    val detagged = regexp_replace(col(textCol), tagRe, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(detagged) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    df.select(col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit(tagRe), lit(0)))
+        .cast("long").as("n_tags"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as(textCol))
+  }
+
   /** Corpus-trained bigram language-model score — the distributed analog
     * of CCNet's KenLM perplexity filter (docs far from the corpus
     * distribution score low; the standard statistical-quality gate next

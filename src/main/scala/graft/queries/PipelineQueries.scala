@@ -50,6 +50,21 @@ object PipelineQueries {
     base.unionByName(scaled).unionByName(bumped)
   }
 
+  /** Deterministically planted HTML-ish markup: tag wrappers, a nav block
+    * and double-encoded entities on id strides (the fixture is plain
+    * prose, so the strip pass needs its inputs planted — same discipline
+    * as the PII/line/embedding fixtures). */
+  private def plantedMarkupDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      when(col("doc_id") % 6 === 0, lit("<div class=\"art\"><h1>title</h1>"))
+        .otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 6 === 0,
+        lit("</div><nav><a href=\"/x\">home</a></nav>")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" &amp;lt;escaped&amp;gt; tail &quot;q&quot; &#39;a&#39;"))
+        .otherwise(lit(""))).as("text"))
+
   /** Deterministically planted boilerplate LINES (the fixture text is a
     * single line, so cross-page repeating lines — the C4 line-dedup target
     * — are appended column-side on id strides; the %5 stride carries a
@@ -263,6 +278,12 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
+    // markup stripping (WET-extraction pre-step) over planted HTML-ish
+    // wrappers and double-encoded entities; exact stripped-text compare
+    "q_text_strip" -> ((s, dir) =>
+      TextAnalysis.stripMarkup(plantedMarkupDocs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tags"), col("text"))
+        .orderBy(col("doc_id"))),
     // corpus-trained bigram LM quality score (the CCNet perplexity-filter
     // analog): add-k smoothed, integer micro-nats so the cross-engine
     // float compare is exact
@@ -1180,6 +1201,27 @@ object PipelineQueries {
          |FROM r
          |WHERE len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) > 0
          |ORDER BY doc_id""").stripMargin,
+    // markup-strip replica: planted wrappers rebuilt, same RE2-safe tag
+    // regex, same entity decode order (&amp; last — single decode), same
+    // whitespace collapse; exact string compare
+    "q_text_strip" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0 THEN '<div class="art"><h1>title</h1>' ELSE '' END
+         |    || text
+         |    || CASE WHEN doc_id % 6 = 0 THEN '</div><nav><a href="/x">home</a></nav>' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' &amp;lt;escaped&amp;gt; tail &quot;q&quot; &#39;a&#39;' ELSE '' END
+         |    AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(
+         |      regexp_replace(t, '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS text
+         |FROM d ORDER BY doc_id""".stripMargin,
     // bigram-LM replica: identical smoothing arithmetic on exact integer
     // counts (the division operands are bit-identical doubles in both
     // engines), DuckDB `ln` (natural log — its `log` is base-10), and the

@@ -24,6 +24,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("markup strip: tags removed, entities single-decoded, ws collapsed") {
+    val d = Seq(
+      (1L, "<div class=\"a\"><h1>Title</h1>body &amp; more</div>"),
+      (2L, "no markup at all"),
+      (3L, "&amp;lt;double&amp;gt; &quot;q&quot; &#39;s&#39; <br/>")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.stripMarkup(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L) == ((4L, "Title body & more")))
+    assert(r(2L) == ((0L, "no markup at all")))
+    // &amp; decodes LAST: "&amp;lt;" must yield the literal "&lt;", not "<"
+    assert(r(3L) == ((1L, "&lt;double&gt; \"q\" 's'")))
+  }
+
   test("bigram LM score matches the closed-form model on a tiny corpus") {
     val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "solo"))
       .toDF("doc_id", "text")
