@@ -898,6 +898,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("property: line dedup model equivalence on random multi-line corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(13L + i)))
+    // small line alphabet → plenty of cross-doc collisions
+    val genLine = Gen.oneOf("alpha beta", "Alpha  Beta", "share this",
+      "gamma", "delta five", "delta  FIVE", "unique tail")
+    val genDoc = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, genLine).map(_.mkString("\n")))
+    val corpus = samples(genDoc, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    def normKey(l: String) =
+      l.trim.toLowerCase.replaceAll("\\s+", " ")
+    // reference model: global keep-first over (doc, pos) order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expect = corpus.map { case (id, t) =>
+      val lines = t.split("\n", -1)
+      val kept = lines.filter(l => seen.add(normKey(l)))
+      id -> ((lines.length.toLong, kept.length.toLong, kept.mkString("\n")))
+    }.toMap
+    val got = TextAnalysis.lineDedup(corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(x =>
+        x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(got == expect)
+  }
+
   test("property: greedy merge preserves content and eliminates the pair") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
