@@ -249,17 +249,26 @@ object TextAnalysis {
     *
     * Returns (id, n_tags, text) with the stripped text under the original
     * column name so the result drops into any downstream stage. */
-  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tagRe = "<[^>]*>"
-    val detagged = regexp_replace(col(textCol), tagRe, " ")
+  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), tagCount(col(textCol)).as("n_tags"),
+      strippedText(col(textCol)).as(textCol))
+
+  private val tagRe = "<[^>]*>"
+
+  /** The strip pass as a bare Column, for composition into streams and
+    * chains (same semantics as [[stripMarkup]]). */
+  def strippedText(text: Column): Column = {
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(detagged) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    df.select(col(idCol).as("id"),
-      size(regexp_extract_all(col(textCol), lit(tagRe), lit(0)))
-        .cast("long").as("n_tags"),
-      trim(regexp_replace(decoded, "\\s+", " ")).as(textCol))
+      .foldLeft(regexp_replace(text, tagRe, " ")) {
+        case (c, (e, ch)) => replace(c, lit(e), lit(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Count of removed tags (diagnostic column of [[stripMarkup]]). */
+  def tagCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(tagRe), lit(0))).cast("long")
 
   /** Corpus-trained bigram language-model score — the distributed analog
     * of CCNet's KenLM perplexity filter (docs far from the corpus

@@ -183,6 +183,43 @@ object Feed {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** ST10: the curation chain as a STREAM — the per-record gates of
+    * `Curate.curate` applied at ingest time: markup strip → heuristic
+    * quality gate → hashed-linear classifier gate → watermarked exact
+    * dedup → PII redaction → deterministic sampling. Every stage except
+    * the dedup is a stateless scan-level Column (they apply to a stream
+    * unchanged); the dedup is `dropDuplicatesWithinWatermark` on the
+    * content fingerprint, so its state store stays bounded by the
+    * watermark horizon.
+    *
+    * Deliberately NOT in the stream: the within-doc repetition cap and
+    * every corpus-global signal (boilerplate, line dedup, clustering) —
+    * the standard lambda split: per-record gates run at ingest, while
+    * quadratic/corpus-wide passes run in the periodic batch sweep
+    * ([[compact]] is the scheduling hook) over the already-thinned log.
+    * Streaming dedup admits the FIRST ARRIVAL of a fingerprint (batch
+    * canon elects min-id); re-arrivals beyond the horizon are the ST8
+    * residual the batch sweep collects. */
+  def curateStream(docStream: DataFrame, idCol: String, textCol: String,
+      classifier: Option[(Seq[Int], Long)] = None,
+      samplePermille: Int = 1000, salt: String = "cur",
+      tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.{Sampling, TextAnalysis}
+    val stripped = docStream.withColumn(textCol,
+      TextAnalysis.strippedText(col(textCol)))
+    val gated = stripped.where(TextAnalysis.qualityKeep(col(textCol)))
+    val qualified = classifier match {
+      case Some((w, thr)) =>
+        gated.where(TextAnalysis.classifierKeep(col(textCol), w, thr))
+      case None => gated
+    }
+    val deduped = dedupStream(qualified, textCol, tsCol, watermark)
+    val redacted = deduped
+      .withColumn("redacted", TextAnalysis.redactPii(col(textCol)))
+      .withColumn("n_red", TextAnalysis.redactionCount(col(textCol)))
+    Sampling.sample(redacted, idCol, samplePermille, salt)
+  }
+
   /** ST9: the BMP per-peer dispatch as STREAMING custom state — the live
     * form of `BgpSession.dispatchUpdates`. The reference keeps a `sessids`
     * map per BMP connection (src/bmppeer.rs:12): a PeerUp registers the

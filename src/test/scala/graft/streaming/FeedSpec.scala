@@ -221,6 +221,70 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet) // nothing lost vs batch dedup
   }
 
+  test("ST10 streamed curation chain matches the batch gate set") {
+    val s = spark
+    import s.implicits._
+    val stage = tmp()
+    val w = (0 until 64).map(b => (b * 37 + 11) % 7)
+    // plant markup + an exact duplicate set so every stream stage has work
+    val docs = spark.read.parquet(s"$srcSf/documents.parquet")
+      .select(col("doc_id"),
+        concat(when(col("doc_id") % 4 === 0, lit("<p>")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 4 === 0, lit("</p>")).otherwise(lit("")))
+          .as("text"))
+    val dups = docs.limit(30)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val all = docs.unionByName(dups)
+      .withColumn("ts",
+        timestamp_millis(lit(1700000000000L) + col("doc_id") % 1000))
+    all.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = Feed.curateStream(stream, "doc_id", "text",
+        classifier = Some((w, 3000L)), samplePermille = 800)
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT doc_id, text, redacted, n_red FROM curate_stream")
+    // batch reference over the SAME per-record gates: strip → quality →
+    // classifier → exact dedup (fingerprint set equality — arrival order
+    // vs min-id canon may elect different members) → sample
+    val strippedB = all.withColumn("text",
+      graft.pipeline.TextAnalysis.strippedText(col("text")))
+    val batchGated = strippedB
+      .where(graft.pipeline.TextAnalysis.qualityKeep(col("text")))
+      .where(graft.pipeline.TextAnalysis.classifierKeep(col("text"), w, 3000L))
+    val fp = graft.pipeline.TextAnalysis.fingerprint(col("text"))
+    // sampling keys on doc_id, and duplicate PAIRS straddle the sample
+    // predicate — compare the fingerprint sets of the sample-surviving
+    // equivalence classes: a class survives iff its streamed
+    // representative passed, so restrict both sides to classes whose
+    // BOTH members sample in (planted pairs: id and id+100000)
+    val sampleOk = graft.pipeline.Sampling
+      .samplePermille(col("doc_id"), "cur") < 800
+    val streamedFps = out.select(fp).as[Long].collect().toSet
+    val batchKeptFps = batchGated.where(sampleOk).select(fp)
+      .as[Long].collect().toSet
+    val batchAllFps = batchGated.select(fp).as[Long].collect().toSet
+    // every streamed row passed every gate: its fp is in the batch gate set
+    assert(streamedFps.nonEmpty && streamedFps.subsetOf(batchAllFps))
+    // no fingerprint admitted twice
+    val streamedAll = out.select(fp).as[Long].collect()
+    assert(streamedAll.length == streamedAll.toSet.size)
+    // classes where sampling cannot disagree (both members in): present
+    val bothIn = batchGated.where(sampleOk)
+      .groupBy(fp.as("f")).agg(count(lit(1)).as("n"))
+      .join(batchGated.groupBy(fp.as("f")).agg(count(lit(1)).as("m")),
+        "f")
+      .where(col("n") === col("m")).select(col("f")).as[Long].collect().toSet
+    assert(bothIn.subsetOf(streamedFps))
+    // redaction columns materialized on the stream
+    assert(out.columns.contains("redacted") && out.columns.contains("n_red"))
+    assert(batchKeptFps.nonEmpty)
+  }
+
   test("ST: streamed classifier gate admits exactly the batch keep set") {
     val s = spark
     import s.implicits._
