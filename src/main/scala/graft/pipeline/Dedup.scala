@@ -458,14 +458,21 @@ object Dedup {
     import graft.pipeline.Similarity
     val cents = Similarity.ivfCentroids(emb, idCol, vecCol, nlist, iters)
     // (id, v, cluster) + per-row norm and centroid cosine: element_at over
-    // an array of per-centroid dot literals — one cell evaluation per row,
-    // same no-generator discipline as the IVF scorer
+    // arrays of per-centroid dot/norm literals — ONE dot-array and ONE
+    // norm evaluation per row (norm inside the per-centroid expressions
+    // would re-evaluate the aggregate 16×, the IVF inlining trap). The
+    // division shape dot / (‖v‖ · ‖c‖) matches the DuckDB replica's
+    // association exactly, and exact-direction copies (the planted tie
+    // case) scale both operands by the same power of two, so the
+    // domination tie stays bit-exact in both engines.
     val cnorm = cents.map(w => math.sqrt(w.map(x => x * x).sum))
-    val cdots = array(cents.zipWithIndex.map { case (w, i) =>
-      graft.functions.VecDot(col("v"), lit(w)) / lit(cnorm(i)) }: _*)
+    val cdots = array(cents.map(w =>
+      graft.functions.VecDot(col("v"), lit(w))): _*)
+    val cns = array(cnorm.map(lit): _*)
     val withC = Similarity.kmeansAssign(emb, idCol, vecCol, nlist, iters)
       .withColumn("n", graft.functions.VecDot.norm(col("v")))
-      .withColumn("ccos", element_at(cdots, col("cluster") + 1) / col("n"))
+      .withColumn("ccos", element_at(cdots, col("cluster") + 1) /
+        (col("n") * element_at(cns, col("cluster") + 1)))
     val l = withC.select(col("id").as("a"), col("v").as("va"),
       col("n").as("na"), col("cluster").as("cl"), col("ccos").as("ca"))
     val r = withC.select(col("id").as("b"), col("v").as("vb"),
