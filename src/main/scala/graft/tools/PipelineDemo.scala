@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline over the `documents` fixture — the
+  * library's user story in one main, every stage a first-class operator
+  * with its own oracle elsewhere:
+  *
+  *   raw docs → markup strip → corpus line dedup → curation chain
+  *   (fingerprint dedup, quality gate, classifier gate, repetition cap,
+  *   PII redaction, sampling) → bigram-LM tail cut → token-budget mix
+  *   → sequence packing → chunk manifest
+  *
+  * Prints one JSON line of per-stage row/token counts and writes the
+  * packed manifest to the output dir. Usage:
+  *   runMain graft.tools.PipelineDemo [sfDir] [outDir]
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_pipeline").toString)
+    val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline._
+
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val n0 = raw.count()
+
+    // 1. markup strip (scan-level)
+    val stripped = raw.withColumn("text",
+      TextAnalysis.strippedText(col("text")))
+
+    // 2. corpus-level line dedup; keep docs that retain any content
+    val lineDeduped = TextAnalysis.lineDedup(stripped, "doc_id", "text")
+      .where(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("kept_text").as("text"))
+      .join(raw.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val n1 = lineDeduped.count()
+
+    // 3. curation chain (dedup, quality, classifier, repetition, PII, sample)
+    val w = (0 until 64).map(b => (b * 37 + 11) % 7)
+    val curated = Curate.curate(lineDeduped, "doc_id", "text",
+      classifier = Some((w, 2000L)), samplePermille = 900)
+      .localCheckpoint() // chain reused by three consumers below
+    val n2 = curated.count()
+
+    // 4. statistical tail cut: drop the lowest-likelihood docs (bottom of
+    // the corpus-trained bigram LM — the CCNet perplexity gate)
+    val lm = TextAnalysis.bigramLmScore(curated, "doc_id", "text")
+    val cut = lm.where(col("n_bigrams") > 0)
+      .agg(percentile_approx(col("lm_micro_nats"), lit(0.1), lit(1000)))
+      .collect()(0).getLong(0)
+    val kept = curated.join(
+      lm.where(col("lm_micro_nats") >= cut).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val n3 = kept.count()
+
+    // 5. token-budget mixture across sources, then 6. pack + manifest
+    val withTokens = kept.withColumn("n_tok",
+      TextAnalysis.tokenCount(col("text")))
+    val mixed = Sampling.tokenBudgetMix(withTokens, "doc_id", "source",
+      "n_tok", budgetPerStratum = 20000L)
+    val n4 = mixed.count()
+    val packed = Packing.packSequences(mixed, "doc_id", "text", seqLen = 512)
+    val manifest = Packing.chunkManifest(packed, seqLen = 512)
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    val nSeq = spark.read.parquet(s"$outDir/manifest").count()
+
+    println(s"""{"stage_counts":{"raw":$n0,"line_deduped":$n1,""" +
+      s""""curated":$n2,"lm_kept":$n3,"mixed":$n4},""" +
+      s""""lm_cut_micro_nats":$cut,"packed_sequences":$nSeq,""" +
+      s""""out":"$outDir"}""")
+    spark.stop()
+  }
+}
