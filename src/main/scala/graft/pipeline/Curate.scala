@@ -32,7 +32,17 @@ object Curate {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       maxRepetitionPermille: Int = 300, samplePermille: Int = 1000,
       salt: String = "cur", shingleK: Int = 3,
-      classifier: Option[(Seq[Int], Long)] = None): DataFrame = {
+      classifier: Option[(Seq[Int], Long)] = None): DataFrame =
+    stages(docs, idCol, textCol, maxRepetitionPermille, samplePermille,
+      salt, shingleK, classifier).last._2
+
+  /** The chain's stage boundaries, in order: (stage name, rows surviving
+    * through that stage). The last element is [[curate]]'s result. Shared
+    * by the chain and the attrition report so the two can never drift. */
+  def stages(docs: DataFrame, idCol: String, textCol: String,
+      maxRepetitionPermille: Int = 300, samplePermille: Int = 1000,
+      salt: String = "cur", shingleK: Int = 3,
+      classifier: Option[(Seq[Int], Long)] = None): Seq[(String, DataFrame)] = {
     val byFp = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
     val deduped = docs
       .withColumn("__keep_id", min(col(idCol)).over(byFp))
@@ -53,6 +63,27 @@ object Curate {
     val redacted = unrepetitive
       .withColumn("redacted", TextAnalysis.redactPii(col(textCol)))
       .withColumn("n_red", TextAnalysis.redactionCount(col(textCol)))
-    Sampling.sample(redacted, idCol, samplePermille, salt)
+    Seq("input" -> docs, "deduped" -> deduped, "quality" -> heurGated) ++
+      classifier.map(_ => "classifier" -> qualified).toSeq ++
+      Seq("repetition" -> unrepetitive,
+        "sampled" -> Sampling.sample(redacted, idCol, samplePermille, salt))
   }
+
+  /** Pipeline observability: per-stage survivor counts of the chain —
+    * (stage_idx, stage, n_docs), one row per stage in chain order. The
+    * attrition curve is what a pipeline operator actually watches (a gate
+    * suddenly eating 90% of the corpus is the classic silent data bug).
+    * Each stage count recomputes its prefix at test scale; a production
+    * run caches the chain once and counts off the cache. */
+  def attrition(docs: DataFrame, idCol: String, textCol: String,
+      maxRepetitionPermille: Int = 300, samplePermille: Int = 1000,
+      salt: String = "cur", shingleK: Int = 3,
+      classifier: Option[(Seq[Int], Long)] = None): DataFrame =
+    stages(docs, idCol, textCol, maxRepetitionPermille, samplePermille,
+      salt, shingleK, classifier)
+      .zipWithIndex.map { case ((name, df), i) =>
+        df.groupBy().agg(count(lit(1)).cast("long").as("n_docs"))
+          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"))
+      }.reduce(_.unionByName(_))
 }

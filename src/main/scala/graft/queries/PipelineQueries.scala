@@ -526,6 +526,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline observability: the attrition curve — per-stage survivor
+    // counts of the six-stage chain (a gate suddenly eating the corpus is
+    // the classic silent data bug); oracle re-counts every CTE boundary
+    "q_pipeline_attrition" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        plantedPii(col("doc_id"),
+          regexp_replace(trim(col("text")), "\\s+", " ")).as("text"))
+      Curate.attrition(d, "doc_id", "text", maxRepetitionPermille = 50,
+        samplePermille = 600, salt = "cur",
+        classifier = Some((classifierWeights, 3000L)))
+        .orderBy(col("stage_idx"))
+    }),
+
     // --- multimodal -----------------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.blobsFromDocuments(docs(s, dir))
@@ -1001,6 +1014,51 @@ object PipelineQueries {
            |)""".stripMargin
       case None => ", q AS (SELECT doc_id, source, t FROM q0)"
     }
+    curateCtes(gateCtes) +
+      s"""
+         |SELECT doc_id, source, r AS repetition_x1000,
+         |  CAST(len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) AS BIGINT) AS n_red,
+         |  redacted
+         |FROM red
+         |WHERE ${sqlCharFold("'cur:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 < 600
+         |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-stage survivor counts over the same CTE chain (q_pipeline_
+    * attrition): stage indices follow Curate.stages' order WITH the
+    * classifier stage present. */
+  private def attritionOracleSql(classifierThr: Long): String = {
+    val gateCtes =
+      s""", cw AS (
+         |  SELECT doc_id, lower(w) AS w
+         |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM q0) x
+         |  WHERE w <> ''
+         |), cs AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+         |    CAST(SUM(([${classifierWeights.mkString(", ")}])
+         |      [(${sqlCharFold("w", 31L, 1073741789L)} % 64) + 1]) AS BIGINT) AS raw
+         |  FROM cw GROUP BY doc_id
+         |), q AS (
+         |  SELECT q0.doc_id, q0.source, q0.t FROM q0
+         |  JOIN cs USING (doc_id)
+         |  WHERE (cs.raw * 1000) // cs.nw >= $classifierThr
+         |)""".stripMargin
+    curateCtes(gateCtes) +
+      s""", smp AS (
+         |  SELECT doc_id FROM red
+         |  WHERE ${sqlCharFold("'cur:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 < 600
+         |)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage, COUNT(*) AS n_docs FROM t0
+         |  UNION ALL SELECT 1, 'deduped', COUNT(*) FROM ded
+         |  UNION ALL SELECT 2, 'quality', COUNT(*) FROM q0
+         |  UNION ALL SELECT 3, 'classifier', COUNT(*) FROM q
+         |  UNION ALL SELECT 4, 'repetition', COUNT(*) FROM kept
+         |  UNION ALL SELECT 5, 'sampled', COUNT(*) FROM smp
+         |) t ORDER BY stage_idx""".stripMargin
+  }
+
+  private def curateCtes(gateCtes: String): String =
     s"""WITH t0 AS (
          |  SELECT doc_id, source,
          |    CASE WHEN doc_id % 5 = 0 THEN $docNorm
@@ -1064,14 +1122,7 @@ object PipelineQueries {
          |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
          |      AS redacted
          |  FROM kept
-         |)
-         |SELECT doc_id, source, r AS repetition_x1000,
-         |  CAST(len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) AS BIGINT) AS n_red,
-         |  redacted
-         |FROM red
-         |WHERE ${sqlCharFold("'cur:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 < 600
-         |ORDER BY doc_id""".stripMargin
-  }
+         |)""".stripMargin
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1752,6 +1803,7 @@ object PipelineQueries {
     // same chain with the model gate between heuristics and the
     // repetition cap (mirrors Curate.curate stage order)
     "q_pipeline_curate2" -> curateOracleSql(Some(3000L)),
+    "q_pipeline_attrition" -> attritionOracleSql(3000L),
     "q_multimodal_meta" ->
       """SELECT CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  COUNT(*) AS n_assets,
