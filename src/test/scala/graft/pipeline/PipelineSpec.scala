@@ -24,6 +24,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("attrition equals per-stage recounts, with and without classifier") {
+    // the one-traversal flag-conjunction report must agree with counting
+    // each Curate.stages boundary directly — pins the two against drift
+    val d = docs.select(col("doc_id"),
+      regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+    val w = (0 until 64).map(b => (b * 37 + 11) % 7)
+    for (clf <- Seq(None, Some((w, 3000L)))) {
+      val report = Curate.attrition(d, "doc_id", "text",
+        maxRepetitionPermille = 50, samplePermille = 600, salt = "cur",
+        classifier = clf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      val expected = Curate.stages(d, "doc_id", "text",
+        maxRepetitionPermille = 50, samplePermille = 600, salt = "cur",
+        classifier = clf)
+        .zipWithIndex.map { case ((n, df), i) => (i.toLong, n, df.count()) }
+      assert(report.toSeq == expected)
+    }
+  }
+
   test("markup strip: tags removed, entities single-decoded, ws collapsed") {
     val d = Seq(
       (1L, "<div class=\"a\"><h1>Title</h1>body &amp; more</div>"),
