@@ -76,10 +76,13 @@ object Curate {
     *
     * ONE traversal, not one per stage: each gate becomes a boolean flag
     * column, stage membership is the running conjunction, and a single
-    * aggregation sums every prefix — the naive recount paid the chain
-    * once per stage (measured 3.7 s vs ~1 s at sf0.1). Equivalence with
-    * [[stages]]' boundaries is spec-pinned (PipelineSpec) and the DuckDB
-    * oracle re-counts every CTE boundary independently. */
+    * aggregation sums every prefix. The win is structural — one corpus
+    * scan + one shingle pass instead of six scans + two shingle passes —
+    * which is what matters at 100 TB where scan count dominates; at
+    * sf0.1 both forms are shingle-bound and land in the same 3.7-4.4 s
+    * noise band (measured both ways). Equivalence with [[stages]]'
+    * boundaries is spec-pinned (PipelineSpec) and the DuckDB oracle
+    * re-counts every CTE boundary independently. */
   def attrition(docs: DataFrame, idCol: String, textCol: String,
       maxRepetitionPermille: Int = 300, samplePermille: Int = 1000,
       salt: String = "cur", shingleK: Int = 3,
