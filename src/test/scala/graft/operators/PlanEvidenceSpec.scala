@@ -150,6 +150,21 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  test("semantic dedup: cluster-keyed pair join, no window, no cartesian") {
+    // assignment/centrality must stay scan-level projections against
+    // centroid literals and the quadratic term must be confined to the
+    // cluster-keyed equi-join — a cartesian (or an all-rows window) here
+    // would be the all-pairs scale-killer the clustering exists to block
+    val emb = graft.queries.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val sd = graft.pipeline.Dedup.semanticDedup(
+      emb, "vec_id", "embedding", 0.9)
+    val plan = sd.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan.take(3000))
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("bigram LM is linear: count aggs + equi-joins, no window/cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val lm = graft.pipeline.TextAnalysis.bigramLmScore(docs, "doc_id", "text")
