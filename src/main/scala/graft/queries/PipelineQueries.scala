@@ -118,10 +118,9 @@ object PipelineQueries {
       Dedup.simhashCandidates(d, "doc_id", "text", k = 3, maxHamming = 8)
         .orderBy(col("a"), col("b"))
     }),
-    // Same machinery, portable char-fold hash → fully DuckDB-checkable
-    // (the xxhash64 variants above stay rows-only: that hash has no SQL
-    // replica, so these arith rows are what makes the LSH pipelines
-    // falsifiable end-to-end)
+    // Same machinery, portable char-fold hash — kept alongside the real
+    // xxhash64 oracles (minhashXxSql/simhashXxSql) as an independent
+    // second algorithm checking the LSH pipelines end-to-end
     "q_dedup_minhash_arith" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
@@ -728,6 +727,102 @@ object PipelineQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Word-list shingle CTEs for the REAL-hash oracles: like [[shingleCte]]
+    * but each shingle row carries its k words as a LIST (Spark's
+    * `xxhash64(w1, w2, w3)` seed-chains the words — hashing the joined
+    * string would be a different value), incl. the whole-text single-word
+    * row for sub-3-word docs. `hx` computes the production hash itself via
+    * [[XxHash64Sql]]. */
+  private val xxShingleCte =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split($docNorm, ' ') AS words FROM documents
+       |), shm AS (
+       |  SELECT doc_id, [words[i], words[i+1], words[i+2]] AS ws
+       |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-1)) AS i
+       |        FROM d WHERE len(words) >= 3) t
+       |  UNION ALL
+       |  SELECT doc_id, [array_to_string(words, ' ')] AS ws
+       |  FROM d WHERE len(words) < 3
+       |), hx AS (
+       |  SELECT doc_id, ${XxHash64Sql.chainUnsigned("ws")} AS hu FROM shm
+       |)""".stripMargin
+
+  /** DuckDB replica of the PRODUCTION MinHash pipeline — real xxhash64
+    * (HUGEINT mod-2^64 arithmetic, XxHash64Sql), then the identical
+    * signature/band/cap/join stages as [[minhashArithSql]]. The distinct is
+    * on the full 64-bit hash before the 31-bit mask, matching
+    * Dedup.minhashCandidates exactly. */
+  private def minhashXxSql: String = {
+    val minExprs = (0 until 32).map { i =>
+      val (a, b) = Dedup.minhashAB(i)
+      s"MIN((h31 * $a + $b) % ${Dedup.MinhashPrime}) AS m$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      val fold = (b * 4 until (b + 1) * 4).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, i) => s"(($acc * 1000003 + m$i % 2147483647) % 2147483647)" }
+      s"SELECT doc_id, $b AS band, $fold AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$xxShingleCte, hxd AS (
+       |  SELECT DISTINCT doc_id, hu FROM hx
+       |), h31t AS (
+       |  SELECT doc_id, CAST(hu % 2147483648 AS BIGINT) AS h31 FROM hxd
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $minExprs
+       |  FROM h31t GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), capped AS (
+       |  SELECT doc_id, band, band_hash FROM (
+       |    SELECT doc_id, band, band_hash,
+       |      COUNT(*) OVER (PARTITION BY band, band_hash) AS bn
+       |    FROM bands) t
+       |  WHERE bn <= 64
+       |)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM capped l JOIN capped r
+       |  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** DuckDB replica of the PRODUCTION SimHash pipeline — real xxhash64
+    * over the shingle MULTISET, majority bits from the unsigned HUGEINT
+    * hash (bit j = hu div 2^j mod 2), signature reassembled as Spark's
+    * signed BIGINT (bit 63 → the Long.MinValue term) so the downstream
+    * chunk/hamming stages run on the same two's-complement value as the
+    * engine. */
+  private def simhashXxSql: String = {
+    val bitCols = (0 until 64).map(j =>
+      s"SUM(CAST((hu // ${BigInt(1) << j}) % 2 AS BIGINT)) AS b$j").mkString(",\n    ")
+    val sigTerms = ((0 until 63).map(j =>
+      s"CASE WHEN b$j * 2 > n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END") :+
+      "CASE WHEN b63 * 2 > n THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""$xxShingleCte, bits AS (
+       |  SELECT doc_id, COUNT(*) AS n,
+       |    $bitCols
+       |  FROM hx GROUP BY doc_id
+       |), sg AS (
+       |  SELECT doc_id, $sigTerms AS sig FROM bits
+       |), ch AS (
+       |  SELECT doc_id, cc.c AS chunk, (sig >> (cc.c * 16)) & 65535 AS cv
+       |  FROM sg, (SELECT unnest(range(4)) AS c) cc
+       |), capped AS (
+       |  SELECT doc_id, chunk, cv FROM (
+       |    SELECT doc_id, chunk, cv, COUNT(*) OVER (PARTITION BY chunk, cv) AS bn
+       |    FROM ch) t
+       |  WHERE bn <= 64
+       |), pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM capped l JOIN capped r
+       |    ON l.chunk = r.chunk AND l.cv = r.cv AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+       |FROM pairs JOIN sg sa ON sa.doc_id = a JOIN sg sb ON sb.doc_id = b
+       |WHERE bit_count(xor(sa.sig, sb.sig)) <= 8
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Set by Verify (before it dumps oracle_sql.json) to the live
     * (session, sfDir) the queries ran against, so DATA-DEPENDENT oracles can
     * be generated: the IVF oracle embeds the deterministically-trained
@@ -1200,6 +1295,8 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    "q_dedup_minhash" -> minhashXxSql,
+    "q_dedup_simhash" -> simhashXxSql,
     "q_dedup_minhash_arith" -> minhashArithSql,
     "q_dedup_simhash_arith" -> simhashArithSql,
     // Independent second opinion on the component resolution: transitive
