@@ -409,22 +409,31 @@ object Dedup {
             col("l.norm").as("na"), col("r.norm").as("nb"))
       case None =>
         // LSH banding: explode signature chunks, equi-join per band —
-        // the same shuffle-safe shape as simhashCandidates/lshTopK
+        // the same shuffle-safe shape as simhashCandidates/lshTopK. Only
+        // (id, chunk, chunk_val) rides the band join, and the
+        // multi-band-collision dedup distincts BARE ID PAIRS — carrying
+        // the embeddings through the distinct exchange would ship ~KBs of
+        // redundant vector payload per candidate at 1k-dim (VERDICT r9
+        // item 5); vectors re-attach afterwards via two equi-joins
+        // against the corpus (AQE-sized, broadcast when pairs are few).
         val chunkBits = planes / chunks
         val sig = withNorm.withColumn("__sig",
           graft.pipeline.Similarity.rhpSignature(col("v"), planes))
-        val banded = sig.select(col("id"), col("v"), col("norm"),
+        val banded = sig.select(col("id"),
           posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
             call_function("shiftright", col("__sig"), (c * chunkBits).cast("int"))
               .bitwiseAND(lit((1L << chunkBits) - 1)))))
-          .toDF("id", "v", "norm", "chunk", "chunk_val")
-        banded.as("l").join(banded.as("r"),
+          .toDF("id", "chunk", "chunk_val")
+        val idPairs = banded.as("l").join(banded.as("r"),
           col("l.chunk") === col("r.chunk") &&
             col("l.chunk_val") === col("r.chunk_val") && col("l.id") < col("r.id"))
-          .select(col("l.id").as("a"), col("r.id").as("b"),
-            col("l.v").as("va"), col("r.v").as("vb"),
-            col("l.norm").as("na"), col("r.norm").as("nb"))
+          .select(col("l.id").as("a"), col("r.id").as("b"))
           .distinct()
+        idPairs
+          .join(withNorm.select(col("id").as("a"), col("v").as("va"),
+            col("norm").as("na")), "a")
+          .join(withNorm.select(col("id").as("b"), col("v").as("vb"),
+            col("norm").as("nb")), "b")
     }
     pairs
       .withColumn("dot", graft.functions.VecDot(col("va"), col("vb")))

@@ -304,14 +304,20 @@ object TextAnalysis {
       .select(col("id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
     val unis = words.select(col("id"), explode(col("ws")).as("w"))
     val uniCounts = unis.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    val vocabSize = uniCounts.count() // 1-row driver scalar: |V|
+    // |V| stays IN the plan as a 1-row aggregate broadcast-joined into the
+    // scoring stream (scalar-subquery shape): constructing the operator
+    // launches no job, and the vocabulary count shares the unigram lineage
+    // instead of being recomputed driver-side (VERDICT r9 item 4). The
+    // join is a BroadcastNestedLoopJoin against exactly one row — free.
+    val vocab = uniCounts.agg(count(lit(1)).cast("double").as("__v"))
     val biCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
     val scored = bigrams
       .join(biCounts, Seq("w1", "w2"))
       .join(uniCounts.withColumnRenamed("w", "w1"), Seq("w1"))
+      .join(broadcast(vocab), lit(true), "inner")
       .withColumn("lp", log((col("cb") + lit(k)) /
-        (col("cu") + lit(k * vocabSize))))
+        (col("cu") + lit(k) * col("__v"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         floor(avg(col("lp")) * lit(1e6)).cast("long").as("lm_micro_nats"))

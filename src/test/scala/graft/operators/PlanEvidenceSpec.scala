@@ -171,7 +171,30 @@ class PlanEvidenceSpec extends AnyFunSuite {
     val plan = lm.queryExecution.executedPlan.toString
     assert(!plan.contains("WindowExec"), plan.take(3000))
     assert(!plan.contains("Cartesian"), plan.take(3000))
-    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    // exactly ONE single-partition exchange is allowed: the 1-row |V|
+    // vocabulary aggregate that rides the plan as a scalar (laziness fix,
+    // VERDICT r9 item 4) — the document/bigram data path itself must
+    // never funnel into one task
+    val nSingle = "SinglePartition".r.findAllIn(plan).length
+    assert(nSingle <= 1, s"data-path SinglePartition leaked: $nSingle\n${plan.take(3000)}")
+  }
+
+  test("cosine LSH dedup: the pair distinct carries bare ids, no vectors") {
+    // multi-band collisions dedup on (a, b) ONLY — an embedding payload in
+    // the distinct exchange ships ~8 KB/pair at 1k-dim (VERDICT r9 item
+    // 5); vectors re-attach after the distinct
+    val emb = graft.queries.Tables(spark, sf, "embeddings")
+    val nd = graft.pipeline.Dedup.cosineNearDup(
+      emb, "vec_id", "embedding", 0.9, blockCol = None)
+    val plan = nd.queryExecution.executedPlan.toString
+    val distinctAggKeys = "HashAggregate\\(keys=\\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).filter(_.contains("a#")).toSeq
+    assert(distinctAggKeys.nonEmpty, plan.take(3000))
+    distinctAggKeys.foreach { k =>
+      assert(!k.contains("va#") && !k.contains("vb#") && !k.contains("v#"),
+        s"vector payload leaked into the pair-distinct key: [$k]")
+    }
+    assert(nd.columns.toSeq == Seq("a", "b", "cosine"))
   }
 
   test("classifier scoring is scan-local: model literal, no Exchange") {
