@@ -165,6 +165,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup recall floor vs brute-force cosine ground truth") {
+    // SemDeDup's clustering IS its blocking stage, so cross-cluster
+    // near-duplicates are missed by construction — the same scale/recall
+    // trade the IVF/PQ specs pin. Ground truth: exact all-pairs cosine at
+    // the dedup threshold over a planted corpus (base + exact-direction
+    // 0.5-scaled copies, cosine exactly 1.0). A pair is CAUGHT when the
+    // dedup drops at least one endpoint. A clustering regression (bad
+    // seeding, broken assignment) surfaces here as a recall drop.
+    val th = 0.99
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val copies = base.where(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x * lit(0.5d)).as("v"))
+    val planted = base.unionByName(copies)
+    val dropped = Dedup.semanticDedup(planted, "vec_id", "v", th)
+      .where(col("keep_flag") === 0).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val vecs = planted.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toArray.sorted
+    val truth = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if cos(vecs(ids(i)), vecs(ids(j))) >= th
+    } yield (ids(i), ids(j))
+    assert(truth.size >= 100, s"planted corpus lost its near-dup pairs: ${truth.size}")
+    val caught = truth.count { case (a, b) => dropped(a) || dropped(b) }
+    val recall = caught.toDouble / truth.size
+    // measured 0.92 on the fixture: k-means assignment (dot - |c|^2/2) is
+    // NOT scale-invariant, so a handful of 0.5-scaled copies cross the
+    // cluster boundary of their original and are missed — exactly the
+    // cross-cluster blind spot this spec exists to bound; pinned at 0.85
+    // with headroom for centroid jitter if the fixture regenerates
+    assert(recall >= 0.85, s"recall=$recall over ${truth.size} true pairs")
+    // soundness floor too: dropping MORE than the near-dup population
+    // would mean the domination rule fires on non-duplicates
+    assert(dropped.size <= truth.size * 2,
+      s"dropped=${dropped.size} vs ${truth.size} true pairs")
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val d = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
