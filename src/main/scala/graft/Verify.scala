@@ -57,7 +57,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+    // subset runs write a subset-scoped artifact: overwriting
+    // verify_errors.json with only the subset's errors while a previous
+    // full run's result dirs remain in the same outDir would let a
+    // dir-walking compare silently mix rounds
+    val errFile = if (only.isDefined) "verify_errors_subset.json"
+                  else "verify_errors.json"
+    Files.writeString(Paths.get(s"$outDir/$errFile"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
     // exit 0 even with errors: the dumped outputs are still valid compare

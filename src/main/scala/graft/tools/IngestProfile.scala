@@ -12,6 +12,9 @@ object IngestProfile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pin: Tables' NTZ normalization is only correct under a UTC
+      // session — without it a non-UTC host shifts ts vs bench/verify
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -55,12 +55,19 @@ object PipelineDemo {
     // 4. statistical tail cut: drop the lowest-likelihood docs (bottom of
     // the corpus-trained bigram LM — the CCNet perplexity gate)
     val lm = TextAnalysis.bigramLmScore(curated, "doc_id", "text")
-    val cut = lm.where(col("n_bigrams") > 0)
+    // the percentile over zero rows is NULL (tiny corpus or aggressive
+    // upstream gates can leave no doc with bigrams) — skip the LM cut
+    // then instead of NPEing on getLong
+    val cutRow = lm.where(col("n_bigrams") > 0)
       .agg(percentile_approx(col("lm_micro_nats"), lit(0.1), lit(1000)))
-      .collect()(0).getLong(0)
-    val kept = curated.join(
-      lm.where(col("lm_micro_nats") >= cut).select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+      .collect()(0)
+    val cutOpt = Option(cutRow.get(0)).map(_.asInstanceOf[Long])
+    val kept = cutOpt match {
+      case Some(cut) => curated.join(
+        lm.where(col("lm_micro_nats") >= cut).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      case None => curated
+    }
     val n3 = kept.count()
 
     // 5. token-budget mixture across sources, then 6. pack + manifest
@@ -76,7 +83,7 @@ object PipelineDemo {
 
     println(s"""{"stage_counts":{"raw":$n0,"line_deduped":$n1,""" +
       s""""curated":$n2,"lm_kept":$n3,"mixed":$n4},""" +
-      s""""lm_cut_micro_nats":$cut,"packed_sequences":$nSeq,""" +
+      s""""lm_cut_micro_nats":${cutOpt.getOrElse(null)},"packed_sequences":$nSeq,""" +
       s""""out":"$outDir"}""")
     spark.stop()
   }

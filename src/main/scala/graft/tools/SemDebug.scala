@@ -30,12 +30,17 @@ object SemDebug {
     val cents = graft.pipeline.Similarity.ivfCentroids(planted, "vec_id", "v")
     println("CENTS0=" + cents(0).take(4).mkString(","))
     val assigned = graft.pipeline.Similarity.kmeansAssign(planted, "vec_id", "v")
+    // SAME division shape as Dedup.semanticDedup (dot / (n * cnorm), commit
+    // ee8a4a1): a different float association can disagree in the last ulp
+    // exactly at the ccos tie boundaries this triage tool exists to debug
     val cnorm = cents.map(w => math.sqrt(w.map(x => x * x).sum))
-    val cdots = array(cents.zipWithIndex.map { case (w, i) =>
-      graft.functions.VecDot(col("v"), lit(w)) / lit(cnorm(i)) }: _*)
+    val cdots = array(cents.map(w =>
+      graft.functions.VecDot(col("v"), lit(w))): _*)
+    val cns = array(cnorm.map(lit): _*)
     val withC = assigned
       .withColumn("n", graft.functions.VecDot.norm(col("v")))
-      .withColumn("ccos", element_at(cdots, col("cluster") + 1) / col("n"))
+      .withColumn("ccos", element_at(cdots, col("cluster") + 1) /
+        (col("n") * element_at(cns, col("cluster") + 1)))
     withC.select(col("id"), col("cluster"), col("ccos"))
       .coalesce(1).write.mode("overwrite")
       .option("header", "true").csv("/tmp/sem_debug_engine")

@@ -11,6 +11,9 @@ object StageProfile {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // UTC pin: Tables' NTZ normalization is only correct under a UTC
+      // session — without it a non-UTC host shifts ts vs bench/verify
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
