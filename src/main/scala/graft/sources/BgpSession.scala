@@ -590,6 +590,10 @@ object BgpSession {
             pu.openRecv.holdTime, pu.openRecv.routerId, matched.length)
         }
       }(enc)
+    // unpartitioned dense_rank is safe HERE only because the input is the
+    // distinct PeerUp registry — bounded by live-session cardinality (the
+    // reference packs it into a dense u16, ≤65k rows; bmppeer.rs:12), the
+    // same bounded-dimension reasoning as the registry collect() in Api
     decoded.withColumn("session_id",
       dense_rank().over(Window.orderBy(col("rdh"), col("rdl"),
         col("peer_addr_hi"), col("peer_addr_lo"))).cast("long"))

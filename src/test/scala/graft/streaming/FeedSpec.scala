@@ -285,6 +285,96 @@ class FeedSpec extends AnyFunSuite {
     assert(batchKeptFps.nonEmpty)
   }
 
+  test("ST10 whole-chain parity: stream + batch sweep equals batch curate") {
+    // The lambda-split contract, end to end: the streamed chain admits
+    // per-record survivors at ingest (repetition cap and corpus-global
+    // passes deliberately deferred), a WATERMARK RESIDUAL re-admits late
+    // re-arrivals whose fingerprint state was evicted, and the periodic
+    // batch sweep (re-dedup + the deferred repetition cap) collects both.
+    // Assert: sweep(stream output) ≡ Curate.curate over the same corpus,
+    // as fingerprint sets (min-id vs first-arrival canon may elect
+    // different members of a class; content classes must agree exactly).
+    val s = spark
+    import s.implicits._
+    val stage = tmp()
+    val w = (0 until 64).map(b => (b * 37 + 11) % 7)
+    val t0 = 1700000000000L
+    val hour2 = 7200000L
+    val base = spark.read.parquet(s"$srcSf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // wave 1: the corpus at t0
+    val wave1 = base.withColumn("ts",
+      timestamp_millis(lit(t0) + col("doc_id") % 1000))
+    // wave 2: distinct content two hours later — advances the watermark
+    // past wave 1's event times so their dedup state evicts at batch end
+    val wave2 = base.limit(20)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" wavetwo marker")).as("text"))
+      .withColumn("ts", timestamp_millis(lit(t0 + hour2)))
+    // wave 2b: more distinct content one batch later — the watermark
+    // advance from wave 2 is only VISIBLE to the next micro-batch, and
+    // state eviction runs at batch maintenance, so an intermediate batch
+    // guarantees wave 1's dedup state is gone before the re-arrivals
+    val wave2b = base.limit(20)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat(col("text"), lit(" wavetwob marker")).as("text"))
+      .withColumn("ts", timestamp_millis(lit(t0 + hour2 + 1000L)))
+    // wave 3: exact duplicates of wave-1 docs arriving AFTER eviction —
+    // the engineered late re-arrivals the sweep must collect
+    val wave3 = base.limit(40)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .withColumn("ts", timestamp_millis(lit(t0 + hour2 + 2000L)))
+    // appends with strictly increasing mtimes: FileStreamSource
+    // processes oldest-first, and maxFilesPerTrigger=1 keeps the waves in
+    // separate micro-batches (watermark updates/evictions are batch-edge)
+    wave1.repartition(2).write.mode("overwrite").parquet(stage)
+    Thread.sleep(1100)
+    wave2.repartition(1).write.mode("append").parquet(stage)
+    Thread.sleep(1100)
+    wave2b.repartition(1).write.mode("append").parquet(stage)
+    Thread.sleep(1100)
+    wave3.repartition(1).write.mode("append").parquet(stage)
+    val all = wave1.unionByName(wave2).unionByName(wave2b).unionByName(wave3)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = Feed.curateStream(stream, "doc_id", "text",
+        classifier = Some((w, 3000L)), samplePermille = 1000,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("chain_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val fp = graft.pipeline.TextAnalysis.fingerprint(col("text"))
+    val streamOut = spark.sql("SELECT doc_id, text FROM chain_stream")
+    // the residual is REAL in this arrangement: at least one wave-1
+    // fingerprint was admitted again from wave 3 after state eviction
+    val streamedAll = streamOut.select(fp).as[Long].collect()
+    assert(streamedAll.length > streamedAll.toSet.size,
+      "expected a watermark residual (late re-arrival re-admitted)")
+    // batch sweep over the streamed log: min-id re-dedup + the deferred
+    // repetition cap — exactly what compact() schedules over the thinned
+    // corpus
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(fp)
+    val reDeduped = streamOut
+      .withColumn("__keep", min(col("doc_id")).over(byFp))
+      .where(col("__keep") === col("doc_id")).drop("__keep")
+    val rep = graft.pipeline.TextAnalysis.repetitionByDoc(
+      reDeduped, "doc_id", "text")
+      .where(col("repetition_x1000") <= 300)
+    val swept = reDeduped.join(rep, col("doc_id") === rep("id")).drop("id")
+    // batch reference: strip (the stream's stage 1), then the full chain
+    val strippedB = all.withColumn("text",
+      graft.pipeline.TextAnalysis.strippedText(col("text")))
+    val batchOut = graft.pipeline.Curate.curate(strippedB, "doc_id", "text",
+      classifier = Some((w, 3000L)), samplePermille = 1000)
+    val sweptFps = swept.select(fp).as[Long].collect().toSet
+    val batchFps = batchOut.select(fp).as[Long].collect().toSet
+    assert(sweptFps.nonEmpty)
+    assert(sweptFps == batchFps,
+      s"stream∪sweep=${sweptFps.size} vs batch=${batchFps.size}; " +
+        s"onlyStream=${(sweptFps -- batchFps).size} onlyBatch=${(batchFps -- sweptFps).size}")
+  }
+
   test("ST: streamed classifier gate admits exactly the batch keep set") {
     val s = spark
     import s.implicits._
