@@ -392,13 +392,58 @@ object Multimodal {
   def decodeAudio(blobs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
     blobs.select("asset_id", "payload").mapPartitions { it =>
+      // Resolve the AudioFileReader SPI once per PARTITION and keep the
+      // last-matching reader STICKY. Two per-row costs hide in the naive
+      // AudioSystem.getAudioInputStream call: (a) it re-enters
+      // JDK13Services.getProviders — a global synchronized provider
+      // cache; (b) it probes providers IN REGISTRATION ORDER, and every
+      // non-matching provider signals mismatch by THROWING
+      // UnsupportedAudioFileException — 2-3 exception constructions
+      // (stack-trace fill-in included) per decoded row. Measured on the
+      // sf1 sweep this made audio the only superlinear-looking stage
+      // (~9 s for 50k 58-byte WAVs vs 0.3 s with a matched reader). The
+      // sticky reader makes a homogeneous corpus pay ZERO mismatch
+      // exceptions after the first row; mixed corpora pay one miss per
+      // format switch. Falls back to AudioSystem if the context
+      // classloader exposes no providers.
+      import scala.jdk.CollectionConverters._
+      val readers =
+        try java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala.toArray
+        catch { case _: Throwable =>
+          Array.empty[javax.sound.sampled.spi.AudioFileReader] }
+      var sticky: javax.sound.sampled.spi.AudioFileReader = null
+      def open(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+        if (readers.isEmpty)
+          return javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+        if (sticky != null) {
+          try return sticky.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => () }
+        }
+        var i = 0
+        while (i < readers.length) {
+          if (readers(i) ne sticky) {
+            try {
+              val ais = readers(i).getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              sticky = readers(i)
+              return ais
+            } catch { case _: Exception => () }
+          }
+          i += 1
+        }
+        throw new javax.sound.sampled.UnsupportedAudioFileException(
+          "no reader matched")
+      }
       it.flatMap { row =>
         val id = row.getLong(0)
         val payload = if (row.isNullAt(1)) Array.emptyByteArray
           else row.getAs[Array[Byte]](1)
         val decoded = try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
+          val ais = open(payload)
           try {
             val fmt = ais.getFormat
             if (fmt.getSampleSizeInBits != 8) None // stats below assume u8 PCM
