@@ -384,6 +384,32 @@ object Dedup {
       (col("id") === col("lbl")).cast("long").as("keep_flag"))
   }
 
+  /** Band-count sizing for the LSH path of [[cosineNearDup]]: the number
+    * of distinct buckets per band is 2^(planes/chunks), so a FIXED
+    * (planes, chunks) means bucket occupancy — and with it the per-band
+    * candidate-pair join — grows linearly (quadratically) with the corpus.
+    * The round-10 sf0.1→sf1 measurement caught exactly this shape on the
+    * blocked path (SCALE.md "Measured scaling"): blocking keys must scale
+    * with the corpus, the same discipline as semanticDedup's `nlist`.
+    *
+    * Rule encoded here: bits-per-band = ceil(log2(n / targetOccupancy)),
+    * keeping expected bucket occupancy ~targetOccupancy as n grows (the
+    * standard random-hyperplane tuning: recall per band falls as p^bits,
+    * which is why `bands` stays a caller choice — more bands buy back the
+    * recall that more bits spend). Floor of 4 bits (tiny corpora), cap of
+    * 63/bands bits (the signature is one long; beyond ~2^15-bucket bands
+    * at bands=4 a multi-long signature would be needed — at that point
+    * occupancy grows again and the cap is the documented limit, not a
+    * silent wrap). */
+  def lshParamsFor(n: Long, bands: Int = 4, targetOccupancy: Int = 8)
+      : (Int, Int) = {
+    require(bands >= 1 && bands <= 15, "bands must be in [1, 15]")
+    val wanted = math.ceil(math.log(math.max(1L, n).toDouble /
+      math.max(1, targetOccupancy)) / math.log(2.0)).toInt
+    val bits = math.min(63 / bands, math.max(4, wanted))
+    (bands * bits, bands)
+  }
+
   /** Embedding cosine near-duplicates — ALWAYS blocked (no all-pairs path;
     * VERDICT r1 item 10). `blockCol` supplies an explicit blocking stage
     * (label, shard, …); with `None` the operator blocks on random-hyperplane
@@ -392,10 +418,31 @@ object Dedup {
     * Identical vectors share every band, so true duplicates are never lost;
     * near-duplicates below signature agreement may be missed (recall < 1 by
     * construction — the standard scale/recall trade, pinned by spec).
-    * Cosine computed in double precision via zip_with. */
+    * Cosine computed in double precision via zip_with.
+    *
+    * 100 TB posture: `blockCol` with a fixed-cardinality key is quadratic
+    * within blocks BY SEMANTICS (score all same-key pairs) — fine for
+    * bounded blocks (a shard, a time bucket), a measured scale-killer for
+    * corpus-spanning keys (SCALE.md round 10: 7.9× time on 10× data).
+    * The LSH path is the corpus-scale default, and its (planes, chunks)
+    * must grow with the corpus: size them with [[lshParamsFor]].
+    *
+    * `maxHamming` (LSH path only): prune candidate pairs whose FULL
+    * signatures disagree in more than this many sign bits before the
+    * vector re-attach joins — the same cheap pre-verification
+    * simhashCandidates applies. Band collision alone admits the
+    * moderately-similar tail (pairs agreeing on one band but far from
+    * `threshold`), and every admitted pair costs the distinct shuffle,
+    * two joins and a full-dimension dot; the hamming cut removes that
+    * tail for the price of one bit_count on sign bits already computed.
+    * Recall trade (banding already makes one): a true pair at the
+    * threshold loses ~P[Binom(planes, θ/π) > h] — at planes=32,
+    * cos 0.93 (θ/π ≈ 0.12, mean 3.8 disagreeing bits, σ 1.8), h=10 is
+    * a +3.4σ keep. None (default) disables the cut. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[String] = None,
-      planes: Int = 16, chunks: Int = 4): DataFrame = {
+      planes: Int = 16, chunks: Int = 4,
+      maxHamming: Option[Int] = None, dim: Int = 0): DataFrame = {
     val v = emb.select(col(idCol).as("id") +:
       transform(col(vecCol), x => x.cast("double")).as("v") +:
       blockCol.map(col).toSeq: _*)
@@ -408,27 +455,8 @@ object Dedup {
             col("l.v").as("va"), col("r.v").as("vb"),
             col("l.norm").as("na"), col("r.norm").as("nb"))
       case None =>
-        // LSH banding: explode signature chunks, equi-join per band —
-        // the same shuffle-safe shape as simhashCandidates/lshTopK. Only
-        // (id, chunk, chunk_val) rides the band join, and the
-        // multi-band-collision dedup distincts BARE ID PAIRS — carrying
-        // the embeddings through the distinct exchange would ship ~KBs of
-        // redundant vector payload per candidate at 1k-dim (VERDICT r9
-        // item 5); vectors re-attach afterwards via two equi-joins
-        // against the corpus (AQE-sized, broadcast when pairs are few).
-        val chunkBits = planes / chunks
-        val sig = withNorm.withColumn("__sig",
-          graft.pipeline.Similarity.rhpSignature(col("v"), planes))
-        val banded = sig.select(col("id"),
-          posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
-            call_function("shiftright", col("__sig"), (c * chunkBits).cast("int"))
-              .bitwiseAND(lit((1L << chunkBits) - 1)))))
-          .toDF("id", "chunk", "chunk_val")
-        val idPairs = banded.as("l").join(banded.as("r"),
-          col("l.chunk") === col("r.chunk") &&
-            col("l.chunk_val") === col("r.chunk_val") && col("l.id") < col("r.id"))
-          .select(col("l.id").as("a"), col("r.id").as("b"))
-          .distinct()
+        val idPairs = lshCandidatePairs(withNorm.select(col("id"), col("v")),
+          planes, chunks, maxHamming, dim)
         idPairs
           .join(withNorm.select(col("id").as("a"), col("v").as("va"),
             col("norm").as("na")), "a")
@@ -440,6 +468,42 @@ object Dedup {
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Candidate stage of the LSH path of [[cosineNearDup]], exposed so the
+    * candidate-pair count — the structural scale measure: it IS the
+    * downstream shuffle/score volume — can be observed directly
+    * (tools.LshScaleProbe; SCALE.md "Measured scaling").
+    *
+    * LSH banding: explode signature chunks, equi-join per band — the same
+    * shuffle-safe shape as simhashCandidates/lshTopK. Only (id, chunk,
+    * chunk_val) rides the band join, and the multi-band-collision dedup
+    * distincts BARE ID PAIRS — carrying the embeddings through the
+    * distinct exchange would ship ~KBs of redundant vector payload per
+    * candidate at 1k-dim (VERDICT r9 item 5); [[cosineNearDup]] re-attaches
+    * vectors afterwards via two equi-joins against the corpus (AQE-sized,
+    * broadcast when pairs are few). The full signature (8 bytes — not the
+    * vector) DOES ride the band join so `maxHamming` can prune the
+    * moderately-similar tail BEFORE the distinct, shrinking the distinct
+    * exchange along with everything after it.
+    * Input must have columns (id, v). */
+  private[graft] def lshCandidatePairs(withV: DataFrame, planes: Int,
+      chunks: Int, maxHamming: Option[Int] = None, dim: Int = 0): DataFrame = {
+    val chunkBits = planes / chunks
+    val sig = withV.withColumn("__sig",
+      graft.pipeline.Similarity.rhpSignature(col("v"), planes, dim))
+    val banded = sig.select(col("id"), col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+        call_function("shiftright", col("__sig"), (c * chunkBits).cast("int"))
+          .bitwiseAND(lit((1L << chunkBits) - 1)))))
+      .toDF("id", "sg", "chunk", "chunk_val")
+    val joined = banded.as("l").join(banded.as("r"),
+      col("l.chunk") === col("r.chunk") &&
+        col("l.chunk_val") === col("r.chunk_val") && col("l.id") < col("r.id"))
+    maxHamming.fold(joined)(h => joined.where(
+        call_function("bit_count", col("l.sg").bitwiseXOR(col("r.sg"))) <= h))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
   }
 
   /** Semantic dedup, SemDeDup-style (cluster-then-prune): partition the

@@ -43,8 +43,8 @@ object Similarity {
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed to a long.
     *
-    * Plane components are deterministic LCG-mixed integers of (plane, dim)
-    * in [-2^19, 2^19) — no RNG state, reproducible across executors. The
+    * Plane components are deterministic mixed integers of (plane, dim) in
+    * [-2^19, 2^19) — no RNG state, reproducible across executors. The
     * input is quantized to fixed point (floor(x·2^20), exact: a float cast
     * to double then scaled by a power of two rounds nothing) so the
     * projection is a 64-bit INTEGER sum: exact, order-independent, and
@@ -52,19 +52,60 @@ object Similarity {
     * what makes the full LSH pipeline DuckDB-oracle-checkable instead of
     * rows-only (sign bits computed from float sums can flip in the last
     * ulp between engines; integer sums cannot). Overflow-safe: |q| ≤
-    * |x|·2^20, |w| < 2^19, so 64-dim sums stay far below 2^63. */
-  def rhpSignature(vec: Column, planes: Int): Column = {
+    * |x|·2^20, |w| < 2^19, so 64-dim sums stay far below 2^63.
+    *
+    * The mixer is three 31-bit LCG rounds with a xor-shift-16 between
+    * rounds (PCG-style multipliers), every intermediate < 2^61 so both
+    * Spark longs and DuckDB BIGINTs compute it exactly without HUGEINT.
+    * One linear round is NOT enough: the original single-LCG weights had
+    * linear structure across planes — plane p and p+52 were IDENTICAL
+    * (sign agreement 1.0 on the sf0.1 corpus; 259 of 1770 plane pairs
+    * beyond ±0.2 of independence), discovered when the round-10 sf1 scale
+    * measurement showed LSH candidate counts ~50× the true near-pair
+    * density. The xor-shifts break the linearity: with this mixer the
+    * same corpus measures zero plane pairs beyond ±0.2 and candidates
+    * track the planted-duplicate truth (SCALE.md "Measured scaling").
+    *
+    * `dim`: when the vector length is known at plan time, pass it — the
+    * mixer then runs ONCE on the driver and the planes×dim weight matrix
+    * embeds as a plan literal (the IVF-centroid-literal pattern), leaving
+    * one multiply-add per element on the executors instead of the 12-op
+    * mixer; a ~4× wall win on the signature stage. Rows whose actual
+    * length differs from `dim` fall back to the inline mixer (a size()
+    * guard — never a silently null-poisoned signature), so the output is
+    * IDENTICAL for every dim, including the default 0 (= always inline). */
+  def rhpSignature(vec: Column, planes: Int, dim: Int = 0): Column = {
     val v = asDouble(vec)
     val q = transform(v, x => floor(x * lit(1048576.0d)).cast("long"))
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(q, sequence(lit(0L), size(v).cast("long") - 1), (xq, i) => {
-          val h = (p.cast("long") * 131071L + i) * 1103515245L + 12345L
-          xq * (shiftright(pmod(h, lit(2147483648L)), 11) - 524288L)
-        }),
-        lit(0L), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L))
-    })
+    def mixConst(p: Long, i: Long): Long = {
+      val h1 = ((p * 1000003L + i) * 1103515245L + 12345L) % 2147483648L
+      val h2 = (((h1 ^ (h1 >> 16)) * 747796405L + 2891336453L) % 2147483648L)
+      val h3 = (((h2 ^ (h2 >> 16)) * 277803737L + 12345L) % 2147483648L)
+      (h3 >> 11) - 524288L
+    }
+    def projInline(p: Column): Column = aggregate(
+      zip_with(q, sequence(lit(0L), size(v).cast("long") - 1), (xq, i) => {
+        val s1 = p.cast("long") * 1000003L + i
+        val h1 = pmod(s1 * 1103515245L + 12345L, lit(2147483648L))
+        val s2 = h1.bitwiseXOR(shiftright(h1, 16))
+        val h2 = pmod(s2 * 747796405L + 2891336453L, lit(2147483648L))
+        val s3 = h2.bitwiseXOR(shiftright(h2, 16))
+        val h3 = pmod(s3 * 277803737L + 12345L, lit(2147483648L))
+        xq * (shiftright(h3, 11) - 524288L)
+      }),
+      lit(0L), (acc, x) => acc + x)
+    val proj: Column => Column =
+      if (dim <= 0) projInline
+      else {
+        val w = typedlit(Seq.tabulate(planes, dim)((p, i) =>
+          mixConst(p.toLong, i.toLong)))
+        p => when(size(v) === dim,
+          aggregate(zip_with(q, element_at(w, p.cast("int") + 1),
+            (xq, wi) => xq * wi), lit(0L), (acc, x) => acc + x))
+          .otherwise(projInline(p))
+      }
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p =>
+      when(proj(p) >= 0, lit(1L)).otherwise(lit(0L)))
     aggregate(
       zip_with(bits, sequence(lit(0), lit(planes - 1)), (b, i) => call_function("shiftleft", b, i.cast("int"))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
@@ -285,12 +326,13 @@ object Similarity {
     * the candidates only. Same output shape as bruteForceTopK; recall < 1
     * by construction (ScalaTest pins it against brute force). */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 16, chunks: Int = 4): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 16, chunks: Int = 4,
+      dim: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunkBits = planes / chunks
     def banded(df: DataFrame, idName: String) =
       df.select(col(idCol).as(idName), asDouble(col(vecCol)).as(s"${idName}_v"),
-        rhpSignature(col(vecCol), planes).as(s"${idName}_sig"))
+        rhpSignature(col(vecCol), planes, dim).as(s"${idName}_sig"))
         .select(col(idName), col(s"${idName}_v"),
           posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
             call_function("shiftright", col(s"${idName}_sig"), (c * chunkBits).cast("int"))

@@ -140,6 +140,24 @@ object PipelineQueries {
         blockCol = Some("label"))
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
+    // The LSH-banded path (blockCol=None) — the corpus-scale variant the
+    // round-10 sf1 measurement motivated: the blocked path above is
+    // quadratic within its fixed-cardinality label blocks by semantics;
+    // this one blocks on signature bands whose bucket count is a caller-
+    // sized knob (Dedup.lshParamsFor: bits-per-band ~ log2(n/occupancy)).
+    // planes=32/chunks=4 (8-bit bands, 256 buckets) is lshParamsFor's
+    // answer for the ~2k-vector sf0.1 planted corpus at occupancy 8, and
+    // maxHamming=10 is the +3.4σ keep for the 0.93 threshold at 32 planes
+    // (cosineNearDup doc). The oracle replays the ENTIRE pipeline —
+    // integer-exact sign bits (the rhpSignature design), band buckets,
+    // hamming cut, candidate distinct, exact cosine — so the hash gate
+    // covers banding and pre-verification, not just the verify step.
+    "q_dedup_cosine_lsh" -> ((s, dir) =>
+      Dedup.cosineNearDup(plantedEmb(s, dir), "vec_id", "v", 0.93,
+        blockCol = None, planes = 32, chunks = 4, maxHamming = Some(10),
+        dim = 64)
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))),
     // SemDeDup cluster-then-prune over the planted near-dup fixture: the
     // deterministic k-means is the blocking stage, centrality (cosine to
     // the own centroid) elects the keeper; the oracle replays assignment
@@ -173,7 +191,7 @@ object PipelineQueries {
     "q_sim_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
-      Similarity.lshTopK(e, probes, "vec_id", "embedding", 10)
+      Similarity.lshTopK(e, probes, "vec_id", "embedding", 10, dim = 64)
         .select(col("probe_id"), col("id"), col("rank"))
         .orderBy(col("probe_id"), col("rank"))
     }),
@@ -1273,6 +1291,68 @@ object PipelineQueries {
          |JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
          |WHERE dot / (na.nrm * nb.nrm) >= 0.93
          |ORDER BY a, b""".stripMargin,
+    // Full LSH-banded replica over the planted corpus: same integer-exact
+    // sign-bit pipeline as the q_sim_lsh oracle (planes=32, 8-bit bands),
+    // same planted vectors as the q_dedup_cosine oracle; Spark's 0-based
+    // dim index == generate_subscripts - 1.
+    "q_dedup_cosine_lsh" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings
+         |), all_v AS (
+         |  SELECT vec_id, i, x FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, i, x * 0.5 FROM base WHERE vec_id % 10 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 100000, i,
+         |    CASE WHEN i - 1 = (vec_id // 10) % 64 THEN x * 0.75 ELSE x END
+         |  FROM base WHERE vec_id % 10 = 5
+         |), q AS (
+         |  SELECT vec_id, i, CAST(floor(x*1048576.0) AS BIGINT) AS xq FROM all_v
+         |), w1 AS (
+         |  SELECT pp.p AS p, dd.i AS i,
+         |    ((pp.p*1000003 + dd.i)*1103515245 + 12345) % 2147483648 AS h1
+         |  FROM (SELECT unnest(range(32)) AS p) pp,
+         |       (SELECT unnest(range(64)) AS i) dd
+         |), w2 AS (
+         |  SELECT p, i,
+         |    (xor(h1, h1 // 65536)*747796405 + 2891336453) % 2147483648 AS h2
+         |  FROM w1
+         |), wt AS (
+         |  SELECT p, i,
+         |    ((xor(h2, h2 // 65536)*277803737 + 12345) % 2147483648) // 2048
+         |      - 524288 AS w
+         |  FROM w2
+         |), proj AS (
+         |  SELECT vec_id, wt.p AS p, SUM(xq * wt.w) AS pr
+         |  FROM q JOIN wt ON wt.i = q.i - 1
+         |  GROUP BY 1, 2
+         |), sig AS (
+         |  SELECT vec_id,
+         |    SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sg
+         |  FROM proj GROUP BY 1
+         |), ch AS (
+         |  SELECT vec_id, sg, cc.c AS chunk, (sg >> (cc.c*8)) & 255 AS cv
+         |  FROM sig, (SELECT unnest(range(4)) AS c) cc
+         |), cand AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM ch l JOIN ch r ON l.chunk = r.chunk AND l.cv = r.cv
+         |    AND l.vec_id < r.vec_id
+         |  WHERE bit_count(xor(l.sg, r.sg)) <= 10
+         |), norms AS (
+         |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM all_v GROUP BY vec_id
+         |), scored AS (
+         |  SELECT cand.a, cand.b, SUM(la.x * rb.x) AS dot
+         |  FROM cand
+         |  JOIN all_v la ON la.vec_id = cand.a
+         |  JOIN all_v rb ON rb.vec_id = cand.b AND rb.i = la.i
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b FROM scored
+         |JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+         |WHERE dot / (na.nrm * nb.nrm) >= 0.93
+         |ORDER BY a, b""".stripMargin,
     "q_sim_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1753,11 +1833,23 @@ object PipelineQueries {
         |  FROM embeddings
         |), q AS (
         |  SELECT vec_id, i, CAST(floor(x*1048576.0) AS BIGINT) AS xq FROM v
+        |), w1 AS (
+        |  SELECT pp.p AS p, dd.i AS i,
+        |    ((pp.p*1000003 + dd.i)*1103515245 + 12345) % 2147483648 AS h1
+        |  FROM (SELECT unnest(range(16)) AS p) pp,
+        |       (SELECT unnest(range(64)) AS i) dd
+        |), w2 AS (
+        |  SELECT p, i,
+        |    (xor(h1, h1 // 65536)*747796405 + 2891336453) % 2147483648 AS h2
+        |  FROM w1
+        |), wt AS (
+        |  SELECT p, i,
+        |    ((xor(h2, h2 // 65536)*277803737 + 12345) % 2147483648) // 2048
+        |      - 524288 AS w
+        |  FROM w2
         |), proj AS (
-        |  SELECT vec_id, pp.p AS p,
-        |    SUM(xq * ((((pp.p*131071 + (i-1))*1103515245 + 12345) % 2147483648)
-        |      // 2048 - 524288)) AS pr
-        |  FROM q, (SELECT unnest(range(16)) AS p) pp
+        |  SELECT vec_id, wt.p AS p, SUM(xq * wt.w) AS pr
+        |  FROM q JOIN wt ON wt.i = q.i - 1
         |  GROUP BY 1, 2
         |), sig AS (
         |  SELECT vec_id,

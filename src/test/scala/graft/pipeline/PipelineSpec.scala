@@ -389,6 +389,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == Set((1L, 2L)))
   }
 
+  test("rhpSignature dim-literal path is bit-identical to the inline mixer") {
+    // the plan-literal weight matrix (dim hint) must reproduce the inline
+    // mixer exactly, and a row whose length differs from the hint must
+    // fall back to inline instead of null-poisoning the signature
+    val vecs = Seq.tabulate(20)(k =>
+      (k.toLong, Array.tabulate(64)(i => ((k * 31 + i * 7) % 19 - 9) / 9.0f))) :+
+      (99L, Array(0.5f, -0.25f, 0.125f)) // wrong-length row
+    val d = vecs.toDF("vec_id", "embedding")
+    val both = d.select(col("vec_id"),
+      Similarity.rhpSignature(col("embedding"), 32).as("inline_sig"),
+      Similarity.rhpSignature(col("embedding"), 32, dim = 64).as("lit_sig"))
+      .collect()
+    assert(both.length == 21)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"vec ${r.getLong(0)}: inline ${r.getLong(1)} != literal ${r.getLong(2)}"))
+  }
+
+  test("lshParamsFor: bits-per-band follows log2(n/occupancy), floored and capped") {
+    // tiny corpus: the 4-bit floor (16 buckets/band)
+    assert(Dedup.lshParamsFor(100L) == (16, 4))
+    // the sf0.1 planted corpus (~2k vectors) at occupancy 8: 8-bit bands —
+    // the constants q_dedup_cosine_lsh pins
+    assert(Dedup.lshParamsFor(2048L) == (32, 4))
+    // 10x corpus -> +4 bits (log2 rule): occupancy stays ~8, bucket count
+    // grows with n instead of occupancy growing with n
+    assert(Dedup.lshParamsFor(2048L * 16) == (48, 4))
+    // single-long signature cap: 63/bands bits, stated not silently wrapped
+    assert(Dedup.lshParamsFor(Long.MaxValue) == (60, 4))
+    assert(Dedup.lshParamsFor(Long.MaxValue, bands = 8) == (56, 8))
+    // fewer bands leave headroom under the 63-bit cap at the same bits
+    assert(Dedup.lshParamsFor(2048L, bands = 2) == (16, 2))
+  }
+
   test("cosine near-dup LSH blocking never loses identical vectors") {
     val d = Seq(
       (10L, Array(0.3f, -0.7f, 0.2f)),
