@@ -324,7 +324,13 @@ object Similarity {
 
   /** LSH-bucketed ANN: signature chunks as buckets, exact cosine re-rank of
     * the candidates only. Same output shape as bruteForceTopK; recall < 1
-    * by construction (ScalaTest pins it against brute force). */
+    * by construction (ScalaTest pins it against brute force).
+    *
+    * 100 TB posture: per-probe candidate volume is corpus_n / 2^(planes/
+    * chunks) per band — FIXED banding degrades toward scanning a constant
+    * fraction of the corpus as it grows. Size (planes, chunks) with
+    * Dedup.lshParamsFor (bits-per-band ~ log2(n/occupancy)), and pass
+    * `dim` when known so the weight matrix embeds as a plan literal. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 16, chunks: Int = 4,
       dim: Int = 0): DataFrame = {
