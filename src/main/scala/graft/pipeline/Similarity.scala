@@ -111,6 +111,19 @@ object Similarity {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** `nlist` sizing for the IVF cells / semanticDedup clusters: the cell
+    * count must grow with the corpus (√n — the FAISS/SemDeDup practice) so
+    * per-cell populations stay ~√n-bounded and the within-cell quadratic
+    * work (semanticDedup's pair join, IVF's probe scoring) stays linear in
+    * total — the same corpus-scaled discipline as Dedup.lshParamsFor for
+    * band bits. Floored for tiny corpora, capped where the centroid
+    * literal matrix (nlist×dim doubles) would stop being a reasonable
+    * broadcast/plan constant. */
+  def ivfParamsFor(n: Long, minList: Int = 8, maxList: Int = 65536): Int =
+    math.min(maxList.toLong,
+      math.max(minList.toLong,
+        math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)).toInt
+
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` Voronoi
     * cells around L2 k-means centroids (the FAISS-IVFFlat layout); at query
     * time score only the members of each probe's `nprobe` nearest cells.

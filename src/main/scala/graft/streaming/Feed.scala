@@ -183,6 +183,37 @@ object Feed {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** ST11 (round 10): streaming EMBEDDING near-duplicate gate — the
+    * vector analogue of [[dedupStream]]. Keys the watermarked dedup on
+    * the full random-hyperplane signature
+    * (Similarity.rhpSignature): two vectors share the key only when all
+    * `planes` sign bits agree, so the gate drops re-arrivals of the same
+    * embedding direction (re-encodes, exact re-embeds, direction-
+    * preserving rescales that survive quantization) while state stays one
+    * long per admitted signature, bounded by the watermark horizon.
+    *
+    * Recall split, stated honestly: a boundary near-duplicate (cosine
+    * just above a batch threshold, expected `planes`·θ/π flipped bits)
+    * usually does NOT share the full signature and passes the gate —
+    * by design. Corpus-level near-dup semantics (cosineNearDup banding,
+    * semanticDedup) need candidate JOINS, which have no bounded-state
+    * streaming form; they run in the periodic batch sweep over the
+    * already-thinned log — the same lambda split as ST10. False drops
+    * (distinct directions colliding on all bits) are ~Π(θᵢ/π-complements)
+    * ≈ 2^-planes for unrelated vectors — and this rate is REAL only
+    * because the plane mixer is decorrelated (SCALE.md round 10: the old
+    * weights had identical planes at lag 52, an effective ceiling of
+    * ~52 independent bits). */
+  def nearDupGateStream(docStream: DataFrame, vecCol: String,
+      planes: Int = 64, dim: Int = 0, tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docStream
+      .withColumn("__vsig",
+        graft.pipeline.Similarity.rhpSignature(col(vecCol), planes, dim))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__vsig")
+      .drop("__vsig")
+
   /** ST10: the curation chain as a STREAM — the per-record gates of
     * `Curate.curate` applied at ingest time: markup strip → heuristic
     * quality gate → hashed-linear classifier gate → watermarked exact

@@ -422,6 +422,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.lshParamsFor(2048L, bands = 2) == (16, 2))
   }
 
+  test("ivfParamsFor: sqrt(n) cells, floored and capped") {
+    assert(Similarity.ivfParamsFor(0L) == 8)
+    assert(Similarity.ivfParamsFor(100L) == 10)
+    assert(Similarity.ivfParamsFor(1000000L) == 1000)
+    assert(Similarity.ivfParamsFor(Long.MaxValue) == 65536)
+  }
+
   test("cosine near-dup LSH blocking never loses identical vectors") {
     val d = Seq(
       (10L, Array(0.3f, -0.7f, 0.2f)),

@@ -221,6 +221,38 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet) // nothing lost vs batch dedup
   }
 
+  test("ST11 streaming embedding near-dup gate admits one doc per signature") {
+    val s = spark
+    import s.implicits._
+    val stage = tmp()
+    val vecs = spark.read.parquet(s"$srcSf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // re-arrivals of the same embedding under fresh ids: the gate must
+    // drop them; distinct directions must all pass
+    val dups = vecs.limit(25)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val all = vecs.unionByName(dups)
+      .withColumn("ts",
+        timestamp_millis(lit(1700000000000L) + col("vec_id") % 1000))
+    all.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = Feed.nearDupGateStream(stream, "embedding", dim = 64)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val sig = graft.pipeline.Similarity.rhpSignature(col("embedding"), 64, 64)
+    val streamed = spark.sql("SELECT embedding FROM neardup_stream")
+      .select(sig).as[Long].collect()
+    val batch = all.select(sig).distinct().as[Long].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.length == streamed.toSet.size) // no signature admitted twice
+    assert(streamed.toSet == batch.toSet) // nothing lost vs batch distinct
+    // the planted re-arrivals were actually dropped (gate did real work)
+    assert(streamed.length < all.count())
+  }
+
   test("ST10 streamed curation chain matches the batch gate set") {
     val s = spark
     import s.implicits._
