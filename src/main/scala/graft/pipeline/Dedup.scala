@@ -470,6 +470,35 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Derive the `maxHamming` pre-verification cut for a cosine threshold:
+    * a true pair at cosine `threshold` disagrees on a plane with
+    * probability θ/π (θ = acos(threshold)), so its full-signature hamming
+    * distance is ~Binom(planes, θ/π); keep out to +3σ above the mean so
+    * the cut removes the moderately-similar tail, not true pairs. */
+  def hammingCutFor(threshold: Double, planes: Int): Int = {
+    val p = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    math.min(planes,
+      math.ceil(planes * p + 3.0 * math.sqrt(planes * p * (1 - p))).toInt)
+  }
+
+  /** [[cosineNearDup]] LSH path with corpus-sized parameters: counts the
+    * corpus ONCE (an explicit, documented eager action — one metadata-cheap
+    * count against the source), then applies [[lshParamsFor]] for the band
+    * layout and [[hammingCutFor]] for the pre-verification cut. The
+    * packaged form of the round-10 sizing discipline: callers that reach
+    * for the LSH path at unknown scale get bands that grow with the corpus
+    * instead of a silently quadratic fixed layout. `dim` (vector length,
+    * when known) enables the plan-literal weight matrix. */
+  def cosineNearDupAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 4, targetOccupancy: Int = 8,
+      dim: Int = 0): DataFrame = {
+    val n = emb.count()
+    val (planes, chunks) = lshParamsFor(n, bands, targetOccupancy)
+    cosineNearDup(emb, idCol, vecCol, threshold, blockCol = None,
+      planes = planes, chunks = chunks,
+      maxHamming = Some(hammingCutFor(threshold, planes)), dim = dim)
+  }
+
   /** Candidate stage of the LSH path of [[cosineNearDup]], exposed so the
     * candidate-pair count — the structural scale measure: it IS the
     * downstream shuffle/score volume — can be observed directly

@@ -422,6 +422,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.lshParamsFor(2048L, bands = 2) == (16, 2))
   }
 
+  test("hammingCutFor: +3 sigma keep above the threshold's expected flips") {
+    // planes=32 at cos 0.93: mean 3.83 flips, sigma 1.84 -> cut 10
+    assert(Dedup.hammingCutFor(0.93, 32) == 10)
+    // planes=48 at cos 0.93: mean 5.74, sigma 2.25 -> cut 13
+    assert(Dedup.hammingCutFor(0.93, 48) == 13)
+    // degenerate thresholds stay in range
+    assert(Dedup.hammingCutFor(1.0, 32) == 0)
+    assert(Dedup.hammingCutFor(-1.0, 32) == 32)
+  }
+
+  test("cosineNearDupAuto finds planted duplicates with derived parameters") {
+    val base = Seq.tabulate(40)(k =>
+      (k.toLong, Array.tabulate(8)(i => ((k * 13 + i * 5) % 17 - 8) / 8.0f)))
+    // plant exact-direction rescales: cosine 1.0 with their source
+    val planted = base.take(6).map { case (id, v) =>
+      (id + 1000L, v.map(_ * 0.5f)) }
+    val d = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDupAuto(d, "vec_id", "embedding", 0.999, dim = 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall { case (pid, _) => pairs.contains((pid - 1000L, pid)) },
+      s"missing planted pairs in $pairs")
+  }
+
   test("ivfParamsFor: sqrt(n) cells, floored and capped") {
     assert(Similarity.ivfParamsFor(0L) == 8)
     assert(Similarity.ivfParamsFor(100L) == 10)
