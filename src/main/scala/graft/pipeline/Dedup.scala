@@ -526,6 +526,13 @@ object Dedup {
         call_function("shiftright", col("__sig"), (c * chunkBits).cast("int"))
           .bitwiseAND(lit((1L << chunkBits) - 1)))))
       .toDF("id", "sg", "chunk", "chunk_val")
+    // Self-join note: at bench scale AQE broadcasts one side, so the
+    // signature subtree evaluates twice (measured: forcing a band-key
+    // repartition to get a ReusedExchange costs MORE here — the extra
+    // shuffle outweighs the duplicate signature pass on a small corpus).
+    // At corpus scale the band join is sort-merge: both sides then carry
+    // the identical Exchange and the second becomes a ReusedExchange, so
+    // the corpus is scanned and signed once — no code change needed.
     val joined = banded.as("l").join(banded.as("r"),
       col("l.chunk") === col("r.chunk") &&
         col("l.chunk_val") === col("r.chunk_val") && col("l.id") < col("r.id"))

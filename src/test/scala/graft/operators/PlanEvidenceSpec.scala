@@ -197,6 +197,31 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(nd.columns.toSeq == Seq("a", "b", "cosine"))
   }
 
+  test("cosine LSH band self-join reuses the signature exchange at SMJ scale") {
+    // at corpus scale the band join is sort-merge: both sides carry the
+    // identical Exchange over the signature subtree and the second must
+    // plan as ReusedExchange — the corpus is scanned and SIGNED once.
+    // (Under AQE broadcast on small corpora the subtree evaluates twice;
+    // measured in round 10: forcing a repartition there costs more than
+    // the duplicate pass, so SMJ-side reuse is the claim to pin.)
+    val emb = graft.queries.Tables(spark, sf, "embeddings")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nd = graft.pipeline.Dedup.lshCandidatePairs(
+        emb.select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+        planes = 32, chunks = 4, maxHamming = Some(10), dim = 64)
+      nd.collect() // AQE materializes stage reuse only in the FINAL plan
+                   // (of THIS query execution — count() would spawn another)
+      val plan = nd.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(plan.contains("ReusedExchange") || plan.contains("isFinalPlan=true")
+        && "Exchange hashpartitioning\\(chunk".r.findAllIn(plan).length == 1,
+        plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("classifier scoring is scan-local: model literal, no Exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val w = (0 until 64).map(b => (b * 37 + 11) % 7)
