@@ -442,7 +442,7 @@ object Dedup {
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[String] = None,
       planes: Int = 16, chunks: Int = 4,
-      maxHamming: Option[Int] = None, dim: Int = 0): DataFrame = {
+      maxHamming: Option[Int] = None): DataFrame = {
     val v = emb.select(col(idCol).as("id") +:
       transform(col(vecCol), x => x.cast("double")).as("v") +:
       blockCol.map(col).toSeq: _*)
@@ -456,7 +456,7 @@ object Dedup {
             col("l.norm").as("na"), col("r.norm").as("nb"))
       case None =>
         val idPairs = lshCandidatePairs(withNorm.select(col("id"), col("v")),
-          planes, chunks, maxHamming, dim)
+          planes, chunks, maxHamming)
         idPairs
           .join(withNorm.select(col("id").as("a"), col("v").as("va"),
             col("norm").as("na")), "a")
@@ -490,13 +490,12 @@ object Dedup {
     * instead of a silently quadratic fixed layout. `dim` (vector length,
     * when known) enables the plan-literal weight matrix. */
   def cosineNearDupAuto(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 4, targetOccupancy: Int = 8,
-      dim: Int = 0): DataFrame = {
+      threshold: Double, bands: Int = 4, targetOccupancy: Int = 8): DataFrame = {
     val n = emb.count()
     val (planes, chunks) = lshParamsFor(n, bands, targetOccupancy)
     cosineNearDup(emb, idCol, vecCol, threshold, blockCol = None,
       planes = planes, chunks = chunks,
-      maxHamming = Some(hammingCutFor(threshold, planes)), dim = dim)
+      maxHamming = Some(hammingCutFor(threshold, planes)))
   }
 
   /** Candidate stage of the LSH path of [[cosineNearDup]], exposed so the
@@ -517,10 +516,10 @@ object Dedup {
     * exchange along with everything after it.
     * Input must have columns (id, v). */
   private[graft] def lshCandidatePairs(withV: DataFrame, planes: Int,
-      chunks: Int, maxHamming: Option[Int] = None, dim: Int = 0): DataFrame = {
+      chunks: Int, maxHamming: Option[Int] = None): DataFrame = {
     val chunkBits = planes / chunks
     val sig = withV.withColumn("__sig",
-      graft.pipeline.Similarity.rhpSignature(col("v"), planes, dim))
+      graft.pipeline.Similarity.rhpSignature(col("v"), planes))
     val banded = sig.select(col("id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("__sig"), (c * chunkBits).cast("int"))

@@ -66,23 +66,23 @@ object Similarity {
     * same corpus measures zero plane pairs beyond ±0.2 and candidates
     * track the planted-duplicate truth (SCALE.md "Measured scaling").
     *
-    * `dim`: when the vector length is known at plan time, pass it — the
-    * mixer then runs ONCE on the driver and the planes×dim weight matrix
-    * embeds as a plan literal (the IVF-centroid-literal pattern), leaving
-    * one multiply-add per element on the executors instead of the 12-op
-    * mixer; a ~4× wall win on the signature stage. Rows whose actual
-    * length differs from `dim` fall back to the inline mixer (a size()
-    * guard — never a silently null-poisoned signature), so the output is
-    * IDENTICAL for every dim, including the default 0 (= always inline). */
-  def rhpSignature(vec: Column, planes: Int, dim: Int = 0): Column = {
+    * Evaluation is the native codegen'd [[graft.functions.RhpSig]] node
+    * (one JIT-compiled planes×dims loop per row — the
+    * [[graft.functions.VecDot]] discipline); the composed-HOF form of the
+    * identical math survives as [[rhpSignatureRef]], the executable
+    * specification the native node is spec-pinned bit-identical to, null
+    * cases included. */
+  def rhpSignature(vec: Column, planes: Int): Column =
+    graft.functions.RhpSig(vec, planes)
+
+  /** Reference HOF implementation of [[rhpSignature]] — interpreted and
+    * slow, kept ONLY as the executable specification for the equivalence
+    * spec (and as the authoritative statement of the null semantics: a
+    * null array or element poisons every plane's projection and
+    * `when(proj >= 0, 1).otherwise(0)` books each bit as 0). */
+  private[graft] def rhpSignatureRef(vec: Column, planes: Int): Column = {
     val v = asDouble(vec)
     val q = transform(v, x => floor(x * lit(1048576.0d)).cast("long"))
-    def mixConst(p: Long, i: Long): Long = {
-      val h1 = ((p * 1000003L + i) * 1103515245L + 12345L) % 2147483648L
-      val h2 = (((h1 ^ (h1 >> 16)) * 747796405L + 2891336453L) % 2147483648L)
-      val h3 = (((h2 ^ (h2 >> 16)) * 277803737L + 12345L) % 2147483648L)
-      (h3 >> 11) - 524288L
-    }
     def projInline(p: Column): Column = aggregate(
       zip_with(q, sequence(lit(0L), size(v).cast("long") - 1), (xq, i) => {
         val s1 = p.cast("long") * 1000003L + i
@@ -94,18 +94,8 @@ object Similarity {
         xq * (shiftright(h3, 11) - 524288L)
       }),
       lit(0L), (acc, x) => acc + x)
-    val proj: Column => Column =
-      if (dim <= 0) projInline
-      else {
-        val w = typedlit(Seq.tabulate(planes, dim)((p, i) =>
-          mixConst(p.toLong, i.toLong)))
-        p => when(size(v) === dim,
-          aggregate(zip_with(q, element_at(w, p.cast("int") + 1),
-            (xq, wi) => xq * wi), lit(0L), (acc, x) => acc + x))
-          .otherwise(projInline(p))
-      }
     val bits = transform(sequence(lit(0), lit(planes - 1)), p =>
-      when(proj(p) >= 0, lit(1L)).otherwise(lit(0L)))
+      when(projInline(p) >= 0, lit(1L)).otherwise(lit(0L)))
     aggregate(
       zip_with(bits, sequence(lit(0), lit(planes - 1)), (b, i) => call_function("shiftleft", b, i.cast("int"))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
@@ -345,13 +335,12 @@ object Similarity {
     * Dedup.lshParamsFor (bits-per-band ~ log2(n/occupancy)), and pass
     * `dim` when known so the weight matrix embeds as a plan literal. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 16, chunks: Int = 4,
-      dim: Int = 0): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 16, chunks: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunkBits = planes / chunks
     def banded(df: DataFrame, idName: String) =
       df.select(col(idCol).as(idName), asDouble(col(vecCol)).as(s"${idName}_v"),
-        rhpSignature(col(vecCol), planes, dim).as(s"${idName}_sig"))
+        rhpSignature(col(vecCol), planes).as(s"${idName}_sig"))
         .select(col(idName), col(s"${idName}_v"),
           posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
             call_function("shiftright", col(s"${idName}_sig"), (c * chunkBits).cast("int"))

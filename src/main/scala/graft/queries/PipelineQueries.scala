@@ -154,8 +154,7 @@ object PipelineQueries {
     // covers banding and pre-verification, not just the verify step.
     "q_dedup_cosine_lsh" -> ((s, dir) =>
       Dedup.cosineNearDup(plantedEmb(s, dir), "vec_id", "v", 0.93,
-        blockCol = None, planes = 32, chunks = 4, maxHamming = Some(10),
-        dim = 64)
+        blockCol = None, planes = 32, chunks = 4, maxHamming = Some(10))
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
     // SemDeDup cluster-then-prune over the planted near-dup fixture: the
@@ -191,7 +190,7 @@ object PipelineQueries {
     "q_sim_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
-      Similarity.lshTopK(e, probes, "vec_id", "embedding", 10, dim = 64)
+      Similarity.lshTopK(e, probes, "vec_id", "embedding", 10)
         .select(col("probe_id"), col("id"), col("rank"))
         .orderBy(col("probe_id"), col("rank"))
     }),

@@ -205,11 +205,11 @@ object Feed {
     * weights had identical planes at lag 52, an effective ceiling of
     * ~52 independent bits). */
   def nearDupGateStream(docStream: DataFrame, vecCol: String,
-      planes: Int = 64, dim: Int = 0, tsCol: String = "ts",
+      planes: Int = 64, tsCol: String = "ts",
       watermark: String = "10 minutes"): DataFrame =
     docStream
       .withColumn("__vsig",
-        graft.pipeline.Similarity.rhpSignature(col(vecCol), planes, dim))
+        graft.pipeline.Similarity.rhpSignature(col(vecCol), planes))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__vsig")
       .drop("__vsig")

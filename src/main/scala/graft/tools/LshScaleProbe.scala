@@ -36,13 +36,12 @@ object LshScaleProbe {
     // shuffle/score volume); at probe-size corpora wall time is still
     // overhead-dominated, candidates already show the asymptote
     val cands = graft.pipeline.Dedup.lshCandidatePairs(
-      emb.select(col("vec_id").as("id"), col("v")), planes, chunks,
-      dim = 64).count()
+      emb.select(col("vec_id").as("id"), col("v")), planes, chunks).count()
     println(f"[lshprobe] candidates=$cands (${cands.toDouble / n}%.1f per vector)")
     maxHamming.foreach { h =>
       val kept = graft.pipeline.Dedup.lshCandidatePairs(
         emb.select(col("vec_id").as("id"), col("v")), planes, chunks,
-        Some(h), dim = 64).count()
+        Some(h)).count()
       println(f"[lshprobe] candidates(hamming<=$h)=$kept " +
         f"(${kept.toDouble / n}%.2f per vector)")
     }
@@ -50,8 +49,7 @@ object LshScaleProbe {
       val t0 = System.nanoTime()
       val pairs = graft.pipeline.Dedup.cosineNearDup(
         emb, "vec_id", "v", 0.93, blockCol = None,
-        planes = planes, chunks = chunks, maxHamming = maxHamming,
-        dim = 64).count()
+        planes = planes, chunks = chunks, maxHamming = maxHamming).count()
       println(f"[lshprobe] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $pairs pairs")
     }
     spark.stop()

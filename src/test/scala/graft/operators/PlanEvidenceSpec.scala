@@ -211,7 +211,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
       val nd = graft.pipeline.Dedup.lshCandidatePairs(
         emb.select(col("vec_id").as("id"),
           transform(col("embedding"), x => x.cast("double")).as("v")),
-        planes = 32, chunks = 4, maxHamming = Some(10), dim = 64)
+        planes = 32, chunks = 4, maxHamming = Some(10))
       nd.collect() // AQE materializes stage reuse only in the FINAL plan
                    // (of THIS query execution — count() would spawn another)
       val plan = nd.queryExecution.executedPlan.toString

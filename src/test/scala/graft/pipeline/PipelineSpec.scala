@@ -389,21 +389,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == Set((1L, 2L)))
   }
 
-  test("rhpSignature dim-literal path is bit-identical to the inline mixer") {
-    // the plan-literal weight matrix (dim hint) must reproduce the inline
-    // mixer exactly, and a row whose length differs from the hint must
-    // fall back to inline instead of null-poisoning the signature
-    val vecs = Seq.tabulate(20)(k =>
-      (k.toLong, Array.tabulate(64)(i => ((k * 31 + i * 7) % 19 - 9) / 9.0f))) :+
-      (99L, Array(0.5f, -0.25f, 0.125f)) // wrong-length row
+  test("native RhpSig is bit-identical to the HOF reference, nulls included") {
+    // the codegen'd kernel must reproduce the composed-HOF signature
+    // exactly — including the HOF tree's null semantics (null array or
+    // null element books every bit as 0) and a mixed-length corpus
+    val vecs: Seq[(Long, Array[java.lang.Float])] = Seq.tabulate(20)(k =>
+      (k.toLong, Array.tabulate[java.lang.Float](64)(i =>
+        java.lang.Float.valueOf(((k * 31 + i * 7) % 19 - 9) / 9.0f)))) ++ Seq(
+      (97L, Array[java.lang.Float](0.5f, -0.25f, 0.125f)), // short row
+      (98L, Array[java.lang.Float](0.5f, null, 0.125f)),   // null element
+      (99L, null))                                         // null array
     val d = vecs.toDF("vec_id", "embedding")
-    val both = d.select(col("vec_id"),
-      Similarity.rhpSignature(col("embedding"), 32).as("inline_sig"),
-      Similarity.rhpSignature(col("embedding"), 32, dim = 64).as("lit_sig"))
-      .collect()
-    assert(both.length == 21)
-    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
-      s"vec ${r.getLong(0)}: inline ${r.getLong(1)} != literal ${r.getLong(2)}"))
+    for (planes <- Seq(16, 32, 64)) {
+      val both = d.select(col("vec_id"),
+        Similarity.rhpSignature(col("embedding"), planes).as("native_sig"),
+        Similarity.rhpSignatureRef(col("embedding"), planes).as("ref_sig"))
+        .collect()
+      assert(both.length == 23)
+      both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"planes=$planes vec ${r.getLong(0)}: " +
+          s"native ${r.getLong(1)} != ref ${r.getLong(2)}"))
+      // the null rows really take the documented 0L path
+      val nullSigs = both.filter(r => r.getLong(0) >= 98L).map(_.getLong(1))
+      assert(nullSigs.forall(_ == 0L), nullSigs.toSeq)
+    }
   }
 
   test("lshParamsFor: bits-per-band follows log2(n/occupancy), floored and capped") {
@@ -439,7 +448,7 @@ class PipelineSpec extends AnyFunSuite {
     val planted = base.take(6).map { case (id, v) =>
       (id + 1000L, v.map(_ * 0.5f)) }
     val d = (base ++ planted).toDF("vec_id", "embedding")
-    val pairs = Dedup.cosineNearDupAuto(d, "vec_id", "embedding", 0.999, dim = 8)
+    val pairs = Dedup.cosineNearDupAuto(d, "vec_id", "embedding", 0.999)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(planted.forall { case (pid, _) => pairs.contains((pid - 1000L, pid)) },
       s"missing planted pairs in $pairs")

@@ -237,12 +237,12 @@ class FeedSpec extends AnyFunSuite {
     all.repartition(4).write.mode("overwrite").parquet(stage)
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
-    val q = Feed.nearDupGateStream(stream, "embedding", dim = 64)
+    val q = Feed.nearDupGateStream(stream, "embedding")
       .writeStream.format("memory").queryName("neardup_stream")
       .outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    val sig = graft.pipeline.Similarity.rhpSignature(col("embedding"), 64, 64)
+    val sig = graft.pipeline.Similarity.rhpSignature(col("embedding"), 64)
     val streamed = spark.sql("SELECT embedding FROM neardup_stream")
       .select(sig).as[Long].collect()
     val batch = all.select(sig).distinct().as[Long].collect()
