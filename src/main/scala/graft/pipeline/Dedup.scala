@@ -438,11 +438,14 @@ object Dedup {
     * Recall trade (banding already makes one): a true pair at the
     * threshold loses ~P[Binom(planes, θ/π) > h] — at planes=32,
     * cos 0.93 (θ/π ≈ 0.12, mean 3.8 disagreeing bits, σ 1.8), h=10 is
-    * a +3.4σ keep. None (default) disables the cut. */
+    * a +3.4σ keep. None (default) disables the cut. `maxBucketSize`
+    * (LSH path only) caps degenerate band buckets before the self-join —
+    * see [[lshCandidatePairs]] for the trade. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[String] = None,
       planes: Int = 16, chunks: Int = 4,
-      maxHamming: Option[Int] = None): DataFrame = {
+      maxHamming: Option[Int] = None,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val v = emb.select(col(idCol).as("id") +:
       transform(col(vecCol), x => x.cast("double")).as("v") +:
       blockCol.map(col).toSeq: _*)
@@ -456,7 +459,7 @@ object Dedup {
             col("l.norm").as("na"), col("r.norm").as("nb"))
       case None =>
         val idPairs = lshCandidatePairs(withNorm.select(col("id"), col("v")),
-          planes, chunks, maxHamming)
+          planes, chunks, maxHamming, maxBucketSize)
         idPairs
           .join(withNorm.select(col("id").as("a"), col("v").as("va"),
             col("norm").as("na")), "a")
@@ -495,7 +498,12 @@ object Dedup {
     val (planes, chunks) = lshParamsFor(n, bands, targetOccupancy)
     cosineNearDup(emb, idCol, vecCol, threshold, blockCol = None,
       planes = planes, chunks = chunks,
-      maxHamming = Some(hammingCutFor(threshold, planes)))
+      maxHamming = Some(hammingCutFor(threshold, planes)),
+      // a bucket at 64x its expected occupancy is degenerate (a dense
+      // duplicate clique or sign-degenerate region); cap it before the
+      // self-join — the minhashCandidates guard, sized to the same
+      // occupancy target the band bits were derived from
+      maxBucketSize = Some(64 * targetOccupancy))
   }
 
   /** Candidate stage of the LSH path of [[cosineNearDup]], exposed so the
@@ -514,17 +522,34 @@ object Dedup {
     * vector) DOES ride the band join so `maxHamming` can prune the
     * moderately-similar tail BEFORE the distinct, shrinking the distinct
     * exchange along with everything after it.
+    *
+    * `maxBucketSize`: drop band buckets larger than this BEFORE the
+    * self-join — the same degenerate-bucket guard [[minhashCandidates]]
+    * applies, and the one cut `maxHamming` cannot make: the hamming
+    * filter runs ON the joined pairs, so a single over-full bucket (a
+    * dense duplicate clique, or a sign-degenerate region) still
+    * materializes its quadratic join before anything can drop it. The
+    * trade is explicit: members of a capped bucket lose the pairs that
+    * only that bucket would have produced (a clique of exact duplicates
+    * beyond the cap is better handled by exact/fingerprint dedup first).
     * Input must have columns (id, v). */
   private[graft] def lshCandidatePairs(withV: DataFrame, planes: Int,
-      chunks: Int, maxHamming: Option[Int] = None): DataFrame = {
+      chunks: Int, maxHamming: Option[Int] = None,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val chunkBits = planes / chunks
     val sig = withV.withColumn("__sig",
       graft.pipeline.Similarity.rhpSignature(col("v"), planes))
-    val banded = sig.select(col("id"), col("__sig"),
+    val bandedAll = sig.select(col("id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("__sig"), (c * chunkBits).cast("int"))
           .bitwiseAND(lit((1L << chunkBits) - 1)))))
       .toDF("id", "sg", "chunk", "chunk_val")
+    val banded = maxBucketSize.fold(bandedAll)(m =>
+      bandedAll.withColumn("__bn", count(lit(1)).over(
+          Window.partitionBy(col("chunk"), col("chunk_val"))))
+        .where(col("__bn") <= m)
+        .drop("__bn"))
     // Self-join note: at bench scale AQE broadcasts one side, so the
     // signature subtree evaluates twice (measured: forcing a band-key
     // repartition to get a ReusedExchange costs MORE here — the extra

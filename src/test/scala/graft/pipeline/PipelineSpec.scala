@@ -454,6 +454,28 @@ class PipelineSpec extends AnyFunSuite {
       s"missing planted pairs in $pairs")
   }
 
+  test("LSH degenerate-bucket cap bounds the candidate join") {
+    // 120 copies of one direction (a degenerate clique: every band bucket
+    // holds all 120) + distinct vectors. Uncapped, the clique alone joins
+    // 120*119/2 = 7140 pairs; capped below the clique size, its buckets
+    // drop entirely while small-bucket pairs survive.
+    val clique = Seq.tabulate(120)(k =>
+      ((1000 + k).toLong, Array(0.6f, -0.3f, 0.2f, 0.4f)))
+    val pairA = Seq((1L, Array(0.2f, 0.9f, -0.1f, 0.3f)),
+      (2L, Array(0.2f, 0.9f, -0.1f, 0.3f))) // exact dup pair, bucket of 2
+    val d = (clique ++ pairA).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val uncapped = Dedup.lshCandidatePairs(d, planes = 32, chunks = 4).count()
+    assert(uncapped >= 7140L)
+    val capped = Dedup.lshCandidatePairs(d, planes = 32, chunks = 4,
+      maxBucketSize = Some(50))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L))) // small buckets unaffected
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      s"clique pairs leaked through the cap: ${capped.size}")
+  }
+
   test("ivfParamsFor: sqrt(n) cells, floored and capped") {
     assert(Similarity.ivfParamsFor(0L) == 8)
     assert(Similarity.ivfParamsFor(100L) == 10)
