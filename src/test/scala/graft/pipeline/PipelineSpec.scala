@@ -237,7 +237,10 @@ class PipelineSpec extends AnyFunSuite {
     val lsh = Similarity.lshTopK(emb, probes, "vec_id", "embedding", 10)
       .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = bf.count(lsh.contains).toDouble / bf.size
-    assert(recall >= 0.2, s"recall=$recall") // coarse buckets; must beat chance
+    // deterministic 0.40 on this fixture since the round-10 decorrelated
+    // mixer (the correlated-plane weights measured 0.2-0.3); floor at 0.3
+    // so a mixer/banding regression trips before it reaches chance level
+    assert(recall >= 0.3, s"recall=$recall")
     assert(lsh.size <= 30)
   }
 
