@@ -489,9 +489,9 @@ object Dedup {
     * count against the source), then applies [[lshParamsFor]] for the band
     * layout and [[hammingCutFor]] for the pre-verification cut. The
     * packaged form of the round-10 sizing discipline: callers that reach
-    * for the LSH path at unknown scale get bands that grow with the corpus
-    * instead of a silently quadratic fixed layout. `dim` (vector length,
-    * when known) enables the plan-literal weight matrix. */
+    * for the LSH path at unknown scale get bands that grow with the
+    * corpus instead of a silently quadratic fixed layout, plus the
+    * degenerate-bucket cap at 64× the occupancy target. */
   def cosineNearDupAuto(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 4, targetOccupancy: Int = 8): DataFrame = {
     val n = emb.count()

@@ -351,17 +351,23 @@ object Similarity {
     require(multiprobe == 0 || multiprobe == 1,
       "multiprobe supports 0 (exact bucket) or 1 (one-bit-flip neighbors)")
     val chunkBits = planes / chunks
+    // only (id, chunk, chunk_val) rides the band join, and multi-band
+    // (and multiprobe-key) collisions dedup on BARE ID PAIRS — carrying
+    // the vectors through the band join and the distinct exchange ships
+    // redundant KB-scale payload per duplicate collision (the VERDICT r9
+    // item-5 defect, fixed in cosineNearDup's LSH path; multiprobe would
+    // amplify it up to (1+bits)×). Vectors re-attach afterwards: probes
+    // via a second broadcast, the corpus via one equi-join on id.
     def banded(df: DataFrame, idName: String, expand: Boolean) = {
       val base = df.select(col(idCol).as(idName),
-        asDouble(col(vecCol)).as(s"${idName}_v"),
         rhpSignature(col(vecCol), planes).as(s"${idName}_sig"))
-        .select(col(idName), col(s"${idName}_v"),
+        .select(col(idName),
           posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
             call_function("shiftright", col(s"${idName}_sig"), (c * chunkBits).cast("int"))
               .bitwiseAND(lit((1L << chunkBits) - 1)))))
-        .toDF(idName, s"${idName}_v", "chunk", "chunk_val")
+        .toDF(idName, "chunk", "chunk_val")
       if (!expand) base
-      else base.select(col(idName), col(s"${idName}_v"), col("chunk"),
+      else base.select(col(idName), col("chunk"),
         explode(array((lit(0L) +: (0 until chunkBits).map(b => lit(1L << b)))
           .map(m => col("chunk_val").bitwiseXOR(m)): _*)).as("chunk_val"))
     }
@@ -370,9 +376,14 @@ object Similarity {
     val cands = cb.join(broadcast(pb),
         cb("chunk") === pb("chunk") && cb("chunk_val") === pb("chunk_val") &&
           col("id") =!= col("probe_id"))
-      .select(col("probe_id"), col("id"), col("probe_id_v").as("pv"), col("id_v").as("v"))
+      .select(col("probe_id"), col("id"))
       .distinct()
-    val scored = cands.withColumn("cosine",
+    val withVecs = cands
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        asDouble(col(vecCol)).as("pv"))), "probe_id")
+      .join(corpus.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v")), "id")
+    val scored = withVecs.withColumn("cosine",
       dot(col("v"), col("pv")) / (norm(col("v")) * norm(col("pv"))))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -38,16 +38,11 @@ private[queries] object XxHash64Sql {
   def chainUnsigned(wordsListExpr: String): String =
     new Gen().chain(wordsListExpr)
 
-  /** [[chainUnsigned]] reinterpreted as Spark's signed BIGINT. */
-  def chainSigned(wordsListExpr: String): String = {
-    val g = new Gen()
-    g.let(g.chain(wordsListExpr), u =>
-      s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - $M ELSE $u END AS BIGINT)")
-  }
-
-  /** Low 31 bits (Spark's `h.bitwiseAND(0x7FFFFFFF)`) as BIGINT. */
-  def chainLow31(wordsListExpr: String): String =
-    s"CAST(${new Gen().chain(wordsListExpr)} % 2147483648 AS BIGINT)"
+  // deliberately the ONLY entry point: the oracle CTEs compute the chain
+  // once into a column and apply reinterpretations (signed cast, low-31
+  // mask) as plain SQL on that column — expression-level variants here
+  // would be uncalled code that every future chain change must keep
+  // consistent with no caller to catch drift
 
   private final class Gen {
     private var ctr = 0

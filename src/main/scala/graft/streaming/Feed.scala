@@ -203,16 +203,28 @@ object Feed {
     * ≈ 2^-planes for unrelated vectors — and this rate is REAL only
     * because the plane mixer is decorrelated (SCALE.md round 10: the old
     * weights had identical planes at lag 52, an effective ceiling of
-    * ~52 independent bits). */
+    * ~52 independent bits).
+    *
+    * Rows WITHOUT a usable embedding (null vector, null element, empty
+    * array) have no signature key and PASS the gate un-deduped: the
+    * signature maps every such row to the same constant, so keying the
+    * dedup on it would silently collapse all embedder-failure rows into
+    * one — data loss the batch sweep could never recover (the batch
+    * near-dup passes never pair unembeddable rows either, so the
+    * lambda-split parity holds). */
   def nearDupGateStream(docStream: DataFrame, vecCol: String,
       planes: Int = 64, tsCol: String = "ts",
-      watermark: String = "10 minutes"): DataFrame =
-    docStream
+      watermark: String = "10 minutes"): DataFrame = {
+    val usable = col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+      !exists(col(vecCol), x => x.isNull)
+    val gated = docStream.where(usable)
       .withColumn("__vsig",
         graft.pipeline.Similarity.rhpSignature(col(vecCol), planes))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__vsig")
       .drop("__vsig")
+    gated.unionByName(docStream.where(!coalesce(usable, lit(false))))
+  }
 
   /** ST10: the curation chain as a STREAM — the per-record gates of
     * `Curate.curate` applied at ingest time: markup strip → heuristic

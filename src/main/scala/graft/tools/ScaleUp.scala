@@ -68,7 +68,11 @@ object ScaleUp {
       d.withColumn("l_orderkey", col("l_orderkey") + i * shift)
         .withColumn("l_partkey", col("l_partkey") + i * shift)
         .withColumn("l_suppkey", col("l_suppkey") + i * shift) }, "lineitem")
-    wr(copies(rd("events")) { (d, i) =>
+    // events go through Tables, the single ts-normalization seam: a raw
+    // read of a TIMESTAMP(NANOS)-era fixture yields BIGINT ts under
+    // nanosAsLong, and BIGINT + INTERVAL fails analysis (the verify-skill
+    // gotcha: read fixtures ONLY through Tables)
+    wr(copies(graft.queries.Tables(spark, src, "events")) { (d, i) =>
       d.withColumn("event_id", col("event_id") + i * shift)
         .withColumn("user_id", col("user_id") + i * shift)
         .withColumn("ts", col("ts") + expr(s"INTERVAL $i SECOND")) }, "events")

@@ -216,9 +216,15 @@ class PlanEvidenceSpec extends AnyFunSuite {
                    // (of THIS query execution — count() would spawn another)
       val plan = nd.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan.take(3000))
-      assert(plan.contains("ReusedExchange") || plan.contains("isFinalPlan=true")
-        && "Exchange hashpartitioning\\(chunk".r.findAllIn(plan).length == 1,
-        plan.take(3000))
+      // the pinned claim is "the corpus is scanned and SIGNED once": either
+      // an explicit ReusedExchange node, or (AQE final plan) exactly ONE
+      // materialized chunk-key exchange — both conditions on the chunk
+      // exchange itself, not on some unrelated reused exchange elsewhere
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      val chunkExchanges =
+        "Exchange hashpartitioning\\(chunk".r.findAllIn(plan).length
+      assert(plan.contains("ReusedExchange") || chunkExchanges == 1,
+        s"chunk exchanges=$chunkExchanges\n${plan.take(3000)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

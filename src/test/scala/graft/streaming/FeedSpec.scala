@@ -228,10 +228,17 @@ class FeedSpec extends AnyFunSuite {
     val vecs = spark.read.parquet(s"$srcSf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     // re-arrivals of the same embedding under fresh ids: the gate must
-    // drop them; distinct directions must all pass
+    // drop them; distinct directions must all pass; rows WITHOUT a usable
+    // embedding (null vector / empty array) must ALL pass un-deduped —
+    // the signature maps every such row to one constant, and keying the
+    // dedup on it would collapse unrelated embedder-failure rows
     val dups = vecs.limit(25)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-    val all = vecs.unionByName(dups)
+    val unusable = vecs.limit(7)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        when(col("vec_id") % 2 === 0, lit(null))
+          .otherwise(array().cast("array<float>")).as("embedding"))
+    val all = vecs.unionByName(dups).unionByName(unusable)
       .withColumn("ts",
         timestamp_millis(lit(1700000000000L) + col("vec_id") % 1000))
     all.repartition(4).write.mode("overwrite").parquet(stage)
@@ -243,14 +250,23 @@ class FeedSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val sig = graft.pipeline.Similarity.rhpSignature(col("embedding"), 64)
-    val streamed = spark.sql("SELECT embedding FROM neardup_stream")
+    val out = spark.table("neardup_stream")
+    // usable rows: one admitted per signature, none lost vs batch distinct
+    val streamed = out.where(col("vec_id") < 200000L)
       .select(sig).as[Long].collect()
-    val batch = all.select(sig).distinct().as[Long].collect()
+    val batch = all.where(col("vec_id") < 200000L)
+      .select(sig).distinct().as[Long].collect()
     assert(streamed.nonEmpty)
     assert(streamed.length == streamed.toSet.size) // no signature admitted twice
     assert(streamed.toSet == batch.toSet) // nothing lost vs batch distinct
     // the planted re-arrivals were actually dropped (gate did real work)
-    assert(streamed.length < all.count())
+    assert(streamed.length < all.where(col("vec_id") < 200000L).count())
+    // unusable rows (null / empty embedding) ALL pass un-deduped
+    val passed = out.where(col("vec_id") >= 200000L)
+      .select(col("vec_id")).as[Long].collect().sorted
+    val planted = unusable.select(col("vec_id")).as[Long].collect().sorted
+    assert(passed.toSeq == planted.toSeq,
+      s"unusable rows collapsed: ${passed.length} of ${planted.length} passed")
   }
 
   test("ST10 streamed curation chain matches the batch gate set") {

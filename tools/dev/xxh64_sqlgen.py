@@ -63,10 +63,6 @@ def hash_word(B, S):
             ACC, W, h, v = fresh("A"), fresh("W"), fresh("h"), fresh("v")
             lanes_init = (f"[{add(S, (P1 + P2) % M)}, {add(S, P2)}, "
                           f"({S}) % {M}, {add(S, M - P1)}]")
-            stripes = (f"list_transform(range(0, {ns}), {fresh('s')} -> "
-                       f"[{word(B, f'32*__st', 8)}, {word(B, f'32*__st+8', 8)}, "
-                       f"{word(B, f'32*__st+16', 8)}, {word(B, f'32*__st+24', 8)}])")
-            # need the stripe var name inside word(); redo with explicit var
             st = fresh("s")
             stripes = (f"list_transform(range(0, {ns}), {st} -> "
                        f"[{word(B, f'32*{st}', 8)}, {word(B, f'32*{st}+8', 8)}, "
@@ -112,8 +108,6 @@ def utf8bytes(w):
             f"WHEN {u} < 2048 THEN [CAST(192 + {u}//64 AS HUGEINT), CAST(128 + {u}%64 AS HUGEINT)] "
             f"WHEN {u} < 65536 THEN [CAST(224 + {u}//4096 AS HUGEINT), CAST(128 + ({u}//64)%64 AS HUGEINT), CAST(128 + {u}%64 AS HUGEINT)] "
             f"ELSE [CAST(240 + {u}//262144 AS HUGEINT), CAST(128 + ({u}//4096)%64 AS HUGEINT), CAST(128 + ({u}//64)%64 AS HUGEINT), CAST(128 + {u}%64 AS HUGEINT)] END")
-    inner = let(f"unicode({ch})", lambda uv: case.replace(u, uv), prefix="u")
-    # simpler: bind u via let with the actual fresh name used in `case`
     return (f"flatten(list_transform(list_filter(string_split({w}, ''), {ch} -> {ch} != ''), "
             f"{ch} -> list_transform([unicode({ch})], {u} -> {case})[1]))")
 
