@@ -238,9 +238,15 @@ object Similarity {
     val pCells = p.withColumn("cells",
         slice(reverse(array_sort(pDots)), 1, nprobe))
       .select(col("probe_id"), col("pv"), explode(col("cells.cell")).as("cell"))
+    // NO distinct here, deliberately: cells partition the corpus (each id
+    // is assigned to exactly one cell) and a probe's nprobe cells are
+    // distinct, so a (probe_id, id) pair can match at most once — a
+    // dedup would be a no-op that still pays a full shuffle of the rows
+    // WITH both vector payloads (the r9 item-5 pattern, here avoidable
+    // entirely rather than slimmed)
     val scored = assigned.as("c").join(broadcast(pCells).as("p"),
         col("c.cell") === col("p.cell") && col("c.id") =!= col("p.probe_id"))
-      .select(col("probe_id"), col("id"), col("v"), col("pv")).distinct()
+      .select(col("probe_id"), col("id"), col("v"), col("pv"))
       .withColumn("cosine", dot(col("v"), col("pv")) / (norm(col("v")) * norm(col("pv"))))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
