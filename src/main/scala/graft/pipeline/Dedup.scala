@@ -312,14 +312,17 @@ object Dedup {
         Window.partitionBy(col("chunk"), col("chunk_val"))))
       .where(col("__bn") <= maxBucketSize)
       .drop("__bn")
+    // hamming-verify BEFORE the multi-chunk-collision distinct (the same
+    // order as lshCandidatePairs): failing pairs never enter the distinct
+    // exchange, and the signatures ride it only for the output column
     val pairs = chunked.as("l").join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") &&
           col("l.chunk_val") === col("r.chunk_val") && col("l.id") < col("r.id"))
+      .where(bit_count(col("l.sig").bitwiseXOR(col("r.sig"))) <= maxHamming)
       .select(col("l.id").as("a"), col("r.id").as("b"),
         col("l.sig").as("siga"), col("r.sig").as("sigb"))
       .distinct()
     pairs.withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
-      .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 
