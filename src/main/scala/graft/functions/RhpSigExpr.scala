@@ -27,7 +27,9 @@ import org.apache.spark.sql.GraftBridge
   * invisible to every caller and oracle: a NULL array or any NULL element
   * yields signature 0L (in the HOF tree the null poisons every plane's
   * projection and `when(proj >= 0, 1).otherwise(0)` books each bit as 0),
-  * so the output is non-nullable. Weights depend only on (plane, dim) and
+  * as does an empty (zero-length, non-null) array (zip_with null-pads it
+  * against the index sequence, so every projection is again NULL), so the
+  * output is non-nullable. Weights depend only on (plane, dim) and
   * cost ~12 JIT'd long ops each — cheaper inline than any materialized
   * matrix once out of the interpreter. */
 case class RhpSig(child: Expression, planes: Int) extends UnaryExpression {
@@ -79,6 +81,10 @@ object RhpSig {
     * pmod of the Column form and of the DuckDB oracle's BIGINT replica. */
   def compute(a: ArrayData, isFloat: Boolean, planes: Int): Long = {
     val n = a.numElements()
+    // HOF parity: for an empty array zip_with null-pads q=[] against the
+    // non-empty sequence(0, -1) index array, so every plane's projection is
+    // NULL and books bit 0 — NOT the all-ones that proj=0 >= 0 would give.
+    if (n == 0) return 0L
     var i = 0
     while (i < n) { // HOF parity: one null element zeroes every plane
       if (a.isNullAt(i)) return 0L

@@ -223,6 +223,11 @@ object Similarity {
       .withColumn("cluster", cellOf(col("v"), cents))
   }
 
+  /** IVF approximate top-k: probe the `nprobe` nearest of `nlist` trained
+    * cells, score only their members. PRECONDITION: `idCol` is unique per
+    * corpus row — the candidate join relies on it (see the no-distinct
+    * note below); exact-duplicate (id, v) rows would surface as duplicate
+    * scored candidates and consume top-k rank slots. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 2): DataFrame = {
@@ -238,7 +243,8 @@ object Similarity {
     val pCells = p.withColumn("cells",
         slice(reverse(array_sort(pDots)), 1, nprobe))
       .select(col("probe_id"), col("pv"), explode(col("cells.cell")).as("cell"))
-    // NO distinct here, deliberately: cells partition the corpus (each id
+    // NO distinct here, deliberately: ids are unique per row (the scaladoc
+    // precondition), cells partition the corpus (each id
     // is assigned to exactly one cell) and a probe's nprobe cells are
     // distinct, so a (probe_id, id) pair can match at most once — a
     // dedup would be a no-op that still pays a full shuffle of the rows

@@ -145,8 +145,11 @@ object PipelineQueries {
     // quadratic within its fixed-cardinality label blocks by semantics;
     // this one blocks on signature bands whose bucket count is a caller-
     // sized knob (Dedup.lshParamsFor: bits-per-band ~ log2(n/occupancy)).
-    // planes=32/chunks=4 (8-bit bands, 256 buckets) is lshParamsFor's
-    // answer for the ~2k-vector sf0.1 planted corpus at occupancy 8, and
+    // planes=32/chunks=4 (8-bit bands, 256 buckets) is hand-pinned near
+    // lshParamsFor's output for the sf0.1 planted corpus — its literal
+    // answer for n=2400 at occupancy 8 is 9-bit bands (36, 4); 8-bit is
+    // the n=2048 answer, kept because the oracle SQL replicates these
+    // exact constants — and
     // maxHamming=10 is the +3.4σ keep for the 0.93 threshold at 32 planes
     // (cosineNearDup doc). The oracle replays the ENTIRE pipeline —
     // integer-exact sign bits (the rhpSignature design), band buckets,

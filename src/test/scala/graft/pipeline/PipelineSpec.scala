@@ -414,6 +414,7 @@ class PipelineSpec extends AnyFunSuite {
       (k.toLong, Array.tabulate[java.lang.Float](64)(i =>
         java.lang.Float.valueOf(((k * 31 + i * 7) % 19 - 9) / 9.0f)))) ++ Seq(
       (97L, Array[java.lang.Float](0.5f, -0.25f, 0.125f)), // short row
+      (96L, Array.empty[java.lang.Float]),                 // empty (non-null) array
       (98L, Array[java.lang.Float](0.5f, null, 0.125f)),   // null element
       (99L, null))                                         // null array
     val d = vecs.toDF("vec_id", "embedding")
@@ -422,12 +423,12 @@ class PipelineSpec extends AnyFunSuite {
         Similarity.rhpSignature(col("embedding"), planes).as("native_sig"),
         Similarity.rhpSignatureRef(col("embedding"), planes).as("ref_sig"))
         .collect()
-      assert(both.length == 23)
+      assert(both.length == 24)
       both.foreach(r => assert(r.getLong(1) == r.getLong(2),
         s"planes=$planes vec ${r.getLong(0)}: " +
           s"native ${r.getLong(1)} != ref ${r.getLong(2)}"))
-      // the null rows really take the documented 0L path
-      val nullSigs = both.filter(r => r.getLong(0) >= 98L).map(_.getLong(1))
+      // the empty/null rows really take the documented 0L path
+      val nullSigs = both.filter(r => Set(96L, 98L, 99L)(r.getLong(0))).map(_.getLong(1))
       assert(nullSigs.forall(_ == 0L), nullSigs.toSeq)
     }
   }
