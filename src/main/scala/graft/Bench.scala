@@ -43,11 +43,43 @@ object Bench {
       if (x == 42L) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
+    // Scheduler-contention probe (VERDICT r10 item 3): the single-thread
+    // loop above only sees CPU speed, but the observed 1.8× quiet-run
+    // swing on q_pipeline_attrition tracks SCHEDULER contention — 32
+    // tasks fighting neighbor VMs for cores. This probe runs an actual
+    // 32-task map + shuffle + reduce (the shape every bench query has),
+    // so its time moves with exactly the resource the queries contend
+    // for. Timed after an untimed warmup pass (codegen/classloading
+    // otherwise dominates the first run), at run start and end.
+    def calibratePar(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 8000000L, 1, 32)
+        .selectExpr("id % 1024 AS k", "id AS v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val calibStart = calibrate()
     // warm the JVM/codegen paths (classloading + Janino + parquet reader
     // init cost ~10 s on first action) and the source page cache, so the
     // ingest line measures the derive+write pipeline, not cold-start
     spark.range(1000).selectExpr("sum(id)").collect()
+    calibratePar() // warm the probe's codegen before the timed pass
+    val calibParStart = calibratePar()
+    // Fixture identity (VERDICT r10 item 4): recompute the content
+    // fingerprint and fail LOUDLY if the directory carries a stale
+    // FIXTURE_ID.json pin (a rebuilt target/sf1, a regenerated
+    // /root/testdata) — a bench over a changed fixture must not book
+    // numbers that read as comparable. Runs before ingest, so it also
+    // serves as the page-cache warm for every source table. The
+    // fingerprint rides in the artifact either way, so two artifacts can
+    // be compared for same-fixture after the fact even without a pin.
+    val (fixtureFp, fixtureErr) =
+      graft.tools.FixtureId.check(spark, sfDir)
+    fixtureErr.foreach { msg =>
+      System.err.println(s"[bench] $msg")
+      spark.stop()
+      sys.exit(2)
+    }
     try {
       graft.queries.Tables(spark, sfDir, "events").count()
       // compile the derivation expressions once on a bounded slice
@@ -120,8 +152,25 @@ object Bench {
     val replicaTotal = r4(total - prodTotal)
     val replicaList = results.keys.filter(isReplica).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibParEnd = calibratePar()
     val calibEnd = calibrate()
-    val calib = s""""calib_sec":[${r4(calibStart)},${r4(calibEnd)}]"""
+    // Contended-run gate on BOTH probes: cpu anchor 0.84–1.13 s quiet, so
+    // the 1.7 cut is ~1.5× the quiet ceiling; the parallel probe's 32
+    // fixed tasks spread over `cpus` threads, so its quiet time scales as
+    // 32/cpus (measured 0.28 s at 8 cpus → ~0.07 s per thread-slot), cut
+    // at ~2× until more anchors accumulate. Either probe over its cut
+    // marks the run contended, so per-query deltas read against the probe
+    // ratio instead of booking as regressions (SCALE.md "Run-to-run
+    // noise").
+    val parQuiet = 0.07 * 32.0 / cpus.toInt
+    val contended = math.max(calibStart, calibEnd) > 1.7 ||
+      math.max(calibParStart, calibParEnd) > 2.0 * parQuiet
+    val calibCompact = s""""calib_sec":[${r4(calibStart)},${r4(calibEnd)}],""" +
+      s""""calib_par_sec":[${r4(calibParStart)},${r4(calibParEnd)}],""" +
+      s""""contended":$contended"""
+    // fixture identity only on the full artifact: the compact stdout line
+    // must stay under the driver's ~2 KB tail window
+    val calib = calibCompact + s""","fixture":$fixtureFp"""
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -153,7 +202,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowestProd,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,$calib,"n_errors":${errors.size},"n_errors_prod":${errors.keys.count(k => !isReplica(k))},"n_queries":${results.size},"queries_shown":"slowest 20 of ${results.size} production; full map in BENCH_full.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowestProd,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,$calibCompact,"n_errors":${errors.size},"n_errors_prod":${errors.keys.count(k => !isReplica(k))},"n_queries":${results.size},"queries_shown":"slowest 20 of ${results.size} production; full map in BENCH_full.json"}""")
     // a broken production query means the bench artifact is incomplete:
     // fail the step rather than let an N-queries-short total read as a win
     // the exit condition counts only PRODUCTION errors (incl. ingest);

@@ -215,7 +215,9 @@ object RibQueries {
         graft.sources.UpdateDecompose.messages(Tables(s, dir, "events")))
         .groupBy(col("rib"), col("active"))
         .agg(count(lit(1)).cast("long").as("n"),
-          countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
+          countDistinct(col("prefix_str")).cast("long").as("n_prefixes"),
+          countDistinct(graft.functions.IpFns.pfxStr(col("mdt_group")))
+            .cast("long").as("n_groups"))
         .orderBy(col("rib"), col("active"))),
     // --- S1/S2 wire path: the SAME message stream round-tripped through
     // real RFC 4271 bytes (BgpWire.encode → decode) before decomposition —
@@ -228,7 +230,9 @@ object RibQueries {
           graft.sources.UpdateDecompose.messages(Tables(s, dir, "events")))))
         .groupBy(col("rib"), col("active"))
         .agg(count(lit(1)).cast("long").as("n"),
-          countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
+          countDistinct(col("prefix_str")).cast("long").as("n_prefixes"),
+          countDistinct(graft.functions.IpFns.pfxStr(col("mdt_group")))
+            .cast("long").as("n_groups"))
         .orderBy(col("rib"), col("active"))),
 
     // the ATTRIBUTE TLVs through the same wire roundtrip: per-session sums
@@ -702,24 +706,47 @@ object RibQueries {
   private val decomposeOracle: String =
       """WITH m AS (
         |  SELECT event_id AS eid, user_id AS uid FROM events
+        |), v6p AS (
+        |  SELECT eid, CASE WHEN eid%64=0 THEN '2001::/64'
+        |         ELSE '2001:0:0:'||printf('%x', eid%64)||'::/64' END AS p
+        |  FROM m
         |), rows_out AS (
         |  SELECT 'ipv4u' AS rib, TRUE AS active,
-        |    '10.'||CAST((eid+0)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24' AS p
+        |    '10.'||CAST((eid+0)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24' AS p,
+        |    NULL AS g
         |  FROM m
         |  UNION ALL
         |  SELECT 'ipv4u', TRUE,
-        |    '10.'||CAST((eid+1)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24'
+        |    '10.'||CAST((eid+1)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24',
+        |    NULL
         |  FROM m WHERE eid%2=1
         |  UNION ALL
         |  SELECT 'ipv4u', FALSE,
-        |    '10.'||CAST((eid+2)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24'
+        |    '10.'||CAST((eid+2)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24',
+        |    NULL
         |  FROM m WHERE eid%3=0
         |  UNION ALL
-        |  SELECT 'ipv6u', TRUE,
-        |    CASE WHEN eid%64=0 THEN '2001::/64'
-        |         ELSE '2001:0:0:'||printf('%x', eid%64)||'::/64' END
+        |  SELECT 'ipv6u', TRUE, (SELECT p FROM v6p WHERE v6p.eid = m.eid), NULL
         |  FROM m WHERE eid%4=0
+        |  UNION ALL
+        |  -- MDT reach keys (eid%5==0, family by uid parity): v4 prefix
+        |  -- pfx(3), v6 prefix pfx6, group 232.(eid%8).(uid%256).0/32
+        |  SELECT CASE WHEN uid%2=0 THEN 'ipv4mdt' ELSE 'ipv6mdt' END, TRUE,
+        |    CASE WHEN uid%2=0
+        |      THEN '10.'||CAST((eid+3)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24'
+        |      ELSE (SELECT p FROM v6p WHERE v6p.eid = m.eid) END,
+        |    '232.'||CAST(eid%8 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/32'
+        |  FROM m WHERE eid%5=0
+        |  UNION ALL
+        |  -- MDT withdraw keys (eid%7==3): v4 prefix shifts to pfx(4)
+        |  SELECT CASE WHEN uid%2=0 THEN 'ipv4mdt' ELSE 'ipv6mdt' END, FALSE,
+        |    CASE WHEN uid%2=0
+        |      THEN '10.'||CAST((eid+4)%64 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/24'
+        |      ELSE (SELECT p FROM v6p WHERE v6p.eid = m.eid) END,
+        |    '232.'||CAST(eid%8 AS VARCHAR)||'.'||CAST(uid%256 AS VARCHAR)||'.0/32'
+        |  FROM m WHERE eid%7=3
         |)
-        |SELECT rib, active, COUNT(*) AS n, COUNT(DISTINCT p) AS n_prefixes
+        |SELECT rib, active, COUNT(*) AS n, COUNT(DISTINCT p) AS n_prefixes,
+        |  COUNT(DISTINCT g) AS n_groups
         |FROM rows_out GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 }

@@ -58,7 +58,13 @@ object BgpWire {
     StructField("l2", l2St, nullable = true),
     StructField("mvpn", mvpnSt, nullable = true),
     StructField("evpn", evpnSt, nullable = true),
-    StructField("nexthop", pfxSt, nullable = true)))
+    StructField("nexthop", pfxSt, nullable = true),
+    // MDT key parts (RFC 6037): the RD rides in `rd` above, the unicast
+    // prefix and the MDT group land here (null for the other families).
+    // Appended after nexthop so the pre-MDT golden specs keep their
+    // positional reads.
+    StructField("prefix", pfxSt, nullable = true),
+    StructField("mdt_group", pfxSt, nullable = true)))
 
   /** Decoded-update schema: a superset of UpdateDecompose.messages — the
     * decomposition consumes (nlri, withdraws, nexthop, mp, mp_keys) by name
@@ -100,8 +106,9 @@ object BgpWire {
 
   // AFI/SAFI registry → (rib, hasLabel, hasRd, v6). The engine's 15 SAFI
   // tables minus the families whose NLRI is structurally richer than
-  // RD/label+prefix (mvpn/evpn/l2vpls/mdt/flowspec keep their synthetic
-  // ingest path; their MATCH semantics are engine-side regardless).
+  // RD/label+prefix (evpn/mvpn/l2vpls/mdt/flowspec decode via their own
+  // readers below and ride mp_keys / the flowspec mp arm; their MATCH
+  // semantics are engine-side regardless).
   private val afiSafi: Map[(Int, Int), (String, Boolean, Boolean, Boolean)] = Map(
     (1, 1) -> ("ipv4u", false, false, false),
     (1, 2) -> ("ipv4m", false, false, false),
@@ -313,12 +320,33 @@ object BgpWire {
     (rd, Row(site, offset, range))
   }
 
+  /** One MDT NLRI item (RFC 6037 §4.1; reference tables `WithRd<BgpMdtV4/
+    * V6>`, src/bgprib.rs:820-821): length octet covering RD + unicast
+    * prefix bits, 8-octet RD, the prefix body, then the MDT group. RFC
+    * 6037 fixes the v4 shape at 96 bits (RD + host) with a trailing
+    * 4-octet group; this codec generalizes to variable prefix length and
+    * to the v6 family by keeping the length octet (64 + prefix_len) and
+    * encoding the group as an explicit bit-length-prefixed address — which
+    * also lets a v4 SSM group ride in an ipv6mdt frame, the shape the
+    * synthetic corpus uses (RouteEventGen's mcGroup is v4 for both MDT
+    * families). Returns (rd, prefix, group). */
+  private def readMdtItem(r: Reader, v6: Boolean): (Row, Row, Row) = {
+    val bits = r.u8()
+    require(bits >= 64, s"MDT NLRI shorter than its RD ($bits bits)")
+    val rd = readRd(r)
+    val p = readPrefixBits(r, bits - 64, v6)
+    val g = hostRow(r, r.u8())
+    (rd, p, g)
+  }
+
   /** AFI/SAFI → exotic engine table (the families whose NLRI is richer
     * than RD/label + prefix). */
   private def exoticFamily(afi: Int, safi: Int): Option[String] = (afi, safi) match {
     case (25, 70) => Some("evpn")
     case (1, 5) | (2, 5) => Some("mvpn")
     case (25, 65) => Some("l2vpls")
+    case (1, 66) => Some("ipv4mdt") // SAFI 66 = MDT (RFC 6037)
+    case (2, 66) => Some("ipv6mdt")
     case _ => None
   }
 
@@ -349,11 +377,14 @@ object BgpWire {
 
   /** One exotic route key as an mp_keys row. */
   private def readExoticItem(rib: String, r: Reader, nh: Row): Row = rib match {
-    case "evpn" => Row("evpn", null, null, null, readEvpnItem(r), nh)
-    case "mvpn" => Row("mvpn", null, null, readMvpnItem(r), null, nh)
+    case "evpn" => Row("evpn", null, null, null, readEvpnItem(r), nh, null, null)
+    case "mvpn" => Row("mvpn", null, null, readMvpnItem(r), null, nh, null, null)
+    case "ipv4mdt" | "ipv6mdt" =>
+      val (rd, p, g) = readMdtItem(r, v6 = rib == "ipv6mdt")
+      Row(rib, rd, null, null, null, nh, p, g)
     case _ =>
       val (rd, l2) = readVplsItem(r)
-      Row("l2vpls", rd, l2, null, null, nh)
+      Row("l2vpls", rd, l2, null, null, nh, null, null)
   }
 
   // ------------------------------------------------------------ BGP UPDATE
@@ -476,6 +507,51 @@ object BgpWire {
           b.u8(((p.getLong(2) >> (24 - 8 * i)) & 0xFF).toInt))
       }
       writeAttr(pa, 0x80, 14, b.bytes)
+    }
+    // MDT route keys from mp_keys / mp_keys_withdraws (readMdtItem doc):
+    // one MP_REACH / MP_UNREACH attr per MDT family. The other exotic
+    // families stay decode-only (their frames are hand-assembled goldens);
+    // the encoder skips them here.
+    def writeMdtBody(b: Writer, k: Row): Unit = {
+      val p = k.getStruct(6) // prefix
+      val rd = k.getStruct(1)
+      b.u8(64 + p.getInt(3))
+      writeRd(b, rd.getLong(0), rd.getLong(1))
+      // prefix body without its own length octet (counted in the item len)
+      val nBytes = (p.getInt(3) + 7) / 8
+      if (p.getByte(0) == 4) {
+        (0 until nBytes).foreach(i => b.u8(((p.getLong(2) >> (24 - 8 * i)) & 0xFF).toInt))
+      } else (0 until nBytes).foreach { i =>
+        val byte = if (i < 8) (p.getLong(1) >> (56 - 8 * i)) & 0xFF
+          else (p.getLong(2) >> (56 - 8 * (i - 8))) & 0xFF
+        b.u8(byte.toInt)
+      }
+      writePrefix(b, k.getStruct(7)) // group: bit-length-prefixed address
+    }
+    def mdtOnly(n: String): Seq[(String, Seq[Row])] =
+      rows(n).filter(k => k.getString(0) == "ipv4mdt" || k.getString(0) == "ipv6mdt")
+        .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    mdtOnly("mp_keys").foreach { case (rib, items) =>
+      val b = new Writer
+      b.u16(if (rib == "ipv4mdt") 1 else 2).u8(66)
+      val nh = items.head.getStruct(5)
+      if (nh != null && nh.getByte(0) == 4) {
+        b.u8(4)
+        (0 until 4).foreach(i => b.u8(((nh.getLong(2) >> (24 - 8 * i)) & 0xFF).toInt))
+      } else if (nh != null) {
+        b.u8(16)
+        (0 until 8).foreach(i => b.u8(((nh.getLong(1) >> (56 - 8 * i)) & 0xFF).toInt))
+        (0 until 8).foreach(i => b.u8(((nh.getLong(2) >> (56 - 8 * i)) & 0xFF).toInt))
+      } else b.u8(0)
+      b.u8(0) // reserved
+      items.foreach(writeMdtBody(b, _))
+      writeAttr(pa, 0x80, 14, b.bytes)
+    }
+    mdtOnly("mp_keys_withdraws").foreach { case (rib, items) =>
+      val b = new Writer
+      b.u16(if (rib == "ipv4mdt") 1 else 2).u8(66)
+      items.foreach(writeMdtBody(b, _))
+      writeAttr(pa, 0x80, 15, b.bytes)
     }
     val pab = pa.bytes
     w.u16(pab.length).raw(pab)

@@ -40,6 +40,36 @@ object UpdateDecompose {
     // wire roundtrip (q_wire_attrs) is oracle-checkable from `events`
     val a1 = (lit(100L) + eid % 5).cast("long")
     val a2 = (lit(200L) + uid % 7).cast("long")
+    // MDT route keys (RFC 6037) on independent strides: reach items on
+    // eid%5==0, withdraws on eid%7==3, family by uid parity — both MDT
+    // tables see both activity kinds through the wire roundtrip. Structs
+    // are full mpKeySt shape (BgpWire encodes mp_keys positionally).
+    val pfxT = RouteEventGen.pfxType
+    val mdtV4 = uid % 2 === 0
+    // withdraw keys carry NO nexthop: MP_UNREACH has none on the wire, so
+    // a reach-style nexthop here would be silently dropped by the
+    // roundtrip and the direct/decoded decompositions would disagree
+    def mdtKey(pIdx: Int, nh: org.apache.spark.sql.Column) = struct(
+      when(mdtV4, "ipv4mdt").otherwise("ipv6mdt").as("rib"),
+      struct((lit(130L) + uid % 2).as("rdh"), (lit(1030L) + eid % 2).as("rdl"))
+        .as("rd"),
+      lit(null).cast(RouteEventGen.l2Type).as("l2"),
+      lit(null).cast(RouteEventGen.mvpnType).as("mvpn"),
+      lit(null).cast(RouteEventGen.evpnType).as("evpn"),
+      nh.as("nexthop"),
+      when(mdtV4, pfx(pIdx)).otherwise(pfx6).as("prefix"),
+      struct(lit(4.toByte).as("version"), lit(0L).as("ip_hi"),
+        (lit(232L << 24) + shiftleft(eid % 8, 16) + shiftleft(uid % 256, 8))
+          .cast("long").as("ip_lo"), lit(32).as("prefix_len")).as("mdt_group"))
+    val mdtKeys = when(eid % 5 === 0, array(mdtKey(3, nh4)))
+      .otherwise(lit(null).cast(s"array<struct<rib:string,rd:${RouteEventGen.rdType}," +
+        s"l2:${RouteEventGen.l2Type},mvpn:${RouteEventGen.mvpnType}," +
+        s"evpn:${RouteEventGen.evpnType},nexthop:$pfxT,prefix:$pfxT,mdt_group:$pfxT>>"))
+    val mdtKeysWd = when(eid % 7 === 3,
+        array(mdtKey(4, lit(null).cast(pfxT))))
+      .otherwise(lit(null).cast(s"array<struct<rib:string,rd:${RouteEventGen.rdType}," +
+        s"l2:${RouteEventGen.l2Type},mvpn:${RouteEventGen.mvpnType}," +
+        s"evpn:${RouteEventGen.evpnType},nexthop:$pfxT,prefix:$pfxT,mdt_group:$pfxT>>"))
     events.select(
       eid.as("msg_id"),
       (uid % 4).cast("int").as("session_id"),
@@ -52,6 +82,8 @@ object UpdateDecompose {
         array(struct(lit("ipv6u").as("rib"), array(pfx6).as("nlri"), nh6.as("nexthop"))))
         .otherwise(lit(null).cast(s"array<struct<rib:string,nlri:array<${RouteEventGen.pfxType}>,nexthop:${RouteEventGen.pfxType}>>"))
         .as("mp"),
+      mdtKeys.as("mp_keys"),
+      mdtKeysWd.as("mp_keys_withdraws"),
       element_at(array(lit("IGP"), lit("EGP"), lit("Incomplete")), (eid % 3 + 1).cast("int"))
         .as("origin"),
       when(eid % 2 === 1, array(a1, a2, lit(65001L))).otherwise(array(a1, a2))
@@ -90,10 +122,10 @@ object UpdateDecompose {
     val nullEvpn = lit(null).cast(RouteEventGen.evpnType)
     def item(rib: Column, p: Column, active: Column, nh: Column,
         rd: Column = nullRd, l2: Column = nullL2, mvpn: Column = nullMvpn,
-        evpn: Column = nullEvpn): Column =
+        evpn: Column = nullEvpn, mdtGroup: Column = nullPfx): Column =
       struct(rib.as("rib"), active.as("active"), p.as("prefix"),
         nh.as("nexthop"), rd.as("rd"), l2.as("l2"), mvpn.as("mvpn"),
-        evpn.as("evpn"))
+        evpn.as("evpn"), mdtGroup.as("mdt_group"))
     val base = transform(col("nlri"),
       p => item(lit("ipv4u"), p, lit(true), col("nexthop")))
     val withdrawn = transform(col("withdraws"),
@@ -103,8 +135,9 @@ object UpdateDecompose {
     def exoticArr(colName: String, active: Boolean): Option[Column] =
       if (!msgs.columns.contains(colName)) None
       else Some(transform(col(colName), k =>
-        item(k("rib"), nullPfx, lit(active), k("nexthop"),
-          rd = k("rd"), l2 = k("l2"), mvpn = k("mvpn"), evpn = k("evpn"))))
+        item(k("rib"), k("prefix"), lit(active), k("nexthop"),
+          rd = k("rd"), l2 = k("l2"), mvpn = k("mvpn"), evpn = k("evpn"),
+          mdtGroup = k("mdt_group"))))
     // null family arrays contribute nothing; `slice(base, 1, 0)` is the
     // cheapest same-typed empty array for the coalesce
     val empty = slice(base, 1, 0)
@@ -120,6 +153,6 @@ object UpdateDecompose {
         IpFns.pfxStr(col("it.prefix")).as("prefix_str"),
         col("it.nexthop").as("nexthop"), col("it.rd").as("rd"),
         col("it.l2").as("l2"), col("it.mvpn").as("mvpn"),
-        col("it.evpn").as("evpn"))
+        col("it.evpn").as("evpn"), col("it.mdt_group").as("mdt_group"))
   }
 }

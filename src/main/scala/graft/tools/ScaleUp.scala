@@ -88,6 +88,10 @@ object ScaleUp {
         element_at(col("embedding"), ((j + lit(i)) % dim) + 1))
       d.withColumn("vec_id", col("vec_id") + i * shift)
         .withColumn("embedding", rot) }, "embeddings")
+    // pin the derived fixture's content identity so a later bench leg can
+    // detect a rebuilt/regenerated fixture instead of silently producing
+    // incomparable numbers (FixtureId scaladoc)
+    println(s"[scaleup] ${FixtureId.fileName}: ${FixtureId.write(spark, out)}")
     spark.stop()
   }
 }

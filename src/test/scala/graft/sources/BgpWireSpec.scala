@@ -171,6 +171,35 @@ class BgpWireSpec extends AnyFunSuite {
       "[l2vpls,false,[500,700],[3,10,10],null,null]"))
   }
 
+  test("golden: MDT v4 reach + v6 withdraw decode RD, prefix and group") {
+    import org.apache.spark.sql.Row
+    // MP_REACH afi 1 safi 66 (MDT, RFC 6037), nexthop 10.0.0.1; one item:
+    // 88 bits = RD 131:1031 + 10.3.5.0/24, then group 232.1.5.0 (/32,
+    // bit-length-prefixed — readMdtItem doc). MP_UNREACH afi 2 safi 66:
+    // 128 bits = RD 132:1032 + 2001:0:0:7::/64, group 232.2.6.0.
+    val msg = hex(marker + "0050" + "02" + "0000" + "0039" +
+      "80 0e 1a" + "0001 42" + "04" + "0a000001" + "00" +
+      "58" + "0000 0083 00000407" + "0a0305" + "20" + "e8010500" +
+      "80 0f 19" + "0002 42" +
+      "80" + "0000 0084 00000408" + "2001000000000007" + "20" + "e8020600")
+    val r = BgpWire.decodeUpdate(10L, 0, null, msg)
+    val keys = r.getSeq[Row](8) // mp_keys
+    assert(keys.length == 1 && keys(0).getString(0) == "ipv4mdt")
+    val k = keys(0)
+    assert(k.getStruct(1) == Row(131L, 1031L)) // rd
+    assert(k.getStruct(6).getLong(2) == (10L << 24) + (3L << 16) + (5L << 8)
+      && k.getStruct(6).getInt(3) == 24) // prefix
+    assert(k.getStruct(7).getLong(2) == (232L << 24) + (1L << 16) + (5L << 8)
+      && k.getStruct(7).getInt(3) == 32) // group
+    assert(k.getStruct(5).getLong(2) == (10L << 24) + 1) // family nexthop
+    val wd = r.getSeq[Row](9) // mp_keys_withdraws
+    assert(wd.length == 1 && wd(0).getString(0) == "ipv6mdt")
+    assert(wd(0).getStruct(1) == Row(132L, 1032L))
+    assert(wd(0).getStruct(6).getLong(1) == (0x2001L << 48) + 7L
+      && wd(0).getStruct(6).getInt(3) == 64)
+    assert(wd(0).getStruct(7).getLong(2) == (232L << 24) + (2L << 16) + (6L << 8))
+  }
+
   test("golden: FlowSpec v4 decodes the destination prefix into fs4u") {
     // MP_REACH afi 1 safi 133, empty nexthop; one flowspec NLRI of length 7:
     // dst-prefix 10.7.0.0/16 + a dest-port component (eq 80) that must be
@@ -202,7 +231,8 @@ class BgpWireSpec extends AnyFunSuite {
     def flat(df: org.apache.spark.sql.DataFrame): Seq[String] =
       UpdateDecompose.decompose(df)
         .select(col("msg_id"), col("rib"), col("active"), col("prefix_str"),
-          col("nexthop.ip_hi"), col("nexthop.ip_lo"))
+          col("nexthop.ip_hi"), col("nexthop.ip_lo"),
+          col("rd.rdh"), col("rd.rdl"), col("mdt_group.ip_lo"))
         .collect().map(_.toString).sorted.toSeq
     val a = flat(msgs)
     val b = flat(decoded)
