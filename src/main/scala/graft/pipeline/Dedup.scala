@@ -339,17 +339,22 @@ object Dedup {
     * this converges in a handful of rounds. `localCheckpoint` truncates
     * lineage so plans don't grow with iteration count; at cluster scale the
     * same loop runs with reliable checkpointing, and adversarial
-    * chain-shaped graphs swap in large-star/small-star alternation
-    * (O(log n) rounds). Convergence is detected from the label sum, which
+    * chain-shaped graphs swap in `algorithm = "star"` — the large-star/
+    * small-star alternation of [[starClusters]] (O(log n) rounds, spec-
+    * pinned on a 1000-link chain). Convergence is detected from the label sum, which
     * strictly decreases until fixpoint — one cheap scalar agg per round,
     * no full-frame diff. */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", maxIters: Int = 25): DataFrame = {
+      bCol: String = "b", maxIters: Int = 25,
+      algorithm: String = "label"): DataFrame = {
+    require(algorithm == "label" || algorithm == "star",
+      s"algorithm must be 'label' or 'star', got '$algorithm'")
     val undirected = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .unionByName(pairs
         .select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
       .distinct()
+    if (algorithm == "star") return starClusters(undirected, maxIters)
     // self-loops fold the "keep own label" term into the SAME join: per
     // round, new(x) = min over {lbl(y) : y ∈ neighbors(x) ∪ {x}} — ONE
     // join + one map-side-combined min instead of the propagate-then-merge
@@ -385,6 +390,72 @@ object Dedup {
     }
     labels.select(col("id"), col("lbl").as("cluster_id"),
       (col("id") === col("lbl")).cast("long").as("keep_flag"))
+  }
+
+  /** Large-star/small-star alternation (the public two-phase connected-
+    * components scheme of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — the [[duplicateClusters]] `algorithm="star"`
+    * knob for adversarial chain-shaped graphs, where min-label
+    * propagation needs diameter-many rounds but the alternation contracts
+    * the component in O(log n):
+    *
+    *   large-star: every node's strictly-LARGER neighbors re-attach to the
+    *   minimum of its closed neighborhood; small-star: the smaller
+    *   neighbors (and the node itself) do. Both emit only intra-component
+    *   edges and preserve the node set, so components never merge or
+    *   split; the joint fixpoint is a star per component centered on its
+    *   minimum — exactly the (id, component-min) contract of the label
+    *   loop.
+    *
+    * Each half-round is one groupBy-min + one equi-join on the current
+    * edge set (both map-side combinable), the same shuffle discipline as
+    * a label round; the win is ROUND COUNT, not round cost. Fixpoint is
+    * detected from (edge count, bit_xor of edge hashes) — order-
+    * independent and overflow-free under ANSI; stable across a round ⇒
+    * stars. If maxIters is exhausted first, the min-aggregation
+    * on the final edge set still yields each node's best-known root (a
+    * correct coarsening, possibly not fully merged — same failure mode as
+    * the label loop's cap). */
+  private def starClusters(symEdges: DataFrame, maxIters: Int): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("y").as("x"), col("x").as("y"))).distinct()
+    // m(u) = min of the closed neighborhood — the attachment target
+    def minsOf(s: DataFrame): DataFrame =
+      s.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+    def half(e: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(e)
+      val m = minsOf(s)
+      val moved = s.join(m, "x")
+        .where(if (large) col("y") > col("x") else col("y") < col("x"))
+        .select(col("y").as("x"), col("m").as("y"))
+      moved.unionByName(m.select(col("x"), col("m").as("y")))
+        .where(col("x") =!= col("y")).distinct()
+    }
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(x, y))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = symEdges.localCheckpoint()
+    var prev = sig(edges)
+    var done = false
+    var it = 0
+    while (!done && it < maxIters) {
+      val next = half(half(edges, large = true), large = false).localCheckpoint()
+      val s = sig(next)
+      done = s == prev
+      prev = s
+      edges = next
+      it += 1
+    }
+    // converged edges are (member, root); the groupBy-min also covers the
+    // not-fully-converged cap case (scaladoc)
+    edges.select(col("x").as("id"), col("y").as("lbl"))
+      .unionByName(edges.select(col("y").as("id"), col("y").as("lbl")))
+      .groupBy(col("id")).agg(min(col("lbl")).as("cluster_id"))
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).cast("long").as("keep_flag"))
   }
 
   /** Band-count sizing for the LSH path of [[cosineNearDup]]: the number
@@ -430,6 +501,16 @@ object Dedup {
     * The LSH path is the corpus-scale default, and its (planes, chunks)
     * must grow with the corpus: size them with [[lshParamsFor]].
     *
+    * `maxBlockSize` (blockCol path only): the blocked semantics are
+    * quadratic per block BY DEFINITION (score all same-key pairs), so one
+    * adversarial block — a null-ish default key, a degenerate shard —
+    * silently turns the job quadratic in that block's population. The cap
+    * applies the same discipline as the LSH path's `maxBucketSize`: blocks
+    * larger than the cap are DROPPED before the self-join (their members
+    * lose only the pairs that block would have produced), so the worst
+    * block costs at most cap² comparisons. None (default) keeps the
+    * uncapped semantics for bounded blocking keys.
+    *
     * `maxHamming` (LSH path only): prune candidate pairs whose FULL
     * signatures disagree in more than this many sign bits before the
     * vector re-attach joins — the same cheap pre-verification
@@ -448,11 +529,22 @@ object Dedup {
       threshold: Double, blockCol: Option[String] = None,
       planes: Int = 16, chunks: Int = 4,
       maxHamming: Option[Int] = None,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      maxBlockSize: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val v = emb.select(col(idCol).as("id") +:
       transform(col(vecCol), x => x.cast("double")).as("v") +:
       blockCol.map(col).toSeq: _*)
-    val withNorm = v.withColumn("norm", graft.functions.VecDot.norm(col("v")))
+    val withNorm0 = v.withColumn("norm", graft.functions.VecDot.norm(col("v")))
+    // degenerate-block guard (scaladoc): count-per-block window + filter,
+    // BEFORE the self-join — the join must never see the oversized block
+    val withNorm = (blockCol, maxBlockSize) match {
+      case (Some(b), Some(cap)) =>
+        withNorm0.withColumn("__bn", count(lit(1)).over(
+            Window.partitionBy(col(b))))
+          .where(col("__bn") <= cap).drop("__bn")
+      case _ => withNorm0
+    }
     val pairs = blockCol match {
       case Some(b) =>
         withNorm.as("l").join(withNorm.as("r"),

@@ -150,7 +150,28 @@ object Similarity {
     * (PipelineQueries.ivfOracleSql) — same seeds, same Lloyd iterations as
     * the query path ([[ivfTopK]] calls this). */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+      nlist: Int = 16, iters: Int = 2, maxTrain: Long = 0L): Array[Array[Double]] = {
+    // Sampled-subset training seam (the 100 TB path SCALE.md promises):
+    // with maxTrain > 0, the Lloyd iterations run over a deterministic
+    // hash-sample of ~maxTrain vectors — pmod(xxhash64(id), k) == 0 with
+    // k = ceil(n/maxTrain), so the subset is a pure function of the ids
+    // (reproducible across runs and engines, no RNG state), while the
+    // FINAL assignment/query path still touches every row. Costs one
+    // corpus count (the cosineNearDupAuto discipline); a corpus already
+    // within budget trains full — the plan is unchanged, so the memo key
+    // is shared with the default path. Centroid quality degrades
+    // gracefully (means over a uniform hash-sample), pinned by the
+    // sampled-recall spec. maxTrain = 0 (default) trains on the full
+    // corpus.
+    if (maxTrain > 0L) {
+      val n = corpus.count()
+      if (n > maxTrain) {
+        val k = math.ceil(n.toDouble / maxTrain).toLong
+        return ivfCentroids(
+          corpus.where(pmod(xxhash64(col(idCol)), lit(k)) === 0),
+          idCol, vecCol, nlist, iters)
+      }
+    }
     // training is a pure function of (corpus plan, cols, nlist, iters) —
     // hash-min seeds, fixed Lloyd iterations — so memoize per semantic
     // plan: the IVF query, the clustering ops and the oracle generator all
@@ -230,10 +251,10 @@ object Similarity {
     * scored candidates and consume top-k rank slots. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, maxTrain: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters, maxTrain)
     val assigned = c.withColumn("cell", cellOf(col("v"), cents))
     // probe side: nprobe nearest cells via sorted (score, cell) structs
     val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
@@ -258,6 +279,20 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** [[ivfTopK]] with corpus-sized parameters — the IVF twin of
+    * Dedup.cosineNearDupAuto: counts the corpus once, takes
+    * [[ivfParamsFor]]'s √n cells and probes nlist/4 of them (floor 4 — the
+    * fixed 4/16 ratio of the pinned variant, now scale-following: per-cell
+    * population and the scored candidate fraction both stay √n-bounded as
+    * the corpus grows instead of a fixed 16-cell layout going quadratic
+    * per cell). */
+  def ivfTopKAuto(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int = 2, maxTrain: Long = 0L): DataFrame = {
+    val nlist = ivfParamsFor(corpus.count())
+    ivfTopK(corpus, probes, idCol, vecCol, k, nlist = nlist,
+      nprobe = math.max(4, nlist / 4), iters = iters, maxTrain = maxTrain)
   }
 
   /** Product-quantization codebooks: the embedding dimension splits into

@@ -233,6 +233,19 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // The corpus-sized production entry (VERDICT r10 item 9, the IVF twin
+    // of q_dedup_cosine_auto): √n cells, nlist/4 probes — BENCH times the
+    // path whose layout grows with the corpus. The oracle trains its
+    // centroid literals at the same derived nlist and replays assignment,
+    // probe cells and the exact re-rank (centroidOracleEntries).
+    "q_sim_ivf_auto" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      Similarity.ivfTopKAuto(e, probes, "vec_id", "embedding", 10)
+        .select(col("probe_id"), col("id"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // PQ ANN: per-subspace codebooks (deterministic k-means) → m-int codes
     // → compressed-domain ADC scan → exact re-rank; the oracle re-derives
     // encoding, ADC and re-rank from the codebook literals
@@ -907,15 +920,15 @@ object PipelineQueries {
   }
 
   /** DuckDB replica of Similarity.ivfTopK downstream of training:
-    * assignment CTE + nprobe=4 probe cells (score desc, cell desc, matching
+    * assignment CTE + `nprobe` probe cells (score desc, cell desc, matching
     * reverse(array_sort)), candidate join, exact cosine top-10. */
-  private def ivfOracleSql(cents: Array[Array[Double]]): String = {
+  private def ivfOracleSql(cents: Array[Array[Double]], nprobe: Int = 4): String = {
     centroidAssignCte(cents) +
     s""", pcells AS (
        |  SELECT vec_id AS probe_id, cell FROM (
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
-       |    FROM sc WHERE vec_id IN (0, 17, 42)) t WHERE rn <= 4
+       |    FROM sc WHERE vec_id IN (0, 17, 42)) t WHERE rn <= $nprobe
        |), cand AS (
        |  SELECT DISTINCT p.probe_id, a.vec_id AS id
        |  FROM pcells p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.probe_id
@@ -964,12 +977,19 @@ object PipelineQueries {
       try {
         val cents = Similarity.ivfCentroids(emb(s, dir), "vec_id", "embedding")
         val books = Similarity.pqCodebooks(emb(s, dir), "vec_id", "embedding")
+        // the auto variant derives nlist from the SAME count rule as the
+        // query path, then trains its own literals at that layout
+        val autoNlist = Similarity.ivfParamsFor(emb(s, dir).count())
+        val autoCents = Similarity.ivfCentroids(emb(s, dir), "vec_id",
+          "embedding", nlist = autoNlist)
         // semantic dedup trains over the PLANTED corpus (the query input),
         // so its centroid literals come from the same plan the query uses
         val pcents = Similarity.ivfCentroids(
           plantedEmb(s, dir).select(col("vec_id"), col("v")), "vec_id", "v")
         Some(Map(
           "q_sim_ivf" -> ivfOracleSql(cents),
+          "q_sim_ivf_auto" -> ivfOracleSql(autoCents,
+            nprobe = math.max(4, autoNlist / 4)),
           "q_sim_pq" -> pqOracleSql(books),
           "q_embed_clusters" -> clustersOracleSql(cents),
           "q_embed_cluster_sample" -> clusterSampleOracleSql(cents),

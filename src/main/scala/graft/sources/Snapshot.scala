@@ -197,13 +197,28 @@ object Snapshot {
 
   /** Tables whose reference route-key type is the bare BgpAddrV4/V6
     * (src/bgprib.rs:807-821): these export as the serde `{addr, prefixlen}`
-    * struct map the reference loader deserializes. Wrapper-keyed tables
-    * (RD/label/L2/MVPN/EVPN/MDT) export their engine-canonical display key
-    * as CBOR text — lossless through [[load]] (our reader renders any key
-    * to the same string), explicitly NOT claimed reference-deserializable. */
+    * struct map the reference loader deserializes. */
   private val plainKeyRibs = Set("ipv4u", "ipv4m", "ipv6u")
 
-  /** Export the engine route-event log as reference-layout snapshot files:
+  /** Wrapper-keyed tables in the reference registry (src/bgprib.rs:807-821,
+    * BgpRIBKey impls :191-217): `Labeled<T>` and `Labeled<WithRd<T>>` keys
+    * export as the derive-style serde struct maps of the public zettabgp
+    * types — `{labels: [..], prefix: <T>}` / `{rd: {rdh, rdl}, prefix:
+    * <T>}` — with labels as a flat integer vector (the same canonical form
+    * the Labels attr field uses; the import side's collectInts accepts any
+    * wrapping). MDT keys are `WithRd<BgpMdtV4/V6>` with the inner item
+    * `{addr: {addr, prefixlen}, group: [octets]}`. The remaining
+    * structurally-rich keys (L2VPLS/MVPN/EVPN/FlowSpec) still export the
+    * engine-canonical display key as CBOR text — lossless through [[load]],
+    * explicitly NOT claimed reference-deserializable. */
+  private val labeledRibs = Set("ipv4lu", "ipv6lu")
+  private val labeledRdRibs = Set("vpnv4u", "vpnv4m", "vpnv6u", "vpnv6m")
+  private val mdtRibs = Set("ipv4mdt", "ipv6mdt")
+
+  /** Export the engine route-event log as reference-layout snapshot files —
+    * plain v4/v6, Labeled, Labeled+RD and MDT tables (11 of 15) in the
+    * reference's own serde key shapes; the four structurally-rich key
+    * families as canonical text (see the rib-set scaladoc above).
     * each output file is a complete, individually-loadable snapshot — the
     * 15 CBOR table documents in write_snapshot order (src/bgprib.rs:903-918),
     * nested `key → session → path → ts_ms → BgpAttrEntry` maps with
@@ -220,7 +235,13 @@ object Snapshot {
   def write(events: DataFrame, dir: String, shards: Int = 1): Unit = {
     require(shards > 0, s"shards must be positive, got $shards")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val rows = events.select(
+    // mdt_group is only present on full route-event-log inputs; synthesize
+    // a null column for narrower frames so the row layout is fixed
+    val withGroup =
+      if (events.columns.contains("mdt_group")) events
+      else events.withColumn("mdt_group",
+        lit(null).cast(RouteEventGen.pfxType))
+    val rows = withGroup.select(
       col("rib"), col("prefix.version").as("pv"), col("prefix.ip_hi").as("phi"),
       col("prefix.ip_lo").as("plo"), col("prefix.prefix_len").as("plen"),
       graft.operators.RibJson.itemKey.as("key_text"),
@@ -232,7 +253,9 @@ object Snapshot {
       col("attrs.localpref").as("localpref"),
       col("labels").cast("array<bigint>").as("labels"),
       col("attrs.comms").as("comms"), col("attrs.lcomms").as("lcomms"),
-      col("route_id"))
+      col("route_id"),
+      col("rd.rdh").as("rdh"), col("rd.rdl").as("rdl"),
+      col("mdt_group.ip_hi").as("ghi"), col("mdt_group.ip_lo").as("glo"))
     rows.repartition(shards, col("route_id")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
@@ -256,26 +279,80 @@ object Snapshot {
   }
 
   /** Sortable route-key representation: plain prefixes order by
-    * (addr, prefixlen) like the reference's BTreeMap<BgpAddrV4/V6>; text
-    * keys order lexically after them. */
+    * (addr, prefixlen) like the reference's BTreeMap<BgpAddrV4/V6>;
+    * wrapper and text keys order lexically by their canonical rendering
+    * after them. Byte-order inside a table document is a determinism
+    * convention of THIS writer only — the reference loader deserializes
+    * each document into a BTreeMap, which re-sorts on insert. */
   private type K = (Int, BigInt, Int, String)
+
+  /** The serde `{addr: [octets], prefixlen}` struct map for one prefix
+    * row slice (version at `vIdx`, ip_hi/ip_lo/prefix_len following). */
+  private def prefixValue(r: org.apache.spark.sql.Row, vIdx: Int): Value = {
+    val v6 = r.getByte(vIdx) == 6
+    val n = if (v6) 16 else 4
+    val addr = (BigInt(r.getLong(vIdx + 1)) << 64) |
+      (BigInt(r.getLong(vIdx + 2)) & BigInt("ffffffffffffffff", 16))
+    val octets = (0 until n).map(i =>
+      CInt(((addr >> (8 * (n - 1 - i))) & 0xff).toLong): Value).toVector
+    CMap(Vector(CText("addr") -> CArr(octets),
+      CText("prefixlen") -> CInt(r.getInt(vIdx + 3).toLong)))
+  }
+
+  /** Route-key CBOR value for one event row, per the rib's reference key
+    * type (the scaladoc on the rib sets above). Row layout: write()'s
+    * `rows` select — prefix at 1..4, key_text 5, labels 17, rdh/rdl 21/22,
+    * group ip_hi/ip_lo 23/24. */
+  private def keyValueOf(rib: String, r: org.apache.spark.sql.Row): Value = {
+    def labelsVal: Value =
+      if (r.isNullAt(17)) CArr(Vector.empty)
+      else CArr(r.getSeq[Long](17).map(l => CInt(l): Value).toVector)
+    def rdVal: Value = CMap(Vector(
+      CText("rdh") -> CInt(if (r.isNullAt(21)) 0L else r.getLong(21)),
+      CText("rdl") -> CInt(if (r.isNullAt(22)) 0L else r.getLong(22))))
+    def groupVal: Value = {
+      // MDT group is a host address; v4 groups (the engine's SSM space)
+      // export as the 4-octet Ipv4Addr serde form
+      val lo = if (r.isNullAt(24)) 0L else r.getLong(24)
+      val hi = if (r.isNullAt(23)) 0L else r.getLong(23)
+      if (hi == 0L && (lo >> 32) == 0L)
+        CArr((0 until 4).map(i => CInt((lo >> (8 * (3 - i))) & 0xff): Value).toVector)
+      else {
+        val addr = (BigInt(hi) << 64) | (BigInt(lo) & BigInt("ffffffffffffffff", 16))
+        CArr((0 until 16).map(i =>
+          CInt(((addr >> (8 * (15 - i))) & 0xff).toLong): Value).toVector)
+      }
+    }
+    if (plainKeyRibs(rib)) prefixValue(r, 1)
+    else if (labeledRibs(rib)) CMap(Vector(
+      CText("labels") -> labelsVal, CText("prefix") -> prefixValue(r, 1)))
+    else if (labeledRdRibs(rib)) CMap(Vector(
+      CText("labels") -> labelsVal, CText("prefix") -> (CMap(Vector(
+        CText("rd") -> rdVal, CText("prefix") -> prefixValue(r, 1))): Value)))
+    else if (mdtRibs(rib)) CMap(Vector(
+      CText("rd") -> rdVal, CText("prefix") -> (CMap(Vector(
+        CText("addr") -> prefixValue(r, 1), CText("group") -> groupVal)): Value)))
+    else CText(r.getString(5))
+  }
 
   private def encodeShard(it: Iterator[org.apache.spark.sql.Row]): Array[Byte] = {
     import scala.collection.mutable
-    // rib -> key -> sid -> pid -> ts -> entry
-    val tables = mutable.Map.empty[String,
-      mutable.Map[K, mutable.Map[Long, mutable.Map[Long, mutable.TreeMap[Long, Value]]]]]
+    // rib -> sortable key -> (key value, sid -> pid -> ts -> entry)
+    val tables = mutable.Map.empty[String, mutable.Map[K,
+      (Value, mutable.Map[Long, mutable.Map[Long, mutable.TreeMap[Long, Value]]])]]
     it.foreach { r =>
       val rib = r.getString(0)
+      val kv = keyValueOf(rib, r)
       val key: K =
         if (plainKeyRibs(rib) && !r.isNullAt(1)) {
           val v6 = r.getByte(1) == 6
           val addr = (BigInt(r.getLong(2)) << 64) | (BigInt(r.getLong(3)) & BigInt("ffffffffffffffff", 16))
           (if (v6) 1 else 0, addr, r.getInt(4), "")
-        } else (2, BigInt(0), 0, r.getString(5))
+        } else (2, BigInt(0), 0, render(kv))
       val entry = attrEntryValue(r)
       tables.getOrElseUpdate(rib, mutable.Map.empty)
-        .getOrElseUpdate(key, mutable.Map.empty)
+        .getOrElseUpdate(key, (kv, mutable.Map.empty))
+        ._2
         .getOrElseUpdate(r.getLong(6), mutable.Map.empty)
         .getOrElseUpdate(r.getLong(7), mutable.TreeMap.empty)
         .update(r.getLong(8), entry)
@@ -283,9 +360,9 @@ object Snapshot {
     val out = new java.io.ByteArrayOutputStream()
     ribOrder.foreach { rib =>
       val t = tables.getOrElse(rib, mutable.Map.empty[K,
-        mutable.Map[Long, mutable.Map[Long, mutable.TreeMap[Long, Value]]]])
-      val routes = t.toVector.sortBy(_._1).map { case (k, sessions) =>
-        (keyValue(k): Value) -> (CMap(sessions.toVector.sortBy(_._1).map {
+        (Value, mutable.Map[Long, mutable.Map[Long, mutable.TreeMap[Long, Value]]])])
+      val routes = t.toVector.sortBy(_._1).map { case (_, (kv, sessions)) =>
+        (kv: Value) -> (CMap(sessions.toVector.sortBy(_._1).map {
           case (sid, paths) => (CInt(sid): Value) -> (CMap(
             paths.toVector.sortBy(_._1).map { case (pid, hist) =>
               (CInt(pid): Value) -> (CMap(hist.toVector.map {
@@ -297,15 +374,6 @@ object Snapshot {
       out.write(Cbor.encode(CMap(routes)))
     }
     out.toByteArray
-  }
-
-  private def keyValue(k: K): Value = k match {
-    case (2, _, _, text) => CText(text)
-    case (kind, addr, len, _) =>
-      val n = if (kind == 1) 16 else 4
-      val octets = (0 until n).map(i =>
-        CInt(((addr >> (8 * (n - 1 - i))) & 0xff).toLong): Value).toVector
-      CMap(Vector(CText("addr") -> CArr(octets), CText("prefixlen") -> CInt(len.toLong)))
   }
 
   private def attrEntryValue(r: org.apache.spark.sql.Row): Value = {

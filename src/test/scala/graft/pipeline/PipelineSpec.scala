@@ -344,6 +344,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.size <= 30)
   }
 
+  test("ivf sampled-subset training keeps the recall floor, deterministically") {
+    // the 100 TB seam: Lloyd iterations over a hash-sample (~1/4 of the
+    // corpus here) must not collapse recall vs full-corpus training, and
+    // the sample is a pure function of the ids — same centroids, same
+    // results, every run
+    val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
+    val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+    def run() = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 10,
+        maxTrain = n / 4)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = run()
+    val recall = bf.count(sampled.contains).toDouble / bf.size
+    assert(recall >= 0.2, s"sampled-trained recall=$recall")
+    assert(run() == sampled) // deterministic across invocations
+    // a budget the corpus already fits inside trains full-corpus: the
+    // memoized plan is shared, so the centroid matrices are eq-identical
+    assert(Similarity.ivfCentroids(emb, "vec_id", "embedding", maxTrain = n * 2)
+      .zip(Similarity.ivfCentroids(emb, "vec_id", "embedding"))
+      .forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("star alternation converges on a 1000-link chain where label-prop cannot") {
+    // the documented chain-graph weakness: min-label propagation needs
+    // diameter-many hops (999 here, beyond any sane round cap), while
+    // large-star/small-star contracts in O(log n) — 12 rounds must suffice
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = Dedup.duplicateClusters(chain, maxIters = 12, algorithm = "star")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(star.length == 1001)
+    assert(star.forall(_._2 == 0L), "every node labels to the component min")
+    assert(star.count(_._3 == 1L) == 1 && star.find(_._3 == 1L).get._1 == 0L)
+    // the same cap leaves label propagation visibly short of the fixpoint
+    // (24 fused hops << 999) — the reason the knob exists
+    val lbl = Dedup.duplicateClusters(chain, maxIters = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lbl.exists(_._2 != 0L))
+    // and on a realistic near-clique graph both algorithms agree exactly
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 9L)).toDF("a", "b")
+    def res(algo: String) = Dedup.duplicateClusters(clique, algorithm = algo)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(res("star") == res("label"))
+  }
+
+  test("maxBlockSize drops an adversarial block before the quadratic join") {
+    // block "big" holds 5 identical vectors (10 pairs), block "ok" a
+    // planted duplicate pair; cap 4 must erase big's pairs entirely while
+    // leaving ok untouched — and uncapped must still find all 11
+    val vecs = (0L until 5L).map(i => (i, "big", Array(1.0f, 0.0f))) ++
+      Seq((10L, "ok", Array(0.0f, 1.0f)), (11L, "ok", Array(0.0f, 1.0f)))
+    val d = vecs.toDF("vec_id", "label", "v")
+    def pairs(cap: Option[Int]) =
+      Dedup.cosineNearDup(d, "vec_id", "v", 0.99, blockCol = Some("label"),
+        maxBlockSize = cap)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(None).size == 11)
+    assert(pairs(Some(4)) == Set((10L, 11L)))
+  }
+
   test("arithmetic charFold matches the SQL-replica constant") {
     // independently computed: ((0*31+97)%q*31+98)%q... over "ab c"
     val d = Seq("ab c").toDF("s")

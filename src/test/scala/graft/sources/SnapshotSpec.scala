@@ -126,10 +126,44 @@ class SnapshotSpec extends AnyFunSuite {
           (CInt(0): Value) -> hist(
             3000L -> entry(active = true, med = None,
               labels = Some(Seq(100, 200))))))))))
+    // wrapper-keyed tables in the reference serde shapes (zettabgp derive
+    // maps; Snapshot key-shape scaladoc): Labeled, Labeled<WithRd>, and
+    // WithRd<BgpMdtV4> — hand-assembled, independent of the writer
+    val ipv4lu = CMap(Vector(
+      (CMap(Vector(
+        CText("labels") -> CArr(Vector(CInt(100))),
+        CText("prefix") -> v4key(10, 9, 0, 0, 24))): Value) -> CMap(Vector(
+        (CInt(1): Value) -> CMap(Vector(
+          (CInt(0): Value) -> hist(
+            4000L -> entry(active = true, med = None, labels = Some(Seq(100))))))))))
+    val vpnv4u = CMap(Vector(
+      (CMap(Vector(
+        CText("labels") -> CArr(Vector(CInt(200))),
+        CText("prefix") -> CMap(Vector(
+          CText("rd") -> CMap(Vector(
+            CText("rdh") -> CInt(101), CText("rdl") -> CInt(1000))),
+          CText("prefix") -> v4key(10, 8, 0, 0, 24))))): Value) -> CMap(Vector(
+        (CInt(1): Value) -> CMap(Vector(
+          (CInt(0): Value) -> hist(
+            5000L -> entry(active = true, med = Some(7), labels = Some(Seq(200))))))))))
+    val ipv4mdt = CMap(Vector(
+      (CMap(Vector(
+        CText("rd") -> CMap(Vector(
+          CText("rdh") -> CInt(130), CText("rdl") -> CInt(1030))),
+        CText("prefix") -> CMap(Vector(
+          CText("addr") -> v4key(10, 7, 0, 0, 24),
+          CText("group") -> CArr(Vector(CInt(232), CInt(1), CInt(5), CInt(0))))))): Value) ->
+        CMap(Vector(
+          (CInt(3): Value) -> CMap(Vector(
+            (CInt(0): Value) -> hist(
+              6000L -> entry(active = true, med = None))))))))
     val empty = CMap(Vector.empty)
     val docs = Snapshot.ribOrder.map {
       case "ipv4u" => ipv4u
       case "ipv6u" => ipv6u
+      case "ipv4lu" => ipv4lu
+      case "vpnv4u" => vpnv4u
+      case "ipv4mdt" => ipv4mdt
       case _ => empty
     }
     docs.flatMap(Cbor.encode).toArray
@@ -137,7 +171,20 @@ class SnapshotSpec extends AnyFunSuite {
 
   test("golden snapshot decodes into the expected route rows") {
     val rows = Snapshot.decodeFile("s1", goldenSnapshot).toVector
-    assert(rows.length == 4)
+    assert(rows.length == 7)
+    // wrapper keys render canonically (Snapshot.render: struct maps with
+    // transparent {addr, prefixlen} and octet-array collapsing)
+    val lu = rows.find(_.rib == "ipv4lu").get
+    assert(lu.route_key == "{labels:[100],prefix:10.9.0.0/24}")
+    assert(lu.labels.contains(Seq(100L)))
+    val vpn = rows.find(_.rib == "vpnv4u").get
+    assert(vpn.route_key ==
+      "{labels:[200],prefix:{rd:{rdh:101,rdl:1000},prefix:10.8.0.0/24}}")
+    assert(vpn.med.contains(7L))
+    val mdt = rows.find(_.rib == "ipv4mdt").get
+    assert(mdt.route_key ==
+      "{rd:{rdh:130,rdl:1030},prefix:{addr:10.7.0.0/24,group:232.1.5.0}}")
+    assert(mdt.session_id == 3)
     val r1 = rows.find(r => r.route_key == "10.0.0.0/8" && r.ts_ms == 1000L).get
     assert(r1.rib == "ipv4u" && r1.session_id == 1 && r1.path_id == 0)
     assert(r1.active && r1.med.contains(100L) && r1.localpref.isEmpty)
@@ -160,13 +207,19 @@ class SnapshotSpec extends AnyFunSuite {
     * consumes — hand-controlled so the written bytes are predictable. */
   private def eventRow(rib: String, v6: Boolean, ipHi: Long, ipLo: Long,
       plen: Int, sid: Int, pid: Long, tsMs: Long, active: Boolean,
-      med: Option[Long], labels: Option[Seq[Long]]) =
+      med: Option[Long], labels: Option[Seq[Long]],
+      rd: Option[(Long, Long)] = None, mdtGroup: Option[Long] = None) =
     spark.range(1).selectExpr(
       s"'$rib' as rib",
       s"named_struct('version', cast(${if (v6) 6 else 4} as tinyint), " +
         s"'ip_hi', ${ipHi}L, 'ip_lo', ${ipLo}L, 'prefix_len', $plen) as prefix",
       "'unused' as prefix_str",
-      "cast(null as struct<rdh:bigint,rdl:bigint>) as rd",
+      rd.map { case (h, l) => s"named_struct('rdh', ${h}L, 'rdl', ${l}L) as rd" }
+        .getOrElse("cast(null as struct<rdh:bigint,rdl:bigint>) as rd"),
+      mdtGroup.map(g => "named_struct('version', cast(4 as tinyint), " +
+          s"'ip_hi', 0L, 'ip_lo', ${g}L, 'prefix_len', 32) as mdt_group")
+        .getOrElse("cast(null as struct<version:tinyint,ip_hi:bigint," +
+          "ip_lo:bigint,prefix_len:int>) as mdt_group"),
       labels.map(ls => s"array(${ls.mkString("L,")}L) as labels")
         .getOrElse("cast(null as array<bigint>) as labels"),
       s"$sid as session_id",
@@ -192,6 +245,15 @@ class SnapshotSpec extends AnyFunSuite {
         1, 7L, 1500L, active = true, med = Some(5), labels = None))
       .union(eventRow("ipv6u", v6 = true, 0x20010db800000000L, 0L, 32,
         2, 0L, 3000L, active = true, med = None, labels = Some(Seq(100, 200))))
+      .union(eventRow("ipv4lu", v6 = false, 0L, (10L << 24) | (9L << 16), 24,
+        1, 0L, 4000L, active = true, med = None, labels = Some(Seq(100))))
+      .union(eventRow("vpnv4u", v6 = false, 0L, (10L << 24) | (8L << 16), 24,
+        1, 0L, 5000L, active = true, med = Some(7), labels = Some(Seq(200)),
+        rd = Some((101L, 1000L))))
+      .union(eventRow("ipv4mdt", v6 = false, 0L, (10L << 24) | (7L << 16), 24,
+        3, 0L, 6000L, active = true, med = None, labels = None,
+        rd = Some((130L, 1030L)),
+        mdtGroup = Some((232L << 24) | (1L << 16) | (5L << 8))))
     val dir = Files.createTempDirectory("graft_snap_wg")
     Snapshot.write(in, dir.toString, shards = 1)
     val files = dir.toFile.listFiles().filter(_.getName.endsWith(".cbor"))
@@ -248,14 +310,17 @@ class SnapshotSpec extends AnyFunSuite {
     Files.write(dir.resolve("router-a.snapshot"), goldenSnapshot)
     Files.write(dir.resolve("router-b.snapshot"), goldenSnapshot)
     val snap = Snapshot.load(spark, dir.toString)
-    assert(snap.count() == 8) // 4 rows × 2 files
-    assert(snap.filter(_.snapshot == "router-a.snapshot").count() == 4)
+    assert(snap.count() == 14) // 7 rows × 2 files
+    assert(snap.filter(_.snapshot == "router-a.snapshot").count() == 7)
     // newest-active per (rib, key, session, path): the 10.0.0.0/8 history
-    // ends on a withdraw → drops out; the other two routes survive, per file
+    // ends on a withdraw → drops out; the other routes survive, per file
     val cur = Snapshot.currentRoutes(
       snap.filter(_.snapshot == "router-a.snapshot"))
     val keys = cur.collect().map(r =>
       r.getAs[String]("route_key")).sorted.toSeq
-    assert(keys == Seq("10.4.0.0/14", "2001:db8:0:0:0:0:0:0/32"))
+    assert(keys == Seq("10.4.0.0/14", "2001:db8:0:0:0:0:0:0/32",
+      "{labels:[100],prefix:10.9.0.0/24}",
+      "{labels:[200],prefix:{rd:{rdh:101,rdl:1000},prefix:10.8.0.0/24}}",
+      "{rd:{rdh:130,rdl:1030},prefix:{addr:10.7.0.0/24,group:232.1.5.0}}"))
   }
 }
