@@ -137,9 +137,21 @@ object Similarity {
   private def dotLit(v: Column, w: Array[Double]): Column =
     graft.functions.VecDot(v, lit(w))
 
-  /** Nearest-centroid index (1-based array_position over the score array);
-    * ties resolve to the LOWEST cell index (array_position = first max). */
-  private def cellOf(v: Column, cents: Array[Array[Double]]): Column = {
+  /** Nearest-centroid index; ties resolve to the LOWEST cell index. Native
+    * codegen kernel ([[graft.functions.NearestCell]]): the composed
+    * score-array form below survives as [[cellOfRef]], the executable
+    * specification the kernel is spec-pinned bit-identical to — at
+    * corpus-sized nlist (√n, ivfParamsFor) the composed array of nlist
+    * VecDot nodes falls out of whole-stage codegen, the interpreted cliff
+    * the round-11 sf1 measurement caught on q_sim_ivf_auto. */
+  private def cellOf(v: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.NearestCell(v, cents)
+
+  /** Reference composed implementation of [[cellOf]] — kept ONLY as the
+    * executable specification for the equivalence spec (1-based
+    * array_position over the score array = first maximum; null element or
+    * length≠dim poisons every score → null). */
+  private[graft] def cellOfRef(v: Column, cents: Array[Array[Double]]): Column = {
     val scores = array(cents.map(w =>
       dotLit(v, w) - lit(w.map(x => x * x).sum / 2)): _*)
     (array_position(scores, array_max(scores)) - 1).cast("int")

@@ -17,8 +17,11 @@ import graft.functions.IpFns
 object UpdateDecompose {
 
   /** Deterministic update-message stream derived from the `events` table —
-    * the adapter-side stand-in for decoded BGP UPDATEs (wire decode is out
-    * of engine scope, SURVEY.md §1 note on zettabgp). */
+    * the oracle-checkable stand-in for decoded BGP UPDATEs. The wire path
+    * (BgpWire.encodeUpdates → decodeUpdates) round-trips this same stream
+    * through real RFC 4271 bytes; q_ingest_decompose and q_wire_decompose
+    * share one events-arithmetic oracle, so the two paths are pinned to
+    * agree. */
   def messages(events: DataFrame): DataFrame = {
     val eid = col("event_id")
     val uid = col("user_id")

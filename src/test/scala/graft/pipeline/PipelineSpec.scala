@@ -404,6 +404,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs(Some(4)) == Set((10L, 11L)))
   }
 
+  test("native NearestCell is bit-identical to the composed cellOf reference") {
+    // the codegen'd kernel must reproduce the composed score-array argmax
+    // exactly: sequential-sum doubles, first-max ties, null element /
+    // wrong-length rows → null — across small and corpus-sized nlist
+    val vecs: Seq[(Long, Array[java.lang.Double])] = Seq.tabulate(40)(k =>
+      (k.toLong, Array.tabulate[java.lang.Double](8)(i =>
+        java.lang.Double.valueOf(((k * 13 + i * 5) % 17 - 8) / 8.0)))) ++ Seq(
+      (96L, Array.tabulate[java.lang.Double](8)(_ =>
+        java.lang.Double.valueOf(0.5))), // tie candidate (uniform vector)
+      (97L, Array[java.lang.Double](0.5, -0.25)), // wrong length
+      (98L, Array[java.lang.Double](0.5, null, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6)),
+      (99L, null))
+    val d = vecs.toDF("vec_id", "v")
+    for (nlist <- Seq(3, 17, 142)) {
+      val cents = Array.tabulate(nlist, 8)((c, j) =>
+        ((c * 7 + j * 3) % 11 - 5) / 5.0)
+      val both = d.select(col("vec_id"),
+        graft.functions.NearestCell(col("v"), cents).as("native"),
+        Similarity.cellOfRef(col("v"), cents).as("ref")).collect()
+      both.foreach { r =>
+        val n = if (r.isNullAt(1)) null else r.getInt(1)
+        val f = if (r.isNullAt(2)) null else r.getInt(2)
+        assert(n == f, s"nlist=$nlist vec ${r.getLong(0)}: native $n != ref $f")
+      }
+      // the malformed rows really take the null path
+      assert(both.filter(r => r.getLong(0) >= 97L).forall(_.isNullAt(1)))
+    }
+  }
+
   test("arithmetic charFold matches the SQL-replica constant") {
     // independently computed: ((0*31+97)%q*31+98)%q... over "ab c"
     val d = Seq("ab c").toDF("s")
