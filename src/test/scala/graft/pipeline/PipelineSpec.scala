@@ -433,6 +433,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: codes bounded, reconstruction within half a step, zero-vector safe") {
+    val joined = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .join(Similarity.quantizeInt8(emb, "vec_id", "embedding"),
+        col("vec_id") === col("id"))
+      .select(col("vec_id"), col("scale"),
+        array_max(transform(col("q"), c => abs(c))).as("maxc"),
+        array_max(zip_with(col("v"), col("q"),
+          (x, c) => abs(x - c.cast("double") * col("scale") / lit(127.0d))))
+          .as("err"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getInt(2) <= 127, s"code out of range for ${r.getLong(0)}")
+      // |x - q·step| ≤ step/2 with step = scale/127 (+ tiny fp slack)
+      assert(r.getDouble(3) <= r.getDouble(1) / 127.0 / 2.0 + 1e-12,
+        s"reconstruction error ${r.getDouble(3)} for ${r.getLong(0)}")
+    }
+    // zero vector: scale 0, all-zero codes, no div-by-zero
+    val z = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zr = Similarity.quantizeInt8(z, "vec_id", "embedding").collect()(0)
+    assert(zr.getDouble(1) == 0.0 && zr.getSeq[Int](2).forall(_ == 0))
+  }
+
+  test("int8 ANN recall@10 vs exact brute force") {
+    val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
+    val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val i8 = Similarity.int8TopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(i8.contains).toDouble / bf.size
+    assert(recall >= 0.8, s"int8 recall=$recall") // quantization-step ordering noise only
+  }
+
   test("arithmetic charFold matches the SQL-replica constant") {
     // independently computed: ((0*31+97)%q*31+98)%q... over "ab c"
     val d = Seq("ab c").toDF("s")
