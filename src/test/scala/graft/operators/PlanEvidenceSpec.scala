@@ -252,6 +252,37 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), plan.take(3000))
   }
 
+  test("centroid assignment stays in whole-stage codegen at corpus-sized nlist") {
+    // the round-11 cliff: the composed score-array argmax fell out of
+    // codegen at nlist=142 and evaluated interpreted (8x on 10x data).
+    // The native kernel must appear as ONE nearest_cell call INSIDE a
+    // codegen'd (*-prefixed) stage — and the composed array_position
+    // machinery must be gone from the plan entirely.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val assigned = graft.pipeline.Similarity.kmeansAssign(
+      emb, "vec_id", "embedding", nlist = 64)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("nearest_cell") && l.trim.startsWith("*(")), plan.take(3000))
+    assert(!plan.contains("array_position"), plan.take(3000))
+  }
+
+  test("int8 quantization is scan-local; quantized top-k broadcasts the probes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qPlan = graft.pipeline.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    // per-row projection: no shuffle, no join anywhere in the plan
+    assert(!qPlan.contains("Exchange"), qPlan.take(3000))
+    assert(!qPlan.contains("Join"), qPlan.take(3000))
+    val probes = emb.where(col("vec_id").isin(0L, 3L))
+    val tPlan = graft.pipeline.Similarity.int8TopK(
+        emb, probes, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    // the corpus never shuffles for scoring: probes ride a broadcast
+    assert(tPlan.contains("Broadcast"), tPlan.take(3000))
+    assert(!tPlan.contains("SortMergeJoin"), tPlan.take(3000))
+  }
+
   test("keyset continuation (pageAfter) plans as TakeOrderedAndProject") {
     val tok = RibViews.pageToken(ring = true)
     val first = re.select(tok.as("t")).limit(1).collect()(0).getStruct(0)
