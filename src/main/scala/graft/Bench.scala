@@ -162,7 +162,10 @@ object Bench {
     // marks the run contended, so per-query deltas read against the probe
     // ratio instead of booking as regressions (SCALE.md "Run-to-run
     // noise").
-    val parQuiet = 0.07 * 32.0 / cpus.toInt
+    // floor at one task-wave: beyond 32 cpus the 32 fixed tasks still
+    // cost at least a single task's runtime, so the linear model would
+    // push the cut below the physical floor and flag quiet runs
+    val parQuiet = math.max(0.07, 0.07 * 32.0 / cpus.toInt)
     val contended = math.max(calibStart, calibEnd) > 1.7 ||
       math.max(calibParStart, calibParEnd) > 2.0 * parQuiet
     val calibCompact = s""""calib_sec":[${r4(calibStart)},${r4(calibEnd)}],""" +

@@ -110,8 +110,12 @@ object NearestCell {
       x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       i += 1
     }
-    var best = -1
-    var bestScore = Double.NegativeInfinity
+    // Double.compare, not `>`: Spark's array_max/array_position use the
+    // SQL total order where NaN is greatest and equals itself, so a row
+    // with a NaN element (every score NaN) books cell 0 in the composed
+    // form — plain `>` would never accept NaN and return an invalid -1
+    var best = 0
+    var bestScore = Double.NaN
     var c = 0
     while (c < m.length) {
       val w = m(c)
@@ -119,7 +123,10 @@ object NearestCell {
       var j = 0
       while (j < n) { s += x(j) * w(j); j += 1 }
       s -= h(c)
-      if (s > bestScore) { bestScore = s; best = c }
+      if (s == 0.0d) s = 0.0d // fold -0.0: SQL comparisons equate the zeros
+      if (c == 0 || java.lang.Double.compare(s, bestScore) > 0) {
+        bestScore = s; best = c
+      }
       c += 1
     }
     java.lang.Integer.valueOf(best)

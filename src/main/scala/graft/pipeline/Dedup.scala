@@ -437,7 +437,11 @@ object Dedup {
         expr("bit_xor(xxhash64(x, y))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var edges = symEdges.localCheckpoint()
+    // node set pinned up front: half()'s self-loop drop would otherwise
+    // lose a node whose ONLY membership is a self-pair (a, a) — the label
+    // loop keeps it, and the two algorithms must agree on the contract
+    val nodes = symEdges.select(col("x").as("id")).distinct().localCheckpoint()
+    var edges = symEdges.where(col("x") =!= col("y")).localCheckpoint()
     var prev = sig(edges)
     var done = false
     var it = 0
@@ -450,9 +454,11 @@ object Dedup {
       it += 1
     }
     // converged edges are (member, root); the groupBy-min also covers the
-    // not-fully-converged cap case (scaladoc)
+    // not-fully-converged cap case (scaladoc), and the pinned node set
+    // restores self-pair-only nodes as their own singleton roots
     edges.select(col("x").as("id"), col("y").as("lbl"))
       .unionByName(edges.select(col("y").as("id"), col("y").as("lbl")))
+      .unionByName(nodes.select(col("id"), col("id").as("lbl")))
       .groupBy(col("id")).agg(min(col("lbl")).as("cluster_id"))
       .select(col("id"), col("cluster_id"),
         (col("id") === col("cluster_id")).cast("long").as("keep_flag"))

@@ -940,6 +940,89 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+
+  /** Shared DuckDB replica of the cosineNearDup LSH path over the planted
+    * corpus: quantized sign-bit signatures (the rhpSignature mixer), band
+    * buckets, optional degenerate-bucket cap, hamming cut, candidate
+    * distinct, exact cosine verify. Both the pinned-constant and the
+    * auto-sized oracles are instances — parameter expressions splice in
+    * as SQL text (literals for the pinned variant, scalar subqueries
+    * against a params CTE for the auto variant), so a mixer or pipeline
+    * change lands in ONE place instead of diverging across hand-kept
+    * copies (the round-10 three-replica trap, which round 11 had grown
+    * to four). */
+  private def cosineLshReplicaSql(paramsCte: String, planesRef: String,
+      bitsRef: String, maxhamRef: String,
+      bucketCapRef: Option[String]): String = {
+    val chf = bucketCapRef.fold("") { cap =>
+      s""", chf AS (
+         |  SELECT vec_id, sg, chunk, cv FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY chunk, cv) AS bn FROM ch) t
+         |  WHERE bn <= $cap
+         |)""".stripMargin
+    }
+    val candSrc = if (bucketCapRef.isDefined) "chf" else "ch"
+    s"""WITH base AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |), all_v AS (
+       |  SELECT vec_id, i, x FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, i, x * 0.5 FROM base WHERE vec_id % 10 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 100000, i,
+       |    CASE WHEN i - 1 = (vec_id // 10) % 64 THEN x * 0.75 ELSE x END
+       |  FROM base WHERE vec_id % 10 = 5
+       |)$paramsCte, q AS (
+       |  SELECT vec_id, i, CAST(floor(x*1048576.0) AS BIGINT) AS xq FROM all_v
+       |), w1 AS (
+       |  SELECT pp.p AS p, dd.i AS i,
+       |    ((pp.p*1000003 + dd.i)*1103515245 + 12345) % 2147483648 AS h1
+       |  FROM (SELECT unnest(range($planesRef)) AS p) pp,
+       |       (SELECT unnest(range(64)) AS i) dd
+       |), w2 AS (
+       |  SELECT p, i,
+       |    (xor(h1, h1 // 65536)*747796405 + 2891336453) % 2147483648 AS h2
+       |  FROM w1
+       |), wt AS (
+       |  SELECT p, i,
+       |    ((xor(h2, h2 // 65536)*277803737 + 12345) % 2147483648) // 2048
+       |      - 524288 AS w
+       |  FROM w2
+       |), proj AS (
+       |  SELECT vec_id, wt.p AS p, SUM(xq * wt.w) AS pr
+       |  FROM q JOIN wt ON wt.i = q.i - 1
+       |  GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sg
+       |  FROM proj GROUP BY 1
+       |), ch AS (
+       |  SELECT vec_id, sg, cc.c AS chunk,
+       |    (sg >> CAST(cc.c * $bitsRef AS INTEGER))
+       |      & ((CAST(1 AS BIGINT) << $bitsRef) - 1) AS cv
+       |  FROM sig, (SELECT unnest(range(4)) AS c) cc
+       |)$chf, cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM $candSrc l JOIN $candSrc r ON l.chunk = r.chunk AND l.cv = r.cv
+       |    AND l.vec_id < r.vec_id
+       |  WHERE bit_count(xor(l.sg, r.sg)) <= $maxhamRef
+       |), norms AS (
+       |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM all_v GROUP BY vec_id
+       |), scored AS (
+       |  SELECT cand.a, cand.b, SUM(la.x * rb.x) AS dot
+       |  FROM cand
+       |  JOIN all_v la ON la.vec_id = cand.a
+       |  JOIN all_v rb ON rb.vec_id = cand.b AND rb.i = la.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b FROM scored
+       |JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+       |WHERE dot / (na.nrm * nb.nrm) >= 0.93
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** DuckDB replica of Similarity.ivfTopK downstream of training:
     * assignment CTE + `nprobe` probe cells (score desc, cell desc, matching
     * reverse(array_sort)), candidate join, exact cosine top-10. */
@@ -1363,63 +1446,7 @@ object PipelineQueries {
     // same planted vectors as the q_dedup_cosine oracle; Spark's 0-based
     // dim index == generate_subscripts - 1.
     "q_dedup_cosine_lsh" ->
-      s"""WITH base AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |    CAST(unnest(embedding) AS DOUBLE) AS x
-         |  FROM embeddings
-         |), all_v AS (
-         |  SELECT vec_id, i, x FROM base
-         |  UNION ALL
-         |  SELECT vec_id + 100000, i, x * 0.5 FROM base WHERE vec_id % 10 = 0
-         |  UNION ALL
-         |  SELECT vec_id + 100000, i,
-         |    CASE WHEN i - 1 = (vec_id // 10) % 64 THEN x * 0.75 ELSE x END
-         |  FROM base WHERE vec_id % 10 = 5
-         |), q AS (
-         |  SELECT vec_id, i, CAST(floor(x*1048576.0) AS BIGINT) AS xq FROM all_v
-         |), w1 AS (
-         |  SELECT pp.p AS p, dd.i AS i,
-         |    ((pp.p*1000003 + dd.i)*1103515245 + 12345) % 2147483648 AS h1
-         |  FROM (SELECT unnest(range(32)) AS p) pp,
-         |       (SELECT unnest(range(64)) AS i) dd
-         |), w2 AS (
-         |  SELECT p, i,
-         |    (xor(h1, h1 // 65536)*747796405 + 2891336453) % 2147483648 AS h2
-         |  FROM w1
-         |), wt AS (
-         |  SELECT p, i,
-         |    ((xor(h2, h2 // 65536)*277803737 + 12345) % 2147483648) // 2048
-         |      - 524288 AS w
-         |  FROM w2
-         |), proj AS (
-         |  SELECT vec_id, wt.p AS p, SUM(xq * wt.w) AS pr
-         |  FROM q JOIN wt ON wt.i = q.i - 1
-         |  GROUP BY 1, 2
-         |), sig AS (
-         |  SELECT vec_id,
-         |    SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sg
-         |  FROM proj GROUP BY 1
-         |), ch AS (
-         |  SELECT vec_id, sg, cc.c AS chunk, (sg >> (cc.c*8)) & 255 AS cv
-         |  FROM sig, (SELECT unnest(range(4)) AS c) cc
-         |), cand AS (
-         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-         |  FROM ch l JOIN ch r ON l.chunk = r.chunk AND l.cv = r.cv
-         |    AND l.vec_id < r.vec_id
-         |  WHERE bit_count(xor(l.sg, r.sg)) <= 10
-         |), norms AS (
-         |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM all_v GROUP BY vec_id
-         |), scored AS (
-         |  SELECT cand.a, cand.b, SUM(la.x * rb.x) AS dot
-         |  FROM cand
-         |  JOIN all_v la ON la.vec_id = cand.a
-         |  JOIN all_v rb ON rb.vec_id = cand.b AND rb.i = la.i
-         |  GROUP BY 1, 2
-         |)
-         |SELECT a, b FROM scored
-         |JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
-         |WHERE dot / (na.nrm * nb.nrm) >= 0.93
-         |ORDER BY a, b""".stripMargin,
+      cosineLshReplicaSql("", "32", "8", "10", None),
     // Auto-sized replica: the SAME sign-bit/band/hamming/verify pipeline as
     // q_dedup_cosine_lsh, but every parameter is derived IN SQL from the
     // corpus count exactly as the Scala side derives it — bits-per-band =
@@ -1431,80 +1458,21 @@ object PipelineQueries {
     // log/log 2), which no fixture count hits. Weight/dim grids use
     // scalar subqueries against params so the SQL is corpus-independent.
     "q_dedup_cosine_auto" ->
-      s"""WITH base AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |    CAST(unnest(embedding) AS DOUBLE) AS x
-         |  FROM embeddings
-         |), all_v AS (
-         |  SELECT vec_id, i, x FROM base
-         |  UNION ALL
-         |  SELECT vec_id + 100000, i, x * 0.5 FROM base WHERE vec_id % 10 = 0
-         |  UNION ALL
-         |  SELECT vec_id + 100000, i,
-         |    CASE WHEN i - 1 = (vec_id // 10) % 64 THEN x * 0.75 ELSE x END
-         |  FROM base WHERE vec_id % 10 = 5
-         |), params AS (
-         |  SELECT planes, planes // 4 AS bits,
-         |    LEAST(planes,
-         |      CAST(ceil(planes*p + 3.0*sqrt(planes*p*(1.0-p))) AS BIGINT))
-         |      AS maxham,
-         |    512 AS maxbucket
-         |  FROM (
-         |    SELECT 4 * LEAST(15, GREATEST(4,
-         |        CAST(ceil(log2(GREATEST(1, n) / 8.0)) AS BIGINT))) AS planes,
-         |      acos(0.93) / pi() AS p
-         |    FROM (SELECT COUNT(DISTINCT vec_id) AS n FROM all_v) t0) t1
-         |), q AS (
-         |  SELECT vec_id, i, CAST(floor(x*1048576.0) AS BIGINT) AS xq FROM all_v
-         |), w1 AS (
-         |  SELECT pp.p AS p, dd.i AS i,
-         |    ((pp.p*1000003 + dd.i)*1103515245 + 12345) % 2147483648 AS h1
-         |  FROM (SELECT unnest(range((SELECT planes FROM params))) AS p) pp,
-         |       (SELECT unnest(range(64)) AS i) dd
-         |), w2 AS (
-         |  SELECT p, i,
-         |    (xor(h1, h1 // 65536)*747796405 + 2891336453) % 2147483648 AS h2
-         |  FROM w1
-         |), wt AS (
-         |  SELECT p, i,
-         |    ((xor(h2, h2 // 65536)*277803737 + 12345) % 2147483648) // 2048
-         |      - 524288 AS w
-         |  FROM w2
-         |), proj AS (
-         |  SELECT vec_id, wt.p AS p, SUM(xq * wt.w) AS pr
-         |  FROM q JOIN wt ON wt.i = q.i - 1
-         |  GROUP BY 1, 2
-         |), sig AS (
-         |  SELECT vec_id,
-         |    SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sg
-         |  FROM proj GROUP BY 1
-         |), ch AS (
-         |  SELECT vec_id, sg, cc.c AS chunk,
-         |    (sg >> CAST(cc.c * (SELECT bits FROM params) AS INTEGER))
-         |      & ((CAST(1 AS BIGINT) << (SELECT bits FROM params)) - 1) AS cv
-         |  FROM sig, (SELECT unnest(range(4)) AS c) cc
-         |), chf AS (
-         |  SELECT vec_id, sg, chunk, cv FROM (
-         |    SELECT *, COUNT(*) OVER (PARTITION BY chunk, cv) AS bn FROM ch) t
-         |  WHERE bn <= (SELECT maxbucket FROM params)
-         |), cand AS (
-         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-         |  FROM chf l JOIN chf r ON l.chunk = r.chunk AND l.cv = r.cv
-         |    AND l.vec_id < r.vec_id
-         |  WHERE bit_count(xor(l.sg, r.sg)) <= (SELECT maxham FROM params)
-         |), norms AS (
-         |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM all_v GROUP BY vec_id
-         |), scored AS (
-         |  SELECT cand.a, cand.b, SUM(la.x * rb.x) AS dot
-         |  FROM cand
-         |  JOIN all_v la ON la.vec_id = cand.a
-         |  JOIN all_v rb ON rb.vec_id = cand.b AND rb.i = la.i
-         |  GROUP BY 1, 2
-         |)
-         |SELECT a, b FROM scored
-         |JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
-         |WHERE dot / (na.nrm * nb.nrm) >= 0.93
-         |ORDER BY a, b""".stripMargin,
+      cosineLshReplicaSql(
+        s""", params AS (
+           |  SELECT planes, planes // 4 AS bits,
+           |    LEAST(planes,
+           |      CAST(ceil(planes*p + 3.0*sqrt(planes*p*(1.0-p))) AS BIGINT))
+           |      AS maxham,
+           |    512 AS maxbucket
+           |  FROM (
+           |    SELECT 4 * LEAST(15, GREATEST(4,
+           |        CAST(ceil(log2(GREATEST(1, n) / 8.0)) AS BIGINT))) AS planes,
+           |      acos(0.93) / pi() AS p
+           |    FROM (SELECT COUNT(DISTINCT vec_id) AS n FROM all_v) t0) t1
+           |)""".stripMargin,
+        "(SELECT planes FROM params)", "(SELECT bits FROM params)",
+        "(SELECT maxham FROM params)", Some("(SELECT maxbucket FROM params)")),
     // int8 quantization replica: same max-abs scale, same x*127/scale
     // round chain (both engines round half away from zero on identical
     // doubles), 0-vectors keep all-zero codes

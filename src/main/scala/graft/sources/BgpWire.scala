@@ -335,7 +335,12 @@ object BgpWire {
     require(bits >= 64, s"MDT NLRI shorter than its RD ($bits bits)")
     val rd = readRd(r)
     val p = readPrefixBits(r, bits - 64, v6)
-    val g = hostRow(r, r.u8())
+    // group: symmetric with writeMdtBody's writePrefix — ceil(bits/8)
+    // body bytes (NOT the full-width read the EVPN/MVPN families use:
+    // their wire format is full-width, this codec's is length-prefixed),
+    // 0 bits = absent group
+    val gBits = r.u8()
+    val g = if (gBits == 0) null else readPrefixBits(r, gBits, v6 = gBits > 32)
     (rd, p, g)
   }
 
@@ -526,7 +531,9 @@ object BgpWire {
           else (p.getLong(2) >> (56 - 8 * (i - 8))) & 0xFF
         b.u8(byte.toInt)
       }
-      writePrefix(b, k.getStruct(7)) // group: bit-length-prefixed address
+      // group: bit-length-prefixed address; absent → 0 bits
+      val g = k.getStruct(7)
+      if (g == null) b.u8(0) else writePrefix(b, g)
     }
     def mdtOnly(n: String): Seq[(String, Seq[Row])] =
       rows(n).filter(k => k.getString(0) == "ipv4mdt" || k.getString(0) == "ipv6mdt")

@@ -255,7 +255,8 @@ object Snapshot {
       col("attrs.comms").as("comms"), col("attrs.lcomms").as("lcomms"),
       col("route_id"),
       col("rd.rdh").as("rdh"), col("rd.rdl").as("rdl"),
-      col("mdt_group.ip_hi").as("ghi"), col("mdt_group.ip_lo").as("glo"))
+      col("mdt_group.ip_hi").as("ghi"), col("mdt_group.ip_lo").as("glo"),
+      col("mdt_group.version").as("gv"))
     rows.repartition(shards, col("route_id")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
@@ -311,11 +312,13 @@ object Snapshot {
       CText("rdh") -> CInt(if (r.isNullAt(21)) 0L else r.getLong(21)),
       CText("rdl") -> CInt(if (r.isNullAt(22)) 0L else r.getLong(22))))
     def groupVal: Value = {
-      // MDT group is a host address; v4 groups (the engine's SSM space)
-      // export as the 4-octet Ipv4Addr serde form
+      // MDT group is a host address; the family comes from the group's
+      // OWN version byte (a numerically-small v6 group must not collapse
+      // into the 4-octet Ipv4Addr serde form), v4 → 4 octets
       val lo = if (r.isNullAt(24)) 0L else r.getLong(24)
       val hi = if (r.isNullAt(23)) 0L else r.getLong(23)
-      if (hi == 0L && (lo >> 32) == 0L)
+      val v6 = !r.isNullAt(25) && r.getByte(25) == 6
+      if (!v6)
         CArr((0 until 4).map(i => CInt((lo >> (8 * (3 - i))) & 0xff): Value).toVector)
       else {
         val addr = (BigInt(hi) << 64) | (BigInt(lo) & BigInt("ffffffffffffffff", 16))
@@ -323,6 +326,12 @@ object Snapshot {
           CInt(((addr >> (8 * (15 - i))) & 0xff).toLong): Value).toVector)
       }
     }
+    // a prefix-shaped rib with a NULL prefix cannot build its serde key:
+    // fall back to the canonical text key (the pre-round-11 guard, kept —
+    // a degraded-but-valid export beats crashing the partition)
+    if (r.isNullAt(1) && (plainKeyRibs(rib) || labeledRibs(rib) ||
+        labeledRdRibs(rib) || mdtRibs(rib)))
+      return CText(r.getString(5))
     if (plainKeyRibs(rib)) prefixValue(r, 1)
     else if (labeledRibs(rib)) CMap(Vector(
       CText("labels") -> labelsVal, CText("prefix") -> prefixValue(r, 1)))

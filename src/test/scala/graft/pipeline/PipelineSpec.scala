@@ -382,8 +382,11 @@ class PipelineSpec extends AnyFunSuite {
     val lbl = Dedup.duplicateClusters(chain, maxIters = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(lbl.exists(_._2 != 0L))
-    // and on a realistic near-clique graph both algorithms agree exactly
-    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 9L)).toDF("a", "b")
+    // and on a realistic near-clique graph both algorithms agree exactly —
+    // including a degenerate self-pair (a node whose only edge is (4,4)),
+    // which the star path must keep as its own singleton root
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 9L), (4L, 4L))
+      .toDF("a", "b")
     def res(algo: String) = Dedup.duplicateClusters(clique, algorithm = algo)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(res("star") == res("label"))
@@ -413,6 +416,9 @@ class PipelineSpec extends AnyFunSuite {
         java.lang.Double.valueOf(((k * 13 + i * 5) % 17 - 8) / 8.0)))) ++ Seq(
       (96L, Array.tabulate[java.lang.Double](8)(_ =>
         java.lang.Double.valueOf(0.5))), // tie candidate (uniform vector)
+      (94L, Array[java.lang.Double](0.5, Double.NaN, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6)),
+      (95L, Array[java.lang.Double](0.5, Double.PositiveInfinity, 0.1, 0.2,
+        0.3, 0.4, 0.5, 0.6)), // NaN/Inf scores must follow SQL total order
       (97L, Array[java.lang.Double](0.5, -0.25)), // wrong length
       (98L, Array[java.lang.Double](0.5, null, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6)),
       (99L, null))
