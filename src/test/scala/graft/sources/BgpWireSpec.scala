@@ -200,6 +200,32 @@ class BgpWireSpec extends AnyFunSuite {
     assert(wd(0).getStruct(7).getLong(2) == (232L << 24) + (2L << 16) + (6L << 8))
   }
 
+  test("MDT group codec is symmetric: non-host and absent groups round-trip") {
+    import org.apache.spark.sql.Row
+    // the encoder writes the group length-prefixed (ceil(bits/8) bytes);
+    // the decoder must mirror that — a /24 group is 3 body bytes, not a
+    // fixed 4-byte host read, and a null group is a 0-bit marker
+    def mdtKey(grp: Row) = Row("ipv4mdt", Row(130L, 1030L), null, null, null,
+      Row(4.toByte, 0L, (192L << 24) + (168L << 16) + 1L, 32),
+      Row(4.toByte, 0L, (10L << 24) + (7L << 16), 24), grp)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(20L, 0, null,
+        Seq.empty[Row], Seq.empty[Row], null, null, null,
+        Seq(mdtKey(Row(4.toByte, 0L, (232L << 24) + (1L << 16) + (5L << 8), 24)),
+          mdtKey(null)),
+        null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(rows, BgpWire.updateSchema)
+    val got = BgpWire.decodeUpdates(BgpWire.encodeUpdates(df)).collect()(0)
+    val keys = got.getSeq[Row](8)
+    assert(keys.length == 2)
+    assert(keys(0).getStruct(7) ==
+      Row(4.toByte, 0L, (232L << 24) + (1L << 16) + (5L << 8), 24))
+    assert(keys(1).isNullAt(7))
+    // prefixes and RDs survive alongside
+    assert(keys.forall(_.getStruct(6).getInt(3) == 24))
+    assert(keys.forall(_.getStruct(1) == Row(130L, 1030L)))
+  }
+
   test("golden: FlowSpec v4 decodes the destination prefix into fs4u") {
     // MP_REACH afi 1 safi 133, empty nexthop; one flowspec NLRI of length 7:
     // dst-prefix 10.7.0.0/16 + a dest-port component (eq 80) that must be
