@@ -71,10 +71,20 @@ object Bench {
     // /root/testdata) — a bench over a changed fixture must not book
     // numbers that read as comparable. Runs before ingest, so it also
     // serves as the page-cache warm for every source table. The
-    // fingerprint rides in the artifact either way, so two artifacts can
-    // be compared for same-fixture after the fact even without a pin.
+    // fingerprint is computed even without a pin (ADVICE r11 weighed
+    // skipping it then): the artifact's `fixture` field is what lets two
+    // pinless driver runs be compared for same-fixture after the fact,
+    // and the scan doubles as the 10-table cache warm — worth its ~2 s.
+    // Guarded so a fingerprint IO failure (missing table, corrupt
+    // parquet) still stops the session, like every other failure path.
     val (fixtureFp, fixtureErr) =
-      graft.tools.FixtureId.check(spark, sfDir)
+      try graft.tools.FixtureId.check(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] fixture fingerprint failed: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+        spark.stop()
+        throw e
+      }
     fixtureErr.foreach { msg =>
       System.err.println(s"[bench] $msg")
       spark.stop()

@@ -326,21 +326,28 @@ object BgpWire {
     * 6037 fixes the v4 shape at 96 bits (RD + host) with a trailing
     * 4-octet group; this codec generalizes to variable prefix length and
     * to the v6 family by keeping the length octet (64 + prefix_len) and
-    * encoding the group as an explicit bit-length-prefixed address — which
-    * also lets a v4 SSM group ride in an ipv6mdt frame, the shape the
-    * synthetic corpus uses (RouteEventGen's mcGroup is v4 for both MDT
-    * families). Returns (rd, prefix, group). */
+    * encoding the group with an explicit family octet (0 = absent, else
+    * the IP version) followed by a bit-length-prefixed body — the family
+    * octet (not a bit-length heuristic) is what lets a v4 SSM group ride
+    * in an ipv6mdt frame (the synthetic corpus' shape: RouteEventGen's
+    * mcGroup is v4 for both MDT families) AND a short-prefix v6 group
+    * (ff30::/12) or a degenerate /0 group survive the round trip.
+    * Malformed input (bits < 64, a family octet that is neither 0/4/6)
+    * throws — same posture as `decodeUpdate`: adapters feeding this
+    * codec are trusted transports, and a silent skip would hide their
+    * bugs; quarantining belongs in the session layer, not the codec.
+    * Returns (rd, prefix, group). */
   private def readMdtItem(r: Reader, v6: Boolean): (Row, Row, Row) = {
     val bits = r.u8()
     require(bits >= 64, s"MDT NLRI shorter than its RD ($bits bits)")
     val rd = readRd(r)
     val p = readPrefixBits(r, bits - 64, v6)
-    // group: symmetric with writeMdtBody's writePrefix — ceil(bits/8)
-    // body bytes (NOT the full-width read the EVPN/MVPN families use:
-    // their wire format is full-width, this codec's is length-prefixed),
-    // 0 bits = absent group
-    val gBits = r.u8()
-    val g = if (gBits == 0) null else readPrefixBits(r, gBits, v6 = gBits > 32)
+    // group: symmetric with writeMdtBody — family octet, then the same
+    // bit-length-prefixed shape writePrefix emits (NOT the full-width
+    // read the EVPN/MVPN families use)
+    val gv = r.u8()
+    require(gv == 0 || gv == 4 || gv == 6, s"MDT group family octet $gv")
+    val g = if (gv == 0) null else readPrefixBits(r, r.u8(), v6 = gv == 6)
     (rd, p, g)
   }
 
@@ -531,28 +538,40 @@ object BgpWire {
           else (p.getLong(2) >> (56 - 8 * (i - 8))) & 0xFF
         b.u8(byte.toInt)
       }
-      // group: bit-length-prefixed address; absent → 0 bits
+      // group: family octet (0 = absent) + bit-length-prefixed address
+      // (readMdtItem doc — the family octet keeps short-prefix v6 and /0
+      // groups symmetric where a bits-only heuristic could not)
       val g = k.getStruct(7)
-      if (g == null) b.u8(0) else writePrefix(b, g)
+      if (g == null) b.u8(0) else { b.u8(g.getByte(0).toInt); writePrefix(b, g) }
     }
     def mdtOnly(n: String): Seq[(String, Seq[Row])] =
       rows(n).filter(k => k.getString(0) == "ipv4mdt" || k.getString(0) == "ipv6mdt")
         .groupBy(_.getString(0)).toSeq.sortBy(_._1)
-    mdtOnly("mp_keys").foreach { case (rib, items) =>
-      val b = new Writer
-      b.u16(if (rib == "ipv4mdt") 1 else 2).u8(66)
-      val nh = items.head.getStruct(5)
-      if (nh != null && nh.getByte(0) == 4) {
-        b.u8(4)
-        (0 until 4).foreach(i => b.u8(((nh.getLong(2) >> (24 - 8 * i)) & 0xFF).toInt))
-      } else if (nh != null) {
-        b.u8(16)
-        (0 until 8).foreach(i => b.u8(((nh.getLong(1) >> (56 - 8 * i)) & 0xFF).toInt))
-        (0 until 8).foreach(i => b.u8(((nh.getLong(2) >> (56 - 8 * i)) & 0xFF).toInt))
-      } else b.u8(0)
-      b.u8(0) // reserved
-      items.foreach(writeMdtBody(b, _))
-      writeAttr(pa, 0x80, 14, b.bytes)
+    // one MP_REACH per (family, nexthop): the nexthop is an attribute of
+    // the MP_REACH envelope, not the item, so items with differing
+    // nexthops must not collapse onto items.head's — group and emit one
+    // attribute per distinct nexthop (deterministic order so encode is a
+    // pure function of the row)
+    mdtOnly("mp_keys").foreach { case (rib, famItems) =>
+      famItems.groupBy(_.getStruct(5)).toSeq
+        .sortBy { case (nh, _) =>
+          if (nh == null) (-1, 0L, 0L)
+          else (nh.getByte(0).toInt, nh.getLong(1), nh.getLong(2)) }
+        .foreach { case (nh, items) =>
+          val b = new Writer
+          b.u16(if (rib == "ipv4mdt") 1 else 2).u8(66)
+          if (nh != null && nh.getByte(0) == 4) {
+            b.u8(4)
+            (0 until 4).foreach(i => b.u8(((nh.getLong(2) >> (24 - 8 * i)) & 0xFF).toInt))
+          } else if (nh != null) {
+            b.u8(16)
+            (0 until 8).foreach(i => b.u8(((nh.getLong(1) >> (56 - 8 * i)) & 0xFF).toInt))
+            (0 until 8).foreach(i => b.u8(((nh.getLong(2) >> (56 - 8 * i)) & 0xFF).toInt))
+          } else b.u8(0)
+          b.u8(0) // reserved
+          items.foreach(writeMdtBody(b, _))
+          writeAttr(pa, 0x80, 14, b.bytes)
+        }
     }
     mdtOnly("mp_keys_withdraws").foreach { case (rib, items) =>
       val b = new Writer

@@ -174,14 +174,16 @@ class BgpWireSpec extends AnyFunSuite {
   test("golden: MDT v4 reach + v6 withdraw decode RD, prefix and group") {
     import org.apache.spark.sql.Row
     // MP_REACH afi 1 safi 66 (MDT, RFC 6037), nexthop 10.0.0.1; one item:
-    // 88 bits = RD 131:1031 + 10.3.5.0/24, then group 232.1.5.0 (/32,
-    // bit-length-prefixed — readMdtItem doc). MP_UNREACH afi 2 safi 66:
-    // 128 bits = RD 132:1032 + 2001:0:0:7::/64, group 232.2.6.0.
-    val msg = hex(marker + "0050" + "02" + "0000" + "0039" +
-      "80 0e 1a" + "0001 42" + "04" + "0a000001" + "00" +
-      "58" + "0000 0083 00000407" + "0a0305" + "20" + "e8010500" +
-      "80 0f 19" + "0002 42" +
-      "80" + "0000 0084 00000408" + "2001000000000007" + "20" + "e8020600")
+    // 88 bits = RD 131:1031 + 10.3.5.0/24, then group 232.1.5.0 (family
+    // octet 04 + /32 bit-length-prefixed body — readMdtItem doc).
+    // MP_UNREACH afi 2 safi 66: 128 bits = RD 132:1032 + 2001:0:0:7::/64,
+    // group 232.2.6.0 (a v4 group riding an ipv6mdt frame — the case the
+    // family octet exists for).
+    val msg = hex(marker + "0052" + "02" + "0000" + "003b" +
+      "80 0e 1b" + "0001 42" + "04" + "0a000001" + "00" +
+      "58" + "0000 0083 00000407" + "0a0305" + "04" + "20" + "e8010500" +
+      "80 0f 1a" + "0002 42" +
+      "80" + "0000 0084 00000408" + "2001000000000007" + "04" + "20" + "e8020600")
     val r = BgpWire.decodeUpdate(10L, 0, null, msg)
     val keys = r.getSeq[Row](8) // mp_keys
     assert(keys.length == 1 && keys(0).getString(0) == "ipv4mdt")
@@ -200,30 +202,63 @@ class BgpWireSpec extends AnyFunSuite {
     assert(wd(0).getStruct(7).getLong(2) == (232L << 24) + (2L << 16) + (6L << 8))
   }
 
-  test("MDT group codec is symmetric: non-host and absent groups round-trip") {
+  test("MDT group codec is symmetric: non-host, absent, v6-short and /0 groups round-trip") {
     import org.apache.spark.sql.Row
-    // the encoder writes the group length-prefixed (ceil(bits/8) bytes);
-    // the decoder must mirror that — a /24 group is 3 body bytes, not a
-    // fixed 4-byte host read, and a null group is a 0-bit marker
+    // the encoder writes the group as a family octet + length-prefixed
+    // body (ceil(bits/8) bytes); the decoder must mirror that — a /24
+    // group is 3 body bytes, not a fixed 4-byte host read; a null group
+    // is family octet 0; a v6 group with prefix_len <= 32 (ff30::/12)
+    // must NOT fall into a v4 read (the ADVICE r11 asymmetry — family
+    // comes from the octet, never from the bit length); and a degenerate
+    // non-null /0 group stays non-null
     def mdtKey(grp: Row) = Row("ipv4mdt", Row(130L, 1030L), null, null, null,
       Row(4.toByte, 0L, (192L << 24) + (168L << 16) + 1L, 32),
       Row(4.toByte, 0L, (10L << 24) + (7L << 16), 24), grp)
+    val groups = Seq(
+      Row(4.toByte, 0L, (232L << 24) + (1L << 16) + (5L << 8), 24),
+      null,
+      Row(6.toByte, 0xff30L << 48, 0L, 12),
+      Row(4.toByte, 0L, 0L, 0))
     val rows = java.util.Arrays.asList(
       org.apache.spark.sql.Row(20L, 0, null,
         Seq.empty[Row], Seq.empty[Row], null, null, null,
-        Seq(mdtKey(Row(4.toByte, 0L, (232L << 24) + (1L << 16) + (5L << 8), 24)),
-          mdtKey(null)),
+        groups.map(mdtKey),
         null, null, null, null, null, null, null, null))
     val df = spark.createDataFrame(rows, BgpWire.updateSchema)
     val got = BgpWire.decodeUpdates(BgpWire.encodeUpdates(df)).collect()(0)
     val keys = got.getSeq[Row](8)
-    assert(keys.length == 2)
-    assert(keys(0).getStruct(7) ==
-      Row(4.toByte, 0L, (232L << 24) + (1L << 16) + (5L << 8), 24))
-    assert(keys(1).isNullAt(7))
+    assert(keys.length == groups.length)
+    groups.zipWithIndex.foreach { case (g, i) =>
+      if (g == null) assert(keys(i).isNullAt(7))
+      else assert(keys(i).getStruct(7) == g, s"group $i")
+    }
     // prefixes and RDs survive alongside
     assert(keys.forall(_.getStruct(6).getInt(3) == 24))
     assert(keys.forall(_.getStruct(1) == Row(130L, 1030L)))
+  }
+
+  test("MDT reach items with differing nexthops keep their own nexthop") {
+    import org.apache.spark.sql.Row
+    // the nexthop lives on the MP_REACH envelope, not the item — the
+    // encoder must emit one attribute per (family, nexthop) group rather
+    // than collapsing every item onto items.head's nexthop
+    def key(nhLo: Long, pfxLo: Long) = Row("ipv4mdt", Row(130L, 1030L),
+      null, null, null, Row(4.toByte, 0L, nhLo, 32),
+      Row(4.toByte, 0L, pfxLo, 32),
+      Row(4.toByte, 0L, (232L << 24) + 9L, 32))
+    val nh1 = (192L << 24) + (168L << 16) + 1L
+    val nh2 = (192L << 24) + (168L << 16) + 2L
+    val p1 = (10L << 24) + 1L; val p2 = (10L << 24) + 2L; val p3 = (10L << 24) + 3L
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(21L, 0, null,
+        Seq.empty[Row], Seq.empty[Row], null, null, null,
+        Seq(key(nh1, p1), key(nh2, p2), key(nh1, p3)),
+        null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(rows, BgpWire.updateSchema)
+    val got = BgpWire.decodeUpdates(BgpWire.encodeUpdates(df)).collect()(0)
+    val pairs = got.getSeq[Row](8)
+      .map(k => (k.getStruct(6).getLong(2), k.getStruct(5).getLong(2))).toSet
+    assert(pairs == Set((p1, nh1), (p2, nh2), (p3, nh1)))
   }
 
   test("golden: FlowSpec v4 decodes the destination prefix into fs4u") {
@@ -247,6 +282,13 @@ class BgpWireSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { // wrong declared length
       BgpWire.decodeUpdate(0L, 0, null, hex(marker + "0099" + "02" + "0000" + "0000"))
+    }
+    intercept[IllegalArgumentException] { // MDT NLRI shorter than its RD
+      // well-framed message, MP_REACH afi 1 safi 66 whose single item
+      // declares 48 bits (< the 64-bit RD) — readMdtItem's documented
+      // throw-on-malformed posture, same as the framing checks above
+      BgpWire.decodeUpdate(0L, 0, null, hex(marker + "0024" + "02" + "0000" +
+        "000d" + "80 0e 0a" + "0001 42" + "04" + "0a000001" + "00" + "30"))
     }
   }
 
