@@ -210,7 +210,18 @@ object Snapshot {
     * `{addr: {addr, prefixlen}, group: [octets]}`. The remaining
     * structurally-rich keys (L2VPLS/MVPN/EVPN/FlowSpec) still export the
     * engine-canonical display key as CBOR text — lossless through [[load]],
-    * explicitly NOT claimed reference-deserializable. */
+    * explicitly NOT claimed reference-deserializable. That is an evidence
+    * boundary, not an omission: serde derive deserialization requires
+    * every struct field by name, the zettabgp crate source is not
+    * available in this environment, and the reference's own code
+    * (src/ribfilter.rs:306-454) reveals only the filter-visible field
+    * subset (e.g. EVPN rd/ip/gw_ip but not the ESI/tag/MAC fields EVPN
+    * route types carry on the wire — fields this engine's data model
+    * does not store either). Emitting guessed maps would produce files
+    * that CLAIM loadability and fail in the reference's loader; text
+    * keys fail soft and import back here losslessly. The 11
+    * exported-shape families are exactly those whose complete field
+    * lists ARE pinned by reference usage plus the RFC wire shapes. */
   private val labeledRibs = Set("ipv4lu", "ipv6lu")
   private val labeledRdRibs = Set("vpnv4u", "vpnv4m", "vpnv6u", "vpnv6m")
   private val mdtRibs = Set("ipv4mdt", "ipv6mdt")
