@@ -216,6 +216,86 @@ object Dedup {
       .distinct()
   }
 
+  /** S-curve-optimal MinHash banding: the (bands, rowsPerBand) split of a
+    * `numHashes` budget that best approximates a step at Jaccard
+    * `threshold`. A (b, r) banding collides a pair of similarity s with
+    * probability 1−(1−s^r)^b; the optimizer integrates that curve's false-
+    * positive mass below the threshold and false-negative mass above it
+    * (midpoint rule, fixed 1000 steps — deterministic) and picks the
+    * b·r ≤ numHashes split minimizing fpWeight·FP + fnWeight·FN — the
+    * standard MinHash-LSH parameter rule (MMDS ch.3; the datasketch
+    * library's sizing method, re-derived). Pure function of its
+    * arguments: the DuckDB oracle bakes the same derived (b, r) into its
+    * SQL at registration time.
+    *
+    * This is the knob a user hand-tunes otherwise, and the reason the
+    * auto path's precision does not silently collapse when someone moves
+    * the threshold: r rises with the threshold (sharper bands), b absorbs
+    * the rest of the budget. */
+  def minhashBandsFor(numHashes: Int, threshold: Double,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    val steps = 1000
+    var best = (1, 1); var bestErr = Double.MaxValue
+    var b = 1
+    while (b <= numHashes) {
+      var r = 1
+      while (b * r <= numHashes) {
+        var fp = 0.0; var fn = 0.0; var i = 0
+        while (i < steps) {
+          val sFp = threshold * (i + 0.5) / steps
+          fp += 1.0 - math.pow(1.0 - math.pow(sFp, r), b)
+          val sFn = threshold + (1.0 - threshold) * (i + 0.5) / steps
+          fn += math.pow(1.0 - math.pow(sFn, r), b)
+          i += 1
+        }
+        val err = fpWeight * fp * threshold / steps +
+          fnWeight * fn * (1.0 - threshold) / steps
+        if (err < bestErr) { bestErr = err; best = (b, r) }
+        r += 1
+      }
+      b += 1
+    }
+    best
+  }
+
+  /** The production MinHash near-dup entry (the [[cosineNearDupAuto]]
+    * twin for the Jaccard family): sizes the banding itself via
+    * [[minhashBandsFor]], generates candidates with the degenerate-bucket
+    * cap, then VERIFIES each candidate pair with the exact shingle-set
+    * Jaccard before emitting it — banding parameters affect only
+    * recall/cost, never which emitted pair is a true near-duplicate.
+    * Returns (a, b, inter, union_n) for pairs with Jaccard ≥ threshold
+    * (compared integer-exactly as inter·1000 ≥ union·round(1000·t)).
+    *
+    * 100 TB posture: candidates ∝ corpus × bucket density (capped by
+    * maxBucketSize exactly as in [[minhashCandidates]]); the verify join
+    * is candidate-driven — each (a,b) pulls only its own two shingle
+    * sets through an equi-join, so verification cost is candidate volume
+    * × document size, never corpus². */
+  def minhashNearDupAuto(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, threshold: Double = 0.6,
+      maxBucketSize: Int = 64): DataFrame = {
+    val (bands, rows) = minhashBandsFor(numHashes, threshold)
+    val cand = minhashCandidates(df, idCol, textCol, k,
+      numHashes = bands * rows, bands = bands, maxBucketSize = maxBucketSize)
+    val inv = explodedShingleHashes(df, idCol, textCol, k).distinct()
+    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val thNum = math.round(threshold * 1000)
+    val inter = cand
+      .join(inv.select(col("id").as("a"), col("h")), "a")
+      .join(inv.select(col("id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * 1000 >= col("union_n") * thNum)
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        col("union_n").cast("long").as("union_n"))
+  }
+
   /** Exact word-k-gram Jaccard similarity for all pairs sharing at least
     * one shingle (inverted-index join — the verify step after LSH, or a
     * standalone exact near-dup pass at moderate scale). Returns

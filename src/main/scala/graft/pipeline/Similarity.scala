@@ -510,4 +510,52 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
+
+  /** Matryoshka truncate-then-rerank ANN (MRL-style two-stage retrieval):
+    * stage 1 scores the whole corpus against the probes on only the first
+    * `prefixDims` vector components — matryoshka-trained embeddings
+    * front-load their signal, so the truncated cosine is a cheap, well-
+    * ordered surrogate — and keeps the top `cand` ids per probe; stage 2
+    * re-attaches full vectors to that slim (probe_id, id) set and re-ranks
+    * by exact full-dimension cosine. Output shape matches
+    * [[bruteForceTopK]]; with `prefixDims` = the full dimension and `cand`
+    * ≥ corpus size the two are identical (spec-pinned), and recall at a
+    * real truncation is pinned against brute force on the fixture.
+    *
+    * 100 TB posture: the full-corpus stage runs on prefixDims/dims of the
+    * arithmetic AND of the broadcast bytes (a 64→16 cut is 4× on both);
+    * candidate selection is a rank-`cand` window that Spark's
+    * WindowGroupLimit rewrites into per-partition partial top-`cand`
+    * BEFORE the shuffle, so only ~cand×probes×partitions slim id rows ever
+    * move; the exact stage touches cand×probes rows re-attached by one
+    * equi-join (the lshTopK discipline — vectors never ride the candidate
+    * shuffle). Stage 1 composes: any bucketed ANN in this file can run
+    * over the truncated column instead of the scan when the corpus is
+    * banded anyway. */
+  def mrlTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, prefixDims: Int = 16, cand: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cand >= k, s"cand ($cand) must be >= k ($k)")
+    require(prefixDims > 0, s"prefixDims must be positive, got $prefixDims")
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+    val ct = c.select(col("id"), slice(col("v"), 1, prefixDims).as("tv"))
+      .withColumn("tn", norm(col("tv")))
+    val pt = p.select(col("probe_id"), slice(col("pv"), 1, prefixDims).as("ptv"))
+      .withColumn("ptn", norm(col("ptv")))
+    val w1 = Window.partitionBy(col("probe_id")).orderBy(col("tcos").desc, col("id"))
+    val candidates = ct.join(broadcast(pt), col("id") =!= col("probe_id"))
+      .withColumn("tcos", dot(col("tv"), col("ptv")) / (col("tn") * col("ptn")))
+      .withColumn("crank", row_number().over(w1))
+      .where(col("crank") <= cand)
+      .select(col("probe_id"), col("id"))
+    val w2 = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("id"))
+    candidates
+      .join(broadcast(p.withColumn("pn", norm(col("pv")))), "probe_id")
+      .join(c.withColumn("n", norm(col("v"))), "id")
+      .withColumn("cosine", dot(col("v"), col("pv")) / (col("n") * col("pn")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -50,6 +50,23 @@ object PipelineQueries {
     base.unionByName(scaled).unionByName(bumped)
   }
 
+  /** Embeddings deterministically "matryoshka-ized": dimension i scaled by
+    * 2^-(i div 8), so the leading components carry the bulk of the energy
+    * the way MRL-trained embeddings do (the driver fixture is isotropic
+    * noise — truncated cosine over it is uninformative BY CONSTRUCTION,
+    * recall 0.27 measured, so the truncate-then-rerank operator needs its
+    * property planted, same discipline as plantedEmb/plantedMarkupDocs).
+    * The weights are exact binary-FP constants (halvings), multiplied the
+    * same way by any engine — the DuckDB oracle reproduces the corpus
+    * bit-for-bit. */
+  private def mrlEmb(s: SparkSession, dir: String): DataFrame = {
+    val w = array((0 until 8).map(k => lit(1.0 / (1 << k))): _*)
+    emb(s, dir).select(col("vec_id"),
+      zip_with(transform(col("embedding"), x => x.cast("double")),
+        sequence(lit(0), lit(63)),
+        (x, i) => x * element_at(w, (i / 8).cast("int") + 1)).as("embedding"))
+  }
+
   /** Deterministically planted HTML-ish markup: tag wrappers, a nav block
     * and double-encoded entities on id strides (the fixture is plain
     * prose, so the strip pass needs its inputs planted — same discipline
@@ -111,6 +128,17 @@ object PipelineQueries {
       val d = docs(s, dir).select(col("doc_id"),
         regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
       Dedup.minhashCandidates(d, "doc_id", "text").orderBy(col("a"), col("b"))
+    }),
+    // The auto-sized Jaccard production entry (round 12, the
+    // cosineNearDupAuto twin): S-curve-optimal banding derived from
+    // (numHashes, threshold) by Dedup.minhashBandsFor, then exact-Jaccard
+    // verification of every candidate — banding affects recall/cost only.
+    // The oracle replays the derived banding AND the verify join.
+    "q_dedup_minhash_auto" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.minhashNearDupAuto(d, "doc_id", "text")
+        .orderBy(col("a"), col("b"))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
@@ -263,6 +291,20 @@ object PipelineQueries {
       val e = emb(s, dir)
       val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
       Similarity.ivfTopKAuto(e, probes, "vec_id", "embedding", 10)
+        .select(col("probe_id"), col("id"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Matryoshka truncate-then-rerank (round 12): stage 1 ranks the corpus
+    // on the first 16 of 64 components (4x cheaper scan + broadcast),
+    // stage 2 exact-reranks the slim top-30 candidate set — over the
+    // mrlEmb front-loaded corpus (MRL's trained-in premise, planted). The
+    // oracle replays damping, truncated scoring, cut and full-dim re-rank.
+    "q_sim_mrl" -> ((s, dir) => {
+      val e = mrlEmb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      Similarity.mrlTopK(e, probes, "vec_id", "embedding", 10,
+        prefixDims = 16, cand = 30)
         .select(col("probe_id"), col("id"), col("rank"))
         .orderBy(col("probe_id"), col("rank"))
     }),
@@ -825,18 +867,22 @@ object PipelineQueries {
        |  SELECT doc_id, ${XxHash64Sql.chainUnsigned("ws")} AS hu FROM shm
        |)""".stripMargin
 
-  /** DuckDB replica of the PRODUCTION MinHash pipeline — real xxhash64
-    * (HUGEINT mod-2^64 arithmetic, XxHash64Sql), then the identical
-    * signature/band/cap/join stages as [[minhashArithSql]]. The distinct is
-    * on the full 64-bit hash before the 31-bit mask, matching
-    * Dedup.minhashCandidates exactly. */
-  private def minhashXxSql: String = {
-    val minExprs = (0 until 32).map { i =>
+  /** Parameterized CTE chain of the real-xxhash64 MinHash pipeline through
+    * its capped band buckets: distinct 64-bit shingle hashes (HUGEINT
+    * mod-2^64 arithmetic, XxHash64Sql) → 31-bit mask → `numHashes`
+    * universal-hash minima → `bands` folded band keys → bucket cap. The
+    * distinct is on the full 64-bit hash before the 31-bit mask, matching
+    * Dedup.minhashCandidates exactly; the fixed-band oracle and the auto-
+    * sized oracle are the SAME chain at different (numHashes, bands), so a
+    * banding change lands in one place (the cosineLshReplicaSql lesson). */
+  private def minhashXxBandCte(numHashes: Int, bands: Int, cap: Int): String = {
+    val rows = numHashes / bands
+    val minExprs = (0 until numHashes).map { i =>
       val (a, b) = Dedup.minhashAB(i)
       s"MIN((h31 * $a + $b) % ${Dedup.MinhashPrime}) AS m$i"
     }.mkString(",\n    ")
-    val bandSelects = (0 until 8).map { b =>
-      val fold = (b * 4 until (b + 1) * 4).foldLeft("CAST(0 AS BIGINT)") {
+    val bandSelects = (0 until bands).map { b =>
+      val fold = (b * rows until (b + 1) * rows).foldLeft("CAST(0 AS BIGINT)") {
         (acc, i) => s"(($acc * 1000003 + m$i % 2147483647) % 2147483647)" }
       s"SELECT doc_id, $b AS band, $fold AS band_hash FROM sig"
     }.mkString("\n  UNION ALL\n  ")
@@ -855,11 +901,45 @@ object PipelineQueries {
        |    SELECT doc_id, band, band_hash,
        |      COUNT(*) OVER (PARTITION BY band, band_hash) AS bn
        |    FROM bands) t
-       |  WHERE bn <= 64
-       |)
+       |  WHERE bn <= $cap
+       |)""".stripMargin
+  }
+
+  /** DuckDB replica of the PRODUCTION MinHash pipeline — the band CTE at
+    * the fixed (32, 8) banding, then the candidate self-join. */
+  private def minhashXxSql: String =
+    s"""${minhashXxBandCte(32, 8, 64)}
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |FROM capped l JOIN capped r
        |  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+
+  /** DuckDB replica of the AUTO-SIZED MinHash near-dup path
+    * (Dedup.minhashNearDupAuto): the band CTE at the S-curve-derived
+    * (bands, rows) — minhashBandsFor is a pure function of (numHashes,
+    * threshold), so the derived constants bake in at registration — then
+    * candidates and the exact-Jaccard verification over the same distinct
+    * shingle-hash sets, thresholded integer-exactly. */
+  private def minhashAutoXxSql: String = {
+    val (bands, rows) = Dedup.minhashBandsFor(32, 0.6)
+    val thNum = math.round(0.6 * 1000)
+    s"""${minhashXxBandCte(bands * rows, bands, 64)}, cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM capped l JOIN capped r
+       |    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM hxd GROUP BY doc_id
+       |), iv AS (
+       |  SELECT c.a, c.b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN hxd l ON l.doc_id = c.a
+       |  JOIN hxd r ON r.doc_id = c.b AND r.hu = l.hu
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(sa.n + sb.n - inter AS BIGINT) AS union_n
+       |FROM iv JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE inter * 1000 >= (sa.n + sb.n - inter) * $thNum
        |ORDER BY a, b""".stripMargin
   }
 
@@ -1521,6 +1601,51 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qcos DESC, id) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    // mrlEmb damping → truncated scoring → top-cand cut → exact full-dim
+    // re-rank, all re-derived; ints-and-rank output like the other ANN
+    // oracles. The damping weights are exact halvings (1 << k), so the
+    // corpus is bit-identical in both engines.
+    "q_sim_mrl" ->
+      """WITH v0 AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x0
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT vec_id, i, x0 / (1 << CAST((i - 1) // 8 AS INT)) AS x FROM v0
+        |), tnorms AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS tn FROM v WHERE i <= 16 GROUP BY vec_id
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
+        |), probes AS (SELECT * FROM v WHERE vec_id IN (0, 17, 42)),
+        |tscored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+        |    SUM(p.x * c.x) / (MAX(np.tn) * MAX(nc.tn)) AS tcos
+        |  FROM probes p
+        |  JOIN v c ON p.i = c.i AND c.vec_id <> p.vec_id AND p.i <= 16
+        |  JOIN tnorms np ON np.vec_id = p.vec_id
+        |  JOIN tnorms nc ON nc.vec_id = c.vec_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY tcos DESC, id) AS crnk
+        |    FROM tscored) t
+        |  WHERE crnk <= 30
+        |), rescored AS (
+        |  SELECT cd.probe_id, cd.id,
+        |    SUM(p.x * c.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+        |  FROM cand cd
+        |  JOIN v p ON p.vec_id = cd.probe_id
+        |  JOIN v c ON c.vec_id = cd.id AND c.i = p.i
+        |  JOIN norms np ON np.vec_id = cd.probe_id
+        |  JOIN norms nc ON nc.vec_id = cd.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT probe_id, id,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+        |  FROM rescored) t
+        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
     "q_sim_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1544,6 +1669,7 @@ object PipelineQueries {
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
     "q_dedup_minhash" -> minhashXxSql,
+    "q_dedup_minhash_auto" -> minhashAutoXxSql,
     "q_dedup_simhash" -> simhashXxSql,
     "q_dedup_minhash_arith" -> minhashArithSql,
     "q_dedup_simhash_arith" -> simhashArithSql,

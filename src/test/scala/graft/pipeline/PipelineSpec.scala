@@ -473,6 +473,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"int8 recall=$recall") // quantization-step ordering noise only
   }
 
+  test("mrl ANN: full-prefix run IS brute force; truncated keeps recall") {
+    val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
+    val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // with nothing truncated and no candidate cut the two stages reduce to
+    // the exact scan — ranks included, not just membership
+    val n = emb.count().toInt
+    val full = Similarity.mrlTopK(emb, probes, "vec_id", "embedding", 10,
+      prefixDims = 64, cand = n)
+      .select("probe_id", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == bf)
+    // recall leg runs on the FRONT-LOADED corpus (dim i scaled 2^-(i/8),
+    // the PipelineQueries.mrlEmb transform): MRL truncation presumes the
+    // embedding was trained to concentrate signal in its prefix, and the
+    // raw fixture is isotropic noise — prefix-16 recall over it measured
+    // 0.27, which says nothing about the operator, only about the corpus
+    val w = array((0 until 8).map(k => lit(1.0 / (1 << k))): _*)
+    val damp = emb.select(col("vec_id"),
+      zip_with(transform(col("embedding"), x => x.cast("double")),
+        sequence(lit(0), lit(63)),
+        (x, i) => x * element_at(w, (i / 8).cast("int") + 1)).as("embedding"))
+    val dprobes = damp.where(col("vec_id").isin(0L, 17L, 42L))
+    val dbf = Similarity.bruteForceTopK(damp, dprobes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrl = Similarity.mrlTopK(damp, dprobes, "vec_id", "embedding", 10,
+      prefixDims = 16, cand = 30)
+      .select("probe_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = dbf.count(mrl.contains).toDouble / dbf.size
+    assert(recall >= 0.7, s"mrl recall=$recall")
+    assert(mrl.size <= 30)
+  }
+
+  test("minhashBandsFor: budget respected, optimum sharpens with threshold") {
+    // pin the default the oracle bakes in at registration — if the
+    // optimizer drifts, this fails before the oracle silently diverges
+    assert(Dedup.minhashBandsFor(32, 0.6) == (6, 5))
+    val (b1, r1) = Dedup.minhashBandsFor(128, 0.9)
+    val (b2, r2) = Dedup.minhashBandsFor(128, 0.3)
+    assert(b1 * r1 <= 128 && b2 * r2 <= 128)
+    assert(r1 > r2, s"rows should rise with the threshold: $r1 !> $r2")
+  }
+
+  test("minhash auto: sound vs exact jaccard, planted duplicate found") {
+    val origId = docs.orderBy(col("doc_id")).limit(1)
+      .select("doc_id").head.getLong(0)
+    val planted = docs.union(docs.orderBy(col("doc_id")).limit(1)
+      .select(lit(999999L).as("doc_id"), col("text")))
+    val out = Dedup.minhashNearDupAuto(planted, "doc_id", "text")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact copy must surface
+    assert(out.contains((origId, 999999L)), s"planted pair missing from $out")
+    // soundness: the verify stage means NO emitted pair may be below the
+    // exact-Jaccard threshold (banding affects recall only, never truth)
+    val exact6 = Dedup.ngramJaccard(planted, "doc_id", "text", 3)
+      .where(col("inter") * 1000 >= col("union_n") * 600)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.subsetOf(exact6), s"unsound pairs: ${out.diff(exact6)}")
+    // recall on comfortably-above-threshold pairs: the (6,5) S-curve
+    // collides a J=0.8 pair with p≈0.91, so 0.8 is a real regression floor
+    val exact8 = Dedup.ngramJaccard(planted, "doc_id", "text", 3)
+      .where(col("inter") * 10 >= col("union_n") * 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact8.nonEmpty) {
+      val recall = exact8.count(out.contains).toDouble / exact8.size
+      assert(recall >= 0.8, s"recall=$recall over ${exact8.size} true pairs")
+    }
+  }
+
   test("arithmetic charFold matches the SQL-replica constant") {
     // independently computed: ((0*31+97)%q*31+98)%q... over "ab c"
     val d = Seq("ab c").toDF("s")
