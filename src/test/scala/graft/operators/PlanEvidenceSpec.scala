@@ -116,6 +116,22 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(cents.nonEmpty)
   }
 
+  test("mrl rerank: partial top-cand precedes the shuffle, re-attach broadcasts") {
+    // the scale claims in Similarity.mrlTopK's scaladoc, pinned: the
+    // candidate cut must plan as WindowGroupLimit partial+final around the
+    // one Exchange (per-partition top-cand BEFORE any row moves), the
+    // probe/candidate re-attach joins must broadcast, and no sort-merge
+    // join may appear anywhere in the two-stage plan
+    val emb = graft.queries.Tables(spark, sf, "embeddings")
+    val probes = emb.where(col("vec_id").isin(0L, 17L))
+    val plan = graft.pipeline.Similarity
+      .mrlTopK(emb, probes, "vec_id", "embedding", 10, prefixDims = 16, cand = 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("boilerplate common-shingle join broadcasts at runtime via AQE") {
     // the join input is the ≥minDocs COMMON set (small — boilerplate is the
     // rare tail), not full dfreq: AQE's runtime size stats must turn the
