@@ -58,6 +58,46 @@ object RibViews {
   def asOf(df: DataFrame, tMs: Long): DataFrame =
     current(df.where(unix_millis(col("ts")) <= tMs))
 
+  /** RIB delta between two as-of instants: per history ring, compare the
+    * newest record at or before `t1Ms` against the newest at or before
+    * `t2Ms` and classify — `added` (not active or absent at t1, active at
+    * t2), `withdrawn` (active at t1, inactive at t2), `changed` (active at
+    * both with different attrs). Rings whose state is identical at both
+    * instants emit nothing. The "what changed overnight" question a RIB
+    * operator asks constantly; the reference can only answer it by
+    * replaying history client-side — here it is ONE aggregation.
+    *
+    * Both instants resolve in a single pass: one groupBy on the ring
+    * identity with two conditional `max(struct(ts, event_id, …))` states
+    * (the newest-record argmax as a lexicographic struct max — `max`
+    * ignores the null the `when` leaves on rows after t1, so no
+    * window/self-join and no second scan). One shuffle on ring_id,
+    * map-side combinable, `ts_day ≤ t2` partition pruning bounds the
+    * scan — the same scale shape as `current`.
+    *
+    * Returns one row per differing ring: every ring key column plus
+    * `change`. */
+  def diff(df: DataFrame, t1Ms: Long, t2Ms: Long): DataFrame = {
+    require(t1Ms <= t2Ms, s"diff instants out of order: $t1Ms > $t2Ms")
+    val oid = if (df.columns.contains("event_id")) col("event_id") else lit(0L)
+    def newest(cond: Column) = max(when(cond,
+      struct(col("ts").as("ts"), oid.as("eid"),
+        col("active").as("active"), col("attrs_hash").as("h"))))
+    val part = ringPart(df) ++ keyCols.filter(df.columns.contains).map(col)
+    df.where(unix_millis(col("ts")) <= t2Ms)
+      .groupBy(part: _*)
+      .agg(newest(unix_millis(col("ts")) <= t1Ms).as("s1"),
+        newest(lit(true)).as("s2"))
+      .withColumn("__a1", coalesce(col("s1.active"), lit(false)))
+      .withColumn("change",
+        when(!col("__a1") && col("s2.active"), "added")
+          .when(col("__a1") && !col("s2.active"), "withdrawn")
+          .when(col("__a1") && col("s2.active") &&
+            col("s1.h") =!= col("s2.h"), "changed"))
+      .where(col("change").isNotNull)
+      .drop("s1", "s2", "__a1")
+  }
+
   /** Bounded history ring: newest `depth` records per key — the reference's
     * `shrink_hist` retention (A5, src/bgprib.rs:326-341). */
   def retained(df: DataFrame, depth: Int): DataFrame =

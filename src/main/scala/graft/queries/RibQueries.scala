@@ -148,6 +148,32 @@ object RibQueries {
           sum(when(col("active"), 1L).otherwise(0L)).cast("long").as("n_active"),
           countDistinct(col("rib")).cast("long").as("n_ribs"))
         .orderBy(col("comm_a"), col("comm_b"))),
+    // two-instant RIB delta (round 12): per-ring state compare between two
+    // as-of instants in ONE aggregation (conditional struct-max argmax, no
+    // window, no self-join) — the "what changed overnight" view; rolled up
+    // per (rib, change class). The oracle re-derives both states with
+    // DuckDB arg_max FILTER — a different argmax mechanism entirely.
+    "q_rib_diff" -> ((s, dir) =>
+      RibViews.diff(re(s, dir), 1704844800000L, 1705276800000L)
+        .groupBy(col("rib"), col("change"))
+        .agg(count(lit(1)).cast("long").as("n_rings"))
+        .orderBy(col("rib"), col("change"))),
+    // origin-AS handoff detection (round 12): per-ring lag over the active
+    // history's origin (last ASN of the path) — consecutive active records
+    // whose origin differs are the looking-glass "who took over this
+    // prefix" events (hijack/move signal); same window family as flaps
+    "q_rib_origin_changes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("ring_id")).orderBy(col("ts"), col("event_id"))
+      re(s, dir).where(col("active"))
+        .withColumn("origin", element_at(col("attrs.as_list"), -1))
+        .withColumn("__po", lag(col("origin"), 1).over(w))
+        .where(col("__po").isNotNull && col("__po") =!= col("origin"))
+        .groupBy(col("rib"))
+        .agg(count(lit(1)).cast("long").as("n_changes"),
+          countDistinct(col("ring_id")).cast("long").as("n_rings"))
+        .orderBy(col("rib"))
+    }),
     // flap detection: activity transitions per ring (lag window on the
     // ring_id surrogate), rolled up per rib — route-stability analytics
     "q_rib_flaps" -> ((s, dir) => {
@@ -585,6 +611,47 @@ object RibQueries {
         |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
         |  COUNT(DISTINCT rib) AS n_ribs
         |FROM cx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // two-state compare via arg_max FILTER — DuckDB's native argmax with a
+    // filtered aggregate is the independent second opinion on the engine's
+    // conditional struct-max (different mechanism, same answer). DuckDB's
+    // arg_max takes no composite ordering key, so (ts, eid) is flattened
+    // to the scalar epoch_ms(ts)·2^21 + eid — exact while eid < 2^21
+    // (events eid peaks at 10^6 on the largest oracle fixture, sf1; the
+    // product stays under 2^62)
+    "q_rib_diff" -> (cte +
+      s"""SELECT rib, change, COUNT(*) AS n_rings FROM (
+         |  SELECT rib,
+         |    CASE
+         |      WHEN NOT coalesce(a1, false) AND a2 THEN 'added'
+         |      WHEN coalesce(a1, false) AND NOT a2 THEN 'withdrawn'
+         |      WHEN coalesce(a1, false) AND a2 AND h1 <> h2 THEN 'changed'
+         |    END AS change
+         |  FROM (
+         |    SELECT rib,
+         |      arg_max(active, epoch_ms(ts)*2097152+eid)
+         |        FILTER (WHERE epoch_ms(ts) <= 1704844800000) AS a1,
+         |      arg_max(attrs_hash, epoch_ms(ts)*2097152+eid)
+         |        FILTER (WHERE epoch_ms(ts) <= 1704844800000) AS h1,
+         |      arg_max(active, epoch_ms(ts)*2097152+eid) AS a2,
+         |      arg_max(attrs_hash, epoch_ms(ts)*2097152+eid) AS h2
+         |    FROM re WHERE epoch_ms(ts) <= 1705276800000
+         |    GROUP BY $keyExpr
+         |  ) s
+         |) c WHERE change IS NOT NULL
+         |GROUP BY rib, change ORDER BY rib, change""".stripMargin),
+    "q_rib_origin_changes" -> (cte +
+      s"""SELECT rib, COUNT(*) AS n_changes,
+         |  COUNT(DISTINCT (keyip, keyx2, plen, rdh, rdl, label, session_id,
+         |    path_id)) AS n_rings
+         |FROM (
+         |  SELECT rib, keyip, keyx2, plen, rdh, rdl, label, session_id,
+         |    path_id, org,
+         |    LAG(org) OVER (PARTITION BY $keyExpr ORDER BY ts, eid) AS po
+         |  FROM (
+         |    SELECT *, CASE WHEN eid%2=1 THEN 65001 ELSE a2 END AS org
+         |    FROM re WHERE active) t
+         |) x WHERE po IS NOT NULL AND po <> org
+         |GROUP BY rib ORDER BY rib""".stripMargin),
     "q_rib_flaps" -> (cte +
       s"""SELECT rib, COUNT(*) AS n_transitions,
          |  COUNT(DISTINCT (keyip, keyx2, plen, rdh, rdl, label, session_id,

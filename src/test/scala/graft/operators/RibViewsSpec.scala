@@ -109,6 +109,32 @@ class RibViewsSpec extends AnyFunSuite {
       RibViews.current(d).count())
   }
 
+  test("diff classifies added/withdrawn/changed between two instants") {
+    val t1 = base + 5000; val t2 = base + 20000
+    val rows = Seq(
+      // ring 0: active h=1 at t1, active h=2 at t2 -> changed; the event
+      // beyond t2 (withdraw) must be invisible to the compare
+      ev(base + 1000, active = true, 1L, sess = 0),
+      ev(base + 10000, active = true, 2L, sess = 0),
+      ev(base + 30000, active = false, 9L, sess = 0),
+      // ring 1: active at t1, withdrawn by t2
+      ev(base + 2000, active = true, 3L, sess = 1),
+      ev(base + 11000, active = false, 3L, sess = 1),
+      // ring 2: born after t1 -> added
+      ev(base + 12000, active = true, 4L, sess = 2),
+      // ring 3: unchanged active state across both instants -> no row
+      ev(base + 3000, active = true, 5L, sess = 3),
+      // ring 4: withdrawn at t1, re-advertised by t2 -> added
+      ev(base + 1000, active = true, 6L, sess = 4),
+      ev(base + 4000, active = false, 6L, sess = 4),
+      ev(base + 13000, active = true, 7L, sess = 4))
+    val got = RibViews.diff(df(rows), t1, t2)
+      .select(col("session_id"), col("change")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(0 -> "changed", 1 -> "withdrawn", 2 -> "added",
+      4 -> "added"))
+  }
+
   test("response filter: onlyactive and half-open time bounds") {
     val d = df(historyRows)
     assert(RibViews.responseFilter(d, onlyActive = true, None, None).count() == 12)
