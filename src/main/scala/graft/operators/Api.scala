@@ -85,8 +85,48 @@ object Api {
         val q = parseQuery(qs)
         val rib = ribName(parts(3))
         Some(RibJson.response(events, rib, q.getOrElse("filter", ""), parseParams(q)))
+      case "diff" =>
+        val q = parseQuery(qs)
+        def num(k: String, d: Long): Long = q.get(k).flatMap(v =>
+          try Some(java.lang.Long.parseLong(v))
+          catch { case _: NumberFormatException => None }).getOrElse(d)
+        Some(diffJson(events, num("t1", 0L), num("t2", Long.MaxValue),
+          q.get("rib"), num("limit", 100L).toInt))
       case _ => None
     }
+  }
+
+  /** `/api/diff?t1=<ms>&t2=<ms>[&rib=<name>][&limit=<n>]` — the two-instant
+    * RIB delta ([[RibViews.diff]]) as a JSON document: per-rib class
+    * counts plus up to `limit` differing route keys in deterministic
+    * order. ENGINE EXTENSION beyond the reference surface (the reference
+    * has no delta endpoint — operators replay history client-side).
+    * Unparseable/absent params keep their defaults, the reference's
+    * param posture: t1=0 with t2=∞ books everything currently active as
+    * `added`. Driver-side cost is bounded: ≤15 summary rows plus `limit`
+    * item rows collect; the delta itself is the one-aggregation plan. */
+  def diffJson(events: DataFrame, t1Ms: Long, t2Ms: Long,
+      ribSel: Option[String], limit: Int): String = {
+    val base = ribSel.map(r => events.where(col("rib") === ribName(r)))
+      .getOrElse(events)
+    val d = RibViews.diff(base, t1Ms, t2Ms)
+    val summary = d.groupBy(col("rib")).agg(
+      sum(when(col("change") === "added", 1L).otherwise(0L)).as("a"),
+      sum(when(col("change") === "withdrawn", 1L).otherwise(0L)).as("w"),
+      sum(when(col("change") === "changed", 1L).otherwise(0L)).as("c"))
+      .orderBy(col("rib")).collect()
+    val items = d.select(col("rib"), RibJson.itemKey.as("key"), col("change"))
+      .orderBy(col("rib"), col("change"), col("key")).limit(limit).collect()
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sumJson = summary.map { r =>
+      s"""{"rib":"${r.getString(0)}","added":${r.getLong(1)},""" +
+        s""""withdrawn":${r.getLong(2)},"changed":${r.getLong(3)}}"""
+    }.mkString("[", ",", "]")
+    val itemJson = items.map { r =>
+      s"""{"rib":"${r.getString(0)}","key":"${esc(r.getString(1))}",""" +
+        s""""change":"${r.getString(2)}"}"""
+    }.mkString("[", ",", "]")
+    s"""{"t1":$t1Ms,"t2":$t2Ms,"summary":$sumJson,"items":$itemJson}"""
   }
 
   /** The handshake-registered session registry as a /api/sessions document

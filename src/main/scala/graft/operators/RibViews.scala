@@ -83,7 +83,10 @@ object RibViews {
     def newest(cond: Column) = max(when(cond,
       struct(col("ts").as("ts"), oid.as("eid"),
         col("active").as("active"), col("attrs_hash").as("h"))))
-    val part = ringPart(df) ++ keyCols.filter(df.columns.contains).map(col)
+    // prefix_str rides along (functionally dependent on prefix) so
+    // downstream renderers (Api.diffJson's itemKey) need no re-join
+    val part = ringPart(df) ++
+      (keyCols :+ "prefix_str").filter(df.columns.contains).map(col)
     df.where(unix_millis(col("ts")) <= t2Ms)
       .groupBy(part: _*)
       .agg(newest(unix_millis(col("ts")) <= t1Ms).as("s1"),

@@ -138,4 +138,37 @@ class ApiSpec extends AnyFunSuite {
     assert(Api.handle(d, "/other/ping").isEmpty)
     assert(Api.handle(d, "/api/nonsense").isEmpty)
   }
+
+  test("router: /api/diff delta document — classes, rib select, limit") {
+    val s = spark
+    import s.implicits._
+    def rev(ts: Long, active: Boolean, h: Long, o3: Int, sess: Int) = {
+      val p = Model.v4(s"10.0.$o3.0", 24)
+      RouteEvent(new java.sql.Timestamp(ts), "ipv4u", sess, 0L, active,
+        Some(p), Some(Model.pfxStr(p)), None, None, None, None,
+        None, None, Model.emptyAttrs, h)
+    }
+    // at t1=base+5000 / t2=base+20000: ring .1 changed, ring .2 withdrawn,
+    // ring .3 added
+    val d = s.createDataset(Seq(
+      rev(base + 1000, active = true, 1L, 1, 0),
+      rev(base + 10000, active = true, 2L, 1, 0),
+      rev(base + 2000, active = true, 3L, 2, 0),
+      rev(base + 11000, active = false, 3L, 2, 0),
+      rev(base + 12000, active = true, 4L, 3, 0))).toDF()
+    val doc = Api.handle(d,
+      s"/api/diff?t1=${base + 5000}&t2=${base + 20000}").get
+    assert(doc.contains("\"summary\":[{\"rib\":\"ipv4u\",\"added\":1," +
+      "\"withdrawn\":1,\"changed\":1}]"), doc)
+    assert(doc.contains("{\"rib\":\"ipv4u\",\"key\":\"10.0.3.0/24\"," +
+      "\"change\":\"added\"}"), doc)
+    // limit=0 keeps the summary but drops items; rib select filters
+    val lim = Api.handle(d,
+      s"/api/diff?t1=${base + 5000}&t2=${base + 20000}&limit=0").get
+    assert(lim.contains("\"items\":[]"), lim)
+    // unknown rib dispatches to ipv4u (the json-route convention)
+    val other = Api.handle(d,
+      s"/api/diff?t1=${base + 5000}&t2=${base + 20000}&rib=nonsense").get
+    assert(other.contains("\"changed\":1"), other)
+  }
 }
