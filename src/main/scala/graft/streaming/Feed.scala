@@ -17,6 +17,12 @@ case class SessionLive(session_id: Int, n_events: Long, last_ts_ms: Long,
 case class BmpGateEvent(msg_type: String, rdh: Long, rdl: Long,
     addr_hi: Long, addr_lo: Long, ts_ms: Long, update: Array[Byte])
 
+/** One origin-AS handoff alert emitted by [[Feed.originAlertStream]]:
+  * ring `ring_id` (`rib`/`prefix_str` for display) moved from `from_as`
+  * to `to_as` at `ts_ms`. */
+case class OriginAlert(ring_id: Long, rib: String, prefix_str: String,
+    ts_ms: Long, from_as: Long, to_as: Long)
+
 /** Structured Streaming surface of the engine (SURVEY.md §2.6 ST1-ST5).
   *
   * The reference runs a tokio broadcast bus (capacity 2, laggards dropped,
@@ -300,6 +306,45 @@ object Feed {
           else if (registered) out += e
         }
         if (registered) state.update(true)
+        out.result().iterator
+      }
+  }
+
+  /** ST12 (round 12): streaming origin-AS handoff alerts — the LIVE form
+    * of `q_rib_origin_changes` (the looking-glass hijack/move signal).
+    * Per history ring, GroupState holds the last seen active origin (ONE
+    * long per ring); an arriving active event whose path origin differs
+    * emits an alert row carrying both ASNs. `flatMapGroupsWithState`
+    * because one input row emits 0 or 1 alerts depending on the key's
+    * state (the ST9 shape). Within a micro-batch, rows process in
+    * (ts, event_id) order, so a batch carrying several handoffs emits
+    * every transition deterministically, not iterator-order noise.
+    * Events without a usable path (null/empty as_list) pass the state
+    * untouched — an embedder-failure row must not book a handoff from a
+    * sentinel. NoTimeout keeps rings forever like the reference's peer
+    * maps; a production deployment would tie an idle timeout to ring
+    * retention. */
+  def originAlertStream(eventStream: DataFrame): Dataset[OriginAlert] = {
+    import eventStream.sparkSession.implicits._
+    eventStream.where(col("active"))
+      .select(col("ring_id"), col("rib"),
+        coalesce(col("prefix_str"), lit("")).as("prefix_str"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        element_at(col("attrs.as_list"), -1).as("origin"))
+      .where(col("origin").isNotNull)
+      .as[(Long, String, String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, OriginAlert](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (ring, rows, state) =>
+        var last = state.getOption.getOrElse(Long.MinValue)
+        val out = Vector.newBuilder[OriginAlert]
+        rows.toVector.sortBy(r => (r._4, r._5)).foreach { r =>
+          if (last != Long.MinValue && r._6 != last)
+            out += OriginAlert(ring, r._2, r._3, r._4, last, r._6)
+          last = r._6
+        }
+        state.update(last)
         out.result().iterator
       }
   }

@@ -554,6 +554,54 @@ class FeedSpec extends AnyFunSuite {
     assert(admitted.length == 4)
   }
 
+  test("ST12 origin-handoff alerts equal the batch lag transitions") {
+    val stage = tmp()
+    val ckpt = tmp() + "/ckpt"
+    val events = graft.queries.Tables(spark, srcSf, "events")
+    // stage in event-time ranges (chunk i = the i-th ts range, sorted
+    // within, WRITTEN SEQUENTIALLY so modification times ascend — the
+    // file source orders new files by mtime, and a parallel range write
+    // finishes its tasks in random order): per ring, arrival order
+    // across micro-batches is then (ts, event_id) order — the alert
+    // stream is arrival-order semantics like any live feed, so the
+    // batch-equality claim needs ordered arrival, not a reordering
+    // stream
+    import org.apache.spark.sql.expressions.Window
+    val chunked = events.withColumn("__c",
+      ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { c =>
+      chunked.where(col("__c") === c).drop("__c").coalesce(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("append").parquet(stage)
+      Thread.sleep(1100)
+    }
+    val routeStream = graft.sources.RouteEventGen.fromEvents(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage))
+    val q = Feed.originAlertStream(routeStream)
+      .writeStream.format("memory").queryName("origin_alerts")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT ring_id, ts_ms, from_as, to_as FROM origin_alerts")
+      .collect().map(_.toString).sorted
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ring_id")).orderBy(col("ts"), col("event_id"))
+    val batch = graft.sources.RouteEventGen.fromEvents(events)
+      .where(col("active"))
+      .withColumn("origin", element_at(col("attrs.as_list"), -1))
+      .where(col("origin").isNotNull)
+      .withColumn("po", lag(col("origin"), 1).over(w))
+      .where(col("po").isNotNull && col("po") =!= col("origin"))
+      .select(col("ring_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("po").as("from_as"), col("origin").as("to_as"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("ST7 mapGroupsWithState session tracker converges to the batch rollup") {
     val stage = tmp()
     val ckpt = tmp() + "/ckpt"
