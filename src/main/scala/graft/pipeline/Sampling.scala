@@ -39,6 +39,38 @@ object Sampling {
     df.where(samplePermille(col(idCol), salt) < rate)
   }
 
+  /** Deterministic n-way dataset split (train/val/test and friends): each
+    * row's sample coordinate lands in exactly one half-open permille band
+    * `[c_i, c_{i+1})` of the cumulative `splits` weights, and the row is
+    * labeled with that band's name — the multi-way generalization of
+    * [[sample]], with the same guarantees: a pure function of (salt, id),
+    * so the split survives reruns, engines, repartitioning, and corpus
+    * growth (an existing row NEVER changes split when new rows arrive —
+    * the property time-based or row_number splits lack, and the one that
+    * matters for held-out integrity at 100 TB). Weights must sum to ≤
+    * 1000; any remainder books as NULL (excluded rows). The label is a
+    * literal CASE chain over the coordinate — scan-level, no shuffle.
+    *
+    * Same-salt nesting with [[sample]]/[[stratified]] holds: a rate-100
+    * sample of the corpus has the same per-split proportions, because
+    * both read the same coordinate. Use a DIFFERENT salt for the split
+    * than for any subsampling so the two decisions stay independent. */
+  def assignSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], salt: String = "split",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      s"split weights must be non-negative: $splits")
+    require(splits.map(_._2).sum <= 1000,
+      s"split weights exceed 1000 permille: $splits")
+    val coord = samplePermille(col(idCol), salt)
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }
+    val label = splits.zip(bounds.zip(bounds.tail))
+      .foldLeft(lit(null).cast("string")) { case (acc, ((name, _), (lo, hi))) =>
+        when(coord >= lo && coord < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(outCol, label)
+  }
+
   /** Keep rates that hit a per-stratum token BUDGET: rate = min(1000,
     * 1000·budget div total) — integer division (engine-portable,
     * conservative: the expected kept mass never exceeds the budget).

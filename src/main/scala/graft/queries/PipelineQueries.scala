@@ -588,6 +588,14 @@ object PipelineQueries {
         salt = "mix1")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // Deterministic n-way split (round 12): 800/100/50 permille bands of
+    // the hash coordinate, 50 permille excluded (NULL); the oracle
+    // recomputes coordinate and band edges from the same char fold
+    "q_sample_split" -> ((s, dir) =>
+      Sampling.assignSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 50), salt = "sp1")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
 
     // token-budget mixture: per-source keep rates derived from a 1000-word
     // budget (integer permille, clamped), applied as one scan predicate;
@@ -2068,6 +2076,17 @@ object PipelineQueries {
          |WHERE ${sqlCharFold("'mix1:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000
          |  < (CASE WHEN source = 'src0' THEN 800
          |          WHEN source = 'src2' THEN 150 ELSE 500 END)
+         |ORDER BY doc_id""".stripMargin,
+    "q_sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE
+         |    WHEN c < 800 THEN 'train'
+         |    WHEN c < 900 THEN 'val'
+         |    WHEN c < 950 THEN 'test'
+         |  END AS split
+         |FROM (SELECT doc_id,
+         |  ${sqlCharFold("'sp1:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 AS c
+         |  FROM documents) t
          |ORDER BY doc_id""".stripMargin,
     // totals → integer-permille rates (clamped at 1000) → the same
     // char-fold predicate; a source kept whole shows its full word mass

@@ -1065,6 +1065,34 @@ class PipelineSpec extends AnyFunSuite {
       ids(Sampling.sample(d.where(col("source") === "src2"), "doc_id", 500, "t")))
   }
 
+  test("n-way split: partition of the coordinate, growth-stable, sample-consistent") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 50)
+    val lab = Sampling.assignSplit(d, "doc_id", splits, salt = "sp")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every row labeled or excluded; bands are disjoint by construction,
+    // and the 50-permille remainder books as null
+    assert(lab.size == d.count())
+    val byLabel = lab.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test", null)))
+    assert(byLabel("train") > byLabel("val"))
+    // growth stability: adding rows never relabels an existing row — the
+    // held-out-integrity property row_number/time splits lack
+    val half = d.where(col("doc_id") % 2 === 0)
+    val labHalf = Sampling.assignSplit(half, "doc_id", splits, salt = "sp")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    labHalf.foreach { case (id, s) => assert(lab(id) == s, s"doc $id moved") }
+    // same-salt consistency with sample(): a rate-800 sample IS the train
+    // band when both read the same coordinate
+    val s800 = Sampling.sample(d, "doc_id", 800, "sp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s800 == lab.collect { case (id, "train") => id }.toSet)
+    // weights over 1000 refuse loudly
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(d, "doc_id", Seq("a" -> 900, "b" -> 200))
+    }
+  }
+
   test("decontamination flags exactly the train docs sharing eval shingles") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"), // eval
