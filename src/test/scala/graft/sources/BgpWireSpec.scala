@@ -261,6 +261,68 @@ class BgpWireSpec extends AnyFunSuite {
     assert(pairs == Set((p1, nh1), (p2, nh2), (p3, nh1)))
   }
 
+  test("property: random MDT keys round-trip the wire as a multiset") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.Row
+    // the ADVICE-r11 asymmetry (v6 short-prefix groups) lived exactly in
+    // the corner hand-picked cases missed — so the codec now gets random
+    // keys across both families, every prefix length, absent//0/v4/v6
+    // groups, mixed per-item nexthops, reach AND withdraw
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(97L + i)))
+    def maskV4(raw: Long, plen: Int): Long =
+      if (plen <= 0) 0L else raw & 0xFFFFFFFFL & (~0L << (32 - plen)) & 0xFFFFFFFFL
+    def maskV6(hi: Long, lo: Long, plen: Int): (Long, Long) =
+      if (plen <= 0) (0L, 0L)
+      else if (plen <= 64) (hi & (~0L << (64 - plen)), 0L)
+      else (hi, if (plen >= 128) lo else lo & (~0L << (128 - plen)))
+    def genPfx(v6: Boolean): Gen[Row] = for {
+      plen <- Gen.choose(0, if (v6) 128 else 32)
+      hi <- Gen.long; lo <- Gen.long
+    } yield if (v6) { val (h, l) = maskV6(hi, lo, plen); Row(6.toByte, h, l, plen) }
+      else Row(4.toByte, 0L, maskV4(lo, plen), plen)
+    val genGroup: Gen[Row] = Gen.frequency(
+      1 -> Gen.const(null: Row),
+      2 -> genPfx(v6 = false), 2 -> genPfx(v6 = true))
+    val genRd: Gen[Row] = for {
+      h <- Gen.choose(0L, 65535L); l <- Gen.choose(0L, 0xFFFFFFFFL)
+    } yield Row(h, l)
+    val genNh: Gen[Row] = Gen.oneOf(
+      Gen.choose(0L, 0xFFFFFFFFL).map(lo => Row(4.toByte, 0L, lo, 32)),
+      Gen.long.flatMap(h => Gen.long.map(l => Row(6.toByte, h, l, 128))))
+    def genKey(withNh: Boolean): Gen[Row] = for {
+      rib <- Gen.oneOf("ipv4mdt", "ipv6mdt")
+      rd <- genRd
+      nh <- if (withNh) genNh else Gen.const(null: Row)
+      p <- genPfx(v6 = rib == "ipv6mdt")
+      g <- genGroup
+    } yield Row(rib, rd, null, null, null, nh, p, g)
+    val genMsg: Gen[(Seq[Row], Seq[Row])] = for {
+      nr <- Gen.choose(1, 4); nw <- Gen.choose(0, 2)
+      reach <- Gen.listOfN(nr, genKey(withNh = true))
+      wd <- Gen.listOfN(nw, genKey(withNh = false))
+    } yield (reach, wd)
+    val msgs = samples(genMsg, 30)
+    val rows = new java.util.ArrayList[Row]()
+    msgs.zipWithIndex.foreach { case ((reach, wd), i) =>
+      rows.add(Row(100L + i, 0, null, Seq.empty[Row], Seq.empty[Row],
+        null, null, null, reach, wd,
+        null, null, null, null, null, null, null))
+    }
+    val df = spark.createDataFrame(rows, BgpWire.updateSchema)
+    val got = BgpWire.decodeUpdates(BgpWire.encodeUpdates(df))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    msgs.zipWithIndex.foreach { case ((reach, wd), i) =>
+      val r = got(100L + i)
+      // a message with no MP_UNREACH decodes its withdraw list as null
+      def ms(xs: Seq[Row]) = Option(xs).getOrElse(Seq.empty[Row])
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(ms(r.getSeq[Row](8)) == ms(reach), s"msg $i reach")
+      assert(ms(r.getSeq[Row](9)) == ms(wd), s"msg $i withdraws")
+    }
+  }
+
   test("golden: FlowSpec v4 decodes the destination prefix into fs4u") {
     // MP_REACH afi 1 safi 133, empty nexthop; one flowspec NLRI of length 7:
     // dst-prefix 10.7.0.0/16 + a dest-port component (eq 80) that must be
