@@ -273,7 +273,12 @@ object Dedup {
     * maxBucketSize exactly as in [[minhashCandidates]]); the verify join
     * is candidate-driven — each (a,b) pulls only its own two shingle
     * sets through an equi-join, so verification cost is candidate volume
-    * × document size, never corpus². */
+    * × document size, never corpus². The verify stage RE-DERIVES the
+    * exploded shingles rather than persisting the candidate stage's —
+    * deliberate: the exploded set is larger than the source corpus, so
+    * at scale a second linear scan beats materializing it, and both
+    * derivations are one codegen'd projection chain off the same scan
+    * shape. */
   def minhashNearDupAuto(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, threshold: Double = 0.6,
       maxBucketSize: Int = 64): DataFrame = {
