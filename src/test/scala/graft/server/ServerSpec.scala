@@ -59,6 +59,12 @@ class ServerSpec extends AnyFunSuite {
       // reference 404s: unknown /api route, and a bare /api prefix
       assert(get(port, "/api/nope") == (404, "Not Found"))
       assert(get(port, "/nothing/here") == (404, "Not Found"))
+      // the round-12 delta endpoint over the same socket: document equals
+      // the Api renderer for the same instants
+      val diffPath = "/api/diff?t1=1704844800000&t2=1705276800000&limit=3"
+      assert(get(port, diffPath) ==
+        (200, Api.diffJson(events, 1704844800000L, 1705276800000L, None, 3)))
+      assert(get(port, diffPath)._2.contains("\"summary\""))
     }
   }
 
