@@ -90,8 +90,15 @@ object Api {
         def num(k: String, d: Long): Long = q.get(k).flatMap(v =>
           try Some(java.lang.Long.parseLong(v))
           catch { case _: NumberFormatException => None }).getOrElse(d)
-        Some(diffJson(events, num("t1", 0L), num("t2", Long.MaxValue),
-          q.get("rib"), num("limit", 100L).toInt))
+        // user params degrade, never throw (the route posture everywhere
+        // else): reversed instants swap, out-of-range limits clamp —
+        // GraftServer's catch-all would otherwise drop the socket with
+        // no HTTP response at all
+        val (ta, tb) = (num("t1", 0L), num("t2", Long.MaxValue))
+        val limit = math.min(math.max(num("limit", 100L), 0L),
+          Int.MaxValue.toLong).toInt
+        Some(diffJson(events, math.min(ta, tb), math.max(ta, tb),
+          q.get("rib"), limit))
       case _ => None
     }
   }
@@ -109,24 +116,34 @@ object Api {
       ribSel: Option[String], limit: Int): String = {
     val base = ribSel.map(r => events.where(col("rib") === ribName(r)))
       .getOrElse(events)
+    // the summary and the item page are two actions over the same delta —
+    // persist so the scan + per-ring aggregation runs ONCE per request
+    // (the persisted set is only the DIFFERING rings, bounded by churn),
+    // not once per action; released before returning
     val d = RibViews.diff(base, t1Ms, t2Ms)
-    val summary = d.groupBy(col("rib")).agg(
-      sum(when(col("change") === "added", 1L).otherwise(0L)).as("a"),
-      sum(when(col("change") === "withdrawn", 1L).otherwise(0L)).as("w"),
-      sum(when(col("change") === "changed", 1L).otherwise(0L)).as("c"))
-      .orderBy(col("rib")).collect()
-    val items = d.select(col("rib"), RibJson.itemKey.as("key"), col("change"))
-      .orderBy(col("rib"), col("change"), col("key")).limit(limit).collect()
-    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val sumJson = summary.map { r =>
-      s"""{"rib":"${r.getString(0)}","added":${r.getLong(1)},""" +
-        s""""withdrawn":${r.getLong(2)},"changed":${r.getLong(3)}}"""
-    }.mkString("[", ",", "]")
-    val itemJson = items.map { r =>
-      s"""{"rib":"${r.getString(0)}","key":"${esc(r.getString(1))}",""" +
-        s""""change":"${r.getString(2)}"}"""
-    }.mkString("[", ",", "]")
-    s"""{"t1":$t1Ms,"t2":$t2Ms,"summary":$sumJson,"items":$itemJson}"""
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val summary = d.groupBy(col("rib")).agg(
+        sum(when(col("change") === "added", 1L).otherwise(0L)).as("a"),
+        sum(when(col("change") === "withdrawn", 1L).otherwise(0L)).as("w"),
+        sum(when(col("change") === "changed", 1L).otherwise(0L)).as("c"))
+        .orderBy(col("rib")).collect()
+      val items = d.select(col("rib"), RibJson.itemKey.as("key"), col("change"))
+        .orderBy(col("rib"), col("change"), col("key")).limit(limit).collect()
+      def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val sumJson = summary.map { r =>
+        s"""{"rib":"${r.getString(0)}","added":${r.getLong(1)},""" +
+          s""""withdrawn":${r.getLong(2)},"changed":${r.getLong(3)}}"""
+      }.mkString("[", ",", "]")
+      val itemJson = items.map { r =>
+        s"""{"rib":"${r.getString(0)}","key":"${esc(r.getString(1))}",""" +
+          s""""change":"${r.getString(2)}"}"""
+      }.mkString("[", ",", "]")
+      s"""{"t1":$t1Ms,"t2":$t2Ms,"summary":$sumJson,"items":$itemJson}"""
+    } finally {
+      d.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** The handshake-registered session registry as a /api/sessions document

@@ -84,9 +84,13 @@ object RibViews {
       struct(col("ts").as("ts"), oid.as("eid"),
         col("active").as("active"), col("attrs_hash").as("h"))))
     // prefix_str rides along (functionally dependent on prefix) so
-    // downstream renderers (Api.diffJson's itemKey) need no re-join
-    val part = ringPart(df) ++
-      (keyCols :+ "prefix_str").filter(df.columns.contains).map(col)
+    // downstream renderers (Api.diffJson's itemKey) need no re-join;
+    // when the frame lacks ring_id, ringPart already IS the key-column
+    // list, so only the surrogate case appends it — a blanket ++ would
+    // group on every key column twice
+    val carry = (keyCols :+ "prefix_str").filter(df.columns.contains).map(col)
+    val part =
+      if (df.columns.contains("ring_id")) col("ring_id") +: carry else carry
     df.where(unix_millis(col("ts")) <= t2Ms)
       .groupBy(part: _*)
       .agg(newest(unix_millis(col("ts")) <= t1Ms).as("s1"),
@@ -100,6 +104,16 @@ object RibViews {
       .where(col("change").isNotNull)
       .drop("s1", "s2", "__a1")
   }
+
+  /** BGP origin of a route's path: the LAST ASN of `attrs.as_list`, null
+    * when the path is null OR empty — the size guard matters: a bare
+    * `element_at(.., -1)` THROWS on an empty array under Spark 4's
+    * default ANSI mode, and zero-length AS_PATHs are legal (iBGP-
+    * originated routes), so the bare form would crash a streaming query
+    * on a valid frame. Shared by the origin rollups, the origin-change
+    * analytics and the ST12 alert stream so the guard can't drift. */
+  def pathOrigin: Column =
+    when(size(col("attrs.as_list")) > 0, element_at(col("attrs.as_list"), -1))
 
   /** Bounded history ring: newest `depth` records per key — the reference's
     * `shrink_hist` retention (A5, src/bgprib.rs:326-341). */

@@ -131,7 +131,7 @@ object RibQueries {
     // prefix reach and active share per origin — the standard looking-glass
     // "who originates what" question over the same event log
     "q_rib_origin_as" -> ((s, dir) =>
-      re(s, dir).groupBy(element_at(col("attrs.as_list"), -1).as("origin_as"))
+      re(s, dir).groupBy(RibViews.pathOrigin.as("origin_as"))
         .agg(count(lit(1)).cast("long").as("n_events"),
           countDistinct(col("prefix_str")).cast("long").as("n_prefixes"),
           sum(when(col("active"), 1L).otherwise(0L)).cast("long").as("n_active"))
@@ -166,7 +166,7 @@ object RibQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("ring_id")).orderBy(col("ts"), col("event_id"))
       re(s, dir).where(col("active"))
-        .withColumn("origin", element_at(col("attrs.as_list"), -1))
+        .withColumn("origin", RibViews.pathOrigin)
         .withColumn("__po", lag(col("origin"), 1).over(w))
         .where(col("__po").isNotNull && col("__po") =!= col("origin"))
         .groupBy(col("rib"))

@@ -521,9 +521,10 @@ object BgpWire {
       writeAttr(pa, 0x80, 14, b.bytes)
     }
     // MDT route keys from mp_keys / mp_keys_withdraws (readMdtItem doc):
-    // one MP_REACH / MP_UNREACH attr per MDT family. The other exotic
-    // families stay decode-only (their frames are hand-assembled goldens);
-    // the encoder skips them here.
+    // one MP_REACH attr per (family, nexthop) group (the grouping below),
+    // one MP_UNREACH attr per family (withdraws carry no nexthop). The
+    // other exotic families stay decode-only (their frames are
+    // hand-assembled goldens); the encoder skips them here.
     def writeMdtBody(b: Writer, k: Row): Unit = {
       val p = k.getStruct(6) // prefix
       val rd = k.getStruct(1)

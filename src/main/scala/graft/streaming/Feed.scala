@@ -330,7 +330,10 @@ object Feed {
       .select(col("ring_id"), col("rib"),
         coalesce(col("prefix_str"), lit("")).as("prefix_str"),
         unix_millis(col("ts")).as("ts_ms"), col("event_id"),
-        element_at(col("attrs.as_list"), -1).as("origin"))
+        // size-guarded origin (RibViews.pathOrigin): a bare element_at
+        // throws on an EMPTY as_list under ANSI mode — a legal frame
+        // must never crash the stream
+        graft.operators.RibViews.pathOrigin.as("origin"))
       .where(col("origin").isNotNull)
       .as[(Long, String, String, Long, Long, Long)]
       .groupByKey(_._1)

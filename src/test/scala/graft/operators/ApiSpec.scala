@@ -170,5 +170,14 @@ class ApiSpec extends AnyFunSuite {
     val other = Api.handle(d,
       s"/api/diff?t1=${base + 5000}&t2=${base + 20000}&rib=nonsense").get
     assert(other.contains("\"changed\":1"), other)
+    // user params degrade, never throw (review finding): reversed
+    // instants swap, an over-int limit clamps — a throw here would make
+    // GraftServer's catch-all drop the socket with no response
+    val swapped = Api.handle(d,
+      s"/api/diff?t1=${base + 20000}&t2=${base + 5000}").get
+    assert(swapped == doc, swapped)
+    val big = Api.handle(d,
+      s"/api/diff?t1=${base + 5000}&t2=${base + 20000}&limit=2147483648").get
+    assert(big.contains("\"summary\""), big)
   }
 }

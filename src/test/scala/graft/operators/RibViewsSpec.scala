@@ -109,6 +109,23 @@ class RibViewsSpec extends AnyFunSuite {
       RibViews.current(d).count())
   }
 
+  test("pathOrigin: empty as_list yields null, never an ANSI throw") {
+    // emptyAttrs carries as_list = Nil — the legal zero-length AS_PATH of
+    // an iBGP-originated route; a bare element_at(as_list, -1) THROWS on
+    // it under Spark 4's default ANSI mode (the review-caught crash in
+    // the origin analytics + ST12 stream), the size-guarded column nulls
+    val empties = df(historyRows.take(2))
+      .select(RibViews.pathOrigin.as("o")).collect()
+    assert(empties.forall(_.isNullAt(0)))
+    val withPath = df(historyRows.take(1))
+      .withColumn("attrs", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(100L),
+          org.apache.spark.sql.functions.lit(65001L)).as("as_list")))
+      .select(RibViews.pathOrigin.as("o")).collect()
+    assert(withPath.head.getLong(0) == 65001L)
+  }
+
   test("diff classifies added/withdrawn/changed between two instants") {
     val t1 = base + 5000; val t2 = base + 20000
     val rows = Seq(
