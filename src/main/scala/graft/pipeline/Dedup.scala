@@ -320,6 +320,59 @@ object Dedup {
         (col("na") + col("nb") - col("inter")).cast("long").as("union_n"))
   }
 
+  /** Containment near-dup: pairs whose intersection covers at least
+    * `threshold` of the SMALLER document's shingle set —
+    * |A∩B| / min(|A|,|B|) ≥ threshold. This is the asymmetric measure
+    * symmetric Jaccard misses: a 50-word notice quoted verbatim inside a
+    * 5000-word page has Jaccard ≈ 0.01 but containment ≈ 1.0, and
+    * doc-inside-doc duplication is exactly what web corpora are full of
+    * (syndicated articles, quoted posts, boilerplate-wrapped reprints).
+    *
+    * Same inverted-index join as [[ngramJaccard]] (pairs materialize only
+    * for docs sharing a shingle), plus the scale guard that matters here:
+    * `maxDf` drops shingles whose posting list exceeds `maxDf` documents
+    * BEFORE the self-join — a stopword-shingle ("of the and") posting
+    * list of length m contributes m² candidate pairs, and at 100 TB the
+    * df-cut is what keeps the join linear in real corpora. The cut only
+    * loses pairs whose overlap is carried ENTIRELY by ubiquitous
+    * shingles, which containment semantics want to ignore anyway.
+    * `min_n` counts surviving (post-cut) shingles, so the ratio stays
+    * internally consistent under the cut.
+    *
+    * Threshold compares in exact integer permille (inter·1000 ≥
+    * min_n·⌈th·1000⌉) — engine-portable, no float comparison.
+    * Returns (a, b, inter, min_n). */
+  def containmentNearDup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
+    val thNum = math.ceil(threshold * 1000).toLong
+    val inv0 = explodedShingleHashes(df, idCol, textCol, k).distinct()
+      .withColumnRenamed("h", "s")
+    val inv =
+      if (maxDf == Int.MaxValue) inv0
+      else {
+        // hot shingles are FEW by definition (df > maxDf), so the cut is a
+        // map-side-combined count + broadcast anti-join — the posting set
+        // itself never shuffles for the cut
+        val hot = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select(col("s"))
+        inv0.join(broadcast(hot), Seq("s"), "left_anti")
+      }
+    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val pairs = inv.as("l").join(inv.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("min_n", least(col("na"), col("nb")))
+      .where(col("inter") * 1000 >= col("min_n") * thNum)
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        col("min_n").cast("long").as("min_n"))
+  }
+
   /** Benchmark decontamination: flag training documents that share at least
     * `minShared` distinct word-k-shingles with any document of the eval
     * set — the standard guard against test-set leakage into training data.

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-corpus construction.
@@ -16,9 +17,46 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Per-row sample coordinate in [0, 1000): portable 31-bit char fold of
-    * `"salt:id"` (Dedup.arithHash31 — any SQL engine recomputes it). */
+    * `"salt:id"` (Dedup.arithHash31) DECORRELATED by two multiply +
+    * xor-shift rounds before the band cut.
+    *
+    * The bare fold is LINEAR in the id text — consecutive ids fold to
+    * consecutive values (step +1 inside a decade, +22 across one), so a
+    * contiguous id block occupies a narrow residue window and a permille
+    * band can capture far more or less than its nominal rate. Measured
+    * (round 12): salt "demo" over ids 0..499 put every coordinate in
+    * [181, 888] — a 900-permille "sample" captured 100% of the corpus
+    * and the held-out bands were empty. Same defect class as the
+    * round-10 LSH hyperplane weights, same cure and same discipline:
+    * every intermediate stays below 2^59, so Spark longs and DuckDB
+    * BIGINTs compute the mix exactly (the RhpSig lesson) and the oracle
+    * replays it verbatim (PipelineQueries.samplePermilleSql — change
+    * either side only with the other). Determinism, same-salt nesting
+    * and growth stability are untouched: the coordinate is still a pure
+    * function of (salt, id), just no longer a linear one. */
   def samplePermille(id: Column, salt: String): Column =
-    Dedup.arithHash31(concat(lit(salt), lit(":"), id.cast("string"))) % 1000
+    mixCoord(id, salt) % 1000
+
+  /** Full-width mixed coordinate in [0, 2^32): the char fold pushed
+    * through the two-round mixer, WITHOUT the permille cut — the shared
+    * primitive behind [[samplePermille]] and [[shuffleSharded]]'s
+    * pseudo-random ordering key. Same portability discipline as above:
+    * every intermediate < 2^59, exact in any 64-bit-integer engine. */
+  def mixCoord(id: Column, salt: String): Column = {
+    val f = Dedup.arithHash31(concat(lit(salt), lit(":"), id.cast("string")))
+    // 32-bit finalizer shape (xor-shift 16 + odd multiply, twice, then a
+    // final xor-shift): f < 2^31, products < 2^59 — integer-exact in any
+    // engine with 64-bit arithmetic
+    val x1 = pmod(f.bitwiseXOR(shiftright(f, 16)) * lit(SampleMixMult),
+      lit(4294967296L))
+    val x2 = pmod(x1.bitwiseXOR(shiftright(x1, 16)) * lit(SampleMixMult),
+      lit(4294967296L))
+    x2.bitwiseXOR(shiftright(x2, 16))
+  }
+
+  /** The mixer's odd multiplier (the 32-bit `0x45d9f3b` finalizer
+    * constant) — shared with the DuckDB oracle builder. */
+  val SampleMixMult: Long = 0x45d9f3bL
 
   /** Uniform deterministic sample: keep rows whose coordinate falls below
     * `permille`. */
@@ -146,4 +184,38 @@ object Sampling {
     stratified(df, idCol, strataCol,
       tokenBudgetRates(df, strataCol, weightCol, _ => Some(budgetPerStratum)),
       defaultPermille = 0, salt = salt)
+
+  /** Deterministic sharded shuffle — the training-order preparation step:
+    * every row gets a `shard` in [0, nShards) and a 1-based `pos` within
+    * its shard, such that reading the shards (each ordered by `pos`)
+    * replays a reproducible pseudo-random permutation of the corpus.
+    * Both coordinates are pure functions of (salt, id): re-runs, engine
+    * swaps, and repartitioning reproduce the identical order, and a
+    * grown corpus only INSERTS rows into the permutation (existing
+    * relative order of surviving rows is stable under same-salt
+    * subsampling, because all three decisions read the same hash family).
+    *
+    * Shard and order use derived salts (`salt#shard`, `salt#ord`), so
+    * shard assignment and within-shard order are independent — a shard is
+    * itself a uniform sample, and striping reads across shards does not
+    * re-correlate with ids.
+    *
+    * Scale shape: the shard is a scan-level expression; the rank is a
+    * window partitioned BY SHARD — never a single global window. Size
+    * nShards to the cluster (hundreds to thousands at 100 TB) and each
+    * window partition is corpus/nShards rows, one shuffle total; the
+    * usual global-`orderBy` + `row_number` trap (one partition sorts the
+    * world) never appears. Ties on the 32-bit coordinate break by id, so
+    * the permutation is total and deterministic. */
+  def shuffleSharded(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuf"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__ord"), col(idCol))
+    df.withColumn("shard",
+        pmod(mixCoord(col(idCol), s"$salt#shard"), lit(nShards.toLong)))
+      .withColumn("__ord", mixCoord(col(idCol), s"$salt#ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__ord")
+  }
 }

@@ -124,6 +124,15 @@ object PipelineQueries {
         .where(col("inter") * 10 >= col("union_n") * 6)
         .orderBy(col("a"), col("b"))
     }),
+    // Asymmetric containment (round 12): |A∩B| / min(|A|,|B|) — catches
+    // doc-inside-doc duplication symmetric Jaccard misses; the oracle
+    // replays the shingle sets, the min-size ratio and the 0.8 cut
+    "q_dedup_containment" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.containmentNearDup(d, "doc_id", "text", k = 3, threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
     "q_dedup_minhash" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
@@ -596,6 +605,14 @@ object PipelineQueries {
         Seq("train" -> 800, "val" -> 100, "test" -> 50), salt = "sp1")
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
+    // Deterministic sharded shuffle (round 12): the training-order prep —
+    // 8 hash shards, within-shard rank of an independent mixed
+    // coordinate; the oracle replays shard, coordinate and row_number
+    "q_sample_shuffle" -> ((s, dir) =>
+      Sampling.shuffleSharded(docs(s, dir), "doc_id", nShards = 8,
+        salt = "shuf")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
 
     // token-budget mixture: per-source keep rates derived from a 1000-word
     // budget (integer permille, clamped), applied as one scan predicate;
@@ -764,6 +781,25 @@ object PipelineQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($c, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
       s"(a, x) -> (a * $mult + x) % $q)"
+
+  /** DuckDB replica of [[Sampling.mixCoord]]: the char fold of
+    * `'salt:id'` pushed through the same two multiply + xor-shift rounds
+    * (SampleMixMult). A correlated scalar subquery chain so the fold
+    * expression appears once; every intermediate < 2^59, exact BIGINT
+    * arithmetic. */
+  private def mixCoordSql(salt: String, idExpr: String): String = {
+    val f = sqlCharFold(s"'$salt:' || CAST($idExpr AS VARCHAR)",
+      31L, 1073741789L)
+    val m = graft.pipeline.Sampling.SampleMixMult
+    s"(SELECT xor(x2, x2 >> 16) FROM " +
+      s"(SELECT (xor(x1, x1 >> 16) * $m) % 4294967296 AS x2 FROM " +
+      s"(SELECT (xor(f0, f0 >> 16) * $m) % 4294967296 AS x1 FROM " +
+      s"(SELECT $f AS f0))))"
+  }
+
+  /** [[Sampling.samplePermille]] = the mixed coordinate's %1000 band. */
+  private def samplePermilleSql(salt: String, idExpr: String): String =
+    s"(${mixCoordSql(salt, idExpr)} % 1000)"
 
   /** Shared shingle CTEs: `shm` is the word-3-shingle multiset, `shd` the
     * set — mirrors Dedup.explodedShingleStrings (incl. the whole-text
@@ -1160,7 +1196,7 @@ object PipelineQueries {
     centroidAssignCte(cents) +
     s"""
        |SELECT vec_id AS id, CAST(cell AS BIGINT) AS cluster FROM assign
-       |WHERE ${sqlCharFold("'cb:' || CAST(vec_id AS VARCHAR)", 31L, 1073741789L)} % 1000
+       |WHERE ${samplePermilleSql("cb", "vec_id")}
        |  < (CASE WHEN cell = 0 THEN 200 WHEN cell = 1 THEN 200 ELSE 600 END)
        |ORDER BY id""".stripMargin
 
@@ -1371,7 +1407,7 @@ object PipelineQueries {
          |  CAST(len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) AS BIGINT) AS n_red,
          |  redacted
          |FROM red
-         |WHERE ${sqlCharFold("'cur:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 < 600
+         |WHERE ${samplePermilleSql("cur", "doc_id")} < 600
          |ORDER BY doc_id""".stripMargin
   }
 
@@ -1397,7 +1433,7 @@ object PipelineQueries {
     curateCtes(gateCtes) +
       s""", smp AS (
          |  SELECT doc_id FROM red
-         |  WHERE ${sqlCharFold("'cur:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 < 600
+         |  WHERE ${samplePermilleSql("cur", "doc_id")} < 600
          |)
          |SELECT * FROM (
          |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage, COUNT(*) AS n_docs FROM t0
@@ -1503,6 +1539,30 @@ object PipelineQueries {
          |  CAST(sa.n + sb.n - inter AS BIGINT) AS union_n
          |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          |WHERE inter*10 >= (sa.n + sb.n - inter)*6
+         |ORDER BY a, b""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split($docNorm, ' ') AS words FROM documents
+         |), sh0 AS (
+         |  SELECT doc_id, words, unnest(range(1, len(words)-1)) AS i
+         |  FROM d WHERE len(words) >= 3
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, words[i]||' '||words[i+1]||' '||words[i+2] AS s
+         |  FROM sh0
+         |  UNION
+         |  SELECT DISTINCT doc_id, array_to_string(words, ' ') AS s
+         |  FROM d WHERE len(words) < 3
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(least(sa.n, sb.n) AS BIGINT) AS min_n
+         |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE inter*1000 >= least(sa.n, sb.n)*800
          |ORDER BY a, b""".stripMargin,
     "q_dedup_cosine" ->
       s"""WITH base AS (
@@ -2073,7 +2133,7 @@ object PipelineQueries {
          |FROM spans GROUP BY chunk ORDER BY chunk""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, source FROM documents
-         |WHERE ${sqlCharFold("'mix1:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000
+         |WHERE ${samplePermilleSql("mix1", "doc_id")}
          |  < (CASE WHEN source = 'src0' THEN 800
          |          WHEN source = 'src2' THEN 150 ELSE 500 END)
          |ORDER BY doc_id""".stripMargin,
@@ -2085,9 +2145,18 @@ object PipelineQueries {
          |    WHEN c < 950 THEN 'test'
          |  END AS split
          |FROM (SELECT doc_id,
-         |  ${sqlCharFold("'sp1:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000 AS c
+         |  ${samplePermilleSql("sp1", "doc_id")} AS c
          |  FROM documents) t
          |ORDER BY doc_id""".stripMargin,
+    "q_sample_shuffle" ->
+      s"""SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |  ${mixCoordSql("shuf#shard", "doc_id")} % 8 AS shard,
+         |  ${mixCoordSql("shuf#ord", "doc_id")} AS ord
+         |  FROM documents) t
+         |ORDER BY shard, pos""".stripMargin,
     // totals → integer-permille rates (clamped at 1000) → the same
     // char-fold predicate; a source kept whole shows its full word mass
     "q_sample_budget" ->
@@ -2106,7 +2175,7 @@ object PipelineQueries {
          |), keep AS (
          |  SELECT d.doc_id, d.source, d.n_words
          |  FROM d JOIN rates USING (source)
-         |  WHERE ${sqlCharFold("'mix:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000
+         |  WHERE ${samplePermilleSql("mix", "doc_id")}
          |    < rate
          |)
          |SELECT source, COUNT(*) AS n_docs,
@@ -2125,7 +2194,7 @@ object PipelineQueries {
          |), k AS (
          |  SELECT doc_id, source,
          |    base + CASE WHEN
-         |      ${sqlCharFold("'ep:' || CAST(doc_id AS VARCHAR)", 31L, 1073741789L)} % 1000
+         |      ${samplePermilleSql("ep", "doc_id")}
          |      < frac THEN 1 ELSE 0 END AS copies
          |  FROM r
          |), e AS (

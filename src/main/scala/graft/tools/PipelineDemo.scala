@@ -81,10 +81,21 @@ object PipelineDemo {
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
     val nSeq = spark.read.parquet(s"$outDir/manifest").count()
 
+    // 7. held-out split over the mixed corpus (round 12): growth-stable
+    // permille bands of the hash coordinate — the labels survive corpus
+    // regrowth, so val/test stay clean across pipeline re-runs
+    val splitCounts = Sampling.assignSplit(mixed, "doc_id",
+      Seq("train" -> 900, "val" -> 50, "test" -> 50), salt = "demo")
+      .groupBy(col("split")).count().collect()
+      .map(r => (if (r.isNullAt(0)) "null" else r.getString(0)) -> r.getLong(1))
+      .sortBy(_._1)
+    val splitJson = splitCounts
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
     println(s"""{"stage_counts":{"raw":$n0,"line_deduped":$n1,""" +
       s""""curated":$n2,"lm_kept":$n3,"mixed":$n4},""" +
       s""""lm_cut_micro_nats":${cutOpt.getOrElse(null)},"packed_sequences":$nSeq,""" +
-      s""""out":"$outDir"}""")
+      s""""splits":$splitJson,"out":"$outDir"}""")
     spark.stop()
   }
 }

@@ -12,6 +12,20 @@ class PipelineSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
+
+  /** Independent reference model of Sampling.mixCoord — fold plus the
+    * two-round mixer, recomputed from scratch (not via the engine). */
+  private def fullMix(salt: String, id: Long): Long = {
+    val f = s"$salt:$id".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L)
+    val m = 0x45d9f3bL
+    val x1 = ((f ^ (f >> 16)) * m) % 4294967296L
+    val x2 = ((x1 ^ (x1 >> 16)) * m) % 4294967296L
+    x2 ^ (x2 >> 16)
+  }
+
+  /** ... and Sampling.samplePermille = the mix's %1000 band. */
+  private def mixedCoord(salt: String, id: Long): Long =
+    fullMix(salt, id) % 1000
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
     .select(col("doc_id"), regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -1047,6 +1061,92 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.duplicateClusters(pairs).count() == 0)
   }
 
+  test("sample coordinate is decorrelated: contiguous ids spread across bands") {
+    // the round-12 defect: the bare linear fold put ALL of ids 0..499
+    // (salt "demo") in [181, 888] — a 900-permille "sample" captured 100%
+    // of the corpus and the held-out bands were EMPTY. The mixed
+    // coordinate must spread contiguous ids near-proportionally across
+    // every band, for any salt (the bound is ±3 sigma of Binomial(500,
+    // 0.1); all 8 in-tree salts measured 39-64)
+    val n = 500
+    val hi = (0 until n).count(i => mixedCoord("demo", i.toLong) >= 900)
+    assert(hi > 25 && hi < 75, s"$hi of $n ids in the top decile")
+    // and the engine column agrees with this independent reference model
+    val d = spark.range(0, 50).toDF("id")
+    val got = d.select(col("id"),
+        Sampling.samplePermille(col("id"), "demo").as("c"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 50L).foreach(i => assert(got(i) == mixedCoord("demo", i), s"id $i"))
+  }
+
+  test("sharded shuffle: total deterministic permutation, shard-local ranks, stable under subsampling") {
+    val d = spark.range(0, 300).toDF("doc_id")
+    val out = Sampling.shuffleSharded(d, "doc_id", nShards = 8, salt = "shuf")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Long, Long)].collect()
+    // every shard's positions are contiguous 1..n_s (a total permutation)
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $sh positions not contiguous")
+    }
+    // agrees with the independent model: shard = mix(salt#shard) % n,
+    // rank of (mix(salt#ord), id) within the shard
+    val model = (0L until 300L).map(i =>
+        (i, fullMix("shuf#shard", i) % 8, fullMix("shuf#ord", i)))
+      .groupBy(_._2).flatMap { case (sh, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex
+          .map { case (r, k) => (r._1, sh, k + 1L) }
+      }.toSet
+    assert(out.toSet == model)
+    // shards are balanced: Binomial(300, 1/8) ±3 sigma ≈ [20, 55]
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.length > 15 && rows.length < 62, s"shard $sh size ${rows.length}")
+    }
+    // growth stability: on a subsampled corpus every surviving row keeps
+    // its shard, and within-shard RELATIVE order is unchanged (positions
+    // renumber, the permutation restricted to survivors does not reorder)
+    val fullByDoc = out.map(r => r._1 -> (r._2, r._3)).toMap
+    val sub = Sampling.sample(d, "doc_id", 500, salt = "other")
+    val subOut = Sampling.shuffleSharded(sub, "doc_id", nShards = 8, salt = "shuf")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Long, Long)].collect()
+    assert(subOut.length > 100 && subOut.length < 200)
+    subOut.foreach { case (id, sh, _) => assert(fullByDoc(id)._1 == sh) }
+    subOut.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._3).map(_._1).toSeq
+      val byFullPos = rows.sortBy(r => fullByDoc(r._1)._2).map(_._1).toSeq
+      assert(byPos == byFullPos)
+    }
+  }
+
+  test("containment near-dup: doc-inside-doc that Jaccard misses; exact threshold; df-cut") {
+    // B = 60 words of filler + A verbatim: containment(A,B) = 1.0, but
+    // Jaccard(A,B) ~ 4/69 — the asymmetric measure is the whole point
+    val a = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, a), (2L, s"$filler $a"), (3L, "totally different content here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentNearDup(d, "doc_id", "text", k = 3, threshold = 0.8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 4L, 4L)))
+    val j = Dedup.ngramJaccard(d, "doc_id", "text", 3)
+      .where(col("inter") * 10 >= col("union_n") * 6).count()
+    assert(j == 0L)
+    // integer-exact boundary: inter=4 of min_n=5 is exactly 0.8 — kept at
+    // threshold 0.8 (4000 >= 4000), dropped at 0.81 (4000 < 4050)
+    val a5 = "a1 a2 a3 a4 a5 a6 a7" // 5 shingles
+    val b4 = s"$filler a1 a2 a3 a4 a5 a6" // contains 4 of them
+    val e = Seq((1L, a5), (2L, b4)).toDF("doc_id", "text")
+    assert(Dedup.containmentNearDup(e, "doc_id", "text", 3, 0.8).count() == 1L)
+    assert(Dedup.containmentNearDup(e, "doc_id", "text", 3, 0.81).count() == 0L)
+    // maxDf guard: five single-shingle docs share one ubiquitous shingle
+    // (df=5) — all 10 pairs flagged without the cut, zero with maxDf=4,
+    // because the only carrying shingle is exactly the stop-shingle case
+    val f = (10L to 14L).map(i => (i, "the same thing")).toDF("doc_id", "text")
+    assert(Dedup.containmentNearDup(f, "doc_id", "text", 3, 0.8).count() == 10L)
+    assert(Dedup.containmentNearDup(f, "doc_id", "text", 3, 0.8, maxDf = 4).count() == 0L)
+  }
+
   test("deterministic sampling: stable, nested across rates, stratified = per-stratum union") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =
@@ -1248,8 +1348,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(rates == Map("A" -> 1000, "B" -> 500))
     val kept = Sampling.tokenBudgetMix(d, "doc_id", "source", "n_words", 20L,
       salt = "mx").select("doc_id").as[Long].collect().toSet
-    def coord(id: Long) =
-      s"mx:$id".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L) % 1000
+    def coord(id: Long) = mixedCoord("mx", id)
     val expect = Set(1L, 2L) ++ (10L to 17L).filter(coord(_) < 500)
     assert(kept == expect)
     // no-budget strata drop; zero-total strata never divide by zero
@@ -1274,8 +1373,7 @@ class PipelineSpec extends AnyFunSuite {
     val d = (1L to 30L).map(i =>
         (i, if (i <= 10) "A" else if (i <= 20) "B" else "C"))
       .toDF("doc_id", "source")
-    def coord(id: Long) =
-      s"ep:$id".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L) % 1000
+    def coord(id: Long) = mixedCoord("ep", id)
     val out = Sampling.withEpochs(d, "doc_id", "source",
       Map("A" -> 2500, "B" -> 300), defaultPermille = 1000, salt = "ep")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
