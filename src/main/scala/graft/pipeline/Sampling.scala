@@ -185,6 +185,35 @@ object Sampling {
       tokenBudgetRates(df, strataCol, weightCol, _ => Some(budgetPerStratum)),
       defaultPermille = 0, salt = salt)
 
+  /** Exactly-k-per-stratum deterministic sample: keep the k rows of each
+    * stratum whose mixed coordinate ranks first (ties break by id) — the
+    * fixed-SIZE counterpart of [[stratified]]'s fixed-RATE sample, for
+    * per-source eval/holdout sets that must have exactly k docs no matter
+    * how skewed the sources are. Deterministic in (salt, id) like every
+    * sampler here, and each selected set is itself a uniform sample of
+    * its stratum.
+    *
+    * NOT growth-stable by construction — a new row with a smaller
+    * coordinate displaces the current rank-k row (fixed size and fixed
+    * membership are incompatible under growth; use [[sample]] when
+    * membership stability matters more than exact size).
+    *
+    * Scale shape: the rank <= k predicate makes Catalyst plan the window
+    * as WindowGroupLimit — per-partition partial top-k BEFORE the
+    * stratum shuffle, so at most k rows per (stratum, input partition)
+    * ever move, and the final per-stratum task touches k·partitions
+    * rows, not the stratum (plan-pinned in PlanEvidenceSpec). */
+  def exactPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, salt: String = "s"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__coord"), col(idCol))
+    df.withColumn("__coord", mixCoord(col(idCol), salt))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__coord", "__rank")
+  }
+
   /** Deterministic sharded shuffle — the training-order preparation step:
     * every row gets a `shard` in [0, nShards) and a 1-based `pos` within
     * its shard, such that reading the shards (each ordered by `pos`)

@@ -571,4 +571,77 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
+
+  /** Sign-bit binary quantization — 1 bit per dimension, packed 32 bits
+    * per word: bit_j of word_w is [x_{32w+j} > 0], so a float32 embedding
+    * column shrinks 32× (the aggressive end of the int8 lever above; on
+    * roughly isotropic embeddings the Hamming distance between sign codes
+    * is a monotone surrogate for angular distance — the binary-quantized
+    * retrieval trick). Words stay below 2^32 ON PURPOSE: 64-bit packing
+    * would need wrapping arithmetic at bit 63, which Spark longs do and
+    * DuckDB BIGINTs refuse (overflow error, the arg_max flattening lesson)
+    * — 32-bit words keep every engine's integer arithmetic exact, and the
+    * DuckDB oracle rebuilds the identical words by an independent
+    * power-of-two sum. Empty vectors code to an empty array (the RhpSig
+    * empty-input convention). Returns (id, code: array<long>); a pure
+    * per-row projection, scan-local at any corpus size. */
+  def binaryQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val word = (w: Column) => aggregate(
+      sequence(lit(31), lit(0), lit(-1)), lit(0L),
+      (acc, j) => acc * 2 + when(element_at(col("__bv"), (w * 32 + j + 1).cast("int")) > 0.0d,
+        lit(1L)).otherwise(lit(0L)))
+    emb.select(col(idCol).as("id"), v.as("__bv"))
+      .select(col("id"),
+        when(size(col("__bv")) === 0, array().cast("array<bigint>"))
+          .otherwise(transform(
+            // Column./ is float division — truncate back to the int word
+            // count (positive, so the cast floors)
+            sequence(lit(0), ((size(col("__bv")) + 31) / 32).cast("int") - 1),
+            word))
+          .as("code"))
+  }
+
+  /** Binary-quantized ANN: stage 1 ranks the whole corpus per probe by
+    * Hamming distance between sign codes (32× smaller than the vectors —
+    * only codes ride the broadcast and the scan) and keeps the `cand`
+    * closest ids; stage 2 re-attaches full vectors to that slim
+    * (probe_id, id) set and re-ranks by exact cosine — the [[mrlTopK]]
+    * two-stage discipline with Hamming as the cheap surrogate. Ties in
+    * code space break by id, so the candidate set is deterministic and
+    * the whole chain is DuckDB-replayable (sign bits compare identical
+    * doubles; xor/bit_count are integer-exact).
+    *
+    * 100 TB posture: the full-corpus stage streams codes only (dims/8
+    * bytes per row), the rank-`cand` window is per-probe partial top-k
+    * before its one shuffle (WindowGroupLimit), and the exact stage
+    * touches cand×probes re-attached rows — vectors never ride the
+    * candidate shuffle. Output shape matches [[bruteForceTopK]]. */
+  def binaryTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, cand: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cand >= k, s"cand ($cand) must be >= k ($k)")
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+    val cc = binaryQuantize(corpus, idCol, vecCol)
+    val pc = binaryQuantize(probes, idCol, vecCol)
+      .select(col("id").as("probe_id"), col("code").as("pcode"))
+    val w1 = Window.partitionBy(col("probe_id")).orderBy(col("ham"), col("id"))
+    val candidates = cc.join(broadcast(pc), col("id") =!= col("probe_id"))
+      .withColumn("ham", aggregate(
+        zip_with(col("code"), col("pcode"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+        lit(0L), _ + _))
+      .withColumn("crank", row_number().over(w1))
+      .where(col("crank") <= cand)
+      .select(col("probe_id"), col("id"))
+    val w2 = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("id"))
+    candidates
+      .join(broadcast(p.withColumn("pn", norm(col("pv")))), "probe_id")
+      .join(c.withColumn("n", norm(col("v"))), "id")
+      .withColumn("cosine", dot(col("v"), col("pv")) / (col("n") * col("pn")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -291,6 +291,28 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // Sign-bit binary quantization (round 12): 1 bit/dim packed 32 bits
+    // per word — 32× smaller codes; words exploded to scalar rows so the
+    // hash gate compares integers, and the oracle rebuilds each word by
+    // an independent power-of-two sum over the same sign predicate.
+    "q_embed_binary" -> ((s, dir) =>
+      Similarity.binaryQuantize(emb(s, dir), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), posexplode(col("code")))
+        .toDF("vec_id", "w", "word")
+        .select(col("vec_id"), col("w").cast("long").as("w"), col("word"))
+        .orderBy(col("vec_id"), col("w"))),
+    // Hamming prefilter over the binary codes, exact cosine re-rank of
+    // the slim candidate set — the mrlTopK two-stage shape with sign
+    // codes as the cheap surrogate; the oracle replays codes, xor
+    // bit_count ranking AND the re-rank.
+    "q_sim_binary" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      Similarity.binaryTopK(e, probes, "vec_id", "embedding", 10)
+        .select(col("probe_id"), col("id"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // The corpus-sized production entry (VERDICT r10 item 9, the IVF twin
     // of q_dedup_cosine_auto): √n cells, nlist/4 probes — BENCH times the
     // path whose layout grows with the corpus. The oracle trains its
@@ -604,6 +626,14 @@ object PipelineQueries {
       Sampling.assignSplit(docs(s, dir), "doc_id",
         Seq("train" -> 800, "val" -> 100, "test" -> 50), salt = "sp1")
         .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+    // Exactly-k-per-stratum deterministic sample (round 12): fixed-SIZE
+    // per-source holdout (7 docs each) vs stratified's fixed RATE; the
+    // oracle replays coordinate, per-stratum rank and the k cut
+    "q_sample_exact_k" -> ((s, dir) =>
+      Sampling.exactPerStratum(docs(s, dir), "doc_id", "source", k = 7,
+        salt = "xk")
+        .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
     // Deterministic sharded shuffle (round 12): the training-order prep —
     // 8 hash shards, within-shard rank of an independent mixed
@@ -1669,6 +1699,61 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qcos DESC, id) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    // word_w = Σ_j 2^j·[x_{32w+j} > 0] — an independent power-of-two sum
+    // where the engine uses a high-to-low doubling fold; same integers
+    "q_embed_binary" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, CAST((i - 1) // 32 AS BIGINT) AS w,
+        |  SUM(CASE WHEN x > 0 THEN 1::BIGINT << CAST((i - 1) % 32 AS INT)
+        |    ELSE 0 END) AS word
+        |FROM v GROUP BY vec_id, (i - 1) // 32
+        |ORDER BY vec_id, w""".stripMargin,
+    // sign codes → per-pair xor bit_count Hamming → top-cand cut → exact
+    // full-vector cosine re-rank, all re-derived
+    "q_sim_binary" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), code AS (
+        |  SELECT vec_id, (i - 1) // 32 AS w,
+        |    SUM(CASE WHEN x > 0 THEN 1::BIGINT << CAST((i - 1) % 32 AS INT)
+        |      ELSE 0 END) AS word
+        |  FROM v GROUP BY vec_id, (i - 1) // 32
+        |), probes AS (SELECT * FROM code WHERE vec_id IN (0, 17, 42)),
+        |hams AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+        |    SUM(bit_count(xor(p.word, c.word))) AS ham
+        |  FROM probes p
+        |  JOIN code c ON p.w = c.w AND c.vec_id <> p.vec_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ham, id) AS crnk
+        |    FROM hams) t
+        |  WHERE crnk <= 30
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
+        |), rescored AS (
+        |  SELECT cd.probe_id, cd.id,
+        |    SUM(p.x * c.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+        |  FROM cand cd
+        |  JOIN v p ON p.vec_id = cd.probe_id
+        |  JOIN v c ON c.vec_id = cd.id AND c.i = p.i
+        |  JOIN norms np ON np.vec_id = cd.probe_id
+        |  JOIN norms nc ON nc.vec_id = cd.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT probe_id, id,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+        |  FROM rescored) t
+        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
     // mrlEmb damping → truncated scoring → top-cand cut → exact full-dim
     // re-rank, all re-derived; ints-and-rank output like the other ANN
     // oracles. The damping weights are exact halvings (1 << k), so the
@@ -2148,6 +2233,13 @@ object PipelineQueries {
          |  ${samplePermilleSql("sp1", "doc_id")} AS c
          |  FROM documents) t
          |ORDER BY doc_id""".stripMargin,
+    "q_sample_exact_k" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${mixCoordSql("xk", "doc_id")}, doc_id) AS r
+         |  FROM documents) t
+         |WHERE r <= 7 ORDER BY doc_id""".stripMargin,
     "q_sample_shuffle" ->
       s"""SELECT doc_id, shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)

@@ -132,6 +132,31 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("exact-k per stratum plans as WindowGroupLimit partial top-k") {
+    // the scaladoc scale claim: rank <= k must rewrite to per-partition
+    // partial top-k before the stratum shuffle, so a huge stratum never
+    // funnels through one task unfiltered
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.pipeline.Sampling
+      .exactPerStratum(docs, "doc_id", "source", k = 7, salt = "xk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("binary ANN: Hamming stage plans like the mrl rerank (partial top-cand, broadcast re-attach)") {
+    // binaryTopK shares mrlTopK's two-stage discipline — same plan pins:
+    // WindowGroupLimit partial+final around the one candidate Exchange,
+    // broadcast joins for probe/vector re-attach, no sort-merge join
+    val emb = graft.queries.Tables(spark, sf, "embeddings")
+    val probes = emb.where(col("vec_id").isin(0L, 17L))
+    val plan = graft.pipeline.Similarity
+      .binaryTopK(emb, probes, "vec_id", "embedding", 10, cand = 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("boilerplate common-shingle join broadcasts at runtime via AQE") {
     // the join input is the ≥minDocs COMMON set (small — boilerplate is the
     // rare tail), not full dfreq: AQE's runtime size stats must turn the

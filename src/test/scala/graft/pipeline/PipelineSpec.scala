@@ -272,6 +272,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(mp.size <= 30)
   }
 
+  test("binary quantization: codes match an independent bit-pack; ANN reduces to brute force at full cand") {
+    // codes vs a from-scratch model: sign bit per dim, 32 bits per word
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val model = rows.map { case (id, v) =>
+      val words = v.grouped(32).map(_.zipWithIndex.foldLeft(0L) {
+        case (acc, (x, j)) => acc | (if (x > 0f) 1L << j else 0L)
+      }).toSeq
+      id -> words
+    }.toMap
+    val got = Similarity.binaryQuantize(emb, "vec_id", "embedding")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got.keySet == model.keySet)
+    got.foreach { case (id, code) => assert(code == model(id), s"vec $id") }
+    // cand >= corpus makes the Hamming stage a no-op filter: exact equality
+    // with brute force, ranks included
+    val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
+    val n = emb.count().toInt
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("probe_id"), col("id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSet
+    val bfFull = triples(Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10))
+    val binFull = triples(Similarity.binaryTopK(emb, probes, "vec_id", "embedding", 10, cand = n))
+    assert(binFull == bfFull)
+  }
+
+  test("binary ANN recall@10 vs brute force at a real cand cut") {
+    val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
+    val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bin = Similarity.binaryTopK(emb, probes, "vec_id", "embedding", 10, cand = 30)
+      .select("probe_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(bin.contains).toDouble / bf.size
+    // deterministic 0.467 on this fixture: the corpus is isotropic with
+    // no trained sign structure, so 64 sign bits at cand=3k is the
+    // honest surrogate quality; floor 0.4 trips a packing/Hamming
+    // regression before it reaches chance
+    assert(recall >= 0.4, s"binary recall=$recall")
+    assert(bin.size <= 30)
+  }
+
   test("pq ANN: codes well-formed, recall@10 vs brute force") {
     val probes = emb.where(col("vec_id").isin(0L, 17L, 42L))
     val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
@@ -1117,6 +1158,23 @@ class PipelineSpec extends AnyFunSuite {
       val byFullPos = rows.sortBy(r => fullByDoc(r._1)._2).map(_._1).toSeq
       assert(byPos == byFullPos)
     }
+  }
+
+  test("exact-k per stratum: sizes exact under skew, selection matches the independent model") {
+    // skewed strata: A=40 rows, B=3 (under k), C=12
+    val d = ((1L to 40L).map((_, "A")) ++ (41L to 43L).map((_, "B")) ++
+      (44L to 55L).map((_, "C"))).toDF("doc_id", "source")
+    val got = Sampling.exactPerStratum(d, "doc_id", "source", k = 5, salt = "xk")
+      .as[(Long, String)].collect().toSet
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map("A" -> 5, "B" -> 3, "C" -> 5))
+    // independent model: first k of each stratum by (mixed coordinate, id)
+    val model = ((1L to 40L).map((_, "A")) ++ (41L to 43L).map((_, "B")) ++
+      (44L to 55L).map((_, "C")))
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy(r => (fullMix("xk", r._1), r._1)).take(5)
+      }.toSet
+    assert(got == model)
   }
 
   test("containment near-dup: doc-inside-doc that Jaccard misses; exact threshold; df-cut") {
