@@ -1205,6 +1205,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.containmentNearDup(f, "doc_id", "text", 3, 0.8, maxDf = 4).count() == 0L)
   }
 
+  test("property: containment-at-t dominates Jaccard-at-t on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // inter/min >= inter/union always, so every pair Jaccard flags at a
+    // threshold must be flagged by containment at the same threshold —
+    // checked on random corpora over a small vocabulary (collisions
+    // guaranteed), with one planted doc-inside-doc pair per round so the
+    // assertion is never vacuous
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(41L + i)))
+    val vocab = Vector("red", "blue", "green", "ox", "ant", "bee", "cat",
+      "dog", "elk", "fox")
+    val docGen = for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    (0 until 3).foreach { round =>
+      val base = samples(docGen, 30).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val texts = base :+ (100L, s"pad$round one two ${base(round)._2}")
+      val d = texts.toDF("doc_id", "text")
+      val jac = Dedup.ngramJaccard(d, "doc_id", "text", 3)
+        .where(col("inter") * 1000 >= col("union_n") * 700)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      val con = Dedup.containmentNearDup(d, "doc_id", "text", 3, 0.7)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      assert(jac.subsetOf(con), s"round $round: ${jac -- con}")
+      assert(con.exists(_._2 == 100L), s"round $round: planted pair missed")
+    }
+  }
+
+  test("property: sharded shuffle is a permutation for random id sets and salts") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (0 until 3).foreach { round =>
+      val ids = sample(Gen.listOfN(120, Gen.choose(0L, 100000L)), 7L + round)
+        .distinct
+      val salt = "s" + sample(Gen.alphaLowerStr.map(_.take(6)), 19L + round)
+      val out = Sampling.shuffleSharded(ids.toDF("doc_id"), "doc_id",
+          nShards = 5, salt = salt)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .as[(Long, Long, Long)].collect()
+      // every input id appears exactly once, shards in range, positions
+      // contiguous from 1 within each shard
+      assert(out.map(_._1).sorted.toSeq == ids.sorted)
+      assert(out.forall(r => r._2 >= 0 && r._2 < 5))
+      out.groupBy(_._2).foreach { case (sh, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+          s"round $round shard $sh")
+      }
+      // physical layout independence: a repartitioned input permutes the
+      // same way
+      val out2 = Sampling.shuffleSharded(
+          ids.toDF("doc_id").repartition(7), "doc_id", nShards = 5, salt = salt)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .as[(Long, Long, Long)].collect()
+      assert(out2.toSet == out.toSet, s"round $round")
+    }
+  }
+
   test("deterministic sampling: stable, nested across rates, stratified = per-stratum union") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =
