@@ -530,6 +530,41 @@ object Dedup {
       (col("id") === col("lbl")).cast("long").as("keep_flag"))
   }
 
+  /** Quality-aware cluster-representative election — the decision rule
+    * real curation pipelines want instead of [[duplicateClusters]]' min-id
+    * canonical member: within each duplicate cluster keep the HIGHEST-
+    * QUALITY document (ties break to the lowest id), and keep every
+    * document that appears in no near-dup pair at all. Returns one row per
+    * row of `df`: (id, cluster_id, keep_flag), with cluster_id = the
+    * component minimum for paired docs and the doc's own id for
+    * singletons — so `where(keep_flag === 1)` is the deduplicated corpus
+    * and (cluster_id, keep_flag=1) locates each cluster's survivor.
+    *
+    * Shape: the component resolution is [[duplicateClusters]] (label
+    * propagation or large-star/small-star via `algorithm`); the election
+    * is a single `row_number` window partitioned BY CLUSTER over a slim
+    * (id, cluster, score) projection — cluster cardinality is bounded by
+    * the near-dup semantics (LSH near-cliques), so no window partition can
+    * grow with the corpus, and the label join is the only wide shuffle
+    * added on top of the component loop. */
+  def keepBest(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 25, algorithm: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = duplicateClusters(pairs, aCol, bCol, maxIters, algorithm)
+      .select(col("id"), col("cluster_id"))
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("__score"))
+    val labeled = slim.join(labels, Seq("id"), "left")
+      .select(col("id"), col("__score"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("id"))
+    labeled
+      .select(col("id"), col("cluster_id"),
+        (row_number().over(w) === 1).cast("long").as("keep_flag"))
+  }
+
   /** Large-star/small-star alternation (the public two-phase connected-
     * components scheme of Kiveris et al., "Connected Components in
     * MapReduce and Beyond") — the [[duplicateClusters]] `algorithm="star"`

@@ -185,6 +185,109 @@ object Sampling {
       tokenBudgetRates(df, strataCol, weightCol, _ => Some(budgetPerStratum)),
       defaultPermille = 0, salt = salt)
 
+  /** Proportional-mixture keep rates: given target OUTPUT proportions per
+    * stratum (permille of the final mix, summing to ≤1000) and the
+    * stratum masses measured from the corpus, find the largest total
+    * output mass T every target can be satisfied from WITHOUT upsampling
+    * (the binding stratum is kept whole), then derive per-stratum permille
+    * keep rates. This is the Pile/Dolma-style "hit a target distribution"
+    * mix — the relative counterpart of [[tokenBudgetRates]]' absolute
+    * budgets: change the corpus and the rates re-derive; the proportions
+    * stay what was asked.
+    *
+    *   T       = min over targeted strata of  avail_i · 1000 ∕ p_i
+    *   rate_i  = min(1000,  p_i · T ∕ avail_i)      (integer division)
+    *
+    * All arithmetic is integer (BigInt against overflow on 100 TB token
+    * masses), so an external engine replays the derivation exactly.
+    * Strata without a target get rate 0. One map-side-combined
+    * aggregation; |strata| rows on the driver. */
+  def mixtureRates(df: DataFrame, strataCol: String, weightCol: String,
+      targetsPermille: Map[String, Int]): Map[String, Int] = {
+    require(targetsPermille.values.forall(_ >= 0) &&
+      targetsPermille.values.sum <= 1000,
+      s"mixture targets must be non-negative permille summing to <= 1000: " +
+        s"$targetsPermille")
+    val avail = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("long").as("total"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    val feasible = targetsPermille.toSeq.collect {
+      case (s, p) if p > 0 && avail.getOrElse(s, 0L) > 0 =>
+        BigInt(avail(s)) * 1000 / p
+    }
+    if (feasible.isEmpty) targetsPermille.map { case (s, _) => s -> 0 }
+    else {
+      val t = feasible.min
+      targetsPermille.map { case (s, p) =>
+        val a = avail.getOrElse(s, 0L)
+        val rate =
+          if (p == 0 || a <= 0) 0
+          else (BigInt(p) * t / a).min(1000).toInt
+        s -> rate
+      }
+    }
+  }
+
+  /** [[mixtureRates]] applied through [[stratified]]'s literal CASE chain:
+    * the whole mixture decision is ONE scan-level hash predicate over the
+    * corpus; the sizing aggregation is the only extra pass. */
+  def targetMixture(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, targetsPermille: Map[String, Int],
+      salt: String = "mix"): DataFrame =
+    stratified(df, idCol, strataCol,
+      mixtureRates(df, strataCol, weightCol, targetsPermille),
+      defaultPermille = 0, salt = salt)
+
+  /** Top-fraction selection by an integer score — the quality-percentile
+    * gate ("keep the best 20% of documents by quality score"): the
+    * threshold is the largest score value t such that at least
+    * k = max(1, n·keepPermille ∕ 1000) rows score ≥ t; rows with score ≥ t
+    * survive (ties at the threshold are kept, so the result has ≥ k rows
+    * and shrinking the threshold further would overshoot no less).
+    *
+    * Exact AND scale-safe, without the exact-percentile traps: no global
+    * sort (the row_number/ntile form sorts the corpus on one partition)
+    * and no per-group value collection (Spark's exact `percentile`
+    * aggregate holds every distinct value in memory). Instead the corpus
+    * folds to a score histogram — map-side-combined, ≤ |distinct scores|
+    * rows, which the caller bounds by supplying an integer-quantized score
+    * (the permille metrics of [[TextAnalysis.qualityMetrics]] are already
+    * on a ≤ few-thousand-point grid) — the threshold is read off the
+    * histogram's running sum, and rejoins the scan as a broadcast 1-row
+    * literal. Two passes over the corpus, zero wide shuffles.
+    *
+    * Deterministic and engine-portable: pure integer logic, so the DuckDB
+    * oracle replays histogram, running sum, k and the cut verbatim. */
+  def keepTopByScore(df: DataFrame, scoreCol: String,
+      keepPermille: Int): DataFrame = {
+    require(keepPermille > 0 && keepPermille <= 1000,
+      s"keepPermille must be in (0, 1000]: $keepPermille")
+    val hist = df.groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    // the window runs over the histogram (|distinct scores| rows), not the
+    // corpus — the one place a single-partition window is the right shape
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("__s"), sum(col("__c")).over(w).as("__cum"),
+      sum(col("__c")).over(Window.partitionBy()).as("__n"))
+    // k = max(1, n·keepPermille div 1000) in EXACT integer arithmetic:
+    // Column `/` is IEEE double division, and floor(double) can land on
+    // the wrong side of an integer boundary once n·permille outgrows the
+    // 2^53 exact range — subtract the remainder first so the divide is an
+    // exactly-representable integer result at ANY corpus size (and the
+    // DuckDB oracle's `//` agrees bit-for-bit)
+    val prod = col("__n") * lit(keepPermille.toLong)
+    val k = greatest(lit(1L),
+      ((prod - pmod(prod, lit(1000L))) / 1000).cast("long"))
+    val thr = cum.agg(
+      max(when(col("__cum") >= k, col("__s"))).as("__thr"))
+    df.join(broadcast(thr), col(scoreCol).cast("long") >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Exactly-k-per-stratum deterministic sample: keep the k rows of each
     * stratum whose mixed coordinate ranks first (ties break by id) — the
     * fixed-SIZE counterpart of [[stratified]]'s fixed-RATE sample, for

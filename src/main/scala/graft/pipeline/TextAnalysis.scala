@@ -270,6 +270,29 @@ object TextAnalysis {
   def tagCount(text: Column): Column =
     size(regexp_extract_all(text, lit(tagRe), lit(0))).cast("long")
 
+  /** Canonical text normalization — the fix-the-encoding-first pass every
+    * exact-dedup / fingerprint / shingle stage depends on: Unicode NFC
+    * (composed `é` and decomposed `e`+U+0301 become one byte sequence —
+    * [[graft.functions.NfcNormalize]], native codegen with an ASCII
+    * fast path), control characters stripped (NUL..BS, VT, FF, SO..US,
+    * DEL — the bytes crawls and OCR leave behind; \t \n \r survive into
+    * the collapse), and whitespace runs collapsed to single spaces with
+    * the ends trimmed.
+    *
+    * Every piece is engine-portable (explicit character classes, no \s
+    * whose definition differs across regex engines; NFC is fully
+    * specified by Unicode), so the DuckDB oracle replays the chain
+    * bit-identically via utf8proc `nfc_normalize`. Scan-level projection:
+    * no shuffle, no state — at 100 TB this is read-speed work ahead of
+    * every gate, and the NFC fast path makes the (dominant) all-ASCII
+    * document cost one byte scan. */
+  def normalizeText(text: Column): Column = {
+    val nfc = graft.functions.NfcNormalize.nfc(text)
+    val noCtl = regexp_replace(nfc,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    trim(regexp_replace(noCtl, "[ \\t\\n\\r]+", " "))
+  }
+
   /** Corpus-trained bigram language-model score — the distributed analog
     * of CCNet's KenLM perplexity filter (docs far from the corpus
     * distribution score low; the standard statistical-quality gate next

@@ -231,6 +231,23 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("cluster_id"), col("keep_flag"))
         .orderBy(col("doc_id"))
     }),
+    // Quality-aware representative election (round 12): same components as
+    // q_dedup_clusters, but each cluster keeps its LONGEST normalized doc
+    // (ties to lowest id) and unpaired docs survive as their own
+    // singletons — the keep/drop decision a curation pipeline actually
+    // applies. The oracle reuses the recursive-CTE closure and replays
+    // the score window independently.
+    "q_dedup_keepbest" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", 3)
+        .where(col("inter") * 10 >= col("union_n") * 6)
+      val scored = d.select(col("doc_id"),
+        length(col("text")).cast("long").as("q"))
+      Dedup.keepBest(scored, "doc_id", "q", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("keep_flag"))
+        .orderBy(col("doc_id"))
+    }),
 
     // --- similarity search ---------------------------------------------
     "q_sim_bruteforce" -> ((s, dir) => {
@@ -393,6 +410,17 @@ object PipelineQueries {
           sum(col("mean_word_len_x1000")).cast("long").as("sum_mwl"),
           sum(col("alpha_x1000")).cast("long").as("sum_alpha"))
         .orderBy(col("source"))
+    }),
+    // Quality-percentile gate (round 12): keep the top 25% of docs by the
+    // integer quality score — the exact histogram-threshold selection of
+    // Sampling.keepTopByScore (no global sort, no value collection); the
+    // oracle replays histogram, running sum, k and the >= cut
+    "q_text_quality_gate" -> ((s, dir) => {
+      val m = TextAnalysis.qualityMetrics(col("text")).toMap
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        (m("alpha_x1000") + m("stopword_x1000")).as("score"))
+      Sampling.keepTopByScore(scored, "score", keepPermille = 250)
+        .orderBy(col("doc_id"))
     }),
     // Benchmark decontamination: eval set = doc_id%97==0, flag training
     // docs sharing ≥2 distinct 3-shingles with it (test-set leakage guard)
@@ -612,6 +640,22 @@ object PipelineQueries {
           TextAnalysis.redactionCount(col("t")).as("n_red"))
         .where(col("n_red") > 0)
         .orderBy(col("doc_id"))),
+    // Canonical text normalization (round 12): NFC (native codegen
+    // expression) + control strip + whitespace collapse over text with
+    // deterministically planted decomposed Unicode and control bytes (the
+    // fixture is pure ASCII — planted like plantedPii); the oracle replays
+    // the chain through DuckDB's utf8proc nfc_normalize, hash-checking
+    // that two independent Unicode implementations compose identically
+    "q_text_normalize" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" Cafe\u0301 nai\u0308ve\u000B\u0009 A\u030Angstro\u0308m")))
+        .otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.normalizeText(planted).as("norm"))
+        .withColumn("n_chars", length(col("norm")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
     // Deterministic stratified sampling — the training-mix construction op
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratified(docs(s, dir), "doc_id", "source",
@@ -653,6 +697,23 @@ object PipelineQueries {
         .withColumn("n_words", TextAnalysis.wordCount(col("text")).cast("long"))
       Sampling.tokenBudgetMix(d, "doc_id", "source", "n_words",
         budgetPerStratum = 1000L, salt = "mix")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("kept_words"))
+        .orderBy(col("source"))
+    }),
+
+    // proportional-mixture rebalance (round 12): hit target OUTPUT
+    // proportions 50/30/20 over three sources without upsampling — the
+    // binding stratum (src0) is kept whole, the rest downsample to match;
+    // unlisted sources drop. The oracle re-derives T and the per-stratum
+    // rates in integer SQL and replays the hash predicate.
+    "q_sample_mixture" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+        .withColumn("n_words", TextAnalysis.wordCount(col("text")).cast("long"))
+      Sampling.targetMixture(d, "doc_id", "source", "n_words",
+        Map("src0" -> 500, "src1" -> 300, "src2" -> 200), salt = "tm")
         .groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("n_words")).cast("long").as("kept_words"))
@@ -1850,6 +1911,42 @@ object PipelineQueries {
          |SELECT x AS doc_id, MIN(y) AS cluster_id,
          |  CAST(CASE WHEN MIN(y) = x THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
          |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    // Same closure, then the quality election: every document (paired or
+    // not) gets a cluster label (own id for singletons) and the longest
+    // normalized doc per cluster takes keep_flag = 1 (ties to lowest id)
+    "q_dedup_keepbest" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
+         |), jp AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+         |  FROM shd l JOIN shd r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a, b FROM jp
+         |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |  WHERE inter*10 >= (sa.n + sb.n - inter)*6
+         |), e AS (
+         |  SELECT a AS x, b AS y FROM cand
+         |  UNION SELECT b AS x, a AS y FROM cand
+         |), reach(x, y) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT e.x, r.y FROM e JOIN reach r ON r.x = e.y
+         |), comp AS (
+         |  SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x
+         |), scq AS (
+         |  SELECT doc_id, CAST(length($docNorm) AS BIGINT) AS q FROM documents
+         |), lab AS (
+         |  SELECT scq.doc_id, coalesce(comp.cluster_id, scq.doc_id) AS cluster_id, q
+         |  FROM scq LEFT JOIN comp USING (doc_id)
+         |), rnk AS (
+         |  SELECT doc_id, cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS r
+         |  FROM lab
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+         |FROM rnk ORDER BY doc_id""".stripMargin,
     "q_text_redact" ->
       ("""WITH t AS (
          |  SELECT doc_id,
@@ -1876,6 +1973,26 @@ object PipelineQueries {
          |FROM r
          |WHERE len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<IP>')) > 0
          |ORDER BY doc_id""").stripMargin,
+    // Planted decomposed marks/controls rebuilt via chr(); the chain runs
+    // utf8proc NFC → control strip → collapse → trim, exactly as
+    // TextAnalysis.normalizeText — two independent Unicode NFC
+    // implementations must agree byte-for-byte for the hash gate to pass
+    "q_text_normalize" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text
+         |    || ' Cafe' || chr(769) || ' nai' || chr(776) || 've'
+         |    || chr(11) || chr(9) || ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+         |    ELSE text END AS t
+         |  FROM documents
+         |), nrm AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(t),
+         |      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+         |      '[ \\t\\n\\r]+', ' ', 'g')) AS norm
+         |  FROM p
+         |)
+         |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars
+         |FROM nrm ORDER BY doc_id""".stripMargin,
     // markup-strip replica: planted wrappers rebuilt, same RE2-safe tag
     // regex, same entity decode order (&amp; last — single decode), same
     // whitespace collapse; exact string compare
@@ -2273,6 +2390,35 @@ object PipelineQueries {
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_words) AS BIGINT) AS kept_words
          |FROM keep GROUP BY source ORDER BY source""".stripMargin,
+    // Proportional mixture: T = min(avail·1000 div target) over targeted
+    // strata (the no-upsampling cap), rate = min(1000, target·T div avail)
+    // — all integer, then the same mixed-hash predicate as every sampler
+    "q_sample_mixture" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(trim($docNorm), ' ')) AS BIGINT) AS n_words
+         |  FROM documents
+         |), tgt AS (
+         |  SELECT * FROM (VALUES ('src0', 500), ('src1', 300), ('src2', 200))
+         |    t(source, p)
+         |), tot AS (
+         |  SELECT source, CAST(SUM(n_words) AS BIGINT) AS total FROM d GROUP BY 1
+         |), cap AS (
+         |  SELECT MIN(total * 1000 // p) AS t FROM tot JOIN tgt USING (source)
+         |  WHERE p > 0 AND total > 0
+         |), rates AS (
+         |  SELECT tgt.source,
+         |    CASE WHEN tot.total IS NULL OR tot.total <= 0 THEN 0
+         |      ELSE least(1000, tgt.p * (SELECT t FROM cap) // tot.total) END AS rate
+         |  FROM tgt LEFT JOIN tot USING (source)
+         |), keep AS (
+         |  SELECT d.doc_id, d.source, d.n_words
+         |  FROM d JOIN rates USING (source)
+         |  WHERE ${samplePermilleSql("tm", "doc_id")} < rate
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS kept_words
+         |FROM keep GROUP BY source ORDER BY source""".stripMargin,
     // base/frac epochs as CASE chains; generate_series replays the copy
     // explode (empty for 0 copies, where Spark guards before sequence())
     "q_sample_epochs" ->
@@ -2494,6 +2640,46 @@ object PipelineQueries {
          |  CAST(SUM(mwl) AS BIGINT) AS sum_mwl,
          |  CAST(SUM(alphax) AS BIGINT) AS sum_alpha
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    // Histogram-threshold replica of Sampling.keepTopByScore: same score
+    // arithmetic as q_text_quality, then histogram → desc running sum →
+    // k = max(1, n·250 div 1000) → largest score with cum ≥ k → the ≥ cut
+    "q_text_quality_gate" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    len(string_split($docNorm, ' ')) AS n_words,
+         |    length(text) AS n_chars,
+         |    len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+         |    len(regexp_extract_all(text,'\\bthe\\b'))+len(regexp_extract_all(text,'\\band\\b'))
+         |      +len(regexp_extract_all(text,'\\bof\\b'))+len(regexp_extract_all(text,'\\bto\\b'))
+         |      +len(regexp_extract_all(text,'\\bin\\b'))
+         |      +len(regexp_extract_all(text,'\\bder\\b'))+len(regexp_extract_all(text,'\\bdie\\b'))
+         |      +len(regexp_extract_all(text,'\\bund\\b'))+len(regexp_extract_all(text,'\\bdas\\b'))
+         |      +len(regexp_extract_all(text,'\\bist\\b'))
+         |      +len(regexp_extract_all(text,'\\ble\\b'))+len(regexp_extract_all(text,'\\bla\\b'))
+         |      +len(regexp_extract_all(text,'\\bet\\b'))+len(regexp_extract_all(text,'\\bles\\b'))
+         |      +len(regexp_extract_all(text,'\\bdes\\b'))
+         |      +len(regexp_extract_all(text,'\\bel\\b'))+len(regexp_extract_all(text,'\\bla\\b'))
+         |      +len(regexp_extract_all(text,'\\blos\\b'))+len(regexp_extract_all(text,'\\bque\\b'))
+         |      +len(regexp_extract_all(text,'\\bde\\b')) AS stop
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, source,
+         |    CAST(FLOOR(alpha*1000.0/greatest(n_chars,1))
+         |      + FLOOR(stop*1000.0/greatest(n_words,1)) AS BIGINT) AS score
+         |  FROM m
+         |), h AS (
+         |  SELECT score AS s2, COUNT(*) AS c FROM sc GROUP BY 1
+         |), cum AS (
+         |  SELECT s2, SUM(c) OVER (ORDER BY s2 DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER () AS n
+         |  FROM h
+         |), thr AS (
+         |  SELECT MAX(CASE WHEN cum >= greatest(1, (n*250) // 1000) THEN s2 END) AS t
+         |  FROM cum
+         |)
+         |SELECT doc_id, source, score FROM sc
+         |WHERE score >= (SELECT t FROM thr) ORDER BY doc_id""".stripMargin,
     "q_text_wordfreq" ->
       s"""SELECT lower(w) AS word, COUNT(*) AS n
          |FROM (SELECT unnest(string_split($docNorm, ' ')) AS w FROM documents) t

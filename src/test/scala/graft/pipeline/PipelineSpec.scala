@@ -1513,6 +1513,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(copies.toSeq == (1 to (2 + (if (coord(1) < 500) 1 else 0))))
   }
 
+  test("proportional mixture: no-upsampling cap, binding stratum whole, unlisted dropped") {
+    // A mass 100, B mass 1000, C mass 400, D untargeted
+    // T = min(100k/500, 1000k/300, 400k/200) = 200
+    // rates: A 500*200/100=1000 (binding, whole), B 300*200/1000=60, C 200*200/400=100
+    val rows =
+      (1L to 10L).map((_, "A", 10L)) ++
+      (11L to 110L).map((_, "B", 10L)) ++
+      (111L to 150L).map((_, "C", 10L)) ++
+      (151L to 160L).map((_, "D", 10L))
+    val d = rows.toDF("doc_id", "source", "w")
+    val targets = Map("A" -> 500, "B" -> 300, "C" -> 200)
+    val rates = Sampling.mixtureRates(d, "source", "w", targets)
+    assert(rates == Map("A" -> 1000, "B" -> 60, "C" -> 100))
+    val kept = Sampling.targetMixture(d, "doc_id", "source", "w", targets,
+      salt = "pm").select("doc_id", "source").as[(Long, String)]
+      .collect().toSet
+    def coord(id: Long) = mixedCoord("pm", id)
+    val expect = rows.collect {
+      case (id, s, _) if rates.getOrElse(s, 0) > coord(id) => (id, s)
+    }.toSet
+    assert(kept == expect)
+    assert(!kept.exists(_._2 == "D")) // untargeted stratum drops entirely
+    assert(kept.count(_._2 == "A") == 10) // rate-1000 stratum kept whole
+    // infeasible corner: no targeted stratum has mass -> all rates 0
+    val empty = Sampling.mixtureRates(d.where(col("source") === "D"),
+      "source", "w", targets)
+    assert(empty.values.forall(_ == 0))
+  }
+
+  test("keepTopByScore: threshold minimal, ties kept, full-keep at 1000") {
+    val d = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 5L), (5L, 1L),
+      (6L, 20L), (7L, 15L), (8L, 3L), (9L, 8L), (10L, 12L))
+      .toDF("id", "score")
+    def kept(p: Int): Set[Long] =
+      Sampling.keepTopByScore(d, "score", p)
+        .select("id").as[Long].collect().toSet
+    // n=10, p=300 -> k=3; three 20s reach the quota exactly
+    assert(kept(300) == Set(2L, 3L, 6L))
+    // p=400 -> k=4; threshold drops to 15
+    assert(kept(400) == Set(2L, 3L, 6L, 7L))
+    // p=100 -> k=1; all ties AT the threshold survive (>= semantics)
+    assert(kept(100) == Set(2L, 3L, 6L))
+    // p=1000 keeps the corpus; p floor keeps at least one row
+    assert(kept(1000).size == 10)
+    assert(kept(1) == Set(2L, 3L, 6L))
+  }
+
+  test("keepBest: cluster keeps highest score (tie to lowest id), singletons survive") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val d = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (6L, 7L),
+      (7L, 1L)).toDF("doc_id", "q")
+    val got = Dedup.keepBest(d, "doc_id", "q", pairs)
+      .select("id", "cluster_id", "keep_flag")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (1L, 0L), 2L -> (1L, 1L), 3L -> (1L, 0L), // 30-tie -> id 2
+      5L -> (5L, 1L), 6L -> (5L, 0L),                 // 7-tie -> id 5
+      7L -> (7L, 1L)))                                // unpaired singleton
+    // exactly one keeper per cluster
+    val perCluster = got.values.groupBy(_._1).view
+      .mapValues(_.count(_._2 == 1L)).toMap
+    assert(perCluster.values.forall(_ == 1))
+  }
+
   test("property: classifier score = bag-of-words hash sum on random texts") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
