@@ -207,6 +207,86 @@ object TextAnalysis {
           x => x("line"))).as("kept_text"))
   }
 
+  /** Exact φ-frequent phrase mining (template/boilerplate detection): all
+    * word n-grams whose corpus frequency is at least `phiPermyriad`/10000
+    * of all n-gram occurrences, WITH their exact counts — the C4-style
+    * "repeated template" signal (nav boilerplate, cookie banners, spam
+    * frames) over a space where a plain `groupBy(ngram)` stops scaling:
+    * distinct n-grams grow ~linearly with the corpus (unlike Heaps-law
+    * word vocabularies), so the full-aggregation shuffle would move nearly
+    * one row per input phrase at 100 TB.
+    *
+    * Two passes, both deterministic:
+    *   1. CANDIDATES — per-partition Misra–Gries summaries over the phrase
+    *      stream (capacity 2·⌈10000/φ⌉). By the averaging argument, any
+    *      globally φ-heavy phrase is φ-heavy in at least one partition,
+    *      and MG at that capacity never evicts a partition-φ-heavy item —
+    *      the union of per-partition survivors is a SUPERSET of the true
+    *      answer, bounded by partitions·capacity rows (thousands, not
+    *      corpus-scale).
+    *   2. VERIFY — exact counts of candidates only: the candidate set
+    *      broadcasts, the phrase stream never shuffles (map-side combined
+    *      count of a few thousand groups), and the threshold is the
+    *      integer cross-multiply `count·10000 ≥ total·φ` against the 1-row
+    *      total (broadcast, the bigramLmScore pattern) — no division.
+    *
+    * The output is EXACT and partitioning-invariant (which extra
+    * candidates MG carries varies with the split; the verify pass filters
+    * all of them to the same threshold), so the DuckDB oracle is a plain
+    * full GROUP BY — an independent algorithm. MG itself is inherently
+    * imperative state; `mapPartitions` is the honest home for it (the
+    * documented exception class: no Catalyst primitive expresses a
+    * bounded-eviction summary). Docs shorter than n words contribute no
+    * phrases. */
+  def frequentPhrases(df: DataFrame, textCol: String, n: Int = 3,
+      phiPermyriad: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    require(phiPermyriad > 0 && phiPermyriad <= 10000,
+      s"phiPermyriad must be in (0, 10000]: $phiPermyriad")
+    val words = split(trim(col(textCol)), "\\s+")
+    val phrase = df.select(words.as("w"))
+      .where(size(col("w")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(col("w"), i + j)): _*))).as("p"))
+    val capacity = 2 * (10000 + phiPermyriad - 1) / phiPermyriad
+    import df.sparkSession.implicits._
+    val cands = phrase.as[String]
+      .mapPartitions(it => mgSummary(it, capacity))
+      .toDF("p").distinct()
+    val total = phrase.agg(count(lit(1)).as("__total"))
+    phrase.join(broadcast(cands), Seq("p"))
+      .groupBy(col("p")).agg(count(lit(1)).cast("long").as("n"))
+      .join(broadcast(total),
+        col("n") * 10000 >= col("__total") * phiPermyriad)
+      .select(col("p").as("phrase"), col("n"))
+  }
+
+  /** Misra–Gries streaming summary: the ≤`capacity` items that survive
+    * counter-based eviction — a superset of every item with frequency
+    * > 1/(capacity+1) of the stream. Shared by [[frequentPhrases]]' pass 1
+    * and its spec's soundness property. */
+  private[pipeline] def mgSummary(it: Iterator[String],
+      capacity: Int): Iterator[String] = {
+    val counts = new java.util.HashMap[String, Long](capacity * 2)
+    while (it.hasNext) {
+      val p = it.next()
+      val c = counts.getOrDefault(p, 0L)
+      if (c > 0L) counts.put(p, c + 1L)
+      else if (counts.size < capacity) counts.put(p, 1L)
+      else {
+        val e = counts.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+        }
+      }
+    }
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      counts.keySet().iterator()).asScala
+  }
+
   /** Vocabulary coverage ×1000: the permille of a document's word
     * occurrences that fall inside the corpus top-K case-folded vocabulary.
     * The complement (1000 − coverage) is the out-of-vocabulary rate — the

@@ -411,6 +411,22 @@ object PipelineQueries {
           sum(col("alpha_x1000")).cast("long").as("sum_alpha"))
         .orderBy(col("source"))
     }),
+    // Exact φ-frequent phrase mining (round 12): planted boilerplate
+    // template on every third doc must surface with its exact count; the
+    // rarer template (every 50th doc) and every natural trigram stay
+    // sub-threshold. The engine path is two-pass Misra–Gries + exact
+    // verify; the oracle is the independent full GROUP BY.
+    "q_text_phrases" -> ((s, dir) => {
+      val planted0 = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" subscribe to our newsletter today")))
+        .otherwise(col("text"))
+      val planted = when(col("doc_id") % 50 === 0,
+        concat(planted0, lit(" limited time offer"))).otherwise(planted0)
+      TextAnalysis.frequentPhrases(
+        docs(s, dir).select(col("doc_id"), planted.as("text")), "text",
+        n = 3, phiPermyriad = 5)
+        .orderBy(col("phrase"))
+    }),
     // Quality-percentile gate (round 12): keep the top 25% of docs by the
     // integer quality score — the exact histogram-threshold selection of
     // Sampling.keepTopByScore (no global sort, no value collection); the
@@ -2640,6 +2656,33 @@ object PipelineQueries {
          |  CAST(SUM(mwl) AS BIGINT) AS sum_mwl,
          |  CAST(SUM(alphax) AS BIGINT) AS sum_alpha
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    // Independent full-aggregation replica of the two-pass heavy-hitter
+    // path: plain GROUP BY over every trigram + the same integer
+    // cross-multiply threshold — no Misra–Gries anywhere, so the sketch's
+    // soundness is checked by a structurally different algorithm
+    "q_text_phrases" ->
+      s"""WITH p0 AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN text || ' subscribe to our newsletter today'
+         |    ELSE text END AS t0
+         |  FROM documents
+         |), p1 AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 50 = 0
+         |    THEN t0 || ' limited time offer' ELSE t0 END AS t
+         |  FROM p0
+         |), d AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(trim(t), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM p1
+         |), ph AS (
+         |  SELECT w[i]||' '||w[i+1]||' '||w[i+2] AS p
+         |  FROM (SELECT w, unnest(range(1, len(w)-1)) AS i
+         |        FROM d WHERE len(w) >= 3) t
+         |), tot AS (SELECT COUNT(*) AS n FROM ph
+         |), g AS (SELECT p, COUNT(*) AS c FROM ph GROUP BY 1)
+         |SELECT p AS phrase, CAST(c AS BIGINT) AS n FROM g
+         |WHERE c * 10000 >= (SELECT n FROM tot) * 5
+         |ORDER BY phrase""".stripMargin,
     // Histogram-threshold replica of Sampling.keepTopByScore: same score
     // arithmetic as q_text_quality, then histogram → desc running sum →
     // k = max(1, n·250 div 1000) → largest score with cum ≥ k → the ≥ cut

@@ -1560,6 +1560,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(1) == Set(2L, 3L, 6L))
   }
 
+  test("frequentPhrases: exact counts, partition-invariant, sub-threshold excluded") {
+    // 60 docs: every 2nd carries the hot template (3 trigrams @30 each),
+    // every 15th a cold one (@4); filler words are unique per doc
+    val rows = (0L until 60L).map { i =>
+      val filler = s"u${i}a u${i}b u${i}c u${i}d"
+      val hot = if (i % 2 == 0) " sign up free today" else ""
+      val cold = if (i % 15 == 0) " rare promo line" else ""
+      (i, filler + hot + cold)
+    }
+    val d = rows.toDF("doc_id", "text")
+    // total trigrams: 60 docs x (4-2) + 30 x 3(+2 boundary... exact below)
+    def run(parts: Int): Map[String, Long] =
+      TextAnalysis.frequentPhrases(d.repartition(parts), "text",
+          n = 3, phiPermyriad = 500)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run(4)
+    // independent exact model
+    val phrases = rows.flatMap { case (_, t) =>
+      val w = t.trim.split("\\s+")
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+    }
+    val counts = phrases.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = phrases.size.toLong
+    val expect = counts.filter { case (_, c) => c * 10000 >= total * 500 }
+    assert(got == expect)
+    assert(got.contains("sign up free") && got.contains("up free today"))
+    assert(!got.contains("rare promo line")) // cold template stays out
+    // the MG candidate set varies with partitioning; the OUTPUT must not
+    assert(run(1) == got && run(7) == got)
+  }
+
+  test("mgSummary: superset of every φ-heavy item, bounded size") {
+    val stream = Seq.fill(40)("hh") ++ (1 to 200).map(i => s"x$i") ++
+      Seq.fill(25)("h2")
+    val out = TextAnalysis.mgSummary(stream.iterator, capacity = 20).toSet
+    assert(out.contains("hh") && out.contains("h2")) // 40/265, 25/265 > 1/21
+    assert(out.size <= 20)
+  }
+
   test("keepBest: cluster keeps highest score (tie to lowest id), singletons survive") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     val d = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (6L, 7L),
