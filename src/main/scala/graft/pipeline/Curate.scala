@@ -69,6 +69,53 @@ object Curate {
         "sampled" -> Sampling.sample(redacted, idCol, samplePermille, salt))
   }
 
+  /** The round-12 "modern" curation chain, composing the quality-aware
+    * operators end to end the way a current-generation pipeline stages
+    * them — each stage strictly stronger than [[curate]]'s counterpart:
+    *
+    *   1. canonical NORMALIZATION ([[TextAnalysis.normalizeText]]: NFC +
+    *      control strip + collapse) — so encoding variants of the same
+    *      text dedup as duplicates instead of slipping through;
+    *   2. NEAR-dup dedup with quality-aware election
+    *      ([[Dedup.ngramJaccard]] pairs → [[Dedup.keepBest]]: the longest
+    *      member of each cluster survives, not the lowest id);
+    *   3. quality-PERCENTILE gate ([[Sampling.keepTopByScore]]: keep the
+    *      best fraction by score — adaptive, where [[curate]]'s
+    *      `qualityKeep` is a fixed-threshold gate);
+    *   4. proportional MIXTURE rebalance ([[Sampling.targetMixture]]:
+    *      hit target source proportions without upsampling).
+    *
+    * Scale shape: stage 1 is scan-level; stage 2 is the inverted-index
+    * shingle join + bounded component loop + one cluster window; stage 3
+    * is a histogram aggregate + broadcast 1-row threshold; stage 4 a
+    * |strata| sizing aggregate + scan predicate. No stage sorts or
+    * collects the corpus. Returns (id, source, score, n_words) of the
+    * surviving rows. */
+  def curateModern(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, jaccardPermille: Int = 600, shingleK: Int = 3,
+      qualityKeepPermille: Int = 600,
+      mixTargets: Map[String, Int] = Map.empty,
+      salt: String = "cur3"): DataFrame = {
+    val norm = docs.select(col(idCol), col(sourceCol),
+      TextAnalysis.normalizeText(col(textCol)).as(textCol))
+    val pairs = Dedup.ngramJaccard(norm, idCol, textCol, shingleK)
+      .where(col("inter") * 1000 >= col("union_n") * jaccardPermille)
+    val scored = norm.select(col(idCol),
+      length(col(textCol)).cast("long").as("__q"))
+    val kept = Dedup.keepBest(scored, idCol, "__q", pairs)
+      .where(col("keep_flag") === 1).select(col("id"))
+    val survivors = norm.join(kept, norm(idCol) === kept("id")).drop("id")
+    val m = TextAnalysis.qualityMetrics(col(textCol)).toMap
+    val withScore = survivors.select(col(idCol), col(sourceCol),
+      (m("alpha_x1000") + m("stopword_x1000")).as("score"),
+      m("n_words").as("n_words"))
+    val gated = Sampling.keepTopByScore(withScore, "score",
+      qualityKeepPermille)
+    if (mixTargets.isEmpty) gated
+    else Sampling.targetMixture(gated, idCol, sourceCol, "n_words",
+      mixTargets, salt)
+  }
+
   /** Pipeline observability: per-stage survivor counts of the chain —
     * (stage_idx, stage, n_docs), one row per stage in chain order. The
     * attrition curve is what a pipeline operator actually watches (a gate

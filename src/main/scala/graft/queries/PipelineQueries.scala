@@ -777,6 +777,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the round-12 "modern" chain: normalize → near-dup keepBest dedup →
+    // quality-percentile gate → proportional mixture, each stage's
+    // arithmetic already proven by its standalone oracle; the composed
+    // oracle replays all four in sequence
+    "q_pipeline_curate3" -> ((s, dir) =>
+      Curate.curateModern(docs(s, dir), "doc_id", "text", "source",
+        jaccardPermille = 600, shingleK = 3, qualityKeepPermille = 600,
+        mixTargets = Map("src0" -> 500, "src1" -> 300, "src2" -> 200),
+        salt = "cur3")
+        .orderBy(col("doc_id"))),
+
     // pipeline observability: the attrition curve — per-stage survivor
     // counts of the six-stage chain (a gate suddenly eating the corpus is
     // the classic silent data bug); oracle re-counts every CTE boundary
@@ -2751,6 +2762,95 @@ object PipelineQueries {
     // arithmetic, the q_text_repetition shingle arithmetic, the q_text_redact
     // regex chain, the q_sample_stratified hash predicate — each fragment
     // individually proven by its standalone oracle.
+    // Composed replica of Curate.curateModern: the recursive-CTE closure +
+    // quality election (q_dedup_keepbest), the histogram gate
+    // (q_text_quality_gate), and the mixture derivation (q_sample_mixture),
+    // chained over the normalized text in the chain's stage order
+    "q_pipeline_curate3" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
+         |), jp AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+         |  FROM shd l JOIN shd r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a, b FROM jp
+         |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |  WHERE inter*1000 >= (sa.n + sb.n - inter)*600
+         |), e AS (
+         |  SELECT a AS x, b AS y FROM cand
+         |  UNION SELECT b AS x, a AS y FROM cand
+         |), reach(x, y) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT e.x, r.y FROM e JOIN reach r ON r.x = e.y
+         |), comp AS (
+         |  SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x
+         |), nrm AS (
+         |  SELECT doc_id, source, $docNorm AS t FROM documents
+         |), lab AS (
+         |  SELECT nrm.doc_id, coalesce(comp.cluster_id, nrm.doc_id) AS cl,
+         |    CAST(length(t) AS BIGINT) AS q
+         |  FROM nrm LEFT JOIN comp USING (doc_id)
+         |), keepers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cl
+         |      ORDER BY q DESC, doc_id) AS r FROM lab) t
+         |  WHERE r = 1
+         |), m AS (
+         |  SELECT nrm.doc_id, source,
+         |    len(string_split(t, ' ')) AS n_words,
+         |    length(t) AS n_chars,
+         |    len(regexp_extract_all(t, '[A-Za-z]')) AS alpha,
+         |    len(regexp_extract_all(t,'\\bthe\\b'))+len(regexp_extract_all(t,'\\band\\b'))
+         |      +len(regexp_extract_all(t,'\\bof\\b'))+len(regexp_extract_all(t,'\\bto\\b'))
+         |      +len(regexp_extract_all(t,'\\bin\\b'))
+         |      +len(regexp_extract_all(t,'\\bder\\b'))+len(regexp_extract_all(t,'\\bdie\\b'))
+         |      +len(regexp_extract_all(t,'\\bund\\b'))+len(regexp_extract_all(t,'\\bdas\\b'))
+         |      +len(regexp_extract_all(t,'\\bist\\b'))
+         |      +len(regexp_extract_all(t,'\\ble\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
+         |      +len(regexp_extract_all(t,'\\bet\\b'))+len(regexp_extract_all(t,'\\bles\\b'))
+         |      +len(regexp_extract_all(t,'\\bdes\\b'))
+         |      +len(regexp_extract_all(t,'\\bel\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
+         |      +len(regexp_extract_all(t,'\\blos\\b'))+len(regexp_extract_all(t,'\\bque\\b'))
+         |      +len(regexp_extract_all(t,'\\bde\\b')) AS stop
+         |  FROM nrm JOIN keepers USING (doc_id)
+         |), scd AS (
+         |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+         |    CAST(FLOOR(alpha*1000.0/greatest(n_chars,1))
+         |      + FLOOR(stop*1000.0/greatest(n_words,1)) AS BIGINT) AS score
+         |  FROM m
+         |), h AS (
+         |  SELECT score AS s2, COUNT(*) AS c FROM scd GROUP BY 1
+         |), cum AS (
+         |  SELECT s2, SUM(c) OVER (ORDER BY s2 DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER () AS n
+         |  FROM h
+         |), thr AS (
+         |  SELECT MAX(CASE WHEN cum >= greatest(1, (n*600) // 1000) THEN s2 END) AS t2
+         |  FROM cum
+         |), gate AS (
+         |  SELECT * FROM scd WHERE score >= (SELECT t2 FROM thr)
+         |), tgt AS (
+         |  SELECT * FROM (VALUES ('src0', 500), ('src1', 300), ('src2', 200))
+         |    t(source, p)
+         |), tot AS (
+         |  SELECT source, CAST(SUM(n_words) AS BIGINT) AS total
+         |  FROM gate GROUP BY 1
+         |), cap AS (
+         |  SELECT MIN(total * 1000 // p) AS t3 FROM tot JOIN tgt USING (source)
+         |  WHERE p > 0 AND total > 0
+         |), rates AS (
+         |  SELECT tgt.source,
+         |    CASE WHEN tot.total IS NULL OR tot.total <= 0 THEN 0
+         |      ELSE least(1000, tgt.p * (SELECT t3 FROM cap) // tot.total) END AS rate
+         |  FROM tgt LEFT JOIN tot USING (source)
+         |)
+         |SELECT g.doc_id, g.source, g.score, g.n_words
+         |FROM gate g JOIN rates USING (source)
+         |WHERE ${samplePermilleSql("cur3", "doc_id")} < rate
+         |ORDER BY doc_id""".stripMargin,
     "q_pipeline_curate" -> curateOracleSql(None),
     // same chain with the model gate between heuristics and the
     // repetition cap (mirrors Curate.curate stage order)

@@ -1560,6 +1560,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(1) == Set(2L, 3L, 6L))
   }
 
+  test("curateModern: encoding variants dedup only because NFC runs first") {
+    // docs 1 and 2 are the same text in decomposed vs composed encoding:
+    // without NFC their shingle Jaccard is 6/12 = 0.5 < 0.6 (the three
+    // shingles touching the accented 3rd word differ), so they do NOT pair;
+    // after NFC they are identical and the cluster keeps one (tie -> id 1)
+    val deco = "the menu cafe\u0301 lists the usual offers and the daily special"
+    val comp = "the menu caf\u00e9 lists the usual offers and the daily special"
+    val other = "a completely different document about trains and the weather today"
+    val d = Seq((1L, "s0", deco), (2L, "s0", comp), (3L, "s1", other))
+      .toDF("doc_id", "source", "text")
+    // sanity: without normalization the pair is below the 0.6 cut
+    val rawPairs = Dedup.ngramJaccard(d, "doc_id", "text", 3)
+      .where(col("inter") * 1000 >= col("union_n") * 600).count()
+    assert(rawPairs == 0L)
+    val out = Curate.curateModern(d, "doc_id", "text", "source",
+        qualityKeepPermille = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
   test("frequentPhrases: exact counts, partition-invariant, sub-threshold excluded") {
     // 60 docs: every 2nd carries the hot template (3 trigrams @30 each),
     // every 15th a cold one (@4); filler words are unique per doc
