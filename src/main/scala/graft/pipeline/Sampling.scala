@@ -288,6 +288,26 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** [[keepTopByScore]] for CONTINUOUS scores — when no integer grid
+    * bounds the histogram, the exact path's |distinct scores| guarantee is
+    * gone; this variant reads the threshold from Spark's built-in
+    * Greenwald–Khanna quantile sketch (`percentile_approx` — a mergeable
+    * partial aggregate: map-side summaries of bounded size, one tiny
+    * merge, never a value collection), then applies the same broadcast
+    * 1-row `>=` cut. `accuracy` trades sketch memory for rank error
+    * (≈ n/accuracy rows); the kept fraction is approximate, the
+    * determinism is not (the sketch is deterministic for a given
+    * partitioning — pin partitioning upstream if bit-stable reruns
+    * matter, or quantize and use the exact path). */
+  def keepTopByScoreApprox(df: DataFrame, scoreCol: String,
+      keepPermille: Int, accuracy: Int = 10000): DataFrame = {
+    require(keepPermille > 0 && keepPermille <= 1000,
+      s"keepPermille must be in (0, 1000]: $keepPermille")
+    val thr = df.agg(percentile_approx(col(scoreCol),
+      lit((1000 - keepPermille) / 1000.0), lit(accuracy)).as("__thr"))
+    df.join(broadcast(thr), col(scoreCol) >= col("__thr")).drop("__thr")
+  }
+
   /** Exactly-k-per-stratum deterministic sample: keep the k rows of each
     * stratum whose mixed coordinate ranks first (ties break by id) — the
     * fixed-SIZE counterpart of [[stratified]]'s fixed-RATE sample, for

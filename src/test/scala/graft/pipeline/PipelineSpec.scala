@@ -1619,6 +1619,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.size <= 20)
   }
 
+  test("keepTopByScoreApprox: near-target fraction, converges to exact on a grid") {
+    val d = (1L to 1000L).map(i => (i, (i * 37L) % 997L)).toDF("id", "score")
+    val kept = Sampling.keepTopByScoreApprox(d, "score", 250).count()
+    // GK rank error at accuracy 10000 over 1000 rows is < 1 rank
+    assert(math.abs(kept - 250L) <= 5L, s"kept $kept of 1000 at 250 permille")
+    // on an integer grid at high accuracy the approx threshold matches the
+    // exact histogram threshold's row set
+    val exact = Sampling.keepTopByScore(d, "score", 250)
+      .select("id").as[Long].collect().toSet
+    val approx = Sampling.keepTopByScoreApprox(d, "score", 250)
+      .select("id").as[Long].collect().toSet
+    assert((approx diff exact).size + (exact diff approx).size <= 10,
+      s"approx/exact sets diverge by ${(approx diff exact).size + (exact diff approx).size}")
+  }
+
   test("keepBest: cluster keeps highest score (tie to lowest id), singletons survive") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     val d = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (6L, 7L),
