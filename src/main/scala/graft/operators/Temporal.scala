@@ -50,4 +50,31 @@ object Temporal {
       .where(col("__side") === 0)
       .select(col("__row.*"), col("__asof.v").as(out))
   }
+
+  /** Gap-based sessionization: per key, rows ordered by (ts, tie-break)
+    * are grouped into sessions split wherever the gap to the previous row
+    * exceeds `gapMs` — the standard event-analytics sessionizer (user
+    * activity bursts, crawl visits, BGP flap episodes over the same log).
+    *
+    * Shape: ONE exchange on the key and one in-partition sort serve both
+    * windows (the `lag` boundary flag and its running sum share
+    * partitioning and ordering, so Catalyst stacks them in a single
+    * WindowExec) — linear per key at any scale; never a global window.
+    * Ties at equal ts can never straddle a boundary (their gap is 0), so
+    * the assignment is deterministic even where the sort order between
+    * them is not; `tieCol` pins the order fully anyway.
+    *
+    * Appends `out` = the 1-based session index within the key. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gapMs: Long, tieCol: String, out: String = "session"): DataFrame = {
+    require(gapMs >= 0, s"gapMs must be non-negative: $gapMs")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val prev = lag(unix_millis(col(tsCol)), 1).over(w)
+    val boundary = when(
+      prev.isNull || unix_millis(col(tsCol)) - prev > gapMs, 1L)
+      .otherwise(0L)
+    df.withColumn(out, sum(boundary)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -84,6 +84,22 @@ object RelationalQueries {
         .orderBy(col("day_ms"), col("event_type"))
     }),
 
+    // Gap-based sessionization (round 12): 30-minute-gap sessions per
+    // user over the event stream, rolled up to per-session stats — one
+    // keyed exchange serves the boundary lag, the running session index
+    // and the rollup; the oracle replays the identical window logic.
+    "q_events_sessions" -> ((s, dir) => {
+      graft.operators.Temporal.sessionize(
+        Tables(s, dir, "events"), "user_id", "ts",
+        gapMs = 1800000L, tieCol = "event_id")
+        .groupBy(col("user_id"), col("session"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_millis(min(col("ts"))).as("start_ms"),
+          unix_millis(max(col("ts"))).as("end_ms"),
+          sum(cents(col("value"))).as("value_c"))
+        .orderBy(col("user_id"), col("session"))
+    }),
+
     // Fact⨝dim join + group + top-k: revenue by part brand, top 10 —
     // part is broadcast; TakeOrderedAndProject caps the sort at k.
     "q_join_parts_topn" -> ((s, dir) => {
@@ -152,6 +168,26 @@ object RelationalQueries {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_events_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM o
+        |)
+        |SELECT user_id, CAST(session AS BIGINT) AS session,
+        |  COUNT(*) AS n_events,
+        |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
+        |  CAST(epoch_ms(MAX(ts)) AS BIGINT) AS end_ms,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_join_parts_topn" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,

@@ -260,4 +260,30 @@ class RibViewsSpec extends AnyFunSuite {
       .select("prefix_str").collect().map(_.getString(0)).toSeq
     assert(topk == Seq("10.0.0.0/24", "10.0.0.0/16"))
   }
+
+  test("sessionize: gap splits, exact-gap stays, per-key indices, one window exec") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L, 10L),      // k1 s1
+      (2L, 1000L, 10L),   // +1000 = gap exactly -> SAME session
+      (3L, 2001L, 10L),   // +1001 > gap -> new session
+      (4L, 2001L, 10L),   // tie ts -> same session regardless of order
+      (5L, 500L, 20L),    // k2 s1
+      (6L, 5000L, 20L))   // k2 s2
+      .toDF("event_id", "ms", "user_id")
+      .withColumn("ts", expr("timestamp_millis(ms)"))
+    val out = Temporal.sessionize(rows, "user_id", "ts",
+        gapMs = 1000L, tieCol = "event_id")
+      .select("event_id", "session").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 1L, 6L -> 2L))
+    // the lag flag and its running sum share one exchange + one WindowExec
+    val plan = Temporal.sessionize(rows, "user_id", "ts", 1000L, "event_id")
+      .queryExecution.executedPlan.toString
+    assert("Window ".r.findAllIn(plan).length +
+      "WindowExec".r.findAllIn(plan).length <= 2, plan.take(3000))
+    assert("Exchange".r.findAllIn(plan).length == 1, plan.take(3000))
+  }
 }
