@@ -232,6 +232,38 @@ object Feed {
     gated.unionByName(docStream.where(!coalesce(usable, lit(false))))
   }
 
+  /** ST13 (round 12): streaming trending-template detection — the live
+    * face of [[graft.pipeline.TextAnalysis.frequentPhrases]]: per
+    * event-time window, count each document n-gram and emit
+    * (window, phrase, n) for phrases reaching `minCount` inside the
+    * window — the "a template just started flooding the feed" alarm
+    * (spam bursts, scraped-mirror ingest, a misbehaving upstream).
+    *
+    * A plain watermarked windowed aggregation: per-window phrase
+    * cardinality is bounded by that window's arrival volume, and the
+    * watermark evicts closed windows, so state stays finite on an
+    * unbounded stream — no Misra–Gries needed HERE (the sketch earns its
+    * keep in the batch sweep where the key space is the whole corpus).
+    * `minCount` is an absolute per-window threshold: a φ-fraction
+    * threshold needs the window's total in the same emission, which a
+    * single streaming aggregation cannot see before the window closes —
+    * relative thresholds stay in the batch pass (the ST10 lambda split). */
+  def hotPhrasesStream(docStream: DataFrame, textCol: String,
+      minCount: Long, n: Int = 3, windowDur: String = "1 minute",
+      watermark: String = "2 minutes", tsCol: String = "ts"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    docStream
+      .select(col(tsCol), explode(when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(words, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))).as("phrase"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("phrase"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** ST10: the curation chain as a STREAM — the per-record gates of
     * `Curate.curate` applied at ingest time: markup strip → heuristic
     * quality gate → hashed-linear classifier gate → watermarked exact

@@ -269,6 +269,54 @@ class FeedSpec extends AnyFunSuite {
       s"unusable rows collapsed: ${passed.length} of ${planted.length} passed")
   }
 
+  test("ST13 windowed hot-phrase alarm equals the batch windowed counts") {
+    val stage = tmp()
+    val docs = spark.read.parquet(s"$srcSf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // minute 0 docs all carry a template burst; minutes 1-2 stay clean
+    val stamped = docs
+      .withColumn("ts", timestamp_millis(
+        lit(1700000000000L) + (col("doc_id") % 3) * 60000L))
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" act now save big")))
+        .otherwise(col("text")))
+    stamped.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(stamped.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = Feed.hotPhrasesStream(stream, "text", minCount = 12L)
+      .writeStream.format("memory").queryName("hot_phrases")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT w.start AS ws, phrase, n FROM hot_phrases")
+      .collect().map(_.toString).sorted.toSeq
+    // independent batch model of the same windowed count + threshold
+    // (split bound once as a column so the model can't drift on re-eval)
+    val batchRows = stamped
+      .withColumn("__w", split(trim(col("text")), "\\s+"))
+      .select(col("ts"), explode(when(size(col("__w")) >= 3,
+        transform(sequence(lit(1), size(col("__w")) - 2),
+          i => concat_ws(" ", element_at(col("__w"), i),
+            element_at(col("__w"), i + 1), element_at(col("__w"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("phrase"))
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("phrase"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 12L)
+      .select(col("w.start").as("ws"), col("phrase"), col("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batchRows)
+    // the burst phrases alarm in the burst window only
+    val hot = spark.sql("SELECT DISTINCT phrase FROM hot_phrases")
+      .collect().map(_.getString(0)).toSet
+    assert(hot.contains("act now save") && hot.contains("now save big"))
+    val wins = spark.sql(
+      "SELECT DISTINCT w.start FROM hot_phrases WHERE phrase = 'act now save'")
+      .collect()
+    assert(wins.length == 1)
+  }
+
   test("ST10 streamed curation chain matches the batch gate set") {
     val s = spark
     import s.implicits._
