@@ -95,15 +95,21 @@ class PipelineSpec extends AnyFunSuite {
     // jobs launched while merely BUILDING the DataFrame
     val d = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
     val tracker = spark.sparkContext.statusTracker
-    val before = tracker.getJobIdsForGroup(null).length
+    // compare MAX job id, not the retained-list length: the tracker evicts
+    // old jobs past spark.ui.retainedJobs, so in a long shared session the
+    // list can SHRINK while new jobs run (caught at 299 suite tests)
+    def maxJob(): Int = {
+      val ids = tracker.getJobIdsForGroup(null)
+      if (ids.isEmpty) -1 else ids.max
+    }
+    val before = maxJob()
     val df = TextAnalysis.bigramLmScore(d, "doc_id", "text")
     // an eager count() blocks until its job completes, so after a short
     // listener-bus drain any construction-time job is visible here
     Thread.sleep(300)
-    assert(tracker.getJobIdsForGroup(null).length == before,
-      "constructing bigramLmScore launched a job")
+    assert(maxJob() == before, "constructing bigramLmScore launched a job")
     assert(df.collect().nonEmpty) // the action still computes
-    assert(tracker.getJobIdsForGroup(null).length > before)
+    assert(maxJob() > before)
   }
 
   test("line dedup keeps first corpus occurrence, reassembles in order") {
