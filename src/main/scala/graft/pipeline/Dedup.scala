@@ -487,10 +487,17 @@ object Dedup {
       algorithm: String = "label"): DataFrame = {
     require(algorithm == "label" || algorithm == "star",
       s"algorithm must be 'label' or 'star', got '$algorithm'")
-    val undirected = pairs
+    // Materialize the candidate pairs ONCE before fanning them out: the
+    // undirected union reads `pairs` twice and the edges union reads THAT
+    // twice, so without this checkpoint the upstream pair producer (an
+    // LSH/shingle self-join — the dominant cost at corpus scale) would be
+    // re-evaluated up to 4× inside the edges materialization (measured:
+    // the round-12 curate3 chain spent most of its sf1 wall here).
+    val base = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
-      .unionByName(pairs
-        .select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+      .localCheckpoint()
+    val undirected = base
+      .unionByName(base.select(col("y").as("x"), col("x").as("y")))
       .distinct()
     if (algorithm == "star") return starClusters(undirected, maxIters)
     // self-loops fold the "keep own label" term into the SAME join: per

@@ -260,12 +260,18 @@ object Sampling {
     * literal. Two passes over the corpus, zero wide shuffles.
     *
     * Deterministic and engine-portable: pure integer logic, so the DuckDB
-    * oracle replays histogram, running sum, k and the cut verbatim. */
+    * oracle replays histogram, running sum, k and the cut verbatim.
+    *
+    * NULL scores are unrankable: they are excluded from the quota base n
+    * AND from the output (counting them in n would inflate k while the
+    * `>=` cut can never admit them — the fraction would silently apply
+    * to the wrong denominator). */
   def keepTopByScore(df: DataFrame, scoreCol: String,
       keepPermille: Int): DataFrame = {
     require(keepPermille > 0 && keepPermille <= 1000,
       s"keepPermille must be in (0, 1000]: $keepPermille")
-    val hist = df.groupBy(col(scoreCol).cast("long").as("__s"))
+    val hist = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("__s"))
       .agg(count(lit(1)).as("__c"))
     // the window runs over the histogram (|distinct scores| rows), not the
     // corpus — the one place a single-partition window is the right shape

@@ -229,6 +229,10 @@ object TextAnalysis {
     *      count of a few thousand groups), and the threshold is the
     *      integer cross-multiply `count·10000 ≥ total·φ` against the 1-row
     *      total (broadcast, the bigramLmScore pattern) — no division.
+    *      The total itself is a DOCUMENT-level aggregate (Σ max(0,
+    *      words−n+1) — each doc's phrase count is a closed form of its
+    *      word count), so the phrase stream is exploded exactly twice
+    *      (candidates, verify), never a third time for the denominator.
     *
     * The output is EXACT and partitioning-invariant (which extra
     * candidates MG carries varies with the split; the verify pass filters
@@ -255,7 +259,8 @@ object TextAnalysis {
     val cands = phrase.as[String]
       .mapPartitions(it => mgSummary(it, capacity))
       .toDF("p").distinct()
-    val total = phrase.agg(count(lit(1)).as("__total"))
+    val total = df.agg(sum(greatest(size(words) - (n - 1), lit(0)))
+      .cast("long").as("__total"))
     phrase.join(broadcast(cands), Seq("p"))
       .groupBy(col("p")).agg(count(lit(1)).cast("long").as("n"))
       .join(broadcast(total),
