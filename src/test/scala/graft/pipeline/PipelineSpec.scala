@@ -1564,6 +1564,13 @@ class PipelineSpec extends AnyFunSuite {
     // p=1000 keeps the corpus; p floor keeps at least one row
     assert(kept(1000).size == 10)
     assert(kept(1) == Set(2L, 3L, 6L))
+    // NULL scores: out of the quota base AND the output — n=10 non-null
+    // of 12 rows, p=300 still means k=3 (not ceil of 12·0.3)
+    val dn = d.unionByName(Seq((11L, Option.empty[Long]),
+      (12L, Option.empty[Long])).toDF("id", "score"))
+    val keptN = Sampling.keepTopByScore(dn, "score", 300)
+      .select("id").as[Long].collect().toSet
+    assert(keptN == Set(2L, 3L, 6L))
   }
 
   test("curateModern: encoding variants dedup only because NFC runs first") {
