@@ -496,10 +496,20 @@ object Dedup {
     val base = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .localCheckpoint()
+    // eagerly free superseded checkpoints (GraftBridge.checkpointRdd doc):
+    // a local checkpoint cannot be recomputed, so ONLY frames provably
+    // never read again are freed — the returned labels frame never is
+    def free(df: DataFrame): Unit =
+      org.apache.spark.sql.GraftBridge.checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false))
     val undirected = base
       .unionByName(base.select(col("y").as("x"), col("x").as("y")))
       .distinct()
-    if (algorithm == "star") return starClusters(undirected, maxIters)
+    if (algorithm == "star") {
+      val r = starClusters(undirected, maxIters)
+      free(base) // star's own checkpoints materialized during the call
+      return r
+    }
     // self-loops fold the "keep own label" term into the SAME join: per
     // round, new(x) = min over {lbl(y) : y ∈ neighbors(x) ∪ {x}} — ONE
     // join + one map-side-combined min instead of the propagate-then-merge
@@ -507,6 +517,7 @@ object Dedup {
     val edges = undirected
       .unionByName(undirected.select(col("x"), col("x").as("y")).distinct())
       .localCheckpoint()
+    free(base) // edges is materialized; base is never read again
     var labels = edges.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
     def lblSum(df: DataFrame): Long =
@@ -530,9 +541,11 @@ object Dedup {
       val s = lblSum(next)
       done = s == prev
       prev = s
+      free(labels) // superseded round (or the init frame) — next is live
       labels = next
       it += 1
     }
+    free(edges) // the loop is over; only the final labels frame survives
     labels.select(col("id"), col("lbl").as("cluster_id"),
       (col("id") === col("lbl")).cast("long").as("keep_flag"))
   }
@@ -625,11 +638,18 @@ object Dedup {
     var prev = sig(edges)
     var done = false
     var it = 0
+    // same checkpoint hygiene as the label loop: superseded rounds are
+    // freed; the FINAL edges and the pinned nodes survive (the result
+    // reads both)
+    def free(df: DataFrame): Unit =
+      org.apache.spark.sql.GraftBridge.checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false))
     while (!done && it < maxIters) {
       val next = half(half(edges, large = true), large = false).localCheckpoint()
       val s = sig(next)
       done = s == prev
       prev = s
+      free(edges)
       edges = next
       it += 1
     }

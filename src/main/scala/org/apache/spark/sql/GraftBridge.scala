@@ -19,4 +19,20 @@ object GraftBridge {
     * from a SQL function builder registered via SparkSessionExtensions). */
   def toExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** The persisted RDD backing a `localCheckpoint()`ed DataFrame (None for
+    * anything else). Iterative operators use it to UNPERSIST superseded
+    * checkpoints eagerly: each loop round's `localCheckpoint` pins its
+    * blocks in the block manager until the context cleaner happens to
+    * collect them, and in a long-lived session (a bench JVM, a notebook,
+    * a multi-query job) the orphaned blocks of past rounds evict page
+    * cache and storage memory for every LATER query — measured as an
+    * across-the-board slowdown of unrelated queries at sf1. CAUTION: only
+    * free a frame that is provably never read again — a local checkpoint
+    * truncates lineage, so an unpersisted one cannot be recomputed. */
+  def checkpointRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }
