@@ -1624,6 +1624,98 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(1) == got && run(7) == got)
   }
 
+  test("property: clusters + keepBest agree with a union-find model on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val genGraph = for {
+      n <- Gen.choose(2, 14)
+      m <- Gen.choose(0, 20)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    (0 until 12).foreach { i =>
+      val (n, rawEdges) = sample(genGraph, 1234L + i)
+      // union-find reference model
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      rawEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val modelRoot = (0 until n).map(x => x.toLong ->
+        // path-compress fully for the min-label contract
+        Iterator.iterate(x)(find).drop(1).next().toLong).toMap
+      // min id per component = duplicateClusters' cluster_id contract
+      val byComp = modelRoot.groupBy(_._2).values
+        .flatMap(g => { val mn = g.keys.min; g.keys.map(_ -> mn) }).toMap
+      if (rawEdges.nonEmpty) {
+        val pairs = rawEdges.toDF("a", "b")
+        Seq("label", "star").foreach { alg =>
+          val got = Dedup.duplicateClusters(pairs, algorithm = alg)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val inPairs = rawEdges.flatMap(e => Seq(e._1, e._2)).toSet
+          val expect = byComp.filter { case (k, _) => inPairs(k) }
+          assert(got == expect, s"seed ${1234 + i} alg $alg")
+        }
+        // keepBest: scores = id*7 % 13 — keeper must be the component
+        // argmax (ties to lowest id), singletons keep themselves
+        val docs = (0L until n.toLong).map(x => (x, x * 7 % 13)).toDF("doc_id", "q")
+        val kb = Dedup.keepBest(docs, "doc_id", "q", rawEdges.toDF("a", "b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val score = (x: Long) => x * 7 % 13
+        kb.groupBy(_._2).foreach { case (comp, rows) =>
+          val members = rows.map(_._1)
+          val best = members.minBy(x => (-score(x), x))
+          assert(rows.count(_._3 == 1L) == 1, s"one keeper in comp $comp")
+          assert(rows.find(_._3 == 1L).get._1 == best,
+            s"keeper of $comp is argmax")
+        }
+        // every doc appears exactly once, labeled by its true component
+        assert(kb.map(_._1).toSet == (0L until n.toLong).toSet)
+        kb.foreach { case (id, comp, _) =>
+          assert(comp == byComp.getOrElse(id, id), s"doc $id component")
+        }
+      }
+    }
+  }
+
+  test("property: sessionize agrees with a fold model on random event times") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val genEvents = Gen.listOfN(40, for {
+      k <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 5000L)
+    } yield (k.toLong, t))
+    (0 until 8).foreach { i =>
+      val evs = sample(genEvents, 77L + i).zipWithIndex
+        .map { case ((k, t), id) => (id.toLong, k, t) }
+      val df = evs.toDF("event_id", "k", "ms")
+        .withColumn("ts", expr("timestamp_millis(ms)"))
+      val got = graft.operators.Temporal
+        .sessionize(df, "k", "ts", gapMs = 700L, tieCol = "event_id")
+        .select("event_id", "session").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // fold model: per key, sort by (ts, id), split on gap > 700
+      val model = evs.groupBy(_._2).flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._1))
+        var s = 0L
+        var prev = Long.MinValue / 2
+        sorted.map { case (id, _, t) =>
+          if (t - prev > 700L) s += 1
+          prev = t
+          id -> s
+        }
+      }
+      assert(got == model, s"seed ${77 + i}")
+    }
+  }
+
   test("mgSummary: superset of every φ-heavy item, bounded size") {
     val stream = Seq.fill(40)("hh") ++ (1 to 200).map(i => s"x$i") ++
       Seq.fill(25)("h2")
