@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -31,6 +32,14 @@ import org.apache.spark.sql.GraftBridge
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
+  // declare the string contract so a non-string child fails at ANALYSIS
+  // instead of throwing ClassCastException in every executor task at
+  // runtime (ImplicitCastInputTypes would be the idiomatic mixin, but
+  // AbstractDataType is private[sql] outside the Spark tree)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs a STRING child, got ${child.dataType.sql}")
   override def prettyName: String = "nfc_normalize"
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =

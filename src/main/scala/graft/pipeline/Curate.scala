@@ -59,7 +59,7 @@ object Curate {
     val rep = TextAnalysis.repetitionByDoc(qualified, idCol, textCol, shingleK)
       .where(col("repetition_x1000") <= maxRepetitionPermille)
     val unrepetitive = qualified.join(rep, col(idCol) === rep("id"))
-      .drop("id")
+      .drop(rep("id")) // by reference — a caller idCol of "id" must survive
     val redacted = unrepetitive
       .withColumn("redacted", TextAnalysis.redactPii(col(textCol)))
       .withColumn("n_red", TextAnalysis.redactionCount(col(textCol)))
@@ -104,7 +104,10 @@ object Curate {
       length(col(textCol)).cast("long").as("__q"))
     val kept = Dedup.keepBest(scored, idCol, "__q", pairs)
       .where(col("keep_flag") === 1).select(col("id"))
-    val survivors = norm.join(kept, norm(idCol) === kept("id")).drop("id")
+    // drop by REFERENCE: drop("id") removes every matching column, so a
+    // caller whose idCol is literally "id" would lose the corpus id too
+    val survivors = norm.join(kept, norm(idCol) === kept("id"))
+      .drop(kept("id"))
     val m = TextAnalysis.qualityMetrics(col(textCol)).toMap
     val withScore = survivors.select(col(idCol), col(sourceCol),
       (m("alpha_x1000") + m("stopword_x1000")).as("score"),

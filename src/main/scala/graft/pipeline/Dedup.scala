@@ -499,9 +499,7 @@ object Dedup {
     // eagerly free superseded checkpoints (GraftBridge.checkpointRdd doc):
     // a local checkpoint cannot be recomputed, so ONLY frames provably
     // never read again are freed — the returned labels frame never is
-    def free(df: DataFrame): Unit =
-      org.apache.spark.sql.GraftBridge.checkpointRdd(df)
-        .foreach(_.unpersist(blocking = false))
+    val free = org.apache.spark.sql.GraftBridge.freeCheckpoint _
     val undirected = base
       .unionByName(base.select(col("y").as("x"), col("x").as("y")))
       .distinct()
@@ -571,6 +569,16 @@ object Dedup {
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 25, algorithm: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    // an integer score contract, enforced rather than silently truncated:
+    // casting a fractional quality score to long would corrupt the
+    // election (1.9 and 1.2 both become 1, the tie-break elects the wrong
+    // doc with no warning) — quantize to an integer grid first (the
+    // qualityMetrics permille pattern)
+    val st = df.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(st),
+      s"keepBest needs an integer-typed score, got $st for '$scoreCol' — " +
+        "quantize fractional scores to an integer grid first")
     val labels = duplicateClusters(pairs, aCol, bCol, maxIters, algorithm)
       .select(col("id"), col("cluster_id"))
     val slim = df.select(col(idCol).cast("long").as("id"),
@@ -641,9 +649,7 @@ object Dedup {
     // same checkpoint hygiene as the label loop: superseded rounds are
     // freed; the FINAL edges and the pinned nodes survive (the result
     // reads both)
-    def free(df: DataFrame): Unit =
-      org.apache.spark.sql.GraftBridge.checkpointRdd(df)
-        .foreach(_.unpersist(blocking = false))
+    val free = org.apache.spark.sql.GraftBridge.freeCheckpoint _
     while (!done && it < maxIters) {
       val next = half(half(edges, large = true), large = false).localCheckpoint()
       val s = sig(next)

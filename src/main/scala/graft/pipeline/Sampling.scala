@@ -195,11 +195,19 @@ object Sampling {
     * budgets: change the corpus and the rates re-derive; the proportions
     * stay what was asked.
     *
-    *   T       = min over targeted strata of  avail_i · 1000 ∕ p_i
-    *   rate_i  = min(1000,  p_i · T ∕ avail_i)      (integer division)
+    *   rate_i = min over targeted strata j of
+    *            ⌊ p_i · avail_j · 1000 ∕ (p_j · avail_i) ⌋
     *
-    * All arithmetic is integer (BigInt against overflow on 100 TB token
-    * masses), so an external engine replays the derivation exactly.
+    * — the exact-rational form of "scale every stratum to the binding
+    * one": the i = j term is exactly 1000, and for the binding stratum
+    * (the argmin of avail∕p) every other term is ≥ 1000, so its rate is
+    * EXACTLY 1000 — kept whole with no flooring loss. (The naive
+    * two-step form — T = ⌊avail·1000∕p⌋ then ⌊p·T∕avail⌋ — floors twice
+    * and books 999 for the binding stratum whenever avail·1000 is not
+    * divisible by p.) All arithmetic is integer (BigInt against overflow
+    * on 100 TB token masses), so an external engine replays the
+    * derivation exactly — and since ⌊min(x_j)⌋ = min(⌊x_j⌋), the per-j
+    * floor-then-min is the floor of the exact rational optimum.
     * Strata without a target get rate 0. One map-side-combined
     * aggregation; |strata| rows on the driver. */
   def mixtureRates(df: DataFrame, strataCol: String, weightCol: String,
@@ -214,20 +222,18 @@ object Sampling {
       .collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
-    val feasible = targetsPermille.toSeq.collect {
+    val live = targetsPermille.toSeq.collect {
       case (s, p) if p > 0 && avail.getOrElse(s, 0L) > 0 =>
-        BigInt(avail(s)) * 1000 / p
+        (p, avail(s))
     }
-    if (feasible.isEmpty) targetsPermille.map { case (s, _) => s -> 0 }
-    else {
-      val t = feasible.min
-      targetsPermille.map { case (s, p) =>
-        val a = avail.getOrElse(s, 0L)
-        val rate =
-          if (p == 0 || a <= 0) 0
-          else (BigInt(p) * t / a).min(1000).toInt
-        s -> rate
-      }
+    targetsPermille.map { case (s, p) =>
+      val a = avail.getOrElse(s, 0L)
+      val rate =
+        if (p == 0 || a <= 0 || live.isEmpty) 0
+        else live.map { case (pj, aj) =>
+          BigInt(p) * aj * 1000 / (BigInt(pj) * a)
+        }.min.toInt
+      s -> rate
     }
   }
 
@@ -287,15 +293,14 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.select(col("__s"), sum(nnc).over(w).as("__cum"),
       sum(nnc).over(Window.partitionBy()).as("__n"))
-    // k = max(1, n·keepPermille div 1000) in EXACT integer arithmetic:
-    // Column `/` is IEEE double division, and floor(double) can land on
-    // the wrong side of an integer boundary once n·permille outgrows the
-    // 2^53 exact range — subtract the remainder first so the divide is an
-    // exactly-representable integer result at ANY corpus size (and the
-    // DuckDB oracle's `//` agrees bit-for-bit)
+    // k = max(1, n·keepPermille div 1000) via the SQL integer-division
+    // operator — Column `/` is IEEE double division, which rounds the
+    // long operand itself beyond 2^53 and can land k on the wrong side of
+    // an integer boundary; `div` is exact at ANY corpus size and matches
+    // the DuckDB oracle's `//` bit-for-bit
     val prod = col("__n") * lit(keepPermille.toLong)
     val k = greatest(lit(1L),
-      ((prod - pmod(prod, lit(1000L))) / 1000).cast("long"))
+      call_function("div", prod, lit(1000L)).cast("long"))
     val thr = cum.agg(
       max(when(col("__cum") >= k, col("__s"))).as("__thr"))
     df.join(broadcast(thr), col(scoreCol).cast("long") >= col("__thr"))

@@ -218,12 +218,19 @@ object TextAnalysis {
     *
     * Two passes, both deterministic:
     *   1. CANDIDATES — per-partition Misra–Gries summaries over the phrase
-    *      stream (capacity 2·⌈10000/φ⌉). By the averaging argument, any
-    *      globally φ-heavy phrase is φ-heavy in at least one partition,
-    *      and MG at that capacity never evicts a partition-φ-heavy item —
-    *      the union of per-partition survivors is a SUPERSET of the true
-    *      answer, bounded by partitions·capacity rows (thousands, not
-    *      corpus-scale).
+    *      stream (capacity 2·⌈10000/φ⌉), PRUNED by the residual floor
+    *      before emission: a partition-φ-heavy item (count ≥ m·φ/10000 of
+    *      the partition's m phrases) loses at most m/(capacity+1) <
+    *      m·φ/20000 to decrement rounds, so its final counter strictly
+    *      exceeds m·φ/20000 — emitting only counters with
+    *      `counter·20000 ≥ m·φ` keeps every such item while dropping the
+    *      count-1 filler tail MG retains up to full capacity. By the
+    *      averaging argument any GLOBALLY φ-heavy phrase is φ-heavy in at
+    *      least one partition, so the pruned union is still a SUPERSET of
+    *      the true answer — and now bounded by ~2/φ genuinely-heavy-ish
+    *      survivors per partition rather than partitions·capacity rows of
+    *      singleton filler (the unpruned form would push the candidate
+    *      broadcast toward driver limits at 1e5-1e6 partitions).
     *   2. VERIFY — exact counts of candidates only: the candidate set
     *      broadcasts, the phrase stream never shuffles (map-side combined
     *      count of a few thousand groups), and the threshold is the
@@ -250,14 +257,12 @@ object TextAnalysis {
     val words = split(trim(col(textCol)), "\\s+")
     val phrase = df.select(words.as("w"))
       .where(size(col("w")) >= n)
-      .select(explode(transform(
-        sequence(lit(1), size(col("w")) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j =>
-          element_at(col("w"), i + j)): _*))).as("p"))
+      .select(explode(phrasesFromWords(col("w"), n)).as("p"))
     val capacity = 2 * (10000 + phiPermyriad - 1) / phiPermyriad
+    val phi = phiPermyriad
     import df.sparkSession.implicits._
     val cands = phrase.as[String]
-      .mapPartitions(it => mgSummary(it, capacity))
+      .mapPartitions(it => mgHeavy(it, capacity, phi))
       .toDF("p").distinct()
     val total = df.agg(sum(greatest(size(words) - (n - 1), lit(0)))
       .cast("long").as("__total"))
@@ -268,15 +273,29 @@ object TextAnalysis {
       .select(col("p").as("phrase"), col("n"))
   }
 
+  /** The word n-grams of an already-split word array, as strings — the
+    * one phrase construction shared by [[frequentPhrases]] and the
+    * streaming [[graft.streaming.Feed.hotPhrasesStream]], so the two
+    * faces can never drift on tokenization. Arrays shorter than n yield
+    * the empty array. */
+  def phrasesFromWords(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Misra–Gries streaming summary: the ≤`capacity` items that survive
     * counter-based eviction — a superset of every item with frequency
-    * > 1/(capacity+1) of the stream. Shared by [[frequentPhrases]]' pass 1
-    * and its spec's soundness property. */
-  private[pipeline] def mgSummary(it: Iterator[String],
-      capacity: Int): Iterator[String] = {
+    * > 1/(capacity+1) of the stream. Shared by [[mgHeavy]] and the spec's
+    * soundness property. Returns the final counters plus the stream
+    * length m. */
+  private[pipeline] def mgCounts(it: Iterator[String],
+      capacity: Int): (java.util.HashMap[String, Long], Long) = {
     val counts = new java.util.HashMap[String, Long](capacity * 2)
+    var m = 0L
     while (it.hasNext) {
       val p = it.next()
+      m += 1
       val c = counts.getOrDefault(p, 0L)
       if (c > 0L) counts.put(p, c + 1L)
       else if (counts.size < capacity) counts.put(p, 1L)
@@ -288,6 +307,27 @@ object TextAnalysis {
         }
       }
     }
+    (counts, m)
+  }
+
+  /** [[mgCounts]] survivors above the residual floor: emit items whose
+    * final counter satisfies `counter·20000 ≥ m·φ` — every
+    * partition-φ-heavy item passes (frequentPhrases scaladoc, step 1),
+    * the capacity-filling singleton tail does not. */
+  private[pipeline] def mgHeavy(it: Iterator[String], capacity: Int,
+      phiPermyriad: Int): Iterator[String] = {
+    val (counts, m) = mgCounts(it, capacity)
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      counts.entrySet().iterator()).asScala
+      .filter(e => e.getValue * 20000L >= m * phiPermyriad)
+      .map(_.getKey)
+  }
+
+  /** Back-compat face of [[mgCounts]] for the soundness spec: just the
+    * surviving keys, no floor. */
+  private[pipeline] def mgSummary(it: Iterator[String],
+      capacity: Int): Iterator[String] = {
+    val counts = mgCounts(it, capacity)._1
     scala.jdk.CollectionConverters.IteratorHasAsScala(
       counts.keySet().iterator()).asScala
   }

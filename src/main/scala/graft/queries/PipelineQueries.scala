@@ -2417,9 +2417,10 @@ object PipelineQueries {
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_words) AS BIGINT) AS kept_words
          |FROM keep GROUP BY source ORDER BY source""".stripMargin,
-    // Proportional mixture: T = min(avail·1000 div target) over targeted
-    // strata (the no-upsampling cap), rate = min(1000, target·T div avail)
-    // — all integer, then the same mixed-hash predicate as every sampler
+    // Proportional mixture, exact-rational form: rate_i = min over
+    // targeted strata j of p_i·avail_j·1000 // (p_j·avail_i) — the i = j
+    // term is exactly 1000, so the binding stratum is kept whole with no
+    // double-flooring loss; same mixed-hash predicate as every sampler
     "q_sample_mixture" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
@@ -2430,14 +2431,16 @@ object PipelineQueries {
          |    t(source, p)
          |), tot AS (
          |  SELECT source, CAST(SUM(n_words) AS BIGINT) AS total FROM d GROUP BY 1
-         |), cap AS (
-         |  SELECT MIN(total * 1000 // p) AS t FROM tot JOIN tgt USING (source)
+         |), live AS (
+         |  SELECT p, total FROM tgt JOIN tot USING (source)
          |  WHERE p > 0 AND total > 0
          |), rates AS (
-         |  SELECT tgt.source,
-         |    CASE WHEN tot.total IS NULL OR tot.total <= 0 THEN 0
-         |      ELSE least(1000, tgt.p * (SELECT t FROM cap) // tot.total) END AS rate
-         |  FROM tgt LEFT JOIN tot USING (source)
+         |  SELECT ti.source,
+         |    CASE WHEN ti.total IS NULL OR ti.total <= 0 THEN 0
+         |      ELSE (SELECT MIN(ti.p * lj.total * 1000 // (lj.p * ti.total))
+         |            FROM live lj) END AS rate
+         |  FROM (SELECT tgt.source, tgt.p, tot.total
+         |        FROM tgt LEFT JOIN tot USING (source)) ti
          |), keep AS (
          |  SELECT d.doc_id, d.source, d.n_words
          |  FROM d JOIN rates USING (source)
@@ -2838,14 +2841,16 @@ object PipelineQueries {
          |), tot AS (
          |  SELECT source, CAST(SUM(n_words) AS BIGINT) AS total
          |  FROM gate GROUP BY 1
-         |), cap AS (
-         |  SELECT MIN(total * 1000 // p) AS t3 FROM tot JOIN tgt USING (source)
+         |), live AS (
+         |  SELECT p, total FROM tgt JOIN tot USING (source)
          |  WHERE p > 0 AND total > 0
          |), rates AS (
-         |  SELECT tgt.source,
-         |    CASE WHEN tot.total IS NULL OR tot.total <= 0 THEN 0
-         |      ELSE least(1000, tgt.p * (SELECT t3 FROM cap) // tot.total) END AS rate
-         |  FROM tgt LEFT JOIN tot USING (source)
+         |  SELECT ti.source,
+         |    CASE WHEN ti.total IS NULL OR ti.total <= 0 THEN 0
+         |      ELSE (SELECT MIN(ti.p * lj.total * 1000 // (lj.p * ti.total))
+         |            FROM live lj) END AS rate
+         |  FROM (SELECT tgt.source, tgt.p, tot.total
+         |        FROM tgt LEFT JOIN tot USING (source)) ti
          |)
          |SELECT g.doc_id, g.source, g.score, g.n_words
          |FROM gate g JOIN rates USING (source)

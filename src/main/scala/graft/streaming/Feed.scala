@@ -253,11 +253,9 @@ object Feed {
       watermark: String = "2 minutes", tsCol: String = "ts"): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
     docStream
-      .select(col(tsCol), explode(when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j =>
-            element_at(words, i + j)): _*)))
-        .otherwise(array().cast("array<string>"))).as("phrase"))
+      .select(col(tsCol),
+        explode(graft.pipeline.TextAnalysis.phrasesFromWords(words, n))
+          .as("phrase"))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur).as("w"), col("phrase"))
       .agg(count(lit(1)).as("n"))

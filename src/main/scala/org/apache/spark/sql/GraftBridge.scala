@@ -35,4 +35,9 @@ object GraftBridge {
       case lr: execution.LogicalRDD => Some(lr.rdd)
       case _ => None
     }
+
+  /** Free a superseded local checkpoint's blocks (no-op for any other
+    * frame) — the one unpersist policy for every iterative operator. */
+  def freeCheckpoint(df: Dataset[_]): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
 }

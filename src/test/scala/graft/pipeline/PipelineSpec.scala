@@ -1546,6 +1546,29 @@ class PipelineSpec extends AnyFunSuite {
     val empty = Sampling.mixtureRates(d.where(col("source") === "D"),
       "source", "w", targets)
     assert(empty.values.forall(_ == 0))
+    // non-divisible masses: the binding stratum books EXACTLY 1000 (the
+    // two-step floor form booked 999 for any avail·1000 not divisible
+    // by p); the other stratum's rate is the exact-rational floor
+    val rows2 = (1L to 19L).map((_, "A", 53L)) ++
+      (100L to 130L).map((_, "B", 97L))
+    val d2 = rows2.toDF("doc_id", "source", "w")
+    val t2 = Map("A" -> 300, "B" -> 100)
+    val r2 = Sampling.mixtureRates(d2, "source", "w", t2)
+    val (aA, aB) = (19L * 53L, 31L * 97L) // 1007, 3007
+    assert(r2("A") == 1000) // binding: 1007/300 < 3007/100
+    assert(r2("B") ==
+      (BigInt(100) * aA * 1000 / (BigInt(300) * aB)).toInt)
+  }
+
+  test("mgHeavy residual floor: heavy items survive, singleton tail does not") {
+    val stream = Seq.fill(40)("hh") ++ (1 to 200).map(i => s"x$i") ++
+      Seq.fill(25)("h2")
+    // capacity for phi=500 permyriad (5%): 2*20 = 40; thresholds: m=265,
+    // counter*20000 >= 265*500 -> counter >= 7
+    val out = TextAnalysis.mgHeavy(stream.iterator, capacity = 40,
+      phiPermyriad = 500).toSet
+    assert(out.contains("hh") && out.contains("h2"))
+    assert(!out.exists(_.startsWith("x"))) // the filler tail is pruned
   }
 
   test("keepTopByScore: threshold minimal, ties kept, full-keep at 1000") {
