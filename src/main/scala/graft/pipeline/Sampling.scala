@@ -247,6 +247,69 @@ object Sampling {
       mixtureRates(df, strataCol, weightCol, targetsPermille),
       defaultPermille = 0, salt = salt)
 
+  /** Exact integer k-th root: the largest r ≥ 0 with r^k ≤ n. The float
+    * seed is corrected by exact integer comparison, so the result is
+    * engine-portable (an external engine replays floor(n^(1/k)) plus the
+    * same ±1 correction). k ∈ {2, 3} — the α = 1/2 and α = 1/3
+    * temperature exponents. */
+  def iroot(n: Long, k: Int): Long = {
+    require(k == 2 || k == 3, s"iroot supports k in {2, 3}: $k")
+    require(n >= 0, s"iroot needs a non-negative argument: $n")
+    def ipow(x: Long): Long = if (k == 2) x * x else x * x * x
+    var r = math.pow(n.toDouble, 1.0 / k).toLong
+    while (r > 0 && ipow(r) > n) r -= 1
+    while (ipow(r + 1) <= n) r += 1
+    r
+  }
+
+  /** Temperature-scaled mixture rates, α = 1/invAlpha: per-stratum keep
+    * rates such that the OUTPUT weight shares are proportional to
+    * `total_s^α` — the standard multilingual/multi-source rebalance
+    * (upweight the tail, damp the head; α = 1/2 and 1/3 are the common
+    * exponents) — subject to no stratum upsampling. Same exact-rational
+    * min form as [[mixtureRates]] with the target share p_s = the exact
+    * integer root of the stratum's weight mass: rate_i = min_j
+    * ⌊p_i·total_j·1000 ∕ (p_j·total_i)⌋. The binding stratum (the
+    * smallest total, since total∕total^α is increasing in total) books
+    * exactly 1000 — kept whole — and every larger stratum downsamples by
+    * (total_i∕total_j*)^(α−1) < 1. Pure integer arithmetic end to end
+    * (BigInt against overflow at 100 TB masses; the root is exact by
+    * [[iroot]]), so an external engine replays the whole derivation.
+    * One map-side-combined sizing aggregation; |strata| driver rows. */
+  def temperatureRates(df: DataFrame, strataCol: String, weightCol: String,
+      invAlpha: Int = 2): Map[String, Int] = {
+    val avail = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("long").as("total"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    val live = avail.toSeq.collect {
+      case (_, t) if t > 0 => (iroot(t, invAlpha), t)
+    }
+    avail.map { case (s, t) =>
+      val rate =
+        if (t <= 0 || live.isEmpty) 0
+        else live.map { case (pj, tj) =>
+          BigInt(iroot(t, invAlpha)) * tj * 1000 / (BigInt(pj) * t)
+        }.min.toInt
+      s -> rate
+    }
+  }
+
+  /** [[temperatureRates]] applied through [[stratified]]'s literal CASE
+    * chain — like [[targetMixture]], the whole rebalance decision is ONE
+    * scan-level hash predicate; the sizing aggregation is the only extra
+    * pass. Strata are discovered from the data (anything seen gets a
+    * rate; the unlisted-stratum default never fires on the sizing pass's
+    * own strata but drops rows of strata that appear only later). */
+  def temperatureMixture(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, invAlpha: Int = 2,
+      salt: String = "temp"): DataFrame =
+    stratified(df, idCol, strataCol,
+      temperatureRates(df, strataCol, weightCol, invAlpha),
+      defaultPermille = 0, salt = salt)
+
   /** Top-fraction selection by an integer score — the quality-percentile
     * gate ("keep the best 20% of documents by quality score"): the
     * threshold is the largest score value t such that at least

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: language ID, quality scoring, token counting,
@@ -360,6 +361,57 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(coalesce(col("in_vocab"), lit(0L))).cast("long").as("n_in_vocab"))
       .withColumn("vocab_x1000", expr("n_in_vocab * 1000 div n_words"))
+  }
+
+  /** Per-document top-k keyword extraction by TF-IDF rank — the classic
+    * document-fingerprinting / topic-signal primitive (salient terms for
+    * indexing, near-dup triage, and topic-mix audits of a training
+    * corpus). Rank score is the integer rational `tf·N·1000 div df`
+    * (N = corpus document count): for a fixed tf it is strictly
+    * decreasing in df exactly like `tf·log(N/df)`, and staying in
+    * integer arithmetic makes the score engine-portable — an external
+    * SQL engine replays explode, counts, and the division bit-for-bit
+    * (the float-idf variant would hash-drift in the last ulp). At
+    * extreme corpus counts the `tf·N·1000` product needs headroom:
+    * tf ≤ doc length, so the product stays below 2^63 for any corpus
+    * under ~10^15 docs × 10^3-word documents — comfortably past 100 TB.
+    *
+    * Shape: one exchange for (doc, word) term counts (map-side combined
+    * — the stopword skew collapses before the shuffle), the document
+    * frequencies derive from THAT aggregate (no second corpus scan),
+    * one word-keyed join of the two (both sides are vocabulary-sized,
+    * not corpus-sized), and the per-doc top-k is a rank ≤ k window that
+    * Catalyst plans as WindowGroupLimit — per-partition partial top-k
+    * before the doc shuffle, so at most k rows per (doc, partition)
+    * move. No global sort, no all-pairs.
+    *
+    * Returns (id, word, tf, df, score_x1000), k rows per non-empty doc
+    * (fewer when the doc has < k distinct words), ties broken by word. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val words = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w0"))
+      .where(col("w0") =!= "")
+      .select(col("id"), lower(col("w0")).as("word"))
+    val tf = words.groupBy(col("id"), col("word"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val n = df.select(countDistinct(col(idCol)).cast("long").as("__n"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_x1000").desc, col("word"))
+    tf.join(dfreq, "word")
+      // 1-row corpus count attaches via an always-true bound (the same
+      // broadcast-literal shape as keepTopByScore's threshold): df ≤ N
+      // holds by construction, so no row is lost and no cross join appears
+      .join(broadcast(n), col("df") <= col("__n"))
+      .withColumn("score_x1000",
+        call_function("div", col("tf") * col("__n") * lit(1000L), col("df"))
+          .cast("long"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select(col("id"), col("word"), col("tf"), col("df"), col("score_x1000"))
   }
 
   /** Markup stripping — the WET-extraction / C4 pre-step that turns

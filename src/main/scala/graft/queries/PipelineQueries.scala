@@ -511,6 +511,14 @@ object PipelineQueries {
           max(col("vocab_x1000")).cast("long").as("max_cov"))
         .orderBy(col("source"))
     }),
+    // per-document TF-IDF top-3 keyword extraction (round 12): integer
+    // rational score tf·N·1000 div df, ties by word; the oracle replays
+    // explode, both counts, the division and the rank cut verbatim
+    "q_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(docs(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("word"), col("tf"), col("df"),
+          col("score_x1000"))
+        .orderBy(col("doc_id"), col("word"))),
     // substring-level dedup: permille of each doc's tokens covered by word
     // 5-grams that repeat anywhere in the corpus (the exact-substring
     // span-removal signal); per-source rollup
@@ -736,6 +744,22 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // temperature-scaled mixture, α = 1/2 (round 12): output weight shares
+    // ∝ sqrt(stratum mass) — the multilingual head-damping rebalance; the
+    // binding (smallest) stratum keeps rate 1000 exactly. The oracle
+    // re-derives the exact integer square roots (float seed ± 1
+    // correction), the min-ratio rates and the hash predicate
+    "q_sample_temperature" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+        .withColumn("n_words", TextAnalysis.wordCount(col("text")).cast("long"))
+      Sampling.temperatureMixture(d, "doc_id", "source", "n_words",
+        invAlpha = 2, salt = "tp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("kept_words"))
+        .orderBy(col("source"))
+    }),
     // epoch-weighted mixture: src0 seen 2.5x (full double + deterministic
     // half), src1 downsampled to 0.3x, everything else exactly once; the
     // copy index makes repeats distinct rows
@@ -2449,6 +2473,41 @@ object PipelineQueries {
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_words) AS BIGINT) AS kept_words
          |FROM keep GROUP BY source ORDER BY source""".stripMargin,
+    // Temperature mixture α = 1/2: exact integer isqrt via float seed plus
+    // the two ±1 corrections (s0 can be off by at most one after FLOOR on
+    // a sub-2^53 total), then the same min-ratio rate form as the
+    // proportional mixture with p_s = isqrt(total_s)
+    "q_sample_temperature" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(trim($docNorm), ' ')) AS BIGINT) AS n_words
+         |  FROM documents
+         |), tot AS (
+         |  SELECT source, CAST(SUM(n_words) AS BIGINT) AS total FROM d GROUP BY 1
+         |), seed AS (
+         |  SELECT source, total, CAST(FLOOR(SQRT(total)) AS BIGINT) AS s0
+         |  FROM tot WHERE total > 0
+         |), r1 AS (
+         |  SELECT source, total,
+         |    s0 - (CASE WHEN s0 * s0 > total THEN 1 ELSE 0 END) AS s1
+         |  FROM seed
+         |), roots AS (
+         |  SELECT source, total,
+         |    s1 + (CASE WHEN (s1 + 1) * (s1 + 1) <= total THEN 1 ELSE 0 END) AS p
+         |  FROM r1
+         |), rates AS (
+         |  SELECT ri.source,
+         |    (SELECT MIN(ri.p * rj.total * 1000 // (rj.p * ri.total))
+         |     FROM roots rj) AS rate
+         |  FROM roots ri
+         |), keep AS (
+         |  SELECT d.doc_id, d.source, d.n_words
+         |  FROM d JOIN rates USING (source)
+         |  WHERE ${samplePermilleSql("tp", "doc_id")} < rate
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS kept_words
+         |FROM keep GROUP BY source ORDER BY source""".stripMargin,
     // base/frac epochs as CASE chains; generate_series replays the copy
     // explode (empty for 0 copies, where Spark guards before sequence())
     "q_sample_epochs" ->
@@ -2741,6 +2800,28 @@ object PipelineQueries {
       s"""SELECT lower(w) AS word, COUNT(*) AS n
          |FROM (SELECT unnest(string_split($docNorm, ' ')) AS w FROM documents) t
          |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q_text_tfidf" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lower(w) AS word FROM (
+         |    SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
+         |    FROM documents) t
+         |  WHERE w <> ''
+         |), tf AS (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM w GROUP BY 1, 2
+         |), dfq AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), n AS (
+         |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+         |), scored AS (
+         |  SELECT doc_id, word, tf, df, tf * n.n * 1000 // df AS score_x1000
+         |  FROM tf JOIN dfq USING (word) CROSS JOIN n
+         |), ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score_x1000 DESC, word) AS r FROM scored
+         |)
+         |SELECT doc_id, word, tf, df, score_x1000 FROM ranked
+         |WHERE r <= 3 ORDER BY doc_id, word""".stripMargin,
     "q_text_ttr" ->
       s"""WITH t AS (
          |  SELECT source,

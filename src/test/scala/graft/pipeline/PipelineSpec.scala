@@ -1560,6 +1560,78 @@ class PipelineSpec extends AnyFunSuite {
       (BigInt(100) * aA * 1000 / (BigInt(300) * aB)).toInt)
   }
 
+  test("iroot is the exact integer k-th root") {
+    for (n <- Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 26L, 27L,
+        99L, 100L, 10000L, (1L << 40) - 1, 1L << 40, (1L << 40) + 1,
+        999999999999L)) {
+      for (k <- Seq(2, 3)) {
+        val r = Sampling.iroot(n, k)
+        def p(x: Long) = if (k == 2) x * x else x * x * x
+        assert(p(r) <= n && p(r + 1) > n, s"iroot($n, $k) = $r")
+      }
+    }
+  }
+
+  test("temperatureMixture: output shares track sqrt mass, binding stratum whole") {
+    // masses 10000 / 100 / 2500 -> isqrt 100 / 10 / 50; binding stratum is
+    // the smallest (B: total/p = 10), so B keeps rate 1000 and the others
+    // land at p_i*total_B*1000/(p_B*total_i): A -> 100, C -> 200
+    val rows = (1L to 100L).map((_, "A", 100L)) ++
+      (200L to 209L).map((_, "B", 10L)) ++
+      (300L to 349L).map((_, "C", 50L))
+    val d = rows.toDF("doc_id", "source", "w")
+    val rates = Sampling.temperatureRates(d, "source", "w")
+    assert(rates == Map("A" -> 100, "B" -> 1000, "C" -> 200))
+    // expected kept-mass shares proportional to isqrt(total): 10:1:5
+    assert(rates("A") * 10000L == 1000L * 1000L &&
+      rates("C") * 2500L == 500L * 1000L)
+    val kept = Sampling.temperatureMixture(d, "doc_id", "source", "w",
+      salt = "tmx").select("doc_id", "source").as[(Long, String)]
+      .collect().toSet
+    val expect = rows.collect {
+      case (id, s, _) if mixedCoord("tmx", id) < rates(s) => (id, s)
+    }.toSet
+    assert(kept == expect)
+    assert(kept.count(_._2 == "B") == 10) // binding stratum kept whole
+    // non-perfect-square masses: exact roots, exact rational floor
+    val d2 = (Seq((1L, "A", 7L), (2L, "A", 6L)) ++
+      (10L to 29L).map((_, "B", 50L))).toDF("doc_id", "source", "w")
+    val r2 = Sampling.temperatureRates(d2, "source", "w")
+    // totals 13 / 1000 -> p 3 / 31; binding A (13/3 < 1000/31)
+    assert(r2("A") == 1000)
+    assert(r2("B") == (BigInt(31) * 13 * 1000 / (BigInt(3) * 1000)).toInt)
+    // invAlpha = 3: cube roots flatten harder toward uniform
+    val r3 = Sampling.temperatureRates(d, "source", "w", invAlpha = 3)
+    // totals 10000/100/2500 -> icbrt 21/4/13; binding B (100/4 = 25)
+    assert(r3("B") == 1000)
+    assert(r3("A") == (BigInt(21) * 100 * 1000 / (BigInt(4) * 10000)).toInt)
+    assert(r3("C") == (BigInt(13) * 100 * 1000 / (BigInt(4) * 2500)).toInt)
+  }
+
+  test("tfidfKeywords: distinctive words outrank shared ones, k and ties hold") {
+    val d = Seq(
+      (1L, "the cat sat on the mat the cat"),
+      (2L, "the dog ran in the park"),
+      (3L, "the bird flew over the park"),
+      (4L, "zz aa")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(d, "doc_id", "text", k = 2)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byDoc = rows.groupBy(_._1)
+    // doc 1: cat tf=2 df=1 -> 2*4*1000/1 = 8000; mat/sat/on tf=1 df=1 ->
+    // 4000; "the" tf=3 df=3 -> 4000 ties with them, word order decides
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.exists(t => t._2 == "cat" && t._3 == 2 && t._4 == 1 &&
+      t._5 == 8000))
+    // second keyword after cat: score-4000 candidates (mat, on, sat, the)
+    // tie-break by word asc -> "mat"
+    assert(d1.map(_._2).toSet == Set("cat", "mat"))
+    // doc 4 has two distinct words -> exactly k = 2 rows; both df=1
+    assert(byDoc(4L).map(_._2).toSet == Set("zz", "aa"))
+    // every doc yields at most k rows
+    assert(byDoc.values.forall(_.length <= 2))
+  }
+
   test("mgHeavy residual floor: heavy items survive, singleton tail does not") {
     val stream = Seq.fill(40)("hh") ++ (1 to 200).map(i => s"x$i") ++
       Seq.fill(25)("h2")
