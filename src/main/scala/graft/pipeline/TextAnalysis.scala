@@ -63,6 +63,56 @@ object TextAnalysis {
       "alpha_x1000" -> permille(alpha, nc))
   }
 
+  /** Named BMP code-point ranges behind [[scriptCounts]] — explicit
+    * numeric ranges, NOT `\p{script=...}` properties: range semantics are
+    * identical in every regex engine (Java here, RE2 in the DuckDB
+    * oracle), while script properties track each engine's Unicode table
+    * version and can disagree at the edges. Ranges are the majority
+    * blocks per script (Basic Latin letters, Cyrillic, Greek, kana +
+    * CJK Unified Ideographs, Arabic), which is what the routing signal
+    * needs — exhaustive script coverage is not the point. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "digit" -> "[0-9]",
+    "cyrillic" -> "[\u0400-\u04FF]",
+    "greek" -> "[\u0370-\u03FF]",
+    "cjk" -> "[\u3040-\u30FF\u4E00-\u9FFF]",
+    "arabic" -> "[\u0600-\u06FF]")
+
+  /** Per-document script/charset profile: character counts per named
+    * code-point range (`n_latin`, `n_digit`, `n_cyrillic`, `n_greek`,
+    * `n_cjk`, `n_arabic`) — the standard wrong-script / mojibake /
+    * mixed-script quality signal that a language-ID pass alone misses
+    * (a "ru" document that is 90% Latin is mislabeled or transliterated;
+    * high CJK counts in an "en" corpus are extraction bleed). Pure
+    * scan-level regexp counts — codegen'd, no shuffle, runs at read
+    * speed at any corpus size. */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    scriptRanges.map { case (name, pattern) =>
+      s"n_$name" -> regexp_count(text, lit(pattern)).cast("long")
+    }
+
+  /** Dominant script of a document: the [[scriptCounts]] class with the
+    * highest count, ties and the all-zero case resolved by the fixed
+    * [[scriptRanges]] precedence (latin first … arabic last, `none` when
+    * every class is zero) — a CASE chain of integer comparisons, so an
+    * external engine replays the election verbatim. */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    // left-to-right election: the first class whose count is positive and
+    // >= every LATER class is the global max (each skipped class is
+    // strictly below some later one), with ties to the earliest class
+    counts.zipWithIndex.foldRight(lit("none")) {
+      case (((name, c), i), acc) =>
+        val laterMax = counts.drop(i + 1) match {
+          case Nil => lit(0L)
+          case Seq((_, only)) => only
+          case rest => greatest(rest.map(_._2): _*)
+        }
+        when(c >= laterMax && c > 0, lit(name.stripPrefix("n_"))).otherwise(acc)
+    }
+  }
+
   /** Type-token ratio ×1000 (lexical diversity): distinct case-folded
     * words over total words — the standard templated/boilerplate-text
     * signal (near-0 for generated spam, high for natural prose).

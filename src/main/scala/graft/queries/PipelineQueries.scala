@@ -100,6 +100,38 @@ object PipelineQueries {
     * the fixture contains no addresses at all (verified), so a redaction
     * query over raw text is vacuous. Pure integer→string arithmetic, so
     * the DuckDB oracle rebuilds the same text exactly. */
+  /** Planted multi-script text (round 12): the fixture corpus is ASCII, so
+    * the script-profile classes would all be vacuously zero — two strides
+    * APPEND short Cyrillic/CJK snippets (mixed-script docs: latin stays
+    * dominant) and two sparse strides REPLACE the text wholesale so the
+    * dominant-script election has non-latin winners to get wrong. All
+    * snippets are BMP, no combining marks (written as \\u escapes — the
+    * NFC-fixture lesson); the oracle replays the same CASE chain from the
+    * same constants. */
+  private val scriptCyr = "\u041F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440 123"
+  private val scriptCjk = "\u4F60\u597D\u4E16\u754C"
+  private val scriptGreek =
+    "\u03B1\u03BB\u03C6\u03B1 \u03B2\u03B7\u03C4\u03B1 \u03B3\u03B1\u03BC\u03BC\u03B1"
+  private val scriptArabic =
+    "\u0645\u0631\u062D\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645"
+
+  private def plantedScriptText(id: Column, text: Column): Column =
+    when(id % 97 === 0, lit(scriptGreek))
+      .when(id % 89 === 0, lit(scriptArabic))
+      .otherwise(concat(text,
+        when(id % 11 === 0, lit(" " + scriptCyr)).otherwise(lit("")),
+        when(id % 13 === 0, lit(" " + scriptCjk)).otherwise(lit(""))))
+
+  // NOTE: no `||` at a line start — this fragment is re-interpolated into
+  // an outer stripMargin string, which would eat the first pipe
+  private def plantedScriptTextSql: String =
+    s"""CASE WHEN doc_id % 97 = 0 THEN '$scriptGreek'
+       |     WHEN doc_id % 89 = 0 THEN '$scriptArabic'
+       |     ELSE concat(text,
+       |       CASE WHEN doc_id % 11 = 0 THEN ' $scriptCyr' ELSE '' END,
+       |       CASE WHEN doc_id % 13 = 0 THEN ' $scriptCjk' ELSE '' END)
+       |END""".stripMargin
+
   private def plantedPii(id: Column, text: Column): Column = {
     def s(c: Column) = c.cast("string")
     when(id % 5 === 0, concat(text,
@@ -519,6 +551,31 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("word"), col("tf"), col("df"),
           col("score_x1000"))
         .orderBy(col("doc_id"), col("word"))),
+    // script/charset profile over planted multi-script docs (round 12):
+    // per-language rollup of the six code-point-range counts plus the
+    // dominant-script election; the oracle replays ranges, counts and the
+    // CASE-chain election from the same constants
+    "q_text_script" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"), col("lang"),
+        plantedScriptText(col("doc_id"), col("text")).as("text"))
+      val withCounts = TextAnalysis.scriptCounts(col("text"))
+        .foldLeft(planted) { case (d, (n, c)) => d.withColumn(n, c) }
+        .withColumn("dom", TextAnalysis.dominantScript(col("text")))
+      val sums = TextAnalysis.scriptRanges.map { case (n, _) =>
+        sum(col(s"n_$n")).cast("long").as(s"sum_$n")
+      }
+      val doms = Seq(
+        sum(when(col("dom") =!= "latin", 1L).otherwise(0L)).cast("long")
+          .as("n_dom_nonlatin"),
+        sum(when(col("dom") === "greek", 1L).otherwise(0L)).cast("long")
+          .as("n_dom_greek"),
+        sum(when(col("dom") === "arabic", 1L).otherwise(0L)).cast("long")
+          .as("n_dom_arabic"))
+      withCounts.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          (sums ++ doms): _*)
+        .orderBy(col("lang"))
+    }),
     // substring-level dedup: permille of each doc's tokens covered by word
     // 5-grams that repeat anywhere in the corpus (the exact-substring
     // span-removal signal); per-source rollup
@@ -917,6 +974,48 @@ object PipelineQueries {
   private val classifierWeights: Seq[Int] = (0 until 64).map(b => (b * 37 + 11) % 7)
 
   private val docNorm = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+
+  /** DuckDB replica of the script-profile rollup — counts, the
+    * dominant-script CASE-chain election and the per-language sums are all
+    * generated from [[TextAnalysis.scriptRanges]], so engine and oracle
+    * cannot drift apart on a range edit. */
+  private def scriptOracleSql: String = {
+    val ranges = TextAnalysis.scriptRanges
+    val cnts = ranges.map { case (n, p) =>
+      s"len(regexp_extract_all(text, '$p')) AS n_$n"
+    }.mkString(",\n    ")
+    val dom = ranges.zipWithIndex.map { case ((n, _), i) =>
+      val later = ranges.drop(i + 1).map(r => s"n_${r._1}")
+      val cond =
+        if (later.isEmpty) s"n_$n > 0"
+        else s"n_$n >= greatest(${later.mkString(", ")}) AND n_$n > 0"
+      s"WHEN $cond THEN '$n'"
+    }.mkString("\n      ")
+    val sums = ranges.map { case (n, _) =>
+      s"CAST(SUM(n_$n) AS BIGINT) AS sum_$n"
+    }.mkString(",\n  ")
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang, $plantedScriptTextSql AS text FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang,
+       |    $cnts
+       |  FROM planted
+       |), d AS (
+       |  SELECT *, CASE
+       |      $dom
+       |      ELSE 'none' END AS dom
+       |  FROM c
+       |)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  $sums,
+       |  CAST(SUM(CASE WHEN dom <> 'latin' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dom_nonlatin,
+       |  CAST(SUM(CASE WHEN dom = 'greek' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dom_greek,
+       |  CAST(SUM(CASE WHEN dom = 'arabic' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dom_arabic
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   /** DuckDB replica of [[Dedup.charFold]] over a string expression. */
   private def sqlCharFold(c: String, mult: Long, q: Long): String =
@@ -2800,6 +2899,7 @@ object PipelineQueries {
       s"""SELECT lower(w) AS word, COUNT(*) AS n
          |FROM (SELECT unnest(string_split($docNorm, ' ')) AS w FROM documents) t
          |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q_text_script" -> scriptOracleSql,
     "q_text_tfidf" ->
       s"""WITH w AS (
          |  SELECT doc_id, lower(w) AS word FROM (

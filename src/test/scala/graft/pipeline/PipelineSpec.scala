@@ -1632,6 +1632,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc.values.forall(_.length <= 2))
   }
 
+  test("scriptCounts/dominantScript: range counts and precedence election") {
+    val rows = Seq(
+      (1L, "hello world 42"),                          // latin dominant
+      (2L, "\u041F\u0440\u0438\u0432\u0435\u0442 ok"), // cyrillic 6 vs latin 2
+      (3L, "\u4F60\u597D\u4E16\u754C\u3042"),          // cjk (ideographs + kana)
+      (4L, "123 456"),                                 // digits only
+      (5L, "... !!"),                                  // no class hit -> none
+      (6L, "ab \u03B1\u03B2"),                         // latin/greek tie -> latin
+      (7L, "\u0645\u0631\u062D\u0628\u0627 x"))        // arabic 5 vs latin 1
+      .toDF("id", "text")
+    val out = TextAnalysis.scriptCounts(col("text"))
+      .foldLeft(rows) { case (d, (n, c)) => d.withColumn(n, c) }
+      .withColumn("dom", TextAnalysis.dominantScript(col("text")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("dom") == "latin")
+    assert(out(1L).getAs[Long]("n_latin") == 10 &&
+      out(1L).getAs[Long]("n_digit") == 2)
+    assert(out(2L).getAs[String]("dom") == "cyrillic" &&
+      out(2L).getAs[Long]("n_cyrillic") == 6)
+    assert(out(3L).getAs[String]("dom") == "cjk" &&
+      out(3L).getAs[Long]("n_cjk") == 5)
+    assert(out(4L).getAs[String]("dom") == "digit")
+    assert(out(5L).getAs[String]("dom") == "none")
+    assert(out(6L).getAs[String]("dom") == "latin") // tie -> earlier class
+    assert(out(7L).getAs[String]("dom") == "arabic")
+  }
+
   test("mgHeavy residual floor: heavy items survive, singleton tail does not") {
     val stream = Seq.fill(40)("hh") ++ (1 to 200).map(i => s"x$i") ++
       Seq.fill(25)("h2")
