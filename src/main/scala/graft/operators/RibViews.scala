@@ -115,6 +115,76 @@ object RibViews {
   def pathOrigin: Column =
     when(size(col("attrs.as_list")) > 0, element_at(col("attrs.as_list"), -1))
 
+  /** Consecutive-ASN edges of the flattened AS path — the building block
+    * of the AS adjacency graph ("who peers with whom, carrying how many
+    * prefixes"), the standard looking-glass topology view derived from
+    * the same event log. Empty below 2 ASNs; the explicit guard matters
+    * because `sequence(1, 0)` would otherwise count DOWN. Pure array
+    * arithmetic — scan-level, codegen'd. */
+  def pathEdges: Column = {
+    val asns = col("attrs.as_list")
+    val edgeType = "array<struct<as_a:bigint,as_b:bigint>>"
+    when(size(asns) >= 2,
+      transform(sequence(lit(1), size(asns) - 1),
+        i => struct(element_at(asns, i).cast("long").as("as_a"),
+          element_at(asns, i + 1).cast("long").as("as_b"))))
+      .otherwise(lit(null).cast(edgeType))
+  }
+
+  /** AS adjacency rollup: one row per directed AS-path edge with event,
+    * distinct-prefix and active counts. Explode + map-side-combined
+    * aggregation — the same shape as the community rollup; edge
+    * cardinality is |AS graph edges| (tens of thousands on a full
+    * internet table), so the aggregate output is tiny next to the log. */
+  def asAdjacency(df: DataFrame): DataFrame =
+    df.select(col("active"), col("prefix_str"), explode(pathEdges).as("e"))
+      .groupBy(col("e.as_a").as("as_a"), col("e.as_b").as("as_b"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("prefix_str")).cast("long").as("n_prefixes"),
+        sum(when(col("active"), 1L).otherwise(0L)).cast("long").as("n_active"))
+
+  /** CIDR aggregation candidates: sibling v4 prefix pairs in the current
+    * RIB — two same-length prefixes differing only in their last network
+    * bit, announced with the same origin AS and nexthop — that could be
+    * replaced by their /(len−1) parent without changing forwarding (the
+    * classic table-compression / config-audit analytic).
+    *
+    * Shape: NOT a self-join — each route maps to its parent block
+    * (integer arithmetic: the sibling bit is 2^(32−len)), and one
+    * grouped aggregation per (rib, parent, len, origin, nexthop) checks
+    * that BOTH child halves are present. One shuffle on the group key,
+    * linear in the current table; a self-join on the sibling ip would
+    * move the same data twice and square the skew.
+    *
+    * The match requirement is the origin AS by default; callers wanting
+    * strict forwarding equivalence append more attribute keys via
+    * `extraKeys` (e.g. `"nh_ip" -> col("attrs.nexthop.ip_lo")`).
+    *
+    * Returns (rib, plen, parent_ip, origin_as, extraKeys..., n_prefixes,
+    * n_routes) for groups where both halves exist. */
+  def aggregatableSiblings(df: DataFrame,
+      extraKeys: Seq[(String, Column)] = Nil): DataFrame = {
+    val plen = col("prefix.prefix_len")
+    val ip = col("prefix.ip_lo")
+    val sibBit = call_function("shiftleft", lit(1L), lit(32) - plen)
+    val childBit = pmod(call_function("div", ip, sibBit), lit(2L))
+    val keyNames = Seq("rib", "plen", "parent_ip", "origin_as") ++
+      extraKeys.map(_._1)
+    current(df)
+      .where(col("prefix").isNotNull && col("prefix.version") === 4 &&
+        plen.between(1, 32))
+      .select(Seq(col("rib"), plen.as("plen"),
+        (ip - childBit * sibBit).as("parent_ip"), childBit.as("__cb"),
+        pathOrigin.as("origin_as"), col("prefix_str")) ++
+        extraKeys.map { case (n, c) => c.as(n) }: _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(countDistinct(col("__cb")).as("__nc"),
+        countDistinct(col("prefix_str")).cast("long").as("n_prefixes"),
+        count(lit(1)).cast("long").as("n_routes"))
+      .where(col("__nc") === 2)
+      .drop("__nc")
+  }
+
   /** Bounded history ring: newest `depth` records per key — the reference's
     * `shrink_hist` retention (A5, src/bgprib.rs:326-341). */
   def retained(df: DataFrame, depth: Int): DataFrame =

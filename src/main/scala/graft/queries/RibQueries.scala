@@ -136,6 +136,20 @@ object RibQueries {
           countDistinct(col("prefix_str")).cast("long").as("n_prefixes"),
           sum(when(col("active"), 1L).otherwise(0L)).cast("long").as("n_active"))
         .orderBy(col("origin_as"))),
+    // AS adjacency graph (round 12): directed consecutive-ASN edges of
+    // every path with event/prefix/active counts — the looking-glass
+    // topology view; explode + map-side-combined aggregation. The oracle
+    // re-derives both edge families from the generator arithmetic
+    "q_rib_as_adjacency" -> ((s, dir) =>
+      RibViews.asAdjacency(re(s, dir)).orderBy(col("as_a"), col("as_b"))),
+    // CIDR aggregation candidates (round 12): sibling v4 prefix pairs in
+    // the current RIB with identical origin+nexthop, found by parent-block
+    // GROUPING (no self-join); the oracle replays the current-state
+    // window, the sibling-bit arithmetic and the both-halves check
+    "q_rib_aggregatable" -> ((s, dir) =>
+      RibViews.aggregatableSiblings(re(s, dir))
+        .orderBy(col("rib"), col("plen"), col("parent_ip"),
+          col("origin_as"))),
     // community rollup: events/active/rib-spread per community value — the
     // "which communities tag how much of the table" policy view; explode +
     // map-side-combined aggregation, same shape as wordfreq
@@ -598,6 +612,42 @@ object RibQueries {
         |  COUNT(DISTINCT prefix_str) AS n_prefixes,
         |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
         |FROM re GROUP BY 1 ORDER BY 1""".stripMargin),
+    // path edges mirror the generator: (a1, a2) on every event plus
+    // (a2, 65001) when the third ASN is appended (eid odd)
+    "q_rib_as_adjacency" -> (cte +
+      """, edges AS (
+        |  SELECT a1 AS as_a, a2 AS as_b, prefix_str, active FROM re
+        |  UNION ALL
+        |  SELECT a2 AS as_a, 65001 AS as_b, prefix_str, active FROM re
+        |  WHERE eid%2=1
+        |)
+        |SELECT CAST(as_a AS BIGINT) AS as_a, CAST(as_b AS BIGINT) AS as_b,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT prefix_str) AS n_prefixes,
+        |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+        |FROM edges GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // sibling-bit arithmetic over the current-state window; BIGINT shift
+    // base so a short plen cannot overflow a 32-bit 1<<31
+    "q_rib_aggregatable" -> (cte +
+      s""", cur AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY $keyExpr
+         |      ORDER BY ts DESC, eid DESC) AS rn
+         |    FROM re) t WHERE rn=1 AND active
+         |), v4 AS (
+         |  SELECT rib, plen, prefix_str,
+         |    (ip // (CAST(1 AS BIGINT) << (32 - plen))) % 2 AS cb,
+         |    ip - ((ip // (CAST(1 AS BIGINT) << (32 - plen))) % 2)
+         |      * (CAST(1 AS BIGINT) << (32 - plen)) AS parent_ip,
+         |    CASE WHEN eid%2=1 THEN 65001 ELSE a2 END AS origin_as
+         |  FROM cur WHERE ip IS NOT NULL AND plen BETWEEN 1 AND 32
+         |)
+         |SELECT rib, plen, CAST(parent_ip AS BIGINT) AS parent_ip,
+         |  CAST(origin_as AS BIGINT) AS origin_as,
+         |  COUNT(DISTINCT prefix_str) AS n_prefixes, COUNT(*) AS n_routes
+         |FROM v4 GROUP BY 1, 2, 3, 4
+         |HAVING COUNT(DISTINCT cb) = 2
+         |ORDER BY 1, 2, 3, 4""".stripMargin),
     // communities mirror the generator: (10, eid%50) and (20, uid%10) per
     // event (c1b/c2b in the cte)
     "q_rib_communities" -> (cte +

@@ -226,6 +226,70 @@ class RibViewsSpec extends AnyFunSuite {
       .select("prefix_str").collect().map(_.getString(0)).toSeq)
   }
 
+  test("asAdjacency counts events/prefixes/actives per consecutive-ASN edge") {
+    def mk(ts: Long, asns: Seq[Long], addr: String, active: Boolean) = {
+      val p = Model.v4(addr, 24)
+      RouteEvent(new java.sql.Timestamp(ts), "ipv4u", 0, 0L, active,
+        Some(p), Some(Model.pfxStr(p)), None, None, None, None, None, None,
+        Model.emptyAttrs.copy(as_list = asns), 0L)
+    }
+    val rows = Seq(
+      mk(base, Seq(1L, 2L, 3L), "10.0.0.0", active = true),
+      mk(base + 1, Seq(1L, 2L), "10.0.1.0", active = true),
+      mk(base + 2, Seq(2L, 3L), "10.0.0.0", active = false),
+      mk(base + 3, Seq(7L), "10.0.2.0", active = true)) // 1 ASN: no edges
+    val got = RibViews.asAdjacency(df(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((2L, 2L, 2L)),
+      (2L, 3L) -> ((2L, 1L, 1L))))
+  }
+
+  test("aggregatableSiblings: both halves, same origin+nexthop, current only") {
+    def rt(ts: Long, addr: String, plen: Int, origin: Long, nh: String,
+        active: Boolean = true) = {
+      val p = Model.v4(addr, plen)
+      RouteEvent(new java.sql.Timestamp(ts), "ipv4u", 0, 0L, active,
+        Some(p), Some(Model.pfxStr(p)), None, None, None, None, None, None,
+        Model.emptyAttrs.copy(as_list = Seq(100L, origin),
+          nexthop = Some(Model.v4(nh, 32))), 0L)
+    }
+    val rows = Seq(
+      // aggregatable /24 pair
+      rt(base, "10.0.0.0", 24, 65001L, "192.0.2.1"),
+      rt(base + 1, "10.0.1.0", 24, 65001L, "192.0.2.1"),
+      // sibling pair with MISMATCHED origins: not aggregatable
+      rt(base + 2, "10.0.2.0", 24, 65001L, "192.0.2.1"),
+      rt(base + 3, "10.0.3.0", 24, 65002L, "192.0.2.1"),
+      // lone prefix
+      rt(base + 4, "10.1.0.0", 24, 65001L, "192.0.2.1"),
+      // sibling withdrawn in its newest record: current() excludes it
+      rt(base + 5, "10.2.0.0", 24, 65001L, "192.0.2.1"),
+      rt(base + 6, "10.2.0.0", 24, 65001L, "192.0.2.1", active = false),
+      rt(base + 7, "10.2.1.0", 24, 65001L, "192.0.2.1"),
+      // aggregatable /28 pair (sibling bit 16)
+      rt(base + 8, "10.5.0.0", 28, 65003L, "192.0.2.9"),
+      rt(base + 9, "10.5.0.16", 28, 65003L, "192.0.2.9"))
+    val got = RibViews.aggregatableSiblings(df(rows)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    def ip(a: Int, b: Int, c: Int, d: Int): Long =
+      (a.toLong << 24) + (b << 16) + (c << 8) + d
+    assert(got == Set(
+      ("ipv4u", 24, ip(10, 0, 0, 0), 65001L, 2L, 2L),
+      ("ipv4u", 28, ip(10, 5, 0, 0), 65003L, 2L, 2L)))
+    // strict forwarding equivalence: adding the nexthop key keeps both
+    // pairs (shared nexthop within each), and a nexthop mismatch splits one
+    val strict = RibViews.aggregatableSiblings(df(rows),
+      extraKeys = Seq("nh_ip" -> col("attrs.nexthop.ip_lo")))
+    assert(strict.count() == 2)
+    val mixedNh = rows.updated(9,
+      rt(base + 9, "10.5.0.16", 28, 65003L, "192.0.2.10"))
+    assert(RibViews.aggregatableSiblings(df(mixedNh),
+      extraKeys = Seq("nh_ip" -> col("attrs.nexthop.ip_lo"))).count() == 1)
+  }
+
   test("range-prune hint never changes scan results (O2 equivalence)") {
     val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
     // materialized (as the production log is): composing the acceptance
