@@ -23,6 +23,19 @@ case class BmpGateEvent(msg_type: String, rdh: Long, rdl: Long,
 case class OriginAlert(ring_id: Long, rib: String, prefix_str: String,
     ts_ms: Long, from_as: Long, to_as: Long)
 
+/** One flap-damping transition emitted by [[Feed.flapDampStream]]: ring
+  * `ring_id` crossed the suppress threshold (`kind = "suppress"`) or
+  * decayed back under the reuse threshold (`kind = "reuse"`) at `ts_ms`,
+  * with the penalty value after the triggering event. */
+case class FlapAlert(ring_id: Long, rib: String, prefix_str: String,
+    ts_ms: Long, kind: String, penalty: Long)
+
+/** Per-ring damping state held by [[Feed.flapDampStream]]: accumulated
+  * penalty, the event time it was last valued at, the last seen
+  * active flag (-1 = none yet) and whether the ring is suppressed. */
+case class FlapState(penalty: Long, last_ts_ms: Long, last_active: Int,
+    suppressed: Boolean)
+
 /** Structured Streaming surface of the engine (SURVEY.md §2.6 ST1-ST5).
   *
   * The reference runs a tokio broadcast bus (capacity 2, laggards dropped,
@@ -378,6 +391,68 @@ object Feed {
           last = r._6
         }
         state.update(last)
+        out.result().iterator
+      }
+  }
+
+  /** ST14 (round 12): streaming route-flap damping — the RFC 2439 shape
+    * (penalty per activity transition, exponential decay, suppress /
+    * reuse thresholds) as a stateful operator over the live feed; the
+    * batch flap view (`q_rib_flaps`) counts transitions after the fact,
+    * this damps them as they happen. Per ring, GroupState holds ONE
+    * small [[FlapState]]; each event first decays the penalty by
+    * integer halvings of the elapsed event time (`penalty >>
+    * elapsed/halfLifeMs` — exact, engine-portable, no float e^-λt), then
+    * books `penaltyPerFlap` when the active flag flipped, then emits a
+    * transition row when the ring crosses `suppressAt` upward or falls
+    * below `reuseBelow`. Decay is EVENT-DRIVEN (valued lazily at the
+    * next arrival): a silent suppressed ring stays suppressed until it
+    * speaks again — the operator analog of a router's reuse timer tick
+    * folded into arrival processing; deterministic because the decayed
+    * value depends only on event times, never on wall clock or batch
+    * boundaries. Rows sort by (ts, event_id) within a batch (ST12
+    * discipline) so multi-flap batches emit every crossing
+    * deterministically. NoTimeout: ring lifetime = ring retention. */
+  def flapDampStream(eventStream: DataFrame, penaltyPerFlap: Long = 1000L,
+      suppressAt: Long = 3000L, reuseBelow: Long = 1000L,
+      halfLifeMs: Long = 3600000L): Dataset[FlapAlert] = {
+    require(penaltyPerFlap > 0 && suppressAt > reuseBelow && reuseBelow > 0,
+      s"need penaltyPerFlap > 0 and suppressAt > reuseBelow > 0: " +
+        s"$penaltyPerFlap/$suppressAt/$reuseBelow")
+    require(halfLifeMs > 0, s"halfLifeMs must be positive: $halfLifeMs")
+    import eventStream.sparkSession.implicits._
+    eventStream
+      .select(col("ring_id"), col("rib"),
+        coalesce(col("prefix_str"), lit("")).as("prefix_str"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"), col("active"))
+      .as[(Long, String, String, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FlapState, FlapAlert](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (ring, rows, state) =>
+        var st = state.getOption.getOrElse(FlapState(0L, Long.MinValue, -1, false))
+        val out = Vector.newBuilder[FlapAlert]
+        rows.toVector.sortBy(r => (r._4, r._5)).foreach { r =>
+          val active = if (r._6) 1 else 0
+          // decay to this event's time (monotone per ring by sort order;
+          // a clock-skewed earlier ts decays nothing)
+          val elapsed = if (st.last_ts_ms == Long.MinValue) 0L
+            else math.max(0L, r._4 - st.last_ts_ms)
+          val halvings = math.min(elapsed / halfLifeMs, 62L)
+          var penalty = st.penalty >> halvings
+          if (st.last_active >= 0 && st.last_active != active)
+            penalty += penaltyPerFlap
+          val wasSuppressed = st.suppressed
+          val suppressed =
+            if (!wasSuppressed && penalty >= suppressAt) true
+            else if (wasSuppressed && penalty < reuseBelow) false
+            else wasSuppressed
+          if (suppressed != wasSuppressed)
+            out += FlapAlert(ring, r._2, r._3, r._4,
+              if (suppressed) "suppress" else "reuse", penalty)
+          st = FlapState(penalty, r._4, active, suppressed)
+        }
+        state.update(st)
         out.result().iterator
       }
   }

@@ -650,6 +650,95 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("ST14 flap damping equals the batch fold model") {
+    val stage = tmp()
+    val ckpt = tmp() + "/ckpt"
+    val events = graft.queries.Tables(spark, srcSf, "events")
+    import org.apache.spark.sql.expressions.Window
+    // ST12 staging discipline: sequential event-time chunks so per-ring
+    // arrival order is (ts, event_id)
+    val chunked = events.withColumn("__c",
+      ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { c =>
+      chunked.where(col("__c") === c).drop("__c").coalesce(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("append").parquet(stage)
+      Thread.sleep(1100)
+    }
+    val routeStream = graft.sources.RouteEventGen.fromEvents(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage))
+    // first flap suppresses (1000 >= 1000); huge half-life: no decay, so
+    // the independent model below needs no time arithmetic
+    val q = Feed.flapDampStream(routeStream, penaltyPerFlap = 1000L,
+      suppressAt = 1000L, reuseBelow = 500L, halfLifeMs = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("flap_alerts")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT ring_id, ts_ms, kind, penalty FROM flap_alerts")
+      .collect().map(_.toString).sorted
+    val rows = graft.sources.RouteEventGen.fromEvents(events)
+      .select(col("ring_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("active"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(t => (t._2, t._3))
+    val model = scala.collection.mutable.ArrayBuffer.empty[String]
+    val st = scala.collection.mutable.Map.empty[Long, (Long, Int, Boolean)]
+    rows.foreach { case (ring, ts, _, act) =>
+      val (p0, la, sup0) = st.getOrElse(ring, (0L, -1, false))
+      val a = if (act) 1 else 0
+      var p = p0
+      if (la >= 0 && la != a) p += 1000L
+      val sup =
+        if (!sup0 && p >= 1000L) true
+        else if (sup0 && p < 500L) false
+        else sup0
+      if (sup != sup0)
+        model += s"[$ring,$ts,${if (sup) "suppress" else "reuse"},$p]"
+      st(ring) = (p, a, sup)
+    }
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == model.sorted.toSeq)
+  }
+
+  test("ST14 decay: suppressed ring reuses after quiet halvings") {
+    val stage = tmp()
+    val ckpt = tmp() + "/ckpt"
+    import graft.model._
+    val base = 1700000000000L
+    def ev(ts: Long, active: Boolean) = RouteEvent(
+      new java.sql.Timestamp(ts), "ipv4u", 0, 0L, active,
+      Some(Model.v4("10.0.0.0", 24)), Some("10.0.0.0/24"),
+      None, None, None, None, None, None, Model.emptyAttrs, 0L)
+    val s = spark
+    import s.implicits._
+    val rows = Seq(ev(base, active = true), ev(base + 1000, active = false),
+      ev(base + 2000, active = true), ev(base + 22000, active = true))
+    val df = s.createDataset(rows).toDF()
+      .withColumn("ring_id", lit(1L))
+      .withColumn("event_id", unix_millis(col("ts")) - base)
+    df.coalesce(1).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(stage)
+    val q = Feed.flapDampStream(
+      s.readStream.schema(df.schema).parquet(stage),
+      penaltyPerFlap = 1000L, suppressAt = 2000L, reuseBelow = 800L,
+      halfLifeMs = 10000L)
+      .writeStream.format("memory").queryName("flap_decay")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT ts_ms, kind, penalty FROM flap_decay ORDER BY ts_ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // flap at +1000 books 1000; flap at +2000 books 2000 -> suppress;
+    // the quiet 20 s = two half-lives halves twice: 500 < 800 -> reuse
+    assert(got == Seq((base + 2000, "suppress", 2000L),
+      (base + 22000, "reuse", 500L)))
+  }
+
   test("ST7 mapGroupsWithState session tracker converges to the batch rollup") {
     val stage = tmp()
     val ckpt = tmp() + "/ckpt"
