@@ -340,11 +340,22 @@ object Sampling {
     * different from the probe branch, breaking Catalyst's exchange reuse
     * between the two evaluations of the (possibly expensive) upstream —
     * measured 2× on the composed curate3 chain at sf1. */
+  /** `materializeInput = true` localCheckpoints the scored input before
+    * the two consumers (histogram + probe) read it — the gate evaluates
+    * the scoring projection TWICE otherwise (it is scan-level, so there
+    * is no exchange for Catalyst to reuse between the branches). Worth it
+    * exactly when the score is expensive relative to a write of the
+    * projection (e.g. the 20-regex composite quality score — measured
+    * ~2× the gate's cost at sf1, SCALE.md); leave it off for cheap
+    * scores, where the checkpoint write costs more than the re-scan. The
+    * checkpointed frame stays referenced by the returned plan — the
+    * local-checkpoint lifetime discipline (never freed early) holds. */
   def keepTopByScore(df: DataFrame, scoreCol: String,
-      keepPermille: Int): DataFrame = {
+      keepPermille: Int, materializeInput: Boolean = false): DataFrame = {
     require(keepPermille > 0 && keepPermille <= 1000,
       s"keepPermille must be in (0, 1000]: $keepPermille")
-    val hist = df.groupBy(col(scoreCol).cast("long").as("__s"))
+    val in = if (materializeInput) df.localCheckpoint() else df
+    val hist = in.groupBy(col(scoreCol).cast("long").as("__s"))
       .agg(count(lit(1)).as("__c"))
     // the window runs over the histogram (|distinct scores| rows), not the
     // corpus — the one place a single-partition window is the right shape.
@@ -366,7 +377,7 @@ object Sampling {
       call_function("div", prod, lit(1000L)).cast("long"))
     val thr = cum.agg(
       max(when(col("__cum") >= k, col("__s"))).as("__thr"))
-    df.join(broadcast(thr), col(scoreCol).cast("long") >= col("__thr"))
+    in.join(broadcast(thr), col(scoreCol).cast("long") >= col("__thr"))
       .drop("__thr")
   }
 
@@ -417,6 +428,28 @@ object Sampling {
       .withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= k)
       .drop("__coord", "__rank")
+  }
+
+  /** Exactly-k GLOBAL deterministic sample: the k rows of the whole corpus
+    * whose mixed coordinate ranks first (ties by id) — the corpus-wide
+    * fixed-size counterpart of [[exactPerStratum]], for eval sets and
+    * debugging slices that must have exactly k rows. Like every sampler
+    * here, a pure function of (salt, id): reruns, engines and
+    * repartitionings reproduce the same k rows, and each result is a
+    * uniform sample. NOT growth-stable (fixed size and fixed membership
+    * are incompatible under growth — same caveat as exactPerStratum).
+    *
+    * Scale shape: `orderBy(...).limit(k)` plans as TakeOrdered — a
+    * per-partition top-k heap and one k-row merge at the driver side of
+    * the exchange; the corpus is never globally sorted and at most
+    * k·partitions rows move. */
+  def exactK(df: DataFrame, idCol: String, k: Int,
+      salt: String = "s"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.withColumn("__coord", mixCoord(col(idCol), salt))
+      .orderBy(col("__coord"), col(idCol))
+      .limit(k)
+      .drop("__coord")
   }
 
   /** Deterministic sharded shuffle — the training-order preparation step:

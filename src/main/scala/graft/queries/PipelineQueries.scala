@@ -760,6 +760,13 @@ object PipelineQueries {
         salt = "xk")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // Exactly-k GLOBAL sample (round 12): fixed-size corpus-wide slice via
+    // TakeOrdered over the mixed coordinate; the oracle replays coordinate,
+    // global rank and the k cut
+    "q_sample_exact_global" -> ((s, dir) =>
+      Sampling.exactK(docs(s, dir), "doc_id", k = 50, salt = "gk")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     // Deterministic sharded shuffle (round 12): the training-order prep —
     // 8 hash shards, within-shard rank of an independent mixed
     // coordinate; the oracle replays shard, coordinate and row_number
@@ -2507,6 +2514,13 @@ object PipelineQueries {
          |      ORDER BY ${mixCoordSql("xk", "doc_id")}, doc_id) AS r
          |  FROM documents) t
          |WHERE r <= 7 ORDER BY doc_id""".stripMargin,
+    "q_sample_exact_global" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (
+         |      ORDER BY ${mixCoordSql("gk", "doc_id")}, doc_id) AS r
+         |  FROM documents) t
+         |WHERE r <= 50 ORDER BY doc_id""".stripMargin,
     "q_sample_shuffle" ->
       s"""SELECT doc_id, shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)

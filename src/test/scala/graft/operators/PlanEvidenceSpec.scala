@@ -143,6 +143,15 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("global exact-k sample plans as TakeOrderedAndProject, no global sort") {
+    // orderBy().limit(k) must rewrite to per-partition top-k heaps + one
+    // k-row merge — a Sort over the corpus would serialize the world
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.pipeline.Sampling.exactK(docs, "doc_id", 25, salt = "gk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("binary ANN: Hamming stage plans like the mrl rerank (partial top-cand, broadcast re-attach)") {
     // binaryTopK shares mrlTopK's two-stage discipline — same plan pins:
     // WindowGroupLimit partial+final around the one candidate Exchange,

@@ -1695,6 +1695,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptN == Set(2L, 3L, 6L))
   }
 
+  test("keepTopByScore materializeInput: identical result either way") {
+    val d = ((1L to 200L).map(i => (i, Some((i * 7) % 40))) ++
+      Seq((201L, Option.empty[Long]), (202L, Option.empty[Long])))
+      .toDF("id", "score")
+    val plain = Sampling.keepTopByScore(d, "score", 250)
+      .select("id").as[Long].collect().toSet
+    val mat = Sampling.keepTopByScore(d, "score", 250,
+      materializeInput = true).select("id").as[Long].collect().toSet
+    assert(plain.nonEmpty && plain == mat)
+  }
+
+  test("exactK: global fixed-size deterministic sample") {
+    val d = (1L to 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val got = Sampling.exactK(d, "doc_id", 25, salt = "gk")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 25)
+    val expect = (1L to 300L).sortBy(i => (fullMix("gk", i), i)).take(25).toSet
+    assert(got == expect)
+    assert(Sampling.exactK(d, "doc_id", 1000).count() == 300) // k > n
+  }
+
   test("curateModern: encoding variants dedup only because NFC runs first") {
     // docs 1 and 2 are the same text in decomposed vs composed encoding:
     // without NFC their shingle Jaccard is 6/12 = 0.5 < 0.6 (the three
