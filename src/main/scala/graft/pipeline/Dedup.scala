@@ -399,6 +399,62 @@ object Dedup {
       .where(col("n_shared_shingles") >= minShared)
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB form of
+    * [[decontaminate]], with the IDENTICAL result: the eval n-gram set
+    * folds into a two-probe Bloom bit table (a plan-constant long-array
+    * literal), the corpus-side gram stream drops everything the table
+    * rejects BEFORE the distinct exchange and the join, and the broadcast
+    * equi-join verify that follows removes the Bloom's false positives.
+    * No false negatives exist (every eval gram sets its own bits), so
+    * output == exact decontamination at ANY bloomBits; the knob only
+    * moves the prefilter's selectivity. The payoff at corpus scale: the
+    * exploded train-gram stream — the dominant data volume — is cut at
+    * scan level by pure bit arithmetic (codegen'd, no UDF), so the
+    * distinct and the join see only the grams that might matter, instead
+    * of shuffling every gram of a 100 TB corpus to discover that ~all of
+    * them miss.
+    *
+    * The bit table builds DISTRIBUTED: probes fold to per-word bit_or
+    * aggregates, so the driver collects ≤ bloomBits/64 rows (1024 longs
+    * at the default 2^16 bits) — never the eval grams themselves. Probe
+    * arithmetic is xxhash64-derived (`h & mask`, `xxhash64(h) & mask`)
+    * and lives entirely in-plan on both the build and probe sides, so
+    * the two can never disagree. */
+  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, k: Int = 3, minShared: Int = 1,
+      bloomBits: Int = 1 << 16): DataFrame = {
+    require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
+      s"bloomBits must be a power of two >= 64: $bloomBits")
+    val mask = (bloomBits - 1).toLong
+    val evalSh = explodedShingleHashes(df.where(isEval), idCol, textCol, k)
+      .distinct().withColumnRenamed("id", "eval_id")
+    val words = new Array[Long](bloomBits / 64)
+    evalSh.select(explode(array(
+        col("h").bitwiseAND(lit(mask)),
+        xxhash64(col("h")).bitwiseAND(lit(mask)))).as("b"))
+      .select(call_function("shiftright", col("b"), lit(6)).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          col("b").bitwiseAND(lit(63L)).cast("int")).as("bit"))
+      .groupBy(col("w")).agg(call_function("bit_or", col("bit")).as("m"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wordsLit = lit(words)
+    def bitSet(idx: Column): Column =
+      call_function("shiftright",
+        element_at(wordsLit,
+          (call_function("shiftright", idx, lit(6)) + 1).cast("int")),
+        idx.bitwiseAND(lit(63L)).cast("int")).bitwiseAND(lit(1L)) === 1L
+    val pass = bitSet(col("h").bitwiseAND(lit(mask))) &&
+      bitSet(xxhash64(col("h")).bitwiseAND(lit(mask)))
+    val trainSh = explodedShingleHashes(df.where(!isEval), idCol, textCol, k)
+      .where(pass)
+      .distinct()
+    trainSh.join(broadcast(evalSh), "h")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("eval_id")).cast("long").as("n_eval_docs"),
+        countDistinct(col("h")).cast("long").as("n_shared_shingles"))
+      .where(col("n_shared_shingles") >= minShared)
+  }
+
   /** 64-bit SimHash over word shingles, one projection: bit j is set when
     * more than half the shingle hashes have bit j set. */
   def simhash(text: Column, k: Int): Column = {

@@ -480,6 +480,18 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    // Bloom-prefiltered decontamination (round 12): tiny 4096-bit table to
+    // force real false positives through the prefilter — the exact verify
+    // join must remove every one of them, so the oracle is the SAME exact
+    // SQL as q_decontam
+    "q_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.decontaminateBloom(d, "doc_id", "text", col("doc_id") % 97 === 0,
+        k = 3, minShared = 2, bloomBits = 4096)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     // Within-doc duplicate-3-gram fraction (Gopher repetition rule),
     // aggregated per source
     "q_text_repetition" -> ((s, dir) => {
@@ -2765,6 +2777,16 @@ object PipelineQueries {
     // Same shingle identity as the engine (hash-distinct ≡ string-distinct
     // modulo 64-bit collisions — the established jaccard-oracle equivalence)
     "q_decontam" ->
+      s"""$shingleCte
+         |SELECT t.doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_docs,
+         |  COUNT(DISTINCT t.s) AS n_shared_shingles
+         |FROM shd t JOIN shd e ON t.s = e.s
+         |  AND e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+         |GROUP BY 1 HAVING COUNT(DISTINCT t.s) >= 2
+         |ORDER BY 1""".stripMargin,
+    // the Bloom prefilter admits a superset and the verify join removes it:
+    // the exact-decontamination SQL IS the oracle for the bloom path
+    "q_decontam_bloom" ->
       s"""$shingleCte
          |SELECT t.doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_docs,
          |  COUNT(DISTINCT t.s) AS n_shared_shingles

@@ -1632,6 +1632,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc.values.forall(_.length <= 2))
   }
 
+  test("decontaminateBloom equals exact decontamination at any table size") {
+    // planted overlap: docs 10/20 share eval doc 0's text fragments
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "x alpha beta gamma delta y"),
+      (20L, "alpha beta gamma q r s t"),
+      (30L, "nothing shared here at all now"),
+      (40L, "beta gamma delta epsilon tail words"))
+      .toDF("doc_id", "text")
+    val isEval = col("doc_id") === 0L
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Dedup.decontaminate(d, "doc_id", "text", isEval, k = 3))
+    assert(exact.nonEmpty)
+    // 64 bits: maximal false-positive pressure; 2^16: realistic. Both must
+    // equal the exact path — the verify join owns correctness, the table
+    // only owns selectivity
+    for (bits <- Seq(64, 1 << 16)) {
+      val got = rows(Dedup.decontaminateBloom(d, "doc_id", "text", isEval,
+        k = 3, bloomBits = bits))
+      assert(got == exact, s"bloomBits=$bits")
+    }
+  }
+
   test("scriptCounts/dominantScript: range counts and precedence election") {
     val rows = Seq(
       (1L, "hello world 42"),                          // latin dominant
