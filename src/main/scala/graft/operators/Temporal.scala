@@ -77,4 +77,42 @@ object Temporal {
     df.withColumn(out, sum(boundary)
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Per-key daily event-rate anomalies by EXACT integer z-score: flag
+    * (key, day) cells whose count deviates from the key's own mean by at
+    * least `zX1000/1000` standard deviations — the standard monitoring /
+    * abuse-detection sweep (traffic spikes, dead feeds), done portably.
+    *
+    * The z comparison never leaves integers: with n days, sum s and sum
+    * of squares ss per key, `z² = (x·n − s)² ∕ (n·ss − s²)`, so the flag
+    * is `(x·n − s)²·10⁶ ≥ zX1000²·(n·ss − s²)` — one cross-multiplied
+    * inequality, no float mean/stddev/sqrt, so an external engine
+    * replays the decision bit-for-bit (a float-stddev form drifts in the
+    * last ulp and flips borderline cells). A zero-variance key flags
+    * nothing (both sides 0 — `≥` would fire vacuously, so the variance
+    * must be strictly positive). Magnitudes: |x·n − s| < 2³¹ keeps the
+    * square in a long — at larger cell counts quantize x (e.g. to
+    * thousands) before calling.
+    *
+    * Shape: two map-side-combined aggregations (daily cells, then per-key
+    * moments — the second runs over the already-tiny cell table) and one
+    * key-equi join of cells against |keys| moment rows. No window over
+    * raw events, no global sort. */
+  def rateAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      zX1000: Long = 2000L): DataFrame = {
+    require(zX1000 > 0, s"zX1000 must be positive: $zX1000")
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val stats = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("n_events")).cast("long").as("__s"),
+        sum(col("n_events") * col("n_events")).cast("long").as("__ss"))
+    val dev = col("n_events") * col("__n") - col("__s")
+    val varN = col("__n") * col("__ss") - col("__s") * col("__s")
+    daily.join(stats, keyCol)
+      .where(col("__n") >= 2 && varN > 0 &&
+        dev * dev * lit(1000000L) >= lit(zX1000 * zX1000) * varN)
+      .withColumn("n_days", col("__n"))
+      .select(col(keyCol), col("day"), col("n_events"), col("n_days"))
+  }
 }

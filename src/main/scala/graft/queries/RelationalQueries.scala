@@ -88,6 +88,16 @@ object RelationalQueries {
     // user over the event stream, rolled up to per-session stats — one
     // keyed exchange serves the boundary lag, the running session index
     // and the rollup; the oracle replays the identical window logic.
+    // per-user daily rate anomalies (round 12): exact integer z-score —
+    // the cross-multiplied inequality (x·n − s)²·10⁶ ≥ z²·(n·ss − s²)
+    // replayed verbatim by the oracle; zero-variance users flag nothing
+    "q_events_anomalies" -> ((s, dir) =>
+      graft.operators.Temporal.rateAnomalies(
+        Tables(s, dir, "events"), "user_id", "ts", zX1000 = 2000L)
+        .select(col("user_id"),
+          unix_millis(col("day").cast("timestamp")).as("day_ms"),
+          col("n_events"), col("n_days"))
+        .orderBy(col("user_id"), col("day_ms"))),
     "q_events_sessions" -> ((s, dir) => {
       graft.operators.Temporal.sessionize(
         Tables(s, dir, "events"), "user_id", "ts",
@@ -168,6 +178,24 @@ object RelationalQueries {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_events_anomalies" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_events) AS BIGINT) AS s,
+        |    CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT d.user_id, d.day_ms, d.n_events, st.n AS n_days
+        |FROM daily d JOIN st USING (user_id)
+        |WHERE st.n >= 2 AND (st.n * st.ss - st.s * st.s) > 0
+        |  AND (d.n_events * st.n - st.s) * (d.n_events * st.n - st.s) * 1000000
+        |      >= 4000000 * (st.n * st.ss - st.s * st.s)
+        |ORDER BY 1, 2""".stripMargin,
     "q_events_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, value,

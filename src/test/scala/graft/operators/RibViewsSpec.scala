@@ -226,6 +226,30 @@ class RibViewsSpec extends AnyFunSuite {
       .select("prefix_str").collect().map(_.getString(0)).toSeq)
   }
 
+  test("rateAnomalies: exact integer z-score flags the spike day only") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    def rows(uid: Long, counts: Seq[Int]): Seq[(Long, java.sql.Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i =>
+          (uid, new java.sql.Timestamp(base + d * day + i * 1000L)))
+      }
+    // A: one true spike (z = 125/sqrt(3125/6)... > 2); B: constant (zero
+    // variance flags nothing); C: single day (n < 2 excluded); D: mild
+    // outlier below the threshold (max z with n=4 is sqrt(3) < 2)
+    val df = (rows(1L, Seq(5, 5, 5, 5, 5, 30)) ++ rows(2L, Seq(7, 7, 7)) ++
+      rows(3L, Seq(9)) ++ rows(4L, Seq(5, 5, 5, 20)))
+      .toDF("user_id", "ts")
+    val got = Temporal.rateAnomalies(df, "user_id", "ts", zX1000 = 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 30L, 6L)))
+    // at a looser threshold the n=4 outlier (z = sqrt(3)) appears too
+    val loose = Temporal.rateAnomalies(df, "user_id", "ts", zX1000 = 1700L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(loose == Set((1L, 30L), (4L, 20L)))
+  }
+
   test("asAdjacency counts events/prefixes/actives per consecutive-ASN edge") {
     def mk(ts: Long, asns: Seq[Long], addr: String, active: Boolean) = {
       val p = Model.v4(addr, 24)
