@@ -621,6 +621,21 @@ object Dedup {
     * the near-dup semantics (LSH near-cliques), so no window partition can
     * grow with the corpus, and the label join is the only wide shuffle
     * added on top of the component loop. */
+  /** Cluster-size histogram over a [[duplicateClusters]] result — the
+    * dedup AUDIT view (how much mass sits in 2-clusters vs giant
+    * near-dup families; a sudden fat tail is the classic symptom of a
+    * too-loose threshold or a degenerate blocking key). Two
+    * map-side-combined aggregations over the already-cluster-sized
+    * frame; output is |distinct sizes| rows — tiny at any corpus scale.
+    * Returns (cluster_size, n_clusters, n_docs). */
+  def clusterSizeHistogram(clusters: DataFrame,
+      clusterCol: String = "cluster_id"): DataFrame =
+    clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).cast("long").as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("__sz")).cast("long").as("n_docs"))
+
   def keepBest(df: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 25, algorithm: String = "label"): DataFrame = {

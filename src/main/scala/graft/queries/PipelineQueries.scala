@@ -263,6 +263,17 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("cluster_id"), col("keep_flag"))
         .orderBy(col("doc_id"))
     }),
+    // Cluster-size histogram (round 12): the dedup audit view over the
+    // same components — mass per cluster size; the oracle re-derives the
+    // closure with the recursive CTE and histograms it independently
+    "q_dedup_cluster_sizes" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", 3)
+        .where(col("inter") * 10 >= col("union_n") * 6)
+      Dedup.clusterSizeHistogram(Dedup.duplicateClusters(pairs))
+        .orderBy(col("cluster_size"))
+    }),
     // Quality-aware representative election (round 12): same components as
     // q_dedup_clusters, but each cluster keeps its LONGEST normalized doc
     // (ties to lowest id) and unpaired docs survive as their own
@@ -2080,6 +2091,34 @@ object PipelineQueries {
          |SELECT x AS doc_id, MIN(y) AS cluster_id,
          |  CAST(CASE WHEN MIN(y) = x THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
          |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    // Same closure, histogrammed: clusters per size and docs per size
+    "q_dedup_cluster_sizes" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
+         |), jp AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+         |  FROM shd l JOIN shd r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a, b FROM jp
+         |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |  WHERE inter*10 >= (sa.n + sb.n - inter)*6
+         |), e AS (
+         |  SELECT a AS x, b AS y FROM cand
+         |  UNION SELECT b AS x, a AS y FROM cand
+         |), reach(x, y) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT e.x, r.y FROM e JOIN reach r ON r.x = e.y
+         |), cl AS (
+         |  SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x
+         |), sz AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM cl GROUP BY 1
+         |)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same closure, then the quality election: every document (paired or
     // not) gets a cluster label (own id for singletons) and the longest
     // normalized doc per cluster takes keep_flag = 1 (ties to lowest id)

@@ -1632,6 +1632,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc.values.forall(_.length <= 2))
   }
 
+  test("clusterSizeHistogram: clusters and doc mass per size") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L),
+      (10L, 11L)).toDF("a", "b")
+    val got = Dedup.clusterSizeHistogram(Dedup.duplicateClusters(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // one 3-chain {1,2,3} and four 2-clusters
+    assert(got == Set((2L, 4L, 8L), (3L, 1L, 3L)))
+  }
+
   test("decontaminateBloom equals exact decontamination at any table size") {
     // planted overlap: docs 10/20 share eval doc 0's text fragments
     val d = Seq(
