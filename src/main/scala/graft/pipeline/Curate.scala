@@ -133,6 +133,39 @@ object Curate {
     * noise band (measured both ways). Equivalence with [[stages]]'
     * boundaries is spec-pinned (PipelineSpec) and the DuckDB oracle
     * re-counts every CTE boundary independently. */
+  /** Corpus data card: the per-(language, source) audit rollup a dataset
+    * release publishes (the Datasheets-for-Datasets practice) and an
+    * operator watches for drift — volume, duplication, quality-gate pass
+    * mass, language-label agreement, and wrong-script counts, in ONE
+    * map-side-combined aggregation over scan-level metrics (fingerprint,
+    * word/char counts, the quality gate, the stopword language classifier
+    * and the dominant-script election are all pure column expressions —
+    * the corpus is read once, only |lang × source| rows shuffle).
+    *
+    * `n_unique` counts distinct content fingerprints WITHIN the group —
+    * so `n_docs − n_unique` is the group's internal duplicate mass;
+    * `n_lang_agree` counts docs whose classifier prediction matches the
+    * stored label (a collapse in this column is the classic symptom of a
+    * mislabeled or mis-routed shard); `n_nonlatin` counts docs whose
+    * dominant script is not Latin (extraction bleed / encoding damage in
+    * a Latin-script corpus). */
+  def datacard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String = "lang", sourceCol: String = "source"): DataFrame = {
+    val t = col(textCol)
+    docs.groupBy(col(langCol), col(sourceCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(TextAnalysis.fingerprint(t)).cast("long").as("n_unique"),
+        sum(TextAnalysis.wordCount(t)).cast("long").as("total_words"),
+        sum(length(t)).cast("long").as("total_chars"),
+        sum(when(TextAnalysis.qualityKeep(t), 1L).otherwise(0L))
+          .cast("long").as("n_quality_keep"),
+        sum(when(TextAnalysis.langId(t) === col(langCol), 1L).otherwise(0L))
+          .cast("long").as("n_lang_agree"),
+        sum(when(TextAnalysis.dominantScript(t) =!= "latin", 1L).otherwise(0L))
+          .cast("long").as("n_nonlatin"))
+  }
+
   def attrition(docs: DataFrame, idCol: String, textCol: String,
       maxRepetitionPermille: Int = 300, samplePermille: Int = 1000,
       salt: String = "cur", shingleK: Int = 3,

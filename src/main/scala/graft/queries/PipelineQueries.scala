@@ -491,6 +491,16 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    // Corpus data card (round 12): the per-(lang, source) release audit —
+    // volume, dup mass, quality-pass, label agreement, wrong-script — in
+    // one aggregation; runs over the script-planted docs so n_nonlatin is
+    // falsifiable. The oracle replays every per-doc metric and the rollup
+    "q_pipeline_datacard" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), plantedScriptText(col("doc_id"), col("text")).as("text"))
+      Curate.datacard(planted, "doc_id", "text")
+        .orderBy(col("lang"), col("source"))
+    }),
     // Bloom-prefiltered decontamination (round 12): tiny 4096-bit table to
     // force real false positives through the prefilter — the exact verify
     // join must remove every one of them, so the oracle is the SAME exact
@@ -1009,18 +1019,31 @@ object PipelineQueries {
     * dominant-script CASE-chain election and the per-language sums are all
     * generated from [[TextAnalysis.scriptRanges]], so engine and oracle
     * cannot drift apart on a range edit. */
-  private def scriptOracleSql: String = {
-    val ranges = TextAnalysis.scriptRanges
-    val cnts = ranges.map { case (n, p) =>
+  /** `len(regexp_extract_all(...)) AS n_<class>` columns, one per
+    * [[TextAnalysis.scriptRanges]] entry. */
+  private def scriptCountsSqlCols: String =
+    TextAnalysis.scriptRanges.map { case (n, p) =>
       s"len(regexp_extract_all(text, '$p')) AS n_$n"
     }.mkString(",\n    ")
-    val dom = ranges.zipWithIndex.map { case ((n, _), i) =>
+
+  /** The dominant-script election as a SQL CASE body over the n_<class>
+    * columns — same left-to-right precedence as
+    * [[TextAnalysis.dominantScript]]. */
+  private def scriptDomSqlCase: String = {
+    val ranges = TextAnalysis.scriptRanges
+    ranges.zipWithIndex.map { case ((n, _), i) =>
       val later = ranges.drop(i + 1).map(r => s"n_${r._1}")
       val cond =
         if (later.isEmpty) s"n_$n > 0"
         else s"n_$n >= greatest(${later.mkString(", ")}) AND n_$n > 0"
       s"WHEN $cond THEN '$n'"
     }.mkString("\n      ")
+  }
+
+  private def scriptOracleSql: String = {
+    val ranges = TextAnalysis.scriptRanges
+    val cnts = scriptCountsSqlCols
+    val dom = scriptDomSqlCase
     val sums = ranges.map { case (n, _) =>
       s"CAST(SUM(n_$n) AS BIGINT) AS sum_$n"
     }.mkString(",\n  ")
@@ -2975,6 +2998,70 @@ object PipelineQueries {
          |FROM (SELECT unnest(string_split($docNorm, ' ')) AS w FROM documents) t
          |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
     "q_text_script" -> scriptOracleSql,
+    // every per-doc metric (fingerprint norm, counts, quality gate, langid
+    // election, dominant script) replayed, then the one rollup; the stop
+    // and langid fragments mirror q_text_quality / q_text_langid verbatim
+    "q_pipeline_datacard" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, lang, source, $plantedScriptTextSql AS text
+         |  FROM documents
+         |), m AS (
+         |  SELECT lang, source,
+         |    lower($docNorm) AS norm,
+         |    CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+         |    len(regexp_extract_all(text,'\\bthe\\b'))+len(regexp_extract_all(text,'\\band\\b'))
+         |      +len(regexp_extract_all(text,'\\bof\\b'))+len(regexp_extract_all(text,'\\bto\\b'))
+         |      +len(regexp_extract_all(text,'\\bin\\b'))
+         |      +len(regexp_extract_all(text,'\\bder\\b'))+len(regexp_extract_all(text,'\\bdie\\b'))
+         |      +len(regexp_extract_all(text,'\\bund\\b'))+len(regexp_extract_all(text,'\\bdas\\b'))
+         |      +len(regexp_extract_all(text,'\\bist\\b'))
+         |      +len(regexp_extract_all(text,'\\ble\\b'))+len(regexp_extract_all(text,'\\bla\\b'))
+         |      +len(regexp_extract_all(text,'\\bet\\b'))+len(regexp_extract_all(text,'\\bles\\b'))
+         |      +len(regexp_extract_all(text,'\\bdes\\b'))
+         |      +len(regexp_extract_all(text,'\\bel\\b'))+len(regexp_extract_all(text,'\\bla\\b'))
+         |      +len(regexp_extract_all(text,'\\blos\\b'))+len(regexp_extract_all(text,'\\bque\\b'))
+         |      +len(regexp_extract_all(text,'\\bde\\b')) AS stop,
+         |    len(regexp_extract_all(text,'\\bthe\\b'))+len(regexp_extract_all(text,'\\band\\b'))
+         |      +len(regexp_extract_all(text,'\\bof\\b'))+len(regexp_extract_all(text,'\\bto\\b'))
+         |      +len(regexp_extract_all(text,'\\bin\\b')) AS s_en,
+         |    len(regexp_extract_all(text,'\\bder\\b'))+len(regexp_extract_all(text,'\\bdie\\b'))
+         |      +len(regexp_extract_all(text,'\\bund\\b'))+len(regexp_extract_all(text,'\\bdas\\b'))
+         |      +len(regexp_extract_all(text,'\\bist\\b')) AS s_de,
+         |    len(regexp_extract_all(text,'\\ble\\b'))+len(regexp_extract_all(text,'\\bla\\b'))
+         |      +len(regexp_extract_all(text,'\\bet\\b'))+len(regexp_extract_all(text,'\\bles\\b'))
+         |      +len(regexp_extract_all(text,'\\bdes\\b')) AS s_fr,
+         |    len(regexp_extract_all(text,'\\bel\\b'))+len(regexp_extract_all(text,'\\bla\\b'))
+         |      +len(regexp_extract_all(text,'\\blos\\b'))+len(regexp_extract_all(text,'\\bque\\b'))
+         |      +len(regexp_extract_all(text,'\\bde\\b')) AS s_es,
+         |    $scriptCountsSqlCols
+         |  FROM planted
+         |), q AS (
+         |  SELECT lang, source, norm, n_words, n_chars,
+         |    CASE WHEN n_words >= 10
+         |      AND CAST(FLOOR(stop*1000.0/greatest(n_words,1)) AS BIGINT) >= 20
+         |      AND CAST(FLOOR(alpha*1000.0/greatest(n_chars,1)) AS BIGINT) >= 600
+         |      THEN 1 ELSE 0 END AS keep,
+         |    CASE WHEN (CASE
+         |        WHEN s_en=0 AND s_de=0 AND s_fr=0 AND s_es=0 THEN 'und'
+         |        WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         |        WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |        WHEN s_en >= s_de THEN 'en'
+         |        ELSE 'de' END) = lang THEN 1 ELSE 0 END AS agree,
+         |    CASE WHEN (CASE
+         |      $scriptDomSqlCase
+         |      ELSE 'none' END) <> 'latin' THEN 1 ELSE 0 END AS nonlatin
+         |  FROM m
+         |)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT norm) AS n_unique,
+         |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(keep) AS BIGINT) AS n_quality_keep,
+         |  CAST(SUM(agree) AS BIGINT) AS n_lang_agree,
+         |  CAST(SUM(nonlatin) AS BIGINT) AS n_nonlatin
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_tfidf" ->
       s"""WITH w AS (
          |  SELECT doc_id, lower(w) AS word FROM (

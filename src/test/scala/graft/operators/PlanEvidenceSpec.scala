@@ -143,6 +143,20 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("tfidf keywords: WindowGroupLimit top-k, broadcast df attach, no SMJ") {
+    // the scaladoc scale claims: per-doc rank <= k must partial-top-k
+    // before the doc exchange, and the (vocabulary-sized) df side must
+    // broadcast — a sort-merge join would sort both word streams
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kw = graft.pipeline.TextAnalysis
+      .tfidfKeywords(docs, "doc_id", "text", k = 3)
+    kw.count() // materialize: AQE finalizes the df-attach join strategy
+    val plan = kw.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("global exact-k sample plans as TakeOrderedAndProject, no global sort") {
     // orderBy().limit(k) must rewrite to per-partition top-k heaps + one
     // k-row merge — a Sort over the corpus would serialize the world

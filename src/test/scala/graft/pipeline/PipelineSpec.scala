@@ -1632,6 +1632,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc.values.forall(_.length <= 2))
   }
 
+  test("datacard: volume, dup mass, quality, agreement and script per group") {
+    val enText = "the cat and the dog of to in it is here now"
+    val ruText = "\u041F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440 \u041F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440"
+    val d = Seq(
+      (1L, "en", "s1", enText),
+      (2L, "en", "s1", enText), // exact duplicate
+      (3L, "en", "s2", "x y"),  // short: fails the quality gate, langid und
+      (4L, "ru", "s1", ruText)) // non-latin dominant, label never predicted
+      .toDF("doc_id", "lang", "source", "text")
+    val got = Curate.datacard(d, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    def words(t: String) = t.split("\\s+").length.toLong
+    assert(got(("en", "s1")) == ((2L, 1L, 2 * words(enText),
+      2L * enText.length, 2L, 2L, 0L)))
+    assert(got(("en", "s2")) == ((1L, 1L, 2L, 3L, 0L, 0L, 0L)))
+    assert(got(("ru", "s1")) == ((1L, 1L, words(ruText),
+      ruText.length.toLong, 0L, 0L, 1L)))
+  }
+
   test("clusterSizeHistogram: clusters and doc mass per size") {
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L),
       (10L, 11L)).toDF("a", "b")
