@@ -81,7 +81,14 @@ object Temporal {
   /** Per-key daily event-rate anomalies by EXACT integer z-score: flag
     * (key, day) cells whose count deviates from the key's own mean by at
     * least `zX1000/1000` standard deviations — the standard monitoring /
-    * abuse-detection sweep (traffic spikes, dead feeds), done portably.
+    * abuse-detection sweep (traffic spikes, scraper bursts), done
+    * portably. SPIKE detection only: a day with ZERO events produces no
+    * cell in the daily aggregate, so a feed that goes silent is invisible
+    * here — outage detection needs the day grid densified with zero
+    * cells (sequence() over the key's [min_day, max_day] span) before
+    * the same inequality, which changes the operator's size from
+    * |observed cells| to |keys × days|; this operator deliberately stays
+    * on the sparse side.
     *
     * The z comparison never leaves integers: with n days, sum s and sum
     * of squares ss per key, `z² = (x·n − s)² ∕ (n·ss − s²)`, so the flag

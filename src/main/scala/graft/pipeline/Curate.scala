@@ -119,20 +119,6 @@ object Curate {
       mixTargets, salt)
   }
 
-  /** Pipeline observability: per-stage survivor counts of the chain —
-    * (stage_idx, stage, n_docs), one row per stage in chain order. The
-    * attrition curve is what a pipeline operator actually watches (a gate
-    * suddenly eating 90% of the corpus is the classic silent data bug).
-    *
-    * ONE traversal, not one per stage: each gate becomes a boolean flag
-    * column, stage membership is the running conjunction, and a single
-    * aggregation sums every prefix. The win is structural — one corpus
-    * scan + one shingle pass instead of six scans + two shingle passes —
-    * which is what matters at 100 TB where scan count dominates; at
-    * sf0.1 both forms are shingle-bound and land in the same 3.7-4.4 s
-    * noise band (measured both ways). Equivalence with [[stages]]'
-    * boundaries is spec-pinned (PipelineSpec) and the DuckDB oracle
-    * re-counts every CTE boundary independently. */
   /** Corpus data card: the per-(language, source) audit rollup a dataset
     * release publishes (the Datasheets-for-Datasets practice) and an
     * operator watches for drift — volume, duplication, quality-gate pass
@@ -149,7 +135,7 @@ object Curate {
     * mislabeled or mis-routed shard); `n_nonlatin` counts docs whose
     * dominant script is not Latin (extraction bleed / encoding damage in
     * a Latin-script corpus). */
-  def datacard(docs: DataFrame, idCol: String, textCol: String,
+  def datacard(docs: DataFrame, textCol: String,
       langCol: String = "lang", sourceCol: String = "source"): DataFrame = {
     val t = col(textCol)
     docs.groupBy(col(langCol), col(sourceCol))
@@ -166,6 +152,20 @@ object Curate {
           .cast("long").as("n_nonlatin"))
   }
 
+  /** Pipeline observability: per-stage survivor counts of the chain —
+    * (stage_idx, stage, n_docs), one row per stage in chain order. The
+    * attrition curve is what a pipeline operator actually watches (a gate
+    * suddenly eating 90% of the corpus is the classic silent data bug).
+    *
+    * ONE traversal, not one per stage: each gate becomes a boolean flag
+    * column, stage membership is the running conjunction, and a single
+    * aggregation sums every prefix. The win is structural — one corpus
+    * scan + one shingle pass instead of six scans + two shingle passes —
+    * which is what matters at 100 TB where scan count dominates; at
+    * sf0.1 both forms are shingle-bound and land in the same 3.7-4.4 s
+    * noise band (measured both ways). Equivalence with [[stages]]'
+    * boundaries is spec-pinned (PipelineSpec) and the DuckDB oracle
+    * re-counts every CTE boundary independently. */
   def attrition(docs: DataFrame, idCol: String, textCol: String,
       maxRepetitionPermille: Int = 300, samplePermille: Int = 1000,
       salt: String = "cur", shingleK: Int = 3,

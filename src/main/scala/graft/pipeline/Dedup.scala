@@ -426,8 +426,12 @@ object Dedup {
     require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
       s"bloomBits must be a power of two >= 64: $bloomBits")
     val mask = (bloomBits - 1).toLong
+    // checkpoint: the eval gram set is read by TWO actions (the bit-table
+    // build collect, then the verify join) — without it the corpus scan
+    // behind df.where(isEval) runs twice (the duplicateClusters lesson);
+    // the frame stays referenced by the returned plan, never freed early
     val evalSh = explodedShingleHashes(df.where(isEval), idCol, textCol, k)
-      .distinct().withColumnRenamed("id", "eval_id")
+      .distinct().withColumnRenamed("id", "eval_id").localCheckpoint()
     val words = new Array[Long](bloomBits / 64)
     evalSh.select(explode(array(
         col("h").bitwiseAND(lit(mask)),
@@ -604,6 +608,21 @@ object Dedup {
       (col("id") === col("lbl")).cast("long").as("keep_flag"))
   }
 
+  /** Cluster-size histogram over a [[duplicateClusters]] result — the
+    * dedup AUDIT view (how much mass sits in 2-clusters vs giant
+    * near-dup families; a sudden fat tail is the classic symptom of a
+    * too-loose threshold or a degenerate blocking key). Two
+    * map-side-combined aggregations over the already-cluster-sized
+    * frame; output is |distinct sizes| rows — tiny at any corpus scale.
+    * Returns (cluster_size, n_clusters, n_docs). */
+  def clusterSizeHistogram(clusters: DataFrame,
+      clusterCol: String = "cluster_id"): DataFrame =
+    clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).cast("long").as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("__sz")).cast("long").as("n_docs"))
+
   /** Quality-aware cluster-representative election — the decision rule
     * real curation pipelines want instead of [[duplicateClusters]]' min-id
     * canonical member: within each duplicate cluster keep the HIGHEST-
@@ -621,21 +640,6 @@ object Dedup {
     * the near-dup semantics (LSH near-cliques), so no window partition can
     * grow with the corpus, and the label join is the only wide shuffle
     * added on top of the component loop. */
-  /** Cluster-size histogram over a [[duplicateClusters]] result — the
-    * dedup AUDIT view (how much mass sits in 2-clusters vs giant
-    * near-dup families; a sudden fat tail is the classic symptom of a
-    * too-loose threshold or a degenerate blocking key). Two
-    * map-side-combined aggregations over the already-cluster-sized
-    * frame; output is |distinct sizes| rows — tiny at any corpus scale.
-    * Returns (cluster_size, n_clusters, n_docs). */
-  def clusterSizeHistogram(clusters: DataFrame,
-      clusterCol: String = "cluster_id"): DataFrame =
-    clusters.groupBy(col(clusterCol))
-      .agg(count(lit(1)).cast("long").as("__sz"))
-      .groupBy(col("__sz").as("cluster_size"))
-      .agg(count(lit(1)).cast("long").as("n_clusters"),
-        sum(col("__sz")).cast("long").as("n_docs"))
-
   def keepBest(df: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 25, algorithm: String = "label"): DataFrame = {

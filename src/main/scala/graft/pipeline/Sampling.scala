@@ -255,10 +255,17 @@ object Sampling {
   def iroot(n: Long, k: Int): Long = {
     require(k == 2 || k == 3, s"iroot supports k in {2, 3}: $k")
     require(n >= 0, s"iroot needs a non-negative argument: $n")
-    def ipow(x: Long): Long = if (k == 2) x * x else x * x * x
+    // overflow-guarded x^k <= n: above the largest root whose power fits a
+    // Long (isqrt/icbrt of Long.MaxValue), the power logically exceeds any
+    // n — a bare x*x would wrap negative near Long.MaxValue and the
+    // correction loop would spin ~1.5e9 iterations before returning a
+    // wrong root
+    def powLe(x: Long, m: Long): Boolean =
+      if (k == 2) x <= 3037000499L && x * x <= m
+      else x <= 2097151L && x * x * x <= m
     var r = math.pow(n.toDouble, 1.0 / k).toLong
-    while (r > 0 && ipow(r) > n) r -= 1
-    while (ipow(r + 1) <= n) r += 1
+    while (r > 0 && !powLe(r, n)) r -= 1
+    while (powLe(r + 1, n)) r += 1
     r
   }
 
@@ -339,8 +346,9 @@ object Sampling {
     * filter would make the histogram branch's subtree structurally
     * different from the probe branch, breaking Catalyst's exchange reuse
     * between the two evaluations of the (possibly expensive) upstream —
-    * measured 2× on the composed curate3 chain at sf1. */
-  /** `materializeInput = true` localCheckpoints the scored input before
+    * measured 2× on the composed curate3 chain at sf1.
+    *
+    * `materializeInput = true` localCheckpoints the scored input before
     * the two consumers (histogram + probe) read it — the gate evaluates
     * the scoring projection TWICE otherwise (it is scan-level, so there
     * is no exchange for Catalyst to reuse between the branches). Worth it

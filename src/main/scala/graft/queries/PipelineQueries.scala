@@ -96,10 +96,6 @@ object PipelineQueries {
         concat(lit("\nrelated story "), (col("doc_id") % 2).cast("string")))
         .otherwise(lit(""))).as("text"))
 
-  /** Deterministically planted PII for every doc_id % 5 == 0 document —
-    * the fixture contains no addresses at all (verified), so a redaction
-    * query over raw text is vacuous. Pure integer→string arithmetic, so
-    * the DuckDB oracle rebuilds the same text exactly. */
   /** Planted multi-script text (round 12): the fixture corpus is ASCII, so
     * the script-profile classes would all be vacuously zero — two strides
     * APPEND short Cyrillic/CJK snippets (mixed-script docs: latin stays
@@ -132,6 +128,10 @@ object PipelineQueries {
        |       CASE WHEN doc_id % 13 = 0 THEN ' $scriptCjk' ELSE '' END)
        |END""".stripMargin
 
+  /** Deterministically planted PII for every doc_id % 5 == 0 document —
+    * the fixture contains no addresses at all (verified), so a redaction
+    * query over raw text is vacuous. Pure integer→string arithmetic, so
+    * the DuckDB oracle rebuilds the same text exactly. */
   private def plantedPii(id: Column, text: Column): Column = {
     def s(c: Column) = c.cast("string")
     when(id % 5 === 0, concat(text,
@@ -498,7 +498,7 @@ object PipelineQueries {
     "q_pipeline_datacard" -> ((s, dir) => {
       val planted = docs(s, dir).select(col("doc_id"), col("lang"),
         col("source"), plantedScriptText(col("doc_id"), col("text")).as("text"))
-      Curate.datacard(planted, "doc_id", "text")
+      Curate.datacard(planted, "text")
         .orderBy(col("lang"), col("source"))
     }),
     // Bloom-prefiltered decontamination (round 12): tiny 4096-bit table to

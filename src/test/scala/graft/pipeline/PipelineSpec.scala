@@ -1570,6 +1570,13 @@ class PipelineSpec extends AnyFunSuite {
         assert(p(r) <= n && p(r + 1) > n, s"iroot($n, $k) = $r")
       }
     }
+    // top-of-Long band: x^k of (root+1) overflows a Long — the guarded
+    // comparison must neither wrap nor spin
+    assert(Sampling.iroot(Long.MaxValue, 2) == 3037000499L)
+    assert(Sampling.iroot(Long.MaxValue, 3) == 2097151L)
+    assert(Sampling.iroot(3037000499L * 3037000499L, 2) == 3037000499L)
+    assert(Sampling.iroot(3037000499L * 3037000499L - 1, 2) == 3037000498L)
+    assert(Sampling.iroot(2097151L * 2097151L * 2097151L, 3) == 2097151L)
   }
 
   test("temperatureMixture: output shares track sqrt mass, binding stratum whole") {
@@ -1641,7 +1648,7 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "en", "s2", "x y"),  // short: fails the quality gate, langid und
       (4L, "ru", "s1", ruText)) // non-latin dominant, label never predicted
       .toDF("doc_id", "lang", "source", "text")
-    val got = Curate.datacard(d, "doc_id", "text").collect()
+    val got = Curate.datacard(d, "text").collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
           r.getLong(6), r.getLong(7), r.getLong(8))).toMap
