@@ -1242,6 +1242,105 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("property: iroot exact on random magnitudes (BigInt model)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val gen = Gen.oneOf(
+      Gen.choose(0L, 1000L),
+      Gen.choose(0L, 1L << 40),
+      Gen.choose((1L << 60), Long.MaxValue))
+    (0 until 60).foreach { i =>
+      val n = sample(gen, 1000L + i)
+      for (k <- Seq(2, 3)) {
+        val r = Sampling.iroot(n, k)
+        assert(BigInt(r).pow(k) <= n && BigInt(r + 1).pow(k) > n,
+          s"iroot($n, $k) = $r")
+      }
+    }
+  }
+
+  test("property: dominantScript equals an independent model on random mixes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val pools: Seq[IndexedSeq[Char]] = Seq(
+      ('a' to 'z') ++ ('A' to 'Z'),
+      '0' to '9',
+      (0x0400 to 0x04FF).map(_.toChar),
+      (0x0370 to 0x03FF).map(_.toChar),
+      (0x3040 to 0x30FF).map(_.toChar) ++ (0x4E00 to 0x4E80).map(_.toChar),
+      (0x0600 to 0x06FF).map(_.toChar))
+    val noise: IndexedSeq[Char] = " .,!?-".toIndexedSeq
+    val charGen = Gen.oneOf(pools.flatten ++ noise)
+    val strGen = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val texts = (0 until 80).map(i => (i.toLong, sample(strGen, 7000L + i)))
+    def model(t: String): String = {
+      val counts = pools.map(p => t.count(p.contains(_)).toLong)
+      val names = TextAnalysis.scriptRanges.map(_._1)
+      val out = counts.zipWithIndex.collectFirst {
+        case (c, i) if c > 0 && counts.drop(i + 1).forall(c >= _) => names(i)
+      }
+      out.getOrElse("none")
+    }
+    val got = texts.toDF("id", "text")
+      .select(col("id"), TextAnalysis.dominantScript(col("text")).as("dom"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == model(t), s"id $id text '$t'")
+    }
+  }
+
+  test("property: rateAnomalies equals the moment fold model on random grids") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val dayMs = 86400000L
+    val baseTs = 1700000000000L
+    val cellGen = for {
+      k <- Gen.choose(1, 5)
+      d <- Gen.choose(0, 9)
+      x <- Gen.choose(1, 25)
+    } yield (k.toLong, d, x)
+    (0 until 3).foreach { round =>
+      val cells = (0 until 40).map(i => sample(cellGen, round * 1000L + i))
+        .groupBy(c => (c._1, c._2)).map { case ((k, d), cs) =>
+          (k, d, cs.map(_._3).sum) }.toSeq
+      val rows = cells.flatMap { case (k, d, x) =>
+        (0 until x).map(i =>
+          (k, new java.sql.Timestamp(baseTs + d * dayMs + i * 1000L)))
+      }
+      val got = graft.operators.Temporal.rateAnomalies(
+        rows.toDF("user_id", "ts"), "user_id", "ts", zX1000 = 1500L)
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expect = cells.groupBy(_._1).flatMap { case (k, cs) =>
+        val n = cs.size.toLong
+        val s = cs.map(_._3.toLong).sum
+        val ss = cs.map(c => c._3.toLong * c._3).sum
+        val varN = n * ss - s * s
+        if (n < 2 || varN <= 0) Nil
+        else cs.collect {
+          case (_, d, x) if {
+            val dev = x * n - s
+            dev * dev * 1000000L >= 1500L * 1500L * varN
+          } =>
+            val date = java.time.Instant.ofEpochMilli(baseTs + d * dayMs)
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+            (k, date, x.toLong)
+        }
+      }.toSet
+      assert(got == expect, s"round $round")
+    }
+  }
+
   test("property: sharded shuffle is a permutation for random id sets and salts") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
