@@ -31,7 +31,7 @@ object PipelineDemo {
     import graft.pipeline._
 
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("source"))
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
     val n0 = raw.count()
 
     // 1. markup strip (scan-level)
@@ -92,10 +92,18 @@ object PipelineDemo {
     val splitJson = splitCounts
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
+    // 8. release audit (round 12): the data card over the shipped mix —
+    // the rollup a dataset release publishes next to the manifest
+    val card = Curate.datacard(
+      mixed.join(raw.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      "text")
+    card.write.mode("overwrite").parquet(s"$outDir/datacard")
+    val nCardGroups = spark.read.parquet(s"$outDir/datacard").count()
+
     println(s"""{"stage_counts":{"raw":$n0,"line_deduped":$n1,""" +
       s""""curated":$n2,"lm_kept":$n3,"mixed":$n4},""" +
       s""""lm_cut_micro_nats":${cutOpt.getOrElse(null)},"packed_sequences":$nSeq,""" +
-      s""""splits":$splitJson,"out":"$outDir"}""")
+      s""""splits":$splitJson,"datacard_groups":$nCardGroups,"out":"$outDir"}""")
     spark.stop()
   }
 }
