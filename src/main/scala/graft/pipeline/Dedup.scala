@@ -420,37 +420,56 @@ object Dedup {
     * arithmetic is xxhash64-derived (`h & mask`, `xxhash64(h) & mask`)
     * and lives entirely in-plan on both the build and probe sides, so
     * the two can never disagree. */
-  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
-      isEval: Column, k: Int = 3, minShared: Int = 1,
-      bloomBits: Int = 1 << 16): DataFrame = {
+  /** Two-probe Bloom bit table over a 64-bit hash column `hCol`, built
+    * DISTRIBUTED: probes fold to per-word `bit_or` aggregates, the driver
+    * collects ≤ bloomBits/64 longs — never the hashes themselves. Probe
+    * arithmetic (`h & mask`, `xxhash64(h) & mask`) lives in-plan here AND
+    * in [[bloomMightContain]], so build and test can never disagree. */
+  def bloomBitTable(hashes: DataFrame, hCol: String,
+      bloomBits: Int): Array[Long] = {
     require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
       s"bloomBits must be a power of two >= 64: $bloomBits")
     val mask = (bloomBits - 1).toLong
-    // checkpoint: the eval gram set is read by TWO actions (the bit-table
-    // build collect, then the verify join) — without it the corpus scan
-    // behind df.where(isEval) runs twice (the duplicateClusters lesson);
-    // the frame stays referenced by the returned plan, never freed early
-    val evalSh = explodedShingleHashes(df.where(isEval), idCol, textCol, k)
-      .distinct().withColumnRenamed("id", "eval_id").localCheckpoint()
     val words = new Array[Long](bloomBits / 64)
-    evalSh.select(explode(array(
-        col("h").bitwiseAND(lit(mask)),
-        xxhash64(col("h")).bitwiseAND(lit(mask)))).as("b"))
+    hashes.select(explode(array(
+        col(hCol).bitwiseAND(lit(mask)),
+        xxhash64(col(hCol)).bitwiseAND(lit(mask)))).as("b"))
       .select(call_function("shiftright", col("b"), lit(6)).cast("int").as("w"),
         call_function("shiftleft", lit(1L),
           col("b").bitwiseAND(lit(63L)).cast("int")).as("bit"))
       .groupBy(col("w")).agg(call_function("bit_or", col("bit")).as("m"))
       .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Scan-level membership test against a [[bloomBitTable]]: pure bit
+    * arithmetic over a plan-constant long-array literal — codegen'd, no
+    * UDF, no broadcast exchange. May admit false positives, never false
+    * negatives. */
+  def bloomMightContain(h: Column, words: Array[Long],
+      bloomBits: Int): Column = {
+    val mask = (bloomBits - 1).toLong
     val wordsLit = lit(words)
     def bitSet(idx: Column): Column =
       call_function("shiftright",
         element_at(wordsLit,
           (call_function("shiftright", idx, lit(6)) + 1).cast("int")),
         idx.bitwiseAND(lit(63L)).cast("int")).bitwiseAND(lit(1L)) === 1L
-    val pass = bitSet(col("h").bitwiseAND(lit(mask))) &&
-      bitSet(xxhash64(col("h")).bitwiseAND(lit(mask)))
+    bitSet(h.bitwiseAND(lit(mask))) && bitSet(xxhash64(h).bitwiseAND(lit(mask)))
+  }
+
+  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, k: Int = 3, minShared: Int = 1,
+      bloomBits: Int = 1 << 16): DataFrame = {
+    // checkpoint: the eval gram set is read by TWO actions (the bit-table
+    // build collect, then the verify join) — without it the corpus scan
+    // behind df.where(isEval) runs twice (the duplicateClusters lesson);
+    // the frame stays referenced by the returned plan, never freed early
+    val evalSh = explodedShingleHashes(df.where(isEval), idCol, textCol, k)
+      .distinct().withColumnRenamed("id", "eval_id").localCheckpoint()
+    val words = bloomBitTable(evalSh, "h", bloomBits)
     val trainSh = explodedShingleHashes(df.where(!isEval), idCol, textCol, k)
-      .where(pass)
+      .where(bloomMightContain(col("h"), words, bloomBits))
       .distinct()
     trainSh.join(broadcast(evalSh), "h")
       .groupBy(col("id"))
