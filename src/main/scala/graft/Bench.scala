@@ -64,6 +64,35 @@ object Bench {
         .groupBy("k").sum("v").count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Ambient-drift probe (VERDICT r12 item 5): the r12 final pair carried
+    // a measured ~1.7× VM drift on the text/shingle family that BOTH
+    // probes above missed — the CPU loop sees core speed, the range-based
+    // shuffle sees scheduler slots, but the drifting surface was
+    // string/memory-bandwidth work against the filesystem. This probe
+    // touches exactly that surface: write a string-heavy parquet to a
+    // fresh temp dir, read it back, explode to words and hash-aggregate —
+    // the shape of the drifting family (shingle explode + hash exchange +
+    // parquet IO), so a leg inflated by that drift class flags itself
+    // instead of needing a manual cross-session comparison.
+    def calibrateIo(): Double = {
+      System.gc()
+      val dir = java.nio.file.Files.createTempDirectory("graft_calib_io")
+      val t0 = System.nanoTime()
+      spark.range(0, 200000L, 1, 32)
+        .selectExpr("id",
+          "repeat(concat('w', cast(id % 997 as string), ' '), 40) AS text")
+        .write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .groupBy("w").count().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      try { // best-effort cleanup; a leftover temp dir must not fail a leg
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+      sec
+    }
     val calibStart = calibrate()
     // warm the JVM/codegen paths (classloading + Janino + parquet reader
     // init cost ~10 s on first action) and the source page cache, so the
@@ -71,6 +100,8 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     calibratePar() // warm the probe's codegen before the timed pass
     val calibParStart = calibratePar()
+    calibrateIo() // warm the write/read/explode codegen paths
+    val calibIoStart = calibrateIo()
     // Fixture identity (VERDICT r10 item 4): recompute the content
     // fingerprint and fail LOUDLY if the directory carries a stale
     // FIXTURE_ID.json pin (a rebuilt target/sf1, a regenerated
@@ -168,6 +199,7 @@ object Bench {
     val replicaTotal = r4(total - prodTotal)
     val replicaList = results.keys.filter(isReplica).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibIoEnd = calibrateIo()
     val calibParEnd = calibratePar()
     val calibEnd = calibrate()
     // Contended-run gate on BOTH probes: cpu anchor 0.84–1.13 s quiet, so
@@ -185,10 +217,17 @@ object Bench {
     // r12, load ~1), so a 0.07 floor would flag every 32-cpu run as
     // contended and the flag would carry no information
     val parQuiet = math.max(0.30, 0.07 * 32.0 / cpus.toInt)
+    // io-probe quiet anchor: measured on this host at 32 cpus (fresh JVM,
+    // load ~1) — set the cut at ~2× quiet so only the drift class the r12
+    // pair documented (string/bandwidth legs at ~1.7×) trips it, not the
+    // ±15-25% ambient band
+    val ioQuiet = 1.0
     val contended = math.max(calibStart, calibEnd) > 1.7 ||
-      math.max(calibParStart, calibParEnd) > 2.0 * parQuiet
+      math.max(calibParStart, calibParEnd) > 2.0 * parQuiet ||
+      math.max(calibIoStart, calibIoEnd) > 2.0 * ioQuiet
     val calibCompact = s""""calib_sec":[${r4(calibStart)},${r4(calibEnd)}],""" +
       s""""calib_par_sec":[${r4(calibParStart)},${r4(calibParEnd)}],""" +
+      s""""calib_io_sec":[${r4(calibIoStart)},${r4(calibIoEnd)}],""" +
       s""""contended":$contended"""
     // fixture identity only on the full artifact: the compact stdout line
     // must stay under the driver's ~2 KB tail window

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** As-of (point-in-time) join: attach to each probe row the newest state
   * row of the same key with state ts STRICTLY before the probe ts — the
@@ -97,9 +98,23 @@ object Temporal {
     * replays the decision bit-for-bit (a float-stddev form drifts in the
     * last ulp and flips borderline cells). A zero-variance key flags
     * nothing (both sides 0 — `≥` would fire vacuously, so the variance
-    * must be strictly positive). Magnitudes: |x·n − s| < 2³¹ keeps the
-    * square in a long — at larger cell counts quantize x (e.g. to
-    * thousands) before calling.
+    * must be strictly positive).
+    *
+    * Overflow envelope: the two squares run in exact Decimal(38,0), not
+    * long (a long left side would wrap/throw once |x·n − s| ≥ ~3.0e9 —
+    * a single hot key with ~1e5 events/day over a year breaches that).
+    * The inequality is evaluated as `dev² ≥ ceil(zX1000²·varN ∕ 10⁶)`
+    * (integer ceiling via `(·+999999) div 10⁶`), which keeps the left
+    * side exact for EVERY long deviation (dev² < 8.6e37 < 10³⁸) and the
+    * right side exact while `zX1000²·(n·ss − s²) < 10³⁸` — with the
+    * enforced zX1000 ≤ 10⁵ that is varN < 10²⁸, i.e. beyond ~10¹³ total
+    * events per key over ~10⁵ days. `ss = Σx²` is itself accumulated in
+    * Decimal(38,0) (a long would wrap at x ≥ 3.04e9 events in one cell).
+    * The only remaining long product is `x·n − s`, whose inputs are row
+    * counts: it needs rows-per-cell × days-per-key ≥ 2⁶³ to overflow,
+    * unreachable for count data. An external engine replays the exact
+    * same integers in any ≥127-bit integer type (the DuckDB oracle uses
+    * HUGEINT with `//` floor division).
     *
     * Shape: two map-side-combined aggregations (daily cells, then per-key
     * moments — the second runs over the already-tiny cell table) and one
@@ -107,18 +122,26 @@ object Temporal {
     * raw events, no global sort. */
   def rateAnomalies(df: DataFrame, keyCol: String, tsCol: String,
       zX1000: Long = 2000L): DataFrame = {
-    require(zX1000 > 0, s"zX1000 must be positive: $zX1000")
+    require(zX1000 > 0 && zX1000 <= 100000L,
+      s"zX1000 must be in (0, 1e5] (z ≤ 100) for the exact-integer " +
+        s"envelope: $zX1000")
+    val dec = DecimalType(38, 0)
     val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).cast("long").as("n_events"))
     val stats = daily.groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("__n"),
         sum(col("n_events")).cast("long").as("__s"),
-        sum(col("n_events") * col("n_events")).cast("long").as("__ss"))
-    val dev = col("n_events") * col("__n") - col("__s")
-    val varN = col("__n") * col("__ss") - col("__s") * col("__s")
+        sum(col("n_events").cast(dec) * col("n_events").cast(dec))
+          .cast(dec).as("__ss"))
+    val dev = (col("n_events") * col("__n") - col("__s")).cast(dec)
+    val varN = col("__n").cast(dec) * col("__ss") -
+      col("__s").cast(dec) * col("__s").cast(dec)
+    // dev² ≥ ceil(z²·varN/10⁶): exact Decimal(38,0) both sides; the
+    // scale-6 quotient is exactly representable, so floor() is exact
+    val rhs = floor((lit(zX1000 * zX1000).cast(dec) * varN +
+      lit(999999L).cast(dec)) / lit(1000000L))
     daily.join(stats, keyCol)
-      .where(col("__n") >= 2 && varN > 0 &&
-        dev * dev * lit(1000000L) >= lit(zX1000 * zX1000) * varN)
+      .where(col("__n") >= 2 && varN > 0 && dev * dev >= rhs)
       .withColumn("n_days", col("__n"))
       .select(col(keyCol), col("day"), col("n_events"), col("n_days"))
   }

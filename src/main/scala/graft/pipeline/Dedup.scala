@@ -560,7 +560,19 @@ object Dedup {
     * small-star alternation of [[starClusters]] (O(log n) rounds, spec-
     * pinned on a 1000-link chain). Convergence is detected from the label sum, which
     * strictly decreases until fixpoint — one cheap scalar agg per round,
-    * no full-frame diff. */
+    * no full-frame diff.
+    *
+    * Composition at corpus scale: this is the expensive step of the dedup
+    * chain (the candidate self-join feeding it dominates), so when SEVERAL
+    * consumers need the clusters — [[keepBest]] representatives, a
+    * [[clusterSizeHistogram]] audit, a curation chain — materialize the result
+    * ONCE (write to parquet, or `localCheckpoint()` within a job) and fan
+    * the consumers out from the materialized frame, instead of letting
+    * each consumer re-run the LSH join + label propagation. The engine's
+    * independent bench queries deliberately re-run the chain (each is a
+    * self-contained oracle); a production pipeline should not —
+    * [[graft.tools.PipelineDemo]] step "clusters-materialized" shows the
+    * pattern. */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", maxIters: Int = 25,
       algorithm: String = "label"): DataFrame = {
@@ -673,8 +685,28 @@ object Dedup {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(st),
       s"keepBest needs an integer-typed score, got $st for '$scoreCol' — " +
         "quantize fractional scores to an integer grid first")
-    val labels = duplicateClusters(pairs, aCol, bCol, maxIters, algorithm)
-      .select(col("id"), col("cluster_id"))
+    keepBestFromClusters(df, idCol, scoreCol,
+      duplicateClusters(pairs, aCol, bCol, maxIters, algorithm))
+  }
+
+  /** [[keepBest]]'s election stage on its own, over an ALREADY-RESOLVED
+    * clusters frame (`(id, cluster_id, ...)`, the [[duplicateClusters]]
+    * contract) — the composition seam for the materialize-once pattern:
+    * at corpus scale, resolve components once, persist the labels, and
+    * feed every consumer (this election, [[clusterSizeHistogram]], a
+    * curation chain) from the materialized frame instead of re-running
+    * the candidate join + label loop per consumer (see
+    * [[duplicateClusters]]' scaladoc and the PipelineDemo
+    * "clusters-materialized" step). Same output contract as [[keepBest]]. */
+  def keepBestFromClusters(df: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val st = df.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(st),
+      s"keepBest needs an integer-typed score, got $st for '$scoreCol' — " +
+        "quantize fractional scores to an integer grid first")
+    val labels = clusters.select(col("id"), col("cluster_id"))
     val slim = df.select(col(idCol).cast("long").as("id"),
       col(scoreCol).cast("long").as("__score"))
     val labeled = slim.join(labels, Seq("id"), "left")

@@ -58,6 +58,17 @@ object Sampling {
     * constant) — shared with the DuckDB oracle builder. */
   val SampleMixMult: Long = 0x45d9f3bL
 
+  /** Guard for operators that add fixed-name output or scratch columns:
+    * `withColumn` silently REPLACES an existing column of the same name,
+    * which would corrupt caller data with no error — fail loudly instead
+    * and let the caller rename first. */
+  private def requireColumnsAbsent(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")}; rename them " +
+        "before calling — the operator adds columns with these names")
+  }
+
   /** Uniform deterministic sample: keep rows whose coordinate falls below
     * `permille`. */
   def sample(df: DataFrame, idCol: String, permille: Int,
@@ -430,6 +441,7 @@ object Sampling {
   def exactPerStratum(df: DataFrame, idCol: String, strataCol: String,
       k: Int, salt: String = "s"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    requireColumnsAbsent(df, "__coord", "__rank")
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("__coord"), col(idCol))
     df.withColumn("__coord", mixCoord(col(idCol), salt))
@@ -454,6 +466,7 @@ object Sampling {
   def exactK(df: DataFrame, idCol: String, k: Int,
       salt: String = "s"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    requireColumnsAbsent(df, "__coord")
     df.withColumn("__coord", mixCoord(col(idCol), salt))
       .orderBy(col("__coord"), col(idCol))
       .limit(k)
@@ -485,6 +498,7 @@ object Sampling {
   def shuffleSharded(df: DataFrame, idCol: String, nShards: Int,
       salt: String = "shuf"): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
+    requireColumnsAbsent(df, "shard", "pos", "__ord")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__ord"), col(idCol))
     df.withColumn("shard",

@@ -247,9 +247,12 @@ object Similarity {
     // computeIfAbsent and drop a just-computed entry (r10 VERDICT nit);
     // the LRU evicts exactly one cold entry under the same lock that
     // inserts, so no thread's result disappears. Training runs OUTSIDE
-    // the lock (Spark jobs under a lock would serialize unrelated
-    // callers); two racing first-callers may both train — benign, pure
-    // function, last write wins with an identical value.
+    // the cache lock (Spark jobs under a lock would serialize unrelated
+    // callers); racing first-callers for the SAME key share one training
+    // run via a per-key in-flight thunk (a thread-safe lazy val): the
+    // first evaluator trains, the racers block on that key's monitor
+    // only — identical results either way (pure function), but the
+    // k-means Spark jobs run once, not once per caller.
     // the canonicalized plan string is the discriminator — semanticHash
     // alone is a 32-bit plan hash, and a silent collision between two
     // different corpus plans would hand the wrong centroids to every
@@ -258,18 +261,30 @@ object Similarity {
       idCol, vecCol, nlist, iters, maxTrain)
     val hit = centroidCache.synchronized { Option(centroidCache.get(key)) }
     hit.getOrElse {
-      val base =
-        if (maxTrain <= 0L) corpus
-        else {
-          val n = corpus.count()
-          if (n <= maxTrain) corpus
-          else {
-            val k = math.ceil(n.toDouble / maxTrain).toLong
-            corpus.where(pmod(xxhash64(col(idCol)), lit(k)) === 0)
-          }
+      // per-key in-flight marker: the mapping function only BUILDS the
+      // memoizing thunk (cheap, safe under the CHM bin lock); evaluation
+      // happens after, so concurrent first-callers block on this key's
+      // lazy monitor and share one training run instead of each running
+      // the full Lloyd job
+      val thunk = centroidInFlight.computeIfAbsent(key, _ => {
+        lazy val result: Array[Array[Double]] = {
+          val base =
+            if (maxTrain <= 0L) corpus
+            else {
+              val n = corpus.count()
+              if (n <= maxTrain) corpus
+              else {
+                val k = math.ceil(n.toDouble / maxTrain).toLong
+                corpus.where(pmod(xxhash64(col(idCol)), lit(k)) === 0)
+              }
+            }
+          trainCentroids(base, idCol, vecCol, nlist, iters)
         }
-      val trained = trainCentroids(base, idCol, vecCol, nlist, iters)
+        () => result
+      })
+      val trained = thunk()
       centroidCache.synchronized { centroidCache.put(key, trained) }
+      centroidInFlight.remove(key)
       trained
     }
   }
@@ -280,6 +295,8 @@ object Similarity {
     centroidCache.synchronized { centroidCache.clear() }
 
   private type CentroidKey = (String, String, String, Int, Int, Long)
+  private val centroidInFlight = new java.util.concurrent.ConcurrentHashMap[
+    CentroidKey, () => Array[Array[Double]]]()
   private val centroidCache =
     new java.util.LinkedHashMap[CentroidKey, Array[Array[Double]]](
       16, 0.75f, /* accessOrder = */ true) {

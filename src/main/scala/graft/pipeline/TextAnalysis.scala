@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators: language ID, quality scoring, token counting,
   * fingerprinting. All pure column expressions (codegen'd, no UDFs, no
@@ -422,9 +423,15 @@ object TextAnalysis {
     * integer arithmetic makes the score engine-portable — an external
     * SQL engine replays explode, counts, and the division bit-for-bit
     * (the float-idf variant would hash-drift in the last ulp). At
-    * extreme corpus counts the `tf·N·1000` product needs headroom:
-    * tf ≤ doc length, so the product stays below 2^63 for any corpus
-    * under ~10^15 docs × 10^3-word documents — comfortably past 100 TB.
+    * extreme corpus counts the `tf·N·1000` product needs headroom — a
+    * long would wrap at tf·N ≥ ~9.2e15 (a tf=10⁵ stopword run in a
+    * 10¹¹-doc corpus breaches it) — so the product runs in exact
+    * Decimal(38,0), good to tf·N < 10³⁵, i.e. any conceivable corpus.
+    * The long OUTPUT column is the remaining envelope: the quotient
+    * must stay below 2^63, breached only by a df=1 hapax whose
+    * tf·N ≥ ~9.2e15 — widen the output cast if you ever operate there
+    * (an external 64-bit engine replays the same integers in a 128-bit
+    * type, e.g. DuckDB HUGEINT).
     *
     * Shape: one exchange for (doc, word) term counts (map-side combined
     * — the stopword skew collapses before the shuffle), the document
@@ -457,8 +464,9 @@ object TextAnalysis {
       // holds by construction, so no row is lost and no cross join appears
       .join(broadcast(n), col("df") <= col("__n"))
       .withColumn("score_x1000",
-        call_function("div", col("tf") * col("__n") * lit(1000L), col("df"))
-          .cast("long"))
+        call_function("div",
+          col("tf").cast(DecimalType(38, 0)) * col("__n") * lit(1000L),
+          col("df")).cast("long"))
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= k)
       .select(col("id"), col("word"), col("tf"), col("df"), col("score_x1000"))

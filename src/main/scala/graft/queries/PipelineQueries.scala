@@ -473,12 +473,17 @@ object PipelineQueries {
     // Quality-percentile gate (round 12): keep the top 25% of docs by the
     // integer quality score — the exact histogram-threshold selection of
     // Sampling.keepTopByScore (no global sort, no value collection); the
-    // oracle replays histogram, running sum, k and the >= cut
+    // oracle replays histogram, running sum, k and the >= cut.
+    // materializeInput = true is the decision rule applied (r12 verdict
+    // item): the regex-composite score is expensive relative to writing
+    // the 3-column projection, and the gate otherwise evaluates it twice
+    // (histogram branch + probe branch — scan-level, no exchange to reuse)
     "q_text_quality_gate" -> ((s, dir) => {
       val m = TextAnalysis.qualityMetrics(col("text")).toMap
       val scored = docs(s, dir).select(col("doc_id"), col("source"),
         (m("alpha_x1000") + m("stopword_x1000")).as("score"))
-      Sampling.keepTopByScore(scored, "score", keepPermille = 250)
+      Sampling.keepTopByScore(scored, "score", keepPermille = 250,
+        materializeInput = true)
         .orderBy(col("doc_id"))
     }),
     // Benchmark decontamination: eval set = doc_id%97==0, flag training
@@ -1964,7 +1969,10 @@ object PipelineQueries {
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
     // word_w = Σ_j 2^j·[x_{32w+j} > 0] — an independent power-of-two sum
-    // where the engine uses a high-to-low doubling fold; same integers
+    // where the engine uses a high-to-low doubling fold; same integers.
+    // The outer CAST matters: DuckDB types SUM(BIGINT) as HUGEINT and the
+    // driver's hash gate is typed, so an uncast aggregate output mismatches
+    // even when every value is bit-identical.
     "q_embed_binary" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1972,8 +1980,8 @@ object PipelineQueries {
         |  FROM embeddings
         |)
         |SELECT vec_id, CAST((i - 1) // 32 AS BIGINT) AS w,
-        |  SUM(CASE WHEN x > 0 THEN 1::BIGINT << CAST((i - 1) % 32 AS INT)
-        |    ELSE 0 END) AS word
+        |  CAST(SUM(CASE WHEN x > 0 THEN 1::BIGINT << CAST((i - 1) % 32 AS INT)
+        |    ELSE 0 END) AS BIGINT) AS word
         |FROM v GROUP BY vec_id, (i - 1) // 32
         |ORDER BY vec_id, w""".stripMargin,
     // sign codes → per-pair xor bit_count Hamming → top-cand cut → exact

@@ -187,14 +187,16 @@ object RelationalQueries {
         |), st AS (
         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(n_events) AS BIGINT) AS s,
-        |    CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+        |    SUM(CAST(n_events AS HUGEINT) * n_events) AS ss
         |  FROM daily GROUP BY 1
         |)
         |SELECT d.user_id, d.day_ms, d.n_events, st.n AS n_days
         |FROM daily d JOIN st USING (user_id)
-        |WHERE st.n >= 2 AND (st.n * st.ss - st.s * st.s) > 0
-        |  AND (d.n_events * st.n - st.s) * (d.n_events * st.n - st.s) * 1000000
-        |      >= 4000000 * (st.n * st.ss - st.s * st.s)
+        |WHERE st.n >= 2 AND (st.n * st.ss - CAST(st.s AS HUGEINT) * st.s) > 0
+        |  AND CAST(d.n_events * st.n - st.s AS HUGEINT)
+        |        * (d.n_events * st.n - st.s)
+        |      >= (4000000 * (st.n * st.ss - CAST(st.s AS HUGEINT) * st.s)
+        |          + 999999) // 1000000
         |ORDER BY 1, 2""".stripMargin,
     "q_events_sessions" ->
       """WITH o AS (

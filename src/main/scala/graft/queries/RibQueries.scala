@@ -201,6 +201,20 @@ object RibQueries {
         .orderBy(col("rib"))
     }),
 
+    // RFC-2439 flap damping, batch twin (round 13): replay the event log
+    // per ring through the SAME flapStep recurrence the ST14 stream uses
+    // (penalty halvings by elapsed event time, suppress/reuse crossings)
+    // — integer halvings are engine-portable, so the DuckDB oracle
+    // re-derives every transition with a recursive CTE
+    "q_rib_flap_damp" -> ((s, dir) => {
+      graft.streaming.Feed.flapDamp(re(s, dir), penaltyPerFlap = 1000L,
+        suppressAt = 1000L, reuseBelow = 600L, halfLifeMs = 86400000L)
+        .select(col("rib"), col("prefix_str"), col("ts_ms"), col("kind"),
+          col("penalty"))
+        .orderBy(col("rib"), col("prefix_str"), col("ts_ms"), col("kind"),
+          col("penalty"))
+    }),
+
     "q_rib_found" -> ((s, dir) => {
       val d = re(s, dir)
       val f = FilterParser.parse("community:10:25")
@@ -713,6 +727,59 @@ object RibQueries {
          |  FROM re) t
          |WHERE pa IS NOT NULL AND pa <> active
          |GROUP BY rib ORDER BY rib""".stripMargin),
+    // sequential per-ring fold replayed as a recursive CTE: iteration i
+    // advances every ring to its i-th event (rn joins), carrying
+    // (penalty, last ts, last active, suppressed); kind marks crossings.
+    // `>>`/`//`/LEAST are pure integer ops — bit-identical to flapStep
+    "q_rib_flap_damp" -> (cte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", ev AS (
+         |  SELECT rib, COALESCE(prefix_str, '') AS pfx,
+         |    keyip, keyx2, plen, rdh, rdl, label, session_id, path_id,
+         |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+         |    CASE WHEN active THEN 1 ELSE 0 END AS act,
+         |    ROW_NUMBER() OVER (PARTITION BY $keyExpr ORDER BY ts, eid) AS rn
+         |  FROM re
+         |), step AS (
+         |  SELECT rib, pfx, keyip, keyx2, plen, rdh, rdl, label, session_id,
+         |    path_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS penalty,
+         |    CAST(NULL AS BIGINT) AS ts_ms, -1 AS last_act,
+         |    FALSE AS suppressed, CAST(NULL AS VARCHAR) AS kind
+         |  FROM (SELECT DISTINCT rib, pfx, keyip, keyx2, plen, rdh, rdl,
+         |    label, session_id, path_id FROM ev) seeds
+         |  UNION ALL
+         |  SELECT rib, pfx, keyip, keyx2, plen, rdh, rdl, label, session_id,
+         |    path_id, rn, penalty, ts_ms, act AS last_act, sup AS suppressed,
+         |    CASE WHEN sup <> was THEN
+         |      (CASE WHEN sup THEN 'suppress' ELSE 'reuse' END) END AS kind
+         |  FROM (
+         |    SELECT e.rib AS rib, e.pfx AS pfx, e.keyip AS keyip,
+         |      e.keyx2 AS keyx2, e.plen AS plen, e.rdh AS rdh, e.rdl AS rdl,
+         |      e.label AS label, e.session_id AS session_id,
+         |      e.path_id AS path_id, e.rn AS rn, e.ts_ms AS ts_ms,
+         |      e.act AS act, s.suppressed AS was,
+         |      (s.penalty >> LEAST(CASE WHEN s.ts_ms IS NULL THEN 0
+         |          ELSE GREATEST(0, e.ts_ms - s.ts_ms) END // 86400000, 62))
+         |        + (CASE WHEN s.last_act >= 0 AND s.last_act <> e.act
+         |            THEN 1000 ELSE 0 END) AS penalty
+         |    FROM step s JOIN ev e
+         |      ON e.rib = s.rib AND e.keyip = s.keyip
+         |      AND e.keyx2 IS NOT DISTINCT FROM s.keyx2
+         |      AND e.plen IS NOT DISTINCT FROM s.plen
+         |      AND e.rdh IS NOT DISTINCT FROM s.rdh
+         |      AND e.rdl IS NOT DISTINCT FROM s.rdl
+         |      AND e.label IS NOT DISTINCT FROM s.label
+         |      AND e.session_id = s.session_id AND e.path_id = s.path_id
+         |      AND e.rn = s.rn + 1
+         |  ) t(rib, pfx, keyip, keyx2, plen, rdh, rdl, label, session_id,
+         |      path_id, rn, ts_ms, act, was, penalty)
+         |  CROSS JOIN LATERAL (SELECT CASE
+         |      WHEN NOT was AND penalty >= 1000 THEN TRUE
+         |      WHEN was AND penalty < 600 THEN FALSE ELSE was END AS sup) c
+         |)
+         |SELECT rib, pfx AS prefix_str, ts_ms, kind, penalty
+         |FROM step WHERE kind IS NOT NULL
+         |ORDER BY rib, prefix_str, ts_ms, kind, penalty""".stripMargin),
+
     "q_rib_found" -> (cte +
       """SELECT
         |  (SELECT COUNT(*) FROM (SELECT DISTINCT rib, keyip, keyx2, plen, rdh, rdl, label,
@@ -730,7 +797,7 @@ object RibQueries {
         |  SELECT * FROM (VALUES ('10.3.9.50', 167971122), ('10.0.9.77', 167774541),
         |    ('224.2.9.200', 3758229960)) v(probe, probe_ip)
         |)
-        |SELECT probe, MAX(key_len) AS best_len, COUNT(*) AS n_keys
+        |SELECT probe, CAST(MAX(key_len) AS BIGINT) AS best_len, COUNT(*) AS n_keys
         |FROM keys JOIN probes ON (probe_ip>>(32-plen4)) = (ip>>(32-plen4))
         |GROUP BY probe ORDER BY probe""".stripMargin),
     "q_rib_supernet_topk" -> (cte +

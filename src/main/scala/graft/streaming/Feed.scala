@@ -433,26 +433,87 @@ object Feed {
         var st = state.getOption.getOrElse(FlapState(0L, Long.MinValue, -1, false))
         val out = Vector.newBuilder[FlapAlert]
         rows.toVector.sortBy(r => (r._4, r._5)).foreach { r =>
-          val active = if (r._6) 1 else 0
-          // decay to this event's time (monotone per ring by sort order;
-          // a clock-skewed earlier ts decays nothing)
-          val elapsed = if (st.last_ts_ms == Long.MinValue) 0L
-            else math.max(0L, r._4 - st.last_ts_ms)
-          val halvings = math.min(elapsed / halfLifeMs, 62L)
-          var penalty = st.penalty >> halvings
-          if (st.last_active >= 0 && st.last_active != active)
-            penalty += penaltyPerFlap
-          val wasSuppressed = st.suppressed
-          val suppressed =
-            if (!wasSuppressed && penalty >= suppressAt) true
-            else if (wasSuppressed && penalty < reuseBelow) false
-            else wasSuppressed
-          if (suppressed != wasSuppressed)
-            out += FlapAlert(ring, r._2, r._3, r._4,
-              if (suppressed) "suppress" else "reuse", penalty)
-          st = FlapState(penalty, r._4, active, suppressed)
+          val (next, alert) = flapStep(st, ring, r._2, r._3, r._4,
+            if (r._6) 1 else 0, penaltyPerFlap, suppressAt, reuseBelow,
+            halfLifeMs)
+          st = next
+          alert.foreach(out += _)
         }
         state.update(st)
+        out.result().iterator
+      }
+  }
+
+  /** One damping transition: decay the penalty by integer halvings of the
+    * elapsed event time, book a flap if the active flag flipped, cross the
+    * suppress/reuse thresholds. Shared VERBATIM by [[flapDampStream]] and
+    * the batch twin [[flapDamp]], so stream/batch parity holds by
+    * construction — there is exactly one implementation of the recurrence
+    * (the penalty fold is not prefix-decomposable: floor-halving does not
+    * distribute over the flap additions, so no window/cumsum form exists). */
+  private[graft] def flapStep(st: FlapState, ring: Long, rib: String,
+      prefix: String, tsMs: Long, active: Int, penaltyPerFlap: Long,
+      suppressAt: Long, reuseBelow: Long, halfLifeMs: Long)
+      : (FlapState, Option[FlapAlert]) = {
+    // decay to this event's time (monotone per ring by sort order;
+    // a clock-skewed earlier ts decays nothing)
+    val elapsed = if (st.last_ts_ms == Long.MinValue) 0L
+      else math.max(0L, tsMs - st.last_ts_ms)
+    val halvings = math.min(elapsed / halfLifeMs, 62L)
+    var penalty = st.penalty >> halvings
+    if (st.last_active >= 0 && st.last_active != active)
+      penalty += penaltyPerFlap
+    val suppressed =
+      if (!st.suppressed && penalty >= suppressAt) true
+      else if (st.suppressed && penalty < reuseBelow) false
+      else st.suppressed
+    val alert =
+      if (suppressed != st.suppressed)
+        Some(FlapAlert(ring, rib, prefix, tsMs,
+          if (suppressed) "suppress" else "reuse", penalty))
+      else None
+    (FlapState(penalty, tsMs, active, suppressed), alert)
+  }
+
+  /** Batch twin of [[flapDampStream]]: replay the full event log per ring
+    * in (ts, event_id) order through the SAME [[flapStep]] recurrence and
+    * emit every suppress/reuse crossing — the retrospective flap-damping
+    * audit ("which rings would RFC 2439 have suppressed, and when") over
+    * a parquet history, DuckDB-oracle-checkable because the fold is pure
+    * integer halvings.
+    *
+    * Shape: one exchange on ring_id, then a per-ring sorted fold inside
+    * `flatMapGroups` — the typed fold is the right primitive here because
+    * the recurrence is sequential and non-decomposable (floor-halving
+    * does not distribute over addition, so no prefix-sum/window form is
+    * exact). Per-group memory is one ring's history — bounded by ring
+    * retention, the same bound the streaming state store relies on —
+    * and rings distribute across executors, so the fold parallelizes to
+    * |rings|, never a global sort. */
+  def flapDamp(events: DataFrame, penaltyPerFlap: Long = 1000L,
+      suppressAt: Long = 3000L, reuseBelow: Long = 1000L,
+      halfLifeMs: Long = 3600000L): Dataset[FlapAlert] = {
+    require(penaltyPerFlap > 0 && suppressAt > reuseBelow && reuseBelow > 0,
+      s"need penaltyPerFlap > 0 and suppressAt > reuseBelow > 0: " +
+        s"$penaltyPerFlap/$suppressAt/$reuseBelow")
+    require(halfLifeMs > 0, s"halfLifeMs must be positive: $halfLifeMs")
+    import events.sparkSession.implicits._
+    events
+      .select(col("ring_id"), col("rib"),
+        coalesce(col("prefix_str"), lit("")).as("prefix_str"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"), col("active"))
+      .as[(Long, String, String, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (ring, rows) =>
+        var st = FlapState(0L, Long.MinValue, -1, false)
+        val out = Vector.newBuilder[FlapAlert]
+        rows.toVector.sortBy(r => (r._4, r._5)).foreach { r =>
+          val (next, alert) = flapStep(st, ring, r._2, r._3, r._4,
+            if (r._6) 1 else 0, penaltyPerFlap, suppressAt, reuseBelow,
+            halfLifeMs)
+          st = next
+          alert.foreach(out += _)
+        }
         out.result().iterator
       }
   }

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * library's user story in one main, every stage a first-class operator
   * with its own oracle elsewhere:
   *
-  *   raw docs → markup strip → corpus line dedup → curation chain
-  *   (fingerprint dedup, quality gate, classifier gate, repetition cap,
-  *   PII redaction, sampling) → bigram-LM tail cut → token-budget mix
+  *   raw docs → markup strip → corpus line dedup → clusters materialized
+  *   once (size audit + keepBest election from ONE resolution) → curation
+  *   chain (fingerprint dedup, quality gate, classifier gate, repetition
+  *   cap, PII redaction, sampling) → bigram-LM tail cut → token-budget mix
   *   → sequence packing → chunk manifest
   *
   * Prints one JSON line of per-stage row/token counts and writes the
@@ -44,6 +45,22 @@ object PipelineDemo {
       .select(col("id").as("doc_id"), col("kept_text").as("text"))
       .join(raw.select(col("doc_id"), col("source")), Seq("doc_id"))
     val n1 = lineDeduped.count()
+
+    // 2b. clusters-materialized: the composition pattern for cluster
+    // consumers at corpus scale — run the expensive chain (shingle
+    // self-join + label propagation) ONCE, materialize, and fan the
+    // consumers out from the materialized frame. The bench queries
+    // deliberately re-run the chain per query (self-contained oracles);
+    // a production pipeline does THIS instead.
+    val pairs = Dedup.ngramJaccard(lineDeduped, "doc_id", "text", 3)
+      .where(col("inter") * 10 >= col("union_n") * 6)
+    val clusters = Dedup.duplicateClusters(pairs)
+      .localCheckpoint() // one evaluation serves both consumers below
+    val sizeHist = Dedup.clusterSizeHistogram(clusters).collect()
+      .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
+    val scored = lineDeduped.withColumn("len", length(col("text")))
+    val reps = Dedup.keepBestFromClusters(scored, "doc_id", "len", clusters)
+    val nReps = reps.count()
 
     // 3. curation chain (dedup, quality, classifier, repetition, PII, sample)
     val w = (0 until 64).map(b => (b * 37 + 11) % 7)
@@ -103,6 +120,7 @@ object PipelineDemo {
     println(s"""{"stage_counts":{"raw":$n0,"line_deduped":$n1,""" +
       s""""curated":$n2,"lm_kept":$n3,"mixed":$n4},""" +
       s""""lm_cut_micro_nats":${cutOpt.getOrElse(null)},"packed_sequences":$nSeq,""" +
+      s""""cluster_size_hist":$sizeHist,"keepbest_rows":$nReps,""" +
       s""""splits":$splitJson,"datacard_groups":$nCardGroups,"out":"$outDir"}""")
     spark.stop()
   }

@@ -1296,6 +1296,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rateAnomalies stays exact past the long cross-multiply envelope") {
+    // Regression for the r12 advice find: the old long-arithmetic form
+    // computed dev²·10⁶ in a long, which wraps (or throws under ANSI)
+    // once |dev| ≥ ~3.04e6 — a single hot key with a few million events
+    // in one day breaches it. Three days (a, a, b) give closed-form
+    // moments: varN = 2(a−b)², dev_b = 2(b−a) → z_b² = 2, dev_a = a−b →
+    // z_a² = 1/2. With zX1000 = 1400 (z² = 1.96) exactly the b-day must
+    // flag, and dev_b = 4e6 puts dev²·10⁶ ≈ 1.6e19 > 2⁶³ — the old form
+    // dies here; the Decimal(38,0) ceil-div form is exact.
+    val dayMs = 86400000L
+    val base = 1700000000000L // 2023-11-14T22:13:20Z
+    def day(d: Int, rows: Long) =
+      spark.range(rows).select(lit(7L).as("user_id"),
+        timestamp_millis(lit(base + d * dayMs) + col("id")).as("ts"))
+    val df = day(0, 100L).unionAll(day(1, 100L)).unionAll(day(2, 2000100L))
+    val got = graft.operators.Temporal
+      .rateAnomalies(df, "user_id", "ts", zX1000 = 1400L)
+      .select(col("day").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("2023-11-16", 2000100L)))
+  }
+
   test("property: rateAnomalies equals the moment fold model on random grids") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

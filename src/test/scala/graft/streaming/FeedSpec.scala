@@ -702,6 +702,15 @@ class FeedSpec extends AnyFunSuite {
     }
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == model.sorted.toSeq)
+    // the batch twin replays the same flapStep over the same history —
+    // identical transitions (stream/batch parity by construction)
+    val batch = Feed.flapDamp(
+      graft.sources.RouteEventGen.fromEvents(events),
+      penaltyPerFlap = 1000L, suppressAt = 1000L, reuseBelow = 500L,
+      halfLifeMs = Long.MaxValue / 4)
+      .select(col("ring_id"), col("ts_ms"), col("kind"), col("penalty"))
+      .collect().map(_.toString).sorted
+    assert(batch.toSeq == model.sorted.toSeq)
   }
 
   test("ST14 decay: suppressed ring reuses after quiet halvings") {

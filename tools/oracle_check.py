@@ -31,6 +31,49 @@ def norm_val(v):
     return v
 
 
+# DuckDB types that the driver's typed hash gate can never see from a Spark
+# parquet file: an oracle output column typed one of these is always a bug
+# (the round-12 escape: SUM(BIGINT) silently types as HUGEINT).
+FORBIDDEN_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def type_class(t):
+    """Canonical comparison class for a DuckDB column_type string."""
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return t  # integer widths hash differently under the typed gate
+    if t in ("FLOAT", "REAL"):
+        return "FLOAT"
+    return t
+
+
+def type_gate(con, name, sql, out_dir):
+    """DESCRIBE the oracle SQL vs the Spark parquet and flag type drift.
+
+    Returns a list of human-readable problems (empty = clean). The driver's
+    hash gate is typed, so value-identical outputs with different types
+    (HUGEINT from an uncast SUM, DECIMAL from AVG, INT vs BIGINT) mismatch.
+    """
+    want = {r[0]: r[1] for r in
+            con.execute(f"DESCRIBE ({sql})").fetchall()}
+    got = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE (SELECT * FROM '{out_dir}/{name}/*.parquet')").fetchall()}
+    problems = []
+    for col, wt in sorted(want.items()):
+        wtu = wt.upper()
+        if any(wtu.startswith(f) for f in FORBIDDEN_TYPES):
+            problems.append(
+                f"oracle column {col} types as {wt} — cast it (Spark side "
+                f"is {got.get(col, '<missing>')})")
+        elif col in got and type_class(wt) != type_class(got[col]):
+            problems.append(
+                f"type drift on {col}: oracle {wt} vs spark {got[col]}")
+    return problems
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -58,7 +101,14 @@ def main():
             print(f"FAIL {name}: spark output missing: {e}")
             n_fail += 1
             continue
-        if sorted(want_cols) != sorted(got_cols):
+        try:
+            type_problems = type_gate(con, name, sql, out_dir)
+        except Exception as e:
+            type_problems = [f"type gate error: {e}"]
+        if type_problems:
+            print(f"FAIL {name}: " + "; ".join(type_problems))
+            n_fail += 1
+        elif sorted(want_cols) != sorted(got_cols):
             print(f"FAIL {name}: cols want={sorted(want_cols)} got={sorted(got_cols)}")
             n_fail += 1
         elif want_rows != got_rows:
