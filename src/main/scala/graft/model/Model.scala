@@ -52,8 +52,17 @@ final case class MvpnKey(
     spmsi_group: Option[IpPfx]
 )
 
-/** EVPN route key, types 1..5 (reference: src/ribfilter.rs:433-443). */
-final case class EvpnKey(etype: Int, rd: Rd, ip: Option[IpPfx], gw_ip: Option[IpPfx])
+/** EVPN route key, types 1..5. The filter-visible surface is etype/rd/
+  * ip/gw_ip (reference: src/ribfilter.rs:433-443); esi (10-octet Ethernet
+  * Segment Identifier as 20 lowercase hex chars), eth_tag (32-bit Ethernet
+  * Tag ID) and mac (48-bit address as colon-hex) complete the RFC 7432 /
+  * RFC 9136 NLRI field set the wire carries — per-type presence: esi on
+  * t1/t2/t4/t5, eth_tag on t1/t2/t3/t5, mac on t2 only. They are part of
+  * route identity (a t2 route per MAC) but not of the reference's match
+  * surface, so filters ignore them. */
+final case class EvpnKey(etype: Int, rd: Rd, ip: Option[IpPfx],
+    gw_ip: Option[IpPfx], esi: Option[String] = None,
+    eth_tag: Option[Long] = None, mac: Option[String] = None)
 
 /** The 13-field BGP path-attribute record (reference: src/bgpattrs.rs:21-35)
   * plus `as_list`, the SEQ/SET-flattened AS list kept for membership

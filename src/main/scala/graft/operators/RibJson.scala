@@ -35,12 +35,25 @@ object RibJson {
     Seq("rib", "prefix", "prefix_str", "rd", "labels", "l2", "mvpn", "evpn", "mdt_group")
 
   /** Engine-canonical display key for a route (reference uses the NLRI
-    * Display impls as JSON keys, src/bgpsvc.rs:635). */
+    * Display impls as JSON keys, src/bgpsvc.rs:635). Prefix-shaped ribs
+    * render rd + prefix + labels; the structurally-rich keys (L2VPLS,
+    * MVPN, EVPN, MDT group) append an explicit rendering of their key
+    * struct — zettabgp's exact Display text is unknowable from the
+    * reference alone, so the canonical form is the JSON of the struct
+    * (null fields omitted, schema field order — deterministic). Without
+    * the suffix, distinct exotic routes sharing an RD would collide in
+    * JSON pages and in the text-key snapshot export. The input frame must
+    * carry the [[routeKeyCols]]. */
   def itemKey: Column = concat(
     when(col("rd").isNotNull, concat(IpFns.rdStr(col("rd")), lit(" "))).otherwise(lit("")),
     coalesce(col("prefix_str"), lit("")),
     when(col("labels").isNotNull,
-      concat(lit(" l"), concat_ws(",", col("labels")))).otherwise(lit("")))
+      concat(lit(" l"), concat_ws(",", col("labels")))).otherwise(lit("")),
+    when(col("l2").isNotNull, concat(lit("l2"), to_json(col("l2")))).otherwise(lit("")),
+    when(col("mvpn").isNotNull, concat(lit("mvpn"), to_json(col("mvpn")))).otherwise(lit("")),
+    when(col("evpn").isNotNull, concat(lit("evpn"), to_json(col("evpn")))).otherwise(lit("")),
+    when(col("mdt_group").isNotNull,
+      concat(lit(" g"), IpFns.pfxStr(col("mdt_group")))).otherwise(lit("")))
 
   private def entryStruct: Column = struct(
     col("active").as("Active"), col("attrs").as("Attrs"), col("labels").as("Labels"))

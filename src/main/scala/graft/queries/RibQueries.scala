@@ -201,6 +201,23 @@ object RibQueries {
         .orderBy(col("rib"))
     }),
 
+    // EVPN NLRI field audit (round 13): the RFC 7432/9136 fields beyond
+    // the match surface (ESI / Ethernet Tag / MAC) per route type —
+    // presence counts, tag mass and the exact formatted extrema pin both
+    // the per-type presence rules and the hex renderings
+    "q_rib_evpn_fields" -> ((s, dir) => {
+      re(s, dir).where(col("rib") === "evpn")
+        .groupBy(col("evpn.etype").as("etype"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          count(col("evpn.esi")).cast("long").as("n_esi"),
+          countDistinct(col("evpn.esi")).cast("long").as("n_esi_distinct"),
+          count(col("evpn.mac")).cast("long").as("n_mac"),
+          sum(col("evpn.eth_tag")).cast("long").as("sum_tag"),
+          max(col("evpn.esi")).as("max_esi"),
+          max(col("evpn.mac")).as("max_mac"))
+        .orderBy(col("etype"))
+    }),
+
     // RFC-2439 flap damping, batch twin (round 13): replay the event log
     // per ring through the SAME flapStep recurrence the ST14 stream uses
     // (penalty halvings by elapsed event time, suppress/reuse crossings)
@@ -727,6 +744,25 @@ object RibQueries {
          |  FROM re) t
          |WHERE pa IS NOT NULL AND pa <> active
          |GROUP BY rib ORDER BY rib""".stripMargin),
+    // per-type presence rules + formatting replayed from the same (uid,
+    // eid) arithmetic; SUM cast to BIGINT (DuckDB types bare SUM HUGEINT)
+    "q_rib_evpn_fields" -> (cte +
+      """, ef AS (
+        |  SELECT et0 AS etype,
+        |    CASE WHEN et0 IN (1,2,4,5)
+        |      THEN lpad(printf('%x', (uid%2)*100 + (eid%3)*10 + et0), 20, '0')
+        |      END AS esi,
+        |    CASE WHEN et0 IN (1,2,3,5) THEN (eid%3)*16 + uid%2 END AS eth_tag,
+        |    CASE WHEN et0 = 2 THEN printf('02:00:00:00:%02x:%02x',
+        |      uid%2, eid%3) END AS mac
+        |  FROM re WHERE rib='evpn'
+        |)
+        |SELECT CAST(etype AS INT) AS etype, COUNT(*) AS n,
+        |  COUNT(esi) AS n_esi, COUNT(DISTINCT esi) AS n_esi_distinct,
+        |  COUNT(mac) AS n_mac, CAST(SUM(eth_tag) AS BIGINT) AS sum_tag,
+        |  MAX(esi) AS max_esi, MAX(mac) AS max_mac
+        |FROM ef GROUP BY etype ORDER BY etype""".stripMargin),
+
     // sequential per-ring fold replayed as a recursive CTE: iteration i
     // advances every ring to its i-th event (rn joins), carrying
     // (penalty, last ts, last active, suppressed); kind marks crossings.

@@ -236,32 +236,45 @@ object BgpWire {
     else hostRowFixed(r, if (bits <= 32) 4 else 16, bits)
 
   /** One EVPN NLRI item (type, length, body) → the engine evpn struct
-    * (etype, rd, ip, gw_ip); ESI/eth-tag/MAC/labels are consumed (they are
-    * not part of the engine's match surface, src/ribfilter.rs:391-443). */
+    * (etype, rd, ip, gw_ip, esi, eth_tag, mac). The RFC 7432/9136 NLRI
+    * field sets decode in full: ESI (10 octets → 20 lowercase hex chars),
+    * Ethernet Tag (u32) and MAC (6 octets → colon-hex) per their per-type
+    * presence; only MPLS labels are consumed without storing (they ride
+    * the shared `labels` surface on labeled SAFIs, and the reference's
+    * match surface ignores all three fields, src/ribfilter.rs:391-443). */
   private def readEvpnItem(r: Reader): Row = {
     val t = r.u8(); val len = r.u8(); val end = r.off + len
     val rd = readRd(r)
+    def esiHex(): String = {
+      val sb = new java.lang.StringBuilder(20)
+      (0 until 10).foreach(_ => sb.append(f"${r.u8()}%02x"))
+      sb.toString
+    }
+    def macHex(nBytes: Int): String =
+      (0 until nBytes).map(_ => f"${r.u8()}%02x").mkString(":")
     val row = t match {
-      case 1 => Row(1, rd, null, null) // AD route: ESI/tag/label skipped below
+      case 1 => // Ethernet A-D: ESI + tag (label skipped below)
+        Row(1, rd, null, null, esiHex(), r.u32(), null)
       case 2 => // MAC/IP advertisement
-        r.skip(10 + 4)
-        val macBits = r.u8(); r.skip((macBits + 7) / 8)
+        val esi = esiHex(); val tag = r.u32()
+        val macBits = r.u8(); val mac = macHex((macBits + 7) / 8)
         val ipBits = r.u8()
-        Row(2, rd, if (ipBits == 0) null else hostRow(r, ipBits), null)
-      case 3 => // inclusive multicast: originating router IP
-        r.skip(4)
-        Row(3, rd, hostRow(r, r.u8()), null)
-      case 4 => // ethernet segment
-        r.skip(10)
-        Row(4, rd, hostRow(r, r.u8()), null)
-      case 5 => // IP prefix (RFC 9136): full-width prefix + gateway
-        r.skip(10 + 4)
+        Row(2, rd, if (ipBits == 0) null else hostRow(r, ipBits), null,
+          esi, tag, mac)
+      case 3 => // inclusive multicast: tag + originating router IP
+        val tag = r.u32()
+        Row(3, rd, hostRow(r, r.u8()), null, null, tag, null)
+      case 4 => // ethernet segment: ESI + originating router IP
+        val esi = esiHex()
+        Row(4, rd, hostRow(r, r.u8()), null, esi, null, null)
+      case 5 => // IP prefix (RFC 9136): ESI + tag + prefix + gateway
+        val esi = esiHex(); val tag = r.u32()
         val plen = r.u8()
         val v6 = (end - r.off) >= 32 // 16B prefix + 16B GW (+label)
         val ip = hostRowFixed(r, if (v6) 16 else 4, plen)
         val gw = hostRowFixed(r, if (v6) 16 else 4, if (v6) 128 else 32)
-        Row(5, rd, ip, gw)
-      case n => Row(n, rd, null, null)
+        Row(5, rd, ip, gw, esi, tag, null)
+      case n => Row(n, rd, null, null, null, null, null)
     }
     require(r.off <= end, s"EVPN t$t overran its declared length")
     r.skip(end - r.off)

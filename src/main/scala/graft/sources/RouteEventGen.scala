@@ -109,7 +109,8 @@ object RouteEventGen {
   val mvpnType = s"struct<mtype:int,rd:$rdType,originator:$pfxType,source:$pfxType," +
     s"group:$pfxType,rp:$pfxType,spmsi_rd:$rdType,spmsi_originator:$pfxType," +
     s"spmsi_source:$pfxType,spmsi_group:$pfxType>"
-  val evpnType = s"struct<etype:int,rd:$rdType,ip:$pfxType,gw_ip:$pfxType>"
+  val evpnType = s"struct<etype:int,rd:$rdType,ip:$pfxType,gw_ip:$pfxType," +
+    "esi:string,eth_tag:bigint,mac:string>"
 
   def fromEvents(events: DataFrame): DataFrame = {
     val eid = col("event_id")
@@ -213,13 +214,36 @@ object RouteEventGen {
     // EVPN: t2 may legitimately carry no IP (src/ribfilter.rs:403-410) —
     // emitted for uid%5==4 to exercise the Unknown arm
     val evpnIpSet = etype.isin(2, 3, 4) && !(etype === 2 && uid % 5 === 4)
+    // RFC 7432/9136 NLRI fields beyond the match surface, with per-type
+    // presence (esi t1/t2/t4/t5, eth_tag t1/t2/t3/t5, mac t2 only);
+    // values are pure arithmetic over fields ALREADY in the route key
+    // (etype, rdh's uid%2, rdl's eid%3) — NOT fresh eid entropy: the key
+    // struct feeds ring identity (route_id/ring_id hash and every
+    // per-ring window), so a field that varied per event would split
+    // every evpn ring into near-singletons and silently gut the history
+    // semantics (flaps, retention, diff — the round-13 first-cut bug).
+    // The DuckDB oracle replays the derivations (q_rib_evpn_fields),
+    // formatted exactly like the wire decoder (20 lowercase hex chars /
+    // colon-hex MAC).
+    val evpnEsi = when(etype.isin(1, 2, 4, 5),
+      lpad(lower(hex((uid % 2) * 100 + (eid % 3) * 10 + etype)), 20, "0"))
+      .otherwise(lit(null).cast("string"))
+    val evpnTag = when(etype.isin(1, 2, 3, 5),
+      ((eid % 3) * 16 + uid % 2).cast("long"))
+      .otherwise(lit(null).cast("long"))
+    val evpnMac = when(etype === 2,
+      format_string("02:00:00:00:%02x:%02x",
+        (uid % 2).cast("int"), (eid % 3).cast("int")))
+      .otherwise(lit(null).cast("string"))
     val evpnKey = when(rib === "evpn", struct(
       etype.as("etype"),
       struct((lit(400L) + uid % 2).as("rdh"), (lit(600L) + eid % 3).as("rdl")).as("rd"),
       when(evpnIpSet, v4Host(10L << 24, eid % 50)).otherwise(lit(null).cast(pfxType))
         .as("ip"),
       when(etype === 5, v4Host(10L << 24, eid % 50)).otherwise(lit(null).cast(pfxType))
-        .as("gw_ip"))).otherwise(lit(null).cast(evpnType))
+        .as("gw_ip"),
+      evpnEsi.as("esi"), evpnTag.as("eth_tag"), evpnMac.as("mac")))
+      .otherwise(lit(null).cast(evpnType))
     val l2Key = when(rib === "l2vpls", struct(
       (lit(1) + (uid % 5)).cast("int").as("site"),
       ((eid % 4) * 10).cast("int").as("offset"),

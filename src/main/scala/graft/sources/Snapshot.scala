@@ -216,8 +216,9 @@ object Snapshot {
     * available in this environment, and the reference's own code
     * (src/ribfilter.rs:306-454) reveals only the filter-visible field
     * subset (e.g. EVPN rd/ip/gw_ip but not the ESI/tag/MAC fields EVPN
-    * route types carry on the wire — fields this engine's data model
-    * does not store either). Emitting guessed maps would produce files
+    * route types carry on the wire — this engine's model stores those
+    * since round 13, but the zettabgp serde FIELD NAMES and nesting for
+    * them remain unknowable from here). Emitting guessed maps would produce files
     * that CLAIM loadability and fail in the reference's loader; text
     * keys fail soft and import back here losslessly. The 11
     * exported-shape families are exactly those whose complete field
@@ -246,12 +247,18 @@ object Snapshot {
   def write(events: DataFrame, dir: String, shards: Int = 1): Unit = {
     require(shards > 0, s"shards must be positive, got $shards")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    // mdt_group is only present on full route-event-log inputs; synthesize
-    // a null column for narrower frames so the row layout is fixed
-    val withGroup =
-      if (events.columns.contains("mdt_group")) events
-      else events.withColumn("mdt_group",
-        lit(null).cast(RouteEventGen.pfxType))
+    // the exotic key columns are only present on full route-event-log
+    // inputs; synthesize null columns for narrower frames so the row
+    // layout (and itemKey's key-struct rendering) is fixed
+    val withGroup = Seq(
+      "mdt_group" -> RouteEventGen.pfxType,
+      "l2" -> RouteEventGen.l2Type,
+      "mvpn" -> RouteEventGen.mvpnType,
+      "evpn" -> RouteEventGen.evpnType).foldLeft(events) {
+      case (df, (c, t)) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(t))
+    }
     val rows = withGroup.select(
       col("rib"), col("prefix.version").as("pv"), col("prefix.ip_hi").as("phi"),
       col("prefix.ip_lo").as("plo"), col("prefix.prefix_len").as("plen"),

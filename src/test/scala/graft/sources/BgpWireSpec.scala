@@ -102,11 +102,20 @@ class BgpWireSpec extends AnyFunSuite {
     assert(e2.getStruct(1) == org.apache.spark.sql.Row(401L, 601L))
     assert(e2.getStruct(2).getLong(2) == (10L << 24) + 50 && e2.getStruct(2).getInt(3) == 32)
     assert(e2.isNullAt(3)) // no gateway on t2
+    // RFC 7432 t2 field set: zero ESI renders as 20 hex zeros, tag 0,
+    // 48-bit MAC as colon-hex
+    assert(e2.getString(4) == "00000000000000000000")
+    assert(e2.getLong(5) == 0L)
+    assert(e2.getString(6) == "aa:bb:cc:dd:ee:ff")
     val e5 = keys(1).getStruct(4)
     assert(e5.getInt(0) == 5)
     assert(e5.getStruct(2).getLong(2) == (10L << 24) + (5L << 16) + (6L << 8)
       && e5.getStruct(2).getInt(3) == 24)
     assert(e5.getStruct(3).getLong(2) == (10L << 24) + (5L << 16) + (6L << 8) + 1)
+    // t5 carries ESI + tag, never a MAC
+    assert(e5.getString(4) == "00000000000000000000")
+    assert(e5.getLong(5) == 0L)
+    assert(e5.isNullAt(6))
     // family nexthop rides along
     assert(keys(0).getStruct(5).getLong(2) == (10L << 24) + 1)
   }
