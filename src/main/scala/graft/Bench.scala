@@ -217,13 +217,27 @@ object Bench {
     // r12, load ~1), so a 0.07 floor would flag every 32-cpu run as
     // contended and the flag would carry no information
     val parQuiet = math.max(0.30, 0.07 * 32.0 / cpus.toInt)
-    // io-probe quiet anchor: measured on this host at 32 cpus (fresh JVM,
-    // load ~1) — set the cut at ~2× quiet so only the drift class the r12
-    // pair documented (string/bandwidth legs at ~1.7×) trips it, not the
-    // ±15-25% ambient band
+    // End-of-run par probe reads against an AGED quiet anchor: even with
+    // the System.gc() ahead of it, a leg that has run ~400 heavy queries
+    // leaves the probe at 0.65-0.70 s on a demonstrably quiet host (cpu
+    // and io probes flat, start probe 0.32 s — measured r12 six legs, r13
+    // two legs; old-gen and code-cache pressure the gc cannot fully
+    // reclaim). Cutting the end probe at the fresh anchor flagged every
+    // long leg as contended and carried no information — the same lesson
+    // as the r12 probe-floor fix, one JVM-age step later. The start probe
+    // keeps the fresh cut (a hot start IS contention).
+    val parAgedQuiet = 0.70
+    // io-probe quiet anchor: measured on this host at 32 cpus — a quiet
+    // leg reads 0.80 s at run start and up to ~1.1 s at run end (the same
+    // JVM-aging drift the parallel probe carries, despite the System.gc).
+    // The cut sits at ~2× the aged-quiet ceiling so only the drift class
+    // the r12 pair documented (string/bandwidth legs at ~1.7×, which this
+    // probe's surface tracks directly) trips it, not the ±15-25% ambient
+    // band or end-of-run aging.
     val ioQuiet = 1.0
     val contended = math.max(calibStart, calibEnd) > 1.7 ||
-      math.max(calibParStart, calibParEnd) > 2.0 * parQuiet ||
+      calibParStart > 2.0 * parQuiet ||
+      calibParEnd > 2.0 * parAgedQuiet ||
       math.max(calibIoStart, calibIoEnd) > 2.0 * ioQuiet
     val calibCompact = s""""calib_sec":[${r4(calibStart)},${r4(calibEnd)}],""" +
       s""""calib_par_sec":[${r4(calibParStart)},${r4(calibParEnd)}],""" +
