@@ -478,6 +478,86 @@ object Dedup {
       .where(col("n_shared_shingles") >= minShared)
   }
 
+  /** Winnowing fingerprints (the MOSS scheme, Schleimer/Wilkerson/Aiken
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): hash the
+    * word k-shingles, slide a window of `w` consecutive hashes, and keep
+    * each window's RIGHTMOST minimum — the classic guarantee follows:
+    * any shared run of at least w+k-1 words between two documents yields
+    * at least one IDENTICAL selected (hash) fingerprint, while only
+    * ~2/(w+1) of all shingles are kept. The selected set is the standard
+    * plagiarism / overlap-detection index: orders of magnitude smaller
+    * than the full shingle set, yet positionally robust (unlike MinHash,
+    * matches localize to positions).
+    *
+    * Returns (id, fp_pos, fp_hash) — one row per distinct selected
+    * (position, hash) pair; adjacent windows electing the same shingle
+    * dedup away, which is exactly the winnowing density bound. Documents
+    * shorter than w shingles contribute their single overall minimum.
+    *
+    * Engine-portable by construction: shingle hashes are the 31-bit
+    * arithmetic char fold ([[arithHash31]]), the tie-break is "larger
+    * position wins at equal hash", and both sides of the oracle flatten
+    * the (hash, pos) choice to one integer — no float, no engine hash.
+    *
+    * Scale shape: ONE scan-level projection per document (two nested HOFs,
+    * O(shingles·w) integer work with w small), explode of the ~n/w-sized
+    * selection, no shuffle at all — the output is the index you then
+    * bucket-join on fp_hash, where each posting list is winnow-sparse
+    * rather than shingle-dense. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(w > 0, s"w must be positive: $w")
+    val hs = df.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), k), s => arithHash31(s)).as("hs"))
+    val n = size(col("hs"))
+    val wEff = least(lit(w), n)
+    val nWin = n - wEff + 1
+    // rightmost minimum of window [p, p+wEff): <= keeps the later index
+    def winPick(p: Column): Column = aggregate(
+      sequence(lit(0), wEff - 1),
+      struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
+      (acc, j) => {
+        val idx = p + j
+        val h = element_at(col("hs"), idx + 1)
+        when(h <= acc("h"), struct(h.as("h"), idx.as("pos"))).otherwise(acc)
+      })
+    hs.where(n > 0)
+      .select(col("id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), nWin - 1), winPick(_)))).as("fp"))
+      .select(col("id"), col("fp.pos").cast("long").as("fp_pos"),
+        col("fp.h").as("fp_hash"))
+  }
+
+  /** Winnowed near-dup candidates: documents sharing at least `minShared`
+    * winnowing fingerprints ([[winnowFingerprints]] hashes — positions
+    * deliberately ignored, so reordered/shifted copies still match). The
+    * winnowing guarantee makes this the cheap overlap detector: any
+    * shared run of ≥ w+k-1 words forces a shared fingerprint, and the
+    * self-join runs over the ~2/(w+1)-density selected index instead of
+    * the full shingle set — the same join shape as [[decontaminate]] but
+    * on a far smaller table. Hot fingerprints (boilerplate) are capped by
+    * `maxDf` exactly like the containment path's stop-shingles. */
+  def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 8, minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    require(minShared > 0, s"minShared must be positive: $minShared")
+    require(maxDf > 1, s"maxDf must be > 1: $maxDf")
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp_hash")).distinct()
+    val rare = fps.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf && col("__df") >= 2)
+      .select(col("fp_hash"))
+    val slim = fps.join(rare, "fp_hash")
+    slim.as("l").join(slim.as("r"),
+        col("l.fp_hash") === col("r.fp_hash") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash over word shingles, one projection: bit j is set when
     * more than half the shingle hashes have bit j set. */
   def simhash(text: Column, k: Int): Column = {

@@ -239,6 +239,48 @@ object TextAnalysis {
     * fingerprint first-occurrence table back (AQE handles the join skew).
     * One final exchange on id re-assembles documents. Linear, no
     * all-pairs, no unpartitioned window. */
+  /** Context-window chunking — the long-document preparation step every
+    * training pipeline runs before packing: split the document into
+    * word-count windows of `chunkWords`, starting every `strideWords`
+    * words (stride < chunk ⇒ overlapping context windows, the standard
+    * long-doc recipe; stride = chunk ⇒ disjoint). Chunk i covers words
+    * [i·stride, i·stride + chunk), the final chunk may run short, and a
+    * start at-or-past the word count emits nothing — so every word lands
+    * in ≥1 chunk, and the chunk count is exactly ceil(n ∕ stride)…
+    * clipped to starts < n. Empty/whitespace-only documents emit no rows.
+    *
+    * Returns (id, chunk_id, start_word, n_words, chunk_text) ordered only
+    * by the caller. Deterministic, pure word arithmetic — the DuckDB
+    * oracle replays split, starts and slices verbatim.
+    *
+    * Scale shape: one scan-level projection + posexplode — no shuffle, no
+    * state; output volume is input · chunk/stride (the documented
+    * overlap factor). At 100 TB this runs at read speed ahead of packing,
+    * and the word arrays never leave the projection (slice + concat_ws
+    * inside the generator, no per-word rows). */
+  def chunkDocument(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 256, strideWords: Int = 192): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive: $chunkWords")
+    require(strideWords > 0 && strideWords <= chunkWords,
+      s"need 0 < strideWords <= chunkWords: $strideWords/$chunkWords")
+    val words = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val d = df.select(col(idCol).as("id"), words.as("ws"))
+      .where(size(col("ws")) > 0)
+    val n = size(col("ws"))
+    // ceil over starts < n, via integer `div` — Column `/` is IEEE double
+    // division (the round-12 sequence-bounds trap)
+    val nChunks = (call_function("div", (n - 1).cast("long"),
+      lit(strideWords.toLong)) + 1).cast("int")
+    d.select(col("id"), col("ws"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => i * strideWords)))
+      .select(col("id"), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_word"),
+        least(lit(chunkWords), n - col("col")).cast("long").as("n_words"),
+        concat_ws(" ", slice(col("ws"), col("col") + 1, lit(chunkWords)))
+          .as("chunk_text"))
+  }
+
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     val lines = df.select(col(idCol).as("id"),

@@ -454,6 +454,38 @@ object PipelineQueries {
           sum(col("alpha_x1000")).cast("long").as("sum_alpha"))
         .orderBy(col("source"))
     }),
+    // Context-window chunking (round 13): 64-word windows every 48 words
+    // over the normalized corpus — per-chunk ids, starts, lengths and the
+    // chunk text itself are all hash-compared, so the slice arithmetic
+    // (the ceil over starts, the short final chunk) is pinned verbatim
+    "q_text_chunks" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      TextAnalysis.chunkDocument(d, "doc_id", "text",
+        chunkWords = 64, strideWords = 48)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+    // Winnowing fingerprint selection (round 13): the MOSS scheme's
+    // selected (position, hash) set on a doc subset — rightmost-minimum
+    // tie-break and the short-document single-window case both pinned
+    "q_text_winnow" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") % 17 === 0)
+        .select(col("doc_id"),
+          regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.winnowFingerprints(d, "doc_id", "text", k = 3, w = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
+    }),
+    // Winnowed near-dup candidates (round 13): docs sharing >= 2 rare
+    // winnow fingerprints — the overlap detector over the ~2/(w+1)-density
+    // index instead of the full shingle set
+    "q_dedup_winnow" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.winnowNearDup(d, "doc_id", "text", k = 3, w = 8, minShared = 2)
+        .orderBy(col("a"), col("b"))
+    }),
     // Exact φ-frequent phrase mining (round 12): planted boilerplate
     // template on every third doc must surface with its exact count; the
     // rarer template (every 50th doc) and every natural trigram stay
@@ -1080,6 +1112,46 @@ object PipelineQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($c, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
       s"(a, x) -> (a * $mult + x) % $q)"
+
+  /** Shared winnowing-pick CTE (k=3, w=8 — the q_text_winnow /
+    * q_dedup_winnow constants): shingle positions + arith hashes, the
+    * flattened rightmost-min ordinal (h·2^20 + (2^20−1−pos), exact while
+    * pos < 2^20 and h < 2^30 — both hold: the hash is the 31-bit fold mod
+    * 1073741789 and fixture docs are ≪ 1M shingles), a frame-window MIN
+    * for the n≥w case and a global MIN for short docs. Ends after the
+    * `picks` CTE so callers append their own final SELECT. */
+  private def winnowPicksSql(docWhere: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split($docNorm, ' ') AS words
+       |  FROM documents WHERE $docWhere
+       |), sh AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    words[i]||' '||words[i+1]||' '||words[i+2] AS s
+       |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-1)) AS i
+       |        FROM d WHERE len(words) >= 3) t
+       |  UNION ALL
+       |  SELECT doc_id, 0 AS pos, array_to_string(words, ' ') AS s
+       |  FROM d WHERE len(words) < 3
+       |), hh AS (
+       |  SELECT doc_id, pos, ${sqlCharFold("s", 31L, 1073741789L)} AS h
+       |  FROM sh
+       |), nn AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY 1),
+       |ordv AS (
+       |  SELECT doc_id, pos, h*1048576 + (1048575 - pos) AS ord FROM hh
+       |), big AS (
+       |  SELECT o.doc_id, o.pos AS p,
+       |    MIN(ord) OVER (PARTITION BY o.doc_id ORDER BY o.pos
+       |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mo
+       |  FROM ordv o
+       |), picks AS (
+       |  SELECT b.doc_id, b.mo FROM big b JOIN nn ON b.doc_id = nn.doc_id
+       |  WHERE nn.n >= 8 AND b.p <= nn.n - 8
+       |  UNION ALL
+       |  SELECT o.doc_id, MIN(o.ord) AS mo
+       |  FROM ordv o JOIN nn ON o.doc_id = nn.doc_id
+       |  WHERE nn.n < 8 GROUP BY o.doc_id
+       |)
+       |""".stripMargin
 
   /** DuckDB replica of [[Sampling.mixCoord]]: the char fold of
     * `'salt:id'` pushed through the same two multiply + xor-shift rounds
@@ -2937,6 +3009,45 @@ object PipelineQueries {
     // Independent full-aggregation replica of the two-pass heavy-hitter
     // path: plain GROUP BY over every trigram + the same integer
     // cross-multiply threshold — no Misra–Gries anywhere, so the sketch's
+    // chunk starts/lengths/slices replayed with DuckDB list slicing
+    // (1-based inclusive ends = slice(start, length) with end = start +
+    // chunk - 1); `//` is the integer ceil-over-starts twin of the
+    // engine's `div`
+    "q_text_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($docNorm, ' '), w -> w <> '') AS ws
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, i AS chunk_id, i*48 AS start_word,
+         |    LEAST(64, len(ws) - i*48) AS n_words,
+         |    array_to_string(ws[i*48+1 : i*48+64], ' ') AS chunk_text
+         |  FROM (SELECT doc_id, ws, unnest(range(0, ((len(ws)-1)//48)+1)) AS i
+         |        FROM d WHERE len(ws) > 0) t
+         |)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(start_word AS BIGINT) AS start_word,
+         |  CAST(n_words AS BIGINT) AS n_words, chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // winnowing replayed with a window MIN over the flattened
+    // (hash·2^20 + (2^20-1-pos)) ordinal — min picks the smallest hash
+    // and, at equal hash, the LARGEST position (the rightmost-minimum
+    // tie-break); docs shorter than the window take their global min
+    "q_text_winnow" -> (winnowPicksSql("doc_id % 17 = 0") +
+      """SELECT DISTINCT doc_id,
+        |  CAST(1048575 - (mo % 1048576) AS BIGINT) AS fp_pos,
+        |  CAST(mo // 1048576 AS BIGINT) AS fp_hash
+        |FROM picks ORDER BY doc_id, fp_pos, fp_hash""".stripMargin),
+    "q_dedup_winnow" -> (winnowPicksSql("TRUE") +
+      """, fpd AS (
+        |  SELECT DISTINCT doc_id, mo // 1048576 AS fh FROM picks
+        |), rare AS (
+        |  SELECT fh FROM (SELECT fh, COUNT(*) AS c FROM fpd GROUP BY 1) t
+        |  WHERE c BETWEEN 2 AND 1000
+        |), slim AS (SELECT doc_id, fh FROM fpd JOIN rare USING (fh))
+        |SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
+        |FROM slim l JOIN slim r ON l.fh = r.fh AND l.doc_id < r.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b""".stripMargin),
     // soundness is checked by a structurally different algorithm
     "q_text_phrases" ->
       s"""WITH p0 AS (

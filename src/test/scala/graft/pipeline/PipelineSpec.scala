@@ -1296,6 +1296,87 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("property: winnowFingerprints equals the reference model and honors the guarantee") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    def cf(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L)
+    // independent model: k=3 shingle hashes, rightmost-min over w=8 windows
+    def model(text: String): Set[(Long, Long)] = {
+      val ws = text.split(" ")
+      val hs = if (ws.length >= 3)
+        (0 to ws.length - 3).map(i => cf(ws.slice(i, i + 3).mkString(" ")))
+      else Seq(cf(ws.mkString(" ")))
+      val wEff = math.min(8, hs.length)
+      (0 to hs.length - wEff).flatMap { p =>
+        var best = (Long.MaxValue, -1)
+        (0 until wEff).foreach { j =>
+          if (hs(p + j) <= best._1) best = (hs(p + j), p + j)
+        }
+        Some((best._2.toLong, best._1))
+      }.toSet
+    }
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    (0 until 3).foreach { round =>
+      val texts = (0 until 12).map { i =>
+        val n = sample(Gen.choose(1, 40), round * 100L + i)
+        (i.toLong, (0 until n)
+          .map(j => sample(wordGen, round * 10000L + i * 100L + j))
+          .mkString(" "))
+      }
+      val got = Dedup.winnowFingerprints(
+        texts.toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 8)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      texts.foreach { case (id, t) =>
+        assert(got.getOrElse(id, Set.empty) == model(t), s"doc $id '$t'")
+      }
+    }
+    // the winnowing guarantee: a shared run of >= w+k-1 = 10 words forces
+    // at least one shared fingerprint HASH between the two documents
+    val run = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, s"prefix words here $run and a tail"),
+      (2L, s"$run entirely different continuation text now"))
+    val fps = Dedup.winnowFingerprints(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val h1 = fps.collect { case (1L, h) => h }.toSet
+    val h2 = fps.collect { case (2L, h) => h }.toSet
+    assert((h1 & h2).nonEmpty)
+  }
+
+  test("property: chunkDocument covers every word with the declared overlap") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (0 until 3).foreach { round =>
+      val n = sample(Gen.choose(1, 300), 31L + round)
+      val words = (0 until n).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunkDocument(df, "doc_id", "text",
+        chunkWords = 64, strideWords = 48)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).sortBy(_._1)
+      // chunk count = ceil(n/48); starts stride by 48; lengths clip
+      assert(chunks.length == (n - 1) / 48 + 1)
+      chunks.foreach { case (cid, start, len, text) =>
+        assert(start == cid * 48)
+        assert(len == math.min(64, n - start))
+        assert(text == words.slice(start.toInt, start.toInt + 64).mkString(" "))
+      }
+      // coverage: the union of [start, start+len) is exactly [0, n)
+      val covered = chunks.flatMap { case (_, s, l, _) => s until (s + l) }.toSet
+      assert(covered == (0L until n.toLong).toSet)
+    }
+    // empty / whitespace-only docs emit nothing
+    val empty = TextAnalysis.chunkDocument(
+      Seq((1L, "   "), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(empty.count() == 0L)
+  }
+
   test("rateAnomalies stays exact past the long cross-multiply envelope") {
     // Regression for the r12 advice find: the old long-arithmetic form
     // computed dev²·10⁶ in a long, which wraps (or throws under ANSI)
