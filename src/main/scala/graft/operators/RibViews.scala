@@ -131,6 +131,64 @@ object RibViews {
       .otherwise(lit(null).cast(edgeType))
   }
 
+  /** Longest run of consecutive EQUAL elements in an array column — the
+    * AS-path prepending measure (a path `[65001 65001 65001 174]` has
+    * run 3: the origin prepended itself twice, the standard inbound
+    * traffic-engineering signal a looking glass surfaces). One aggregate
+    * HOF (scan-level, codegen-friendly): the accumulator carries
+    * (previous element, current run, best run); a null or empty array
+    * scores 0, a singleton 1. Engine-portable integer logic — the oracle
+    * replays the decision from the same planted arithmetic. */
+  def maxRun(arr: Column): Column =
+    coalesce(aggregate(arr,
+      struct(lit(null).cast("long").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        // null prev (first element) fails the equality → run restarts at 1
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.cast("long").as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best")), lit(0L))
+
+  /** Address scope of a route prefix — the martian/bogon audit class the
+    * reference's operators eyeball by hand: v4 prefixes classify into
+    * rfc1918 / loopback / link_local / cgn (RFC 6598) / multicast /
+    * reserved (240/4) / global by integer range on the leading address;
+    * v6 into multicast (ff00::/8) / link_local (fe80::/10) / ula
+    * (fc00::/7) / doc (2001:db8::/32) / global. A unicast rib carrying
+    * anything but `global` is the route-sanity finding ("martian
+    * announcement"). Pure scan-level CASE arithmetic on the key integers
+    * — no parsing, no strings, codegen'd; the oracle replays the ranges
+    * on the same integers. Null prefix (the non-prefix SAFIs) → null. */
+  def addrScope(prefix: Column): Column = {
+    val v4 = prefix("ip_lo")
+    val hi = prefix("ip_hi")
+    when(prefix.isNull, lit(null).cast("string"))
+      .when(prefix("version") === 4,
+        when(v4 >= (10L << 24) && v4 < (11L << 24), "rfc1918")
+          .when(v4 >= (127L << 24) && v4 < (128L << 24), "loopback")
+          .when(v4 >= ((172L << 24) + (16L << 16)) &&
+            v4 < ((172L << 24) + (32L << 16)), "rfc1918")
+          .when(v4 >= ((192L << 24) + (168L << 16)) &&
+            v4 < ((192L << 24) + (169L << 16)), "rfc1918")
+          .when(v4 >= ((100L << 24) + (64L << 16)) &&
+            v4 < ((100L << 24) + (128L << 16)), "cgn")
+          .when(v4 >= ((169L << 24) + (254L << 16)) &&
+            v4 < ((169L << 24) + (255L << 16)), "link_local")
+          .when(v4 >= (224L << 24) && v4 < (240L << 24), "multicast")
+          .when(v4 >= (240L << 24), "reserved")
+          .otherwise("global"))
+      .otherwise(
+        // UNSIGNED shifts: a multicast hi has its sign bit set, and the
+        // arithmetic shift would smear it into the comparison
+        when(shiftrightunsigned(hi, 56) === 0xffL, "multicast")
+          .when(shiftrightunsigned(hi, 54) === (0xfe80L >> 6), "link_local")
+          .when(shiftrightunsigned(hi, 57) === (0xfcL >> 1), "ula")
+          .when(shiftrightunsigned(hi, 32) === 0x20010db8L, "doc")
+          .otherwise("global"))
+  }
+
   /** AS adjacency rollup: one row per directed AS-path edge with event,
     * distinct-prefix and active counts. Explode + map-side-combined
     * aggregation — the same shape as the community rollup; edge

@@ -493,69 +493,135 @@ object Dedup {
     * (position, hash) pair; adjacent windows electing the same shingle
     * dedup away, which is exactly the winnowing density bound. Documents
     * shorter than w shingles contribute their single overall minimum.
+    * fp_hash is the production xxhash64 masked to 43 bits (see the
+    * packing note below), or the 31-bit arithmetic char fold
+    * ([[arithHash31]]) with `arithmeticHash = true` — the oracle mode, in
+    * which the selection is engine-portable by construction: the
+    * tie-break is "larger position wins at equal hash" and both sides
+    * flatten the (hash, pos) choice to the same integer.
     *
-    * Engine-portable by construction: shingle hashes are the 31-bit
-    * arithmetic char fold ([[arithHash31]]), the tie-break is "larger
-    * position wins at equal hash", and both sides of the oracle flatten
-    * the (hash, pos) choice to one integer — no float, no engine hash.
-    *
-    * Scale shape: ONE scan-level projection per document (two nested HOFs,
-    * O(shingles·w) integer work with w small), explode of the ~n/w-sized
-    * selection, no shuffle at all — the output is the index you then
+    * Scale shape: explode to (doc, pos, hash) rows, ONE doc-keyed
+    * exchange, and a native sliding-frame `min(struct(hash, −pos))`
+    * window (w−1 FOLLOWING) — rightmost minimum as a lexicographic
+    * struct min, then distinct over the ~2/(w+1)-density selection. The
+    * window is per-document (never global), the frame is w rows, and
+    * every operator is native WindowExec/HashAggregate — the first cut
+    * computed the same selection with nested interpreted HOFs and
+    * measured ~4× slower (isolated sf1: ~80 s vs ~20 s; see the inline
+    * notes below for the two traps). The output is the index you then
     * bucket-join on fp_hash, where each posting list is winnow-sparse
     * rather than shingle-dense. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 8): DataFrame = {
+      k: Int = 3, w: Int = 8, arithmeticHash: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(w > 0, s"w must be positive: $w")
-    val hs = df.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), k), s => arithHash31(s)).as("hs"))
-    val n = size(col("hs"))
-    val wEff = least(lit(w), n)
-    val nWin = n - wEff + 1
-    // rightmost minimum of window [p, p+wEff): <= keeps the later index
-    def winPick(p: Column): Column = aggregate(
-      sequence(lit(0), wEff - 1),
-      struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
-      (acc, j) => {
-        val idx = p + j
-        val h = element_at(col("hs"), idx + 1)
-        when(h <= acc("h"), struct(h.as("h"), idx.as("pos"))).otherwise(acc)
-      })
-    hs.where(n > 0)
+    // Shingle rows come from the explodedShingleCols discipline — explode
+    // WORDS once, form each shingle from window `lead`s — never from an
+    // array-lambda pipeline: the first cut built a per-doc hash ARRAY with
+    // nested HOFs and measured ~5× slower (the lambda re-evaluated the
+    // doc split per shingle — the O(words²·k) trap — and the generator's
+    // inferred not-null constraint re-evaluated the whole array expression
+    // again at scan level). Production hashes the k words directly
+    // (xxhash64, the same shingle identity the verify join uses);
+    // arithmeticHash swaps in the 31-bit portable fold over the shingle
+    // string so a DuckDB oracle replays the selection bit-for-bit. The
+    // winnowing GUARANTEE (a shared run of ≥ w+k−1 words forces a shared
+    // selected fingerprint) holds under ANY hash family.
+    import org.apache.spark.sql.expressions.Window
+    val wordsArr = split(col(textCol), "\\s+")
+    val words = df.select(col(idCol).as("id"),
+      (size(wordsArr) - (k - 1)).as("__nsh"),
+      posexplode(wordsArr).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until k).map(j => lead(col("w"), j).over(byDoc))
+    val lastLeadOk = if (k > 1) leads.last.isNotNull else lit(true)
+    def hashOf(parts: Seq[Column]): Column =
+      if (arithmeticHash) arithHash31(concat_ws(" ", parts: _*))
+      else xxhash64(parts: _*)
+    val long = words
+      .select(col("id"), col("__nsh"), col("pos"),
+        hashOf(col("w") +: leads).as("h"), lastLeadOk.as("__full"))
+      .where(col("__full"))
+      .select(col("id"), col("__nsh"), col("pos"), col("h"))
+    val short = df.where(size(split(col(textCol), "\\s+")) < k)
+      .select(col(idCol).as("id"), lit(1).as("__nsh"), lit(0).as("pos"),
+        hashOf(Seq(concat_ws(" ", split(col(textCol), "\\s+")))).as("h"))
+    // rightmost minimum of each w-frame as ONE primitive long min: pack
+    // (hash masked to 43 bits) above (2^20-1 - pos), so the smaller hash
+    // wins and, at equal hash, the LARGER position (latest index) does —
+    // the identical packing the DuckDB oracle uses. Envelope: positions
+    // < 2^20 shingles per document, and the production fingerprint is the
+    // masked-to-43-bit hash — mask collisions only ever ADD candidates,
+    // which the verify stage kills. Window starts: pos <= nsh-w for long
+    // docs (full frames only); the single pos-0 frame (clipped at the
+    // partition end) for docs shorter than w shingles.
+    val posMask = (1L << 20) - 1
+    val ord = col("h").bitwiseAND(lit((1L << 43) - 1)) * lit(1L << 20) +
+      (lit(posMask) - col("pos"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    long.unionByName(short)
+      .withColumn("__pick", min(ord).over(win))
+      .where(col("pos") <= greatest(col("__nsh") - w, lit(0)))
       .select(col("id"),
-        explode(array_distinct(
-          transform(sequence(lit(0), nWin - 1), winPick(_)))).as("fp"))
-      .select(col("id"), col("fp.pos").cast("long").as("fp_pos"),
-        col("fp.h").as("fp_hash"))
+        (lit(posMask) - col("__pick").bitwiseAND(lit(posMask)))
+          .cast("long").as("fp_pos"),
+        shiftright(col("__pick"), 20).as("fp_hash"))
+      .distinct()
   }
 
-  /** Winnowed near-dup candidates: documents sharing at least `minShared`
-    * winnowing fingerprints ([[winnowFingerprints]] hashes — positions
-    * deliberately ignored, so reordered/shifted copies still match). The
-    * winnowing guarantee makes this the cheap overlap detector: any
-    * shared run of ≥ w+k-1 words forces a shared fingerprint, and the
-    * self-join runs over the ~2/(w+1)-density selected index instead of
-    * the full shingle set — the same join shape as [[decontaminate]] but
-    * on a far smaller table. Hot fingerprints (boilerplate) are capped by
-    * `maxDf` exactly like the containment path's stop-shingles. */
+  /** Winnowed near-dup: candidate pairs share ≥1 rare winnowing
+    * fingerprint ([[winnowFingerprints]] hashes — positions deliberately
+    * ignored, so reordered/shifted copies still match), then an EXACT
+    * word-shingle Jaccard verify keeps only pairs at or above
+    * `threshold` — the minhashNearDupAuto discipline: the index stage
+    * moves recall and cost, the verify stage owns precision, so no
+    * below-threshold pair can ever surface. The winnowing guarantee
+    * makes the candidate stage the cheap overlap detector (any shared
+    * run of ≥ w+k−1 words forces a shared fingerprint under ANY hash
+    * family), and the self-join runs over the ~2/(w+1)-density selected
+    * index instead of the full shingle set — the same join shape as
+    * [[decontaminate]] but on a far smaller table. Hot fingerprints
+    * (boilerplate) are capped by `maxDf` like the containment path's
+    * stop-shingles. Returns (a, b, inter, union_n), verified rows only.
+    *
+    * Oracle note: the DuckDB replica selects with the portable
+    * arithmetic hash while production selects with xxhash64; outputs
+    * agree because every VERIFIED pair (true J ≥ threshold) overlaps in
+    * long runs, where the guarantee makes candidate recall
+    * hash-independent — a scattered-short-overlap pair at the exact
+    * threshold margin is the theoretical divergence case, absent from
+    * real near-dup families. */
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 8, minShared: Int = 2,
-      maxDf: Int = 1000): DataFrame = {
-    require(minShared > 0, s"minShared must be positive: $minShared")
+      k: Int = 3, w: Int = 8, threshold: Double = 0.6,
+      maxDf: Int = 1000, arithmeticHash: Boolean = false): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     require(maxDf > 1, s"maxDf must be > 1: $maxDf")
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val fps = winnowFingerprints(df, idCol, textCol, k, w, arithmeticHash)
       .select(col("id"), col("fp_hash")).distinct()
     val rare = fps.groupBy(col("fp_hash"))
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf && col("__df") >= 2)
       .select(col("fp_hash"))
     val slim = fps.join(rare, "fp_hash")
-    slim.as("l").join(slim.as("r"),
+    val cand = slim.as("l").join(slim.as("r"),
         col("l.fp_hash") === col("r.fp_hash") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
-      .agg(count(lit(1)).cast("long").as("n_shared"))
-      .where(col("n_shared") >= minShared)
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    // candidate-driven exact verify: each pair pulls only its own two
+    // shingle sets through the equi-joins (no all-pairs index join)
+    val inv = explodedShingleHashes(df, idCol, textCol, k).distinct()
+    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val thNum = math.round(threshold * 1000)
+    cand
+      .join(inv.select(col("id").as("a"), col("h")), "a")
+      .join(inv.select(col("id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * 1000 >= col("union_n") * thNum)
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        col("union_n").cast("long").as("union_n"))
   }
 
   /** 64-bit SimHash over word shingles, one projection: bit j is set when

@@ -473,17 +473,20 @@ object PipelineQueries {
       val d = docs(s, dir).where(col("doc_id") % 17 === 0)
         .select(col("doc_id"),
           regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
-      Dedup.winnowFingerprints(d, "doc_id", "text", k = 3, w = 8)
+      Dedup.winnowFingerprints(d, "doc_id", "text", k = 3, w = 8,
+        arithmeticHash = true)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
     }),
-    // Winnowed near-dup candidates (round 13): docs sharing >= 2 rare
-    // winnow fingerprints — the overlap detector over the ~2/(w+1)-density
-    // index instead of the full shingle set
+    // Winnowed near-dup (round 13): candidates share >= 1 rare winnow
+    // fingerprint (xxhash64 production selection over the ~2/(w+1)-density
+    // index), exact-Jaccard verify owns precision; the oracle re-selects
+    // with the portable hash — verified pairs agree via the winnowing
+    // guarantee (long shared runs fingerprint under any hash family)
     "q_dedup_winnow" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
-      Dedup.winnowNearDup(d, "doc_id", "text", k = 3, w = 8, minShared = 2)
+      Dedup.winnowNearDup(d, "doc_id", "text", k = 3, w = 8, threshold = 0.6)
         .orderBy(col("a"), col("b"))
     }),
     // Exact φ-frequent phrase mining (round 12): planted boilerplate
@@ -3044,10 +3047,25 @@ object PipelineQueries {
         |), rare AS (
         |  SELECT fh FROM (SELECT fh, COUNT(*) AS c FROM fpd GROUP BY 1) t
         |  WHERE c BETWEEN 2 AND 1000
-        |), slim AS (SELECT doc_id, fh FROM fpd JOIN rare USING (fh))
-        |SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
-        |FROM slim l JOIN slim r ON l.fh = r.fh AND l.doc_id < r.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b""".stripMargin),
+        |), slim AS (SELECT doc_id, fh FROM fpd JOIN rare USING (fh)),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM slim l JOIN slim r ON l.fh = r.fh AND l.doc_id < r.doc_id
+        |), shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+        |iv AS (
+        |  SELECT c.a, c.b, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN shd la ON la.doc_id = c.a
+        |  JOIN shd rb ON rb.doc_id = c.b AND rb.s = la.s
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(sa.n + sb.n - inter AS BIGINT) AS union_n
+        |FROM iv JOIN sizes sa ON sa.doc_id = iv.a
+        |JOIN sizes sb ON sb.doc_id = iv.b
+        |WHERE inter * 1000 >= (sa.n + sb.n - inter) * 600
+        |ORDER BY a, b""".stripMargin),
     // soundness is checked by a structurally different algorithm
     "q_text_phrases" ->
       s"""WITH p0 AS (

@@ -201,6 +201,38 @@ object RibQueries {
         .orderBy(col("rib"))
     }),
 
+    // AS-path prepending audit (round 13): longest consecutive-equal run
+    // in the AS path, rolled up per rib — prepending planted in the QUERY
+    // (every 5th event duplicates its first ASN once, every 10th twice)
+    // because the fixture's natural paths never repeat; the maxRun HOF
+    // under test is general
+    "q_rib_prepending" -> ((s, dir) => {
+      val asl = col("attrs.as_list")
+      val first = slice(asl, 1, 1)
+      val planted = when(col("event_id") % 10 === 0, concat(first, first, asl))
+        .when(col("event_id") % 5 === 0, concat(first, asl))
+        .otherwise(asl)
+      re(s, dir).select(col("rib"), RibViews.maxRun(planted).as("run"))
+        .groupBy(col("rib"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("run") >= 2, 1L).otherwise(0L)).cast("long")
+            .as("n_prepended"),
+          max(col("run")).cast("long").as("max_run"))
+        .orderBy(col("rib"))
+    }),
+
+    // Address-scope audit (round 13): classify every route prefix into
+    // rfc1918/multicast/global/... by integer range (the martian/bogon
+    // sanity view); the fixture maps each rib family to a known scope,
+    // which the oracle states independently from the rib arithmetic
+    "q_rib_scopes" -> ((s, dir) =>
+      re(s, dir)
+        .select(col("rib"), RibViews.addrScope(col("prefix")).as("scope"))
+        .where(col("scope").isNotNull)
+        .groupBy(col("rib"), col("scope"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("rib"), col("scope"))),
+
     // EVPN NLRI field audit (round 13): the RFC 7432/9136 fields beyond
     // the match surface (ESI / Ethernet Tag / MAC) per route type —
     // presence counts, tag mass and the exact formatted extrema pin both
@@ -744,6 +776,29 @@ object RibQueries {
          |  FROM re) t
          |WHERE pa IS NOT NULL AND pa <> active
          |GROUP BY rib ORDER BY rib""".stripMargin),
+    // the planted runs restated from the event arithmetic: natural paths
+    // never repeat (a1 in 100..104, a2 in 200..206, then 65001), so run =
+    // 3 on every 10th event, 2 on every remaining 5th, else 1
+    "q_rib_prepending" -> (cte +
+      """SELECT rib, COUNT(*) AS n,
+        |  COUNT(CASE WHEN eid % 5 = 0 THEN 1 END) AS n_prepended,
+        |  CAST(MAX(CASE WHEN eid % 10 = 0 THEN 3
+        |      WHEN eid % 5 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS max_run
+        |FROM re GROUP BY rib ORDER BY rib""".stripMargin),
+
+    // the fixture's per-rib scope mapping, stated from the address
+    // constants rather than the range arithmetic under test: 10.x ->
+    // rfc1918, 224.x/ff05:: -> multicast, 2001:0:: -> global
+    "q_rib_scopes" -> (cte +
+      """SELECT rib,
+        |  CASE WHEN rib IN ('ipv4m','vpnv4m','vpnv6m') THEN 'multicast'
+        |    WHEN rib IN ('ipv4u','vpnv4u','ipv4lu','ipv4mdt','fs4u')
+        |      THEN 'rfc1918'
+        |    ELSE 'global' END AS scope,
+        |  COUNT(*) AS n
+        |FROM re WHERE ip IS NOT NULL OR hi6 IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // per-type presence rules + formatting replayed from the same (uid,
     // eid) arithmetic; SUM cast to BIGINT (DuckDB types bare SUM HUGEINT)
     "q_rib_evpn_fields" -> (cte +

@@ -374,4 +374,65 @@ class RibViewsSpec extends AnyFunSuite {
       "WindowExec".r.findAllIn(plan).length <= 2, plan.take(3000))
     assert("Exchange".r.findAllIn(plan).length == 1, plan.take(3000))
   }
+
+  test("maxRun equals the fold model on random integer arrays") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    def model(xs: Seq[Long]): Long =
+      if (xs.isEmpty) 0L
+      else xs.tail.foldLeft((xs.head, 1L, 1L)) { case ((prev, run, best), x) =>
+        val r = if (x == prev) run + 1 else 1L
+        (x, r, math.max(best, r))
+      }._3
+    val arrays = (0 until 30).map(i =>
+      (i.toLong, sample(Gen.listOfN(sample(Gen.choose(0, 12), 7L + i),
+        Gen.choose(1L, 4L)), 100L + i))) :+ (99L, List.empty[Long])
+    val got = arrays.toDF("id", "xs")
+      .select(col("id"), RibViews.maxRun(col("xs")).as("run"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    arrays.foreach { case (id, xs) =>
+      assert(got(id) == model(xs), s"id $id xs $xs")
+    }
+  }
+
+  test("addrScope classifies every documented range") {
+    val s = spark
+    import s.implicits._
+    def v4(a: Int, b: Int, c: Int, d: Int): (Byte, Long, Long, Int) =
+      (4.toByte, 0L, (a.toLong << 24) + (b << 16) + (c << 8) + d, 32)
+    def v6(hi: Long): (Byte, Long, Long, Int) = (6.toByte, hi, 0L, 64)
+    val cases: Seq[((Byte, Long, Long, Int), String)] = Seq(
+      v4(10, 1, 2, 3) -> "rfc1918", v4(172, 16, 0, 1) -> "rfc1918",
+      v4(172, 31, 255, 255) -> "rfc1918", v4(172, 32, 0, 1) -> "global",
+      v4(192, 168, 9, 9) -> "rfc1918", v4(192, 169, 0, 1) -> "global",
+      v4(127, 0, 0, 1) -> "loopback", v4(100, 64, 0, 1) -> "cgn",
+      v4(100, 127, 255, 255) -> "cgn", v4(100, 128, 0, 1) -> "global",
+      v4(169, 254, 1, 1) -> "link_local", v4(224, 0, 0, 5) -> "multicast",
+      v4(239, 255, 255, 255) -> "multicast", v4(240, 0, 0, 1) -> "reserved",
+      v4(8, 8, 8, 8) -> "global",
+      v6(0xff05000000000000L) -> "multicast",
+      v6(0xfe80000000000000L) -> "link_local",
+      v6(0xfebf000000000000L) -> "link_local",
+      v6(0xfc00000000000000L) -> "ula", v6(0xfdffL << 48) -> "ula",
+      v6(0x20010db800000000L) -> "doc",
+      v6(0x2001000000000000L) -> "global")
+    val df = cases.zipWithIndex.map { case (((v, hi, lo, len), want), i) =>
+      (i.toLong, v, hi, lo, len, want)
+    }.toDF("id", "version", "ip_hi", "ip_lo", "prefix_len", "want")
+      .withColumn("prefix", org.apache.spark.sql.functions.struct(
+        col("version"), col("ip_hi"), col("ip_lo"), col("prefix_len")))
+    val got = df.select(col("want"),
+      RibViews.addrScope(col("prefix")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0), r.toString))
+    // null prefix -> null scope
+    val nul = df.limit(1).select(RibViews.addrScope(
+      org.apache.spark.sql.functions.lit(null).cast(
+        "struct<version:tinyint,ip_hi:bigint,ip_lo:bigint,prefix_len:int>")))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
 }

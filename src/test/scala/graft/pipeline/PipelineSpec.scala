@@ -1327,7 +1327,8 @@ class PipelineSpec extends AnyFunSuite {
           .mkString(" "))
       }
       val got = Dedup.winnowFingerprints(
-        texts.toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 8)
+        texts.toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 8,
+        arithmeticHash = true)
         .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       texts.foreach { case (id, t) =>
