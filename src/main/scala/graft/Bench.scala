@@ -226,7 +226,13 @@ object Bench {
     // long leg as contended and carried no information — the same lesson
     // as the r12 probe-floor fix, one JVM-age step later. The start probe
     // keeps the fresh cut (a hot start IS contention).
-    val parAgedQuiet = 0.70
+    // Off-host portability (r13 advice item): 0.70 was measured at 32
+    // cpus where the fresh floor is 0.30, i.e. aging costs ~2.33× the
+    // fresh quiet time. Express the aged anchor as that RATIO over the
+    // host's fresh quiet floor so a smaller host (whose parQuiet already
+    // scales with 32/cpus) gets a proportionally larger aged allowance
+    // instead of being flagged by a 32-cpu constant.
+    val parAgedQuiet = parQuiet * (0.70 / 0.30)
     // io-probe quiet anchor: measured on this host at 32 cpus — a quiet
     // leg reads 0.80 s at run start and up to ~1.1 s at run end (the same
     // JVM-aging drift the parallel probe carries, despite the System.gc).
@@ -234,7 +240,12 @@ object Bench {
     // the r12 pair documented (string/bandwidth legs at ~1.7×, which this
     // probe's surface tracks directly) trips it, not the ±15-25% ambient
     // band or end-of-run aging.
-    val ioQuiet = 1.0
+    // Scaled like parQuiet (r13 advice item): the probe's explode +
+    // hash-agg leg is cpu-parallel, so on fewer cpus a quiet run takes
+    // ~32/cpus longer; 1.0 s is the measured 32-cpu aged-quiet ceiling
+    // and stays the floor on larger hosts (the parquet IO share does not
+    // shrink with more cpus).
+    val ioQuiet = math.max(1.0, 1.0 * 32.0 / cpus.toInt)
     val contended = math.max(calibStart, calibEnd) > 1.7 ||
       calibParStart > 2.0 * parQuiet ||
       calibParEnd > 2.0 * parAgedQuiet ||

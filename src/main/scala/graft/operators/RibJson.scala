@@ -43,7 +43,17 @@ object RibJson {
     * (null fields omitted, schema field order — deterministic). Without
     * the suffix, distinct exotic routes sharing an RD would collide in
     * JSON pages and in the text-key snapshot export. The input frame must
-    * carry the [[routeKeyCols]]. */
+    * carry the [[routeKeyCols]].
+    *
+    * Oracle note (r13 stretch ask): `to_json` serializes struct fields in
+    * SCHEMA DECLARATION order (Model.scala's L2Key/MvpnKey/EvpnKey field
+    * order) and omits null fields. Any future DuckDB oracle that pins
+    * exotic `item_key` TEXT must replicate that exact field order and
+    * null-omission in its own JSON rendering — DuckDB's `to_json(struct)`
+    * keeps nulls and uses its own struct order, so a naive struct-pack
+    * will hash-mismatch even when the key VALUES are identical. Current
+    * oracles only pin itemKey for prefix-shaped ribs (rd/prefix/labels
+    * arithmetic, no to_json), so nothing binds today. */
   def itemKey: Column = concat(
     when(col("rd").isNotNull, concat(IpFns.rdStr(col("rd")), lit(" "))).otherwise(lit("")),
     coalesce(col("prefix_str"), lit("")),

@@ -528,7 +528,10 @@ object Dedup {
     // winnowing GUARANTEE (a shared run of ≥ w+k−1 words forces a shared
     // selected fingerprint) holds under ANY hash family.
     import org.apache.spark.sql.expressions.Window
-    val wordsArr = split(col(textCol), "\\s+")
+    // trim + drop empty tokens so leading/trailing whitespace never
+    // injects an empty-string word that would shift every position —
+    // the same tokenization as chunkDocument (r13 advice item)
+    val wordsArr = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
     val words = df.select(col(idCol).as("id"),
       (size(wordsArr) - (k - 1)).as("__nsh"),
       posexplode(wordsArr).as(Seq("pos", "w")))
@@ -543,9 +546,9 @@ object Dedup {
         hashOf(col("w") +: leads).as("h"), lastLeadOk.as("__full"))
       .where(col("__full"))
       .select(col("id"), col("__nsh"), col("pos"), col("h"))
-    val short = df.where(size(split(col(textCol), "\\s+")) < k)
+    val short = df.where(size(wordsArr) < k)
       .select(col(idCol).as("id"), lit(1).as("__nsh"), lit(0).as("pos"),
-        hashOf(Seq(concat_ws(" ", split(col(textCol), "\\s+")))).as("h"))
+        hashOf(Seq(concat_ws(" ", wordsArr))).as("h"))
     // rightmost minimum of each w-frame as ONE primitive long min: pack
     // (hash masked to 43 bits) above (2^20-1 - pos), so the smaller hash
     // wins and, at equal hash, the LARGER position (latest index) does —
@@ -591,7 +594,23 @@ object Dedup {
     * long runs, where the guarantee makes candidate recall
     * hash-independent — a scattered-short-overlap pair at the exact
     * threshold margin is the theoretical divergence case, absent from
-    * real near-dup families. */
+    * real near-dup families. The `maxDf` cap is the second (r13-advice)
+    * divergence surface: df is counted over each hash family's OWN
+    * selected set, so a pair whose only shared fingerprints sit near the
+    * cap could be df-capped under one family and not the other. The
+    * df ≥ 2 floor is immune (any pair-producing fingerprint has df ≥ 2
+    * under its own family by construction — pure pruning); only the
+    * upper cap can bind differently. The pinned oracle configuration
+    * therefore requires fixture headroom: PipelineSpec's
+    * "winnow fingerprint df headroom" test asserts the max df under
+    * BOTH families stays ≤ maxDf/2 on the fixture, so a fixture
+    * regeneration that grows boilerplate-hot fingerprints fails loudly
+    * in the unit suite instead of silently diverging the oracle board.
+    * Measured headroom (r14, arith selection in DuckDB): max df = 6 at
+    * sf0.001/sf0.01 and 23 at sf0.1 AND sf1 — flat across the 10×
+    * scale-up because ScaleUp's per-copy word suffixes keep copies
+    * shingle-disjoint, so the cap (1000) sits 43× above the fixture
+    * ceiling under either family. */
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 8, threshold: Double = 0.6,
       maxDf: Int = 1000, arithmeticHash: Boolean = false): DataFrame = {

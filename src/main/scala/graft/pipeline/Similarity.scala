@@ -282,10 +282,16 @@ object Similarity {
         }
         () => result
       })
-      val trained = thunk()
-      centroidCache.synchronized { centroidCache.put(key, trained) }
-      centroidInFlight.remove(key)
-      trained
+      // in-flight entry is removed on BOTH paths: a trainCentroids
+      // failure must not leave the stale thunk funneling future callers
+      // through its monitor forever (r13 advice item). Removal happens
+      // AFTER the cache put so a racing caller between the two never
+      // retrains.
+      try {
+        val trained = thunk()
+        centroidCache.synchronized { centroidCache.put(key, trained) }
+        trained
+      } finally centroidInFlight.remove(key)
     }
   }
 

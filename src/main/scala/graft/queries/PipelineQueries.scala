@@ -468,8 +468,11 @@ object PipelineQueries {
     }),
     // Winnowing fingerprint selection (round 13): the MOSS scheme's
     // selected (position, hash) set on a doc subset — rightmost-minimum
-    // tie-break and the short-document single-window case both pinned
-    "q_text_winnow" -> ((s, dir) => {
+    // tie-break and the short-document single-window case both pinned.
+    // `_arith` suffix (r13 naming audit): this runs the portable-hash
+    // selection pin, not the production xxhash path, so the bench books
+    // it under replica_total, not prod_total.
+    "q_text_winnow_arith" -> ((s, dir) => {
       val d = docs(s, dir).where(col("doc_id") % 17 === 0)
         .select(col("doc_id"),
           regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
@@ -3036,7 +3039,7 @@ object PipelineQueries {
     // (hash·2^20 + (2^20-1-pos)) ordinal — min picks the smallest hash
     // and, at equal hash, the LARGEST position (the rightmost-minimum
     // tie-break); docs shorter than the window take their global min
-    "q_text_winnow" -> (winnowPicksSql("doc_id % 17 = 0") +
+    "q_text_winnow_arith" -> (winnowPicksSql("doc_id % 17 = 0") +
       """SELECT DISTINCT doc_id,
         |  CAST(1048575 - (mo % 1048576) AS BIGINT) AS fp_pos,
         |  CAST(mo // 1048576 AS BIGINT) AS fp_hash

@@ -1348,6 +1348,25 @@ class PipelineSpec extends AnyFunSuite {
     assert((h1 & h2).nonEmpty)
   }
 
+  test("winnow fingerprint df headroom holds under both hash families") {
+    // winnowNearDup's maxDf cap counts df over each hash family's OWN
+    // selected set, so production (xxhash64) and oracle (arith fold)
+    // could cap DIFFERENT fingerprints if any df approached the cap
+    // (r13 advice). The pinned q_dedup_winnow configuration relies on
+    // fixture headroom instead: assert the max df under BOTH families
+    // stays <= maxDf/2 = 500, so a fixture regeneration that plants
+    // boilerplate-hot fingerprints fails here, loudly, not as a silent
+    // oracle divergence.
+    for (arith <- Seq(false, true)) {
+      val maxDf = Dedup.winnowFingerprints(docs, "doc_id", "text",
+        k = 3, w = 8, arithmeticHash = arith)
+        .select(col("id"), col("fp_hash")).distinct()
+        .groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).collect()(0).getLong(0)
+      assert(maxDf <= 500, s"arith=$arith max fingerprint df $maxDf")
+    }
+  }
+
   test("property: chunkDocument covers every word with the declared overlap") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
