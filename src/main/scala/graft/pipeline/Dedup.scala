@@ -645,6 +645,84 @@ object Dedup {
 
   /** 64-bit SimHash over word shingles, one projection: bit j is set when
     * more than half the shingle hashes have bit j set. */
+  /** Incremental near-dup against a FROZEN fingerprint index — the
+    * operational pattern a 100 TB pipeline actually runs: each crawl
+    * increment is deduped against the standing corpus's MATERIALIZED
+    * index, never against the raw corpus. `index` is the persisted
+    * output of [[winnowFingerprints]] over the base corpus (columns
+    * `id, fp_hash`, extra columns ignored) — built once, appended as
+    * increments are admitted, NEVER recomputed here; at scale it is a
+    * parquet table bucketed on `fp_hash` so the candidate join is
+    * exchange-free on the index side. The increment's fingerprints are
+    * computed fresh (the increment is the small side by construction).
+    *
+    * Candidates: increment fingerprints equi-joined to index
+    * fingerprints on `fp_hash`. Unlike [[winnowNearDup]] there is no
+    * df ≥ 2 floor — cross-epoch, a base fingerprint with df = 1 can
+    * still pair with an increment doc — but the index-side posting
+    * lists keep the `maxDf` stop-cap (a boilerplate-hot fingerprint
+    * shared by m base docs would otherwise fan every matching
+    * increment doc into m candidates). The same hash-family df-parity
+    * caveat as winnowNearDup applies and the same fixture-headroom spec
+    * covers it (base-subset df ≤ full-corpus df ≪ maxDf).
+    *
+    * Verify: candidate-driven EXACT word-k-shingle Jaccard, the
+    * discipline that owns precision everywhere in this file. `baseDf`
+    * (the standing corpus text, which the data lake retains even when
+    * its fingerprints are frozen) is semi-join-pruned to candidate ids
+    * BEFORE its shingles are computed, so the base text scanned is
+    * proportional to the candidate count, not the corpus — the
+    * broadcast of the (small) candidate id set is what makes this an
+    * index probe rather than a corpus pass. Returns
+    * (new_id, base_id, inter, union_n), verified pairs only. Increment
+    * docs duplicating EACH OTHER are out of scope here — run
+    * [[winnowNearDup]] on the increment for that half, then union. */
+  def dedupAgainstIndex(incDf: DataFrame, baseDf: DataFrame,
+      index: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 8, threshold: Double = 0.6,
+      maxDf: Int = 1000, arithmeticHash: Boolean = false): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(maxDf > 0, s"maxDf must be positive: $maxDf")
+    val incFps = winnowFingerprints(incDf, idCol, textCol, k, w,
+      arithmeticHash)
+      .select(col("id").as("new_id"), col("fp_hash")).distinct()
+    val idxFps = index.select(col("id").as("base_id"), col("fp_hash"))
+      .distinct()
+    val ok = idxFps.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select(col("fp_hash"))
+    val cand = incFps.join(idxFps.join(ok, "fp_hash"), "fp_hash")
+      .select(col("new_id"), col("base_id")).distinct()
+    // prune BOTH text sides to candidate docs before any shingle explode:
+    // the candidate id sets are small (near-dup density), so these are
+    // broadcast semi-joins and the exact-verify explode touches only the
+    // docs it will actually score
+    val basePruned = baseDf.join(
+      broadcast(cand.select(col("base_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+    val incPruned = incDf.join(
+      broadcast(cand.select(col("new_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+    val incSh = explodedShingleHashes(incPruned, idCol, textCol, k).distinct()
+    val baseSh = explodedShingleHashes(basePruned, idCol, textCol, k).distinct()
+    val incSizes = incSh.groupBy(col("id")).agg(count(lit(1)).as("na"))
+    val baseSizes = baseSh.groupBy(col("id")).agg(count(lit(1)).as("nb"))
+    val thNum = math.round(threshold * 1000)
+    cand
+      .join(incSh.select(col("id").as("new_id"), col("h")), "new_id")
+      .join(baseSh.select(col("id").as("base_id"), col("h")),
+        Seq("base_id", "h"))
+      .groupBy(col("new_id"), col("base_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(incSizes.select(col("id").as("new_id"), col("na")), "new_id")
+      .join(baseSizes.select(col("id").as("base_id"), col("nb")), "base_id")
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * 1000 >= col("union_n") * thNum)
+      .select(col("new_id"), col("base_id"),
+        col("inter").cast("long").as("inter"),
+        col("union_n").cast("long").as("union_n"))
+  }
+
   def simhash(text: Column, k: Int): Column = {
     val hashes = shingleHashes(text, k)
     val n = size(hashes)

@@ -492,6 +492,25 @@ object PipelineQueries {
       Dedup.winnowNearDup(d, "doc_id", "text", k = 3, w = 8, threshold = 0.6)
         .orderBy(col("a"), col("b"))
     }),
+    // Incremental dedup against a frozen index (round 14): the corpus is
+    // split into a "base" epoch (even doc_id — the standing corpus whose
+    // winnow fingerprint index is materialized) and an "increment" epoch
+    // (odd doc_id — the new crawl); the increment is deduped against the
+    // index + exact verify, never against recomputed base fingerprints.
+    // Selection is per-document, so epoch-filtered fingerprints equal
+    // fingerprints of the epoch-filtered corpus — the oracle splits the
+    // same all-docs picks CTE by parity.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val base = d.where(col("doc_id") % 2 === 0)
+      val inc = d.where(col("doc_id") % 2 === 1)
+      val index = Dedup.winnowFingerprints(base, "doc_id", "text",
+        k = 3, w = 8)
+      Dedup.dedupAgainstIndex(inc, base, index, "doc_id", "text",
+        k = 3, w = 8, threshold = 0.6)
+        .orderBy(col("new_id"), col("base_id"))
+    }),
     // Exact φ-frequent phrase mining (round 12): planted boilerplate
     // template on every third doc must surface with its exact count; the
     // rarer template (every 50th doc) and every natural trigram stay
@@ -3069,6 +3088,39 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = iv.b
         |WHERE inter * 1000 >= (sa.n + sb.n - inter) * 600
         |ORDER BY a, b""".stripMargin),
+    // incremental replica: same picks CTE over ALL docs, split by parity
+    // into the frozen index side (even) and the increment side (odd);
+    // index-side-only df cap, no df >= 2 floor (cross-epoch df=1 pairs
+    // are legal), then the same exact-Jaccard verify
+    "q_dedup_incremental" -> (winnowPicksSql("TRUE") +
+      """, fpd AS (
+        |  SELECT DISTINCT doc_id, mo // 1048576 AS fh FROM picks
+        |), bidx AS (
+        |  SELECT doc_id AS base_id, fh FROM fpd WHERE doc_id % 2 = 0
+        |), nfp AS (
+        |  SELECT doc_id AS new_id, fh FROM fpd WHERE doc_id % 2 = 1
+        |), okf AS (
+        |  SELECT fh FROM (SELECT fh, COUNT(*) AS c FROM bidx GROUP BY 1) t
+        |  WHERE c <= 1000
+        |), cand AS (
+        |  SELECT DISTINCT n.new_id, b.base_id
+        |  FROM nfp n JOIN bidx b ON n.fh = b.fh
+        |  JOIN okf o ON o.fh = n.fh
+        |), shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+        |iv AS (
+        |  SELECT c.new_id, c.base_id, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN shd la ON la.doc_id = c.new_id
+        |  JOIN shd rb ON rb.doc_id = c.base_id AND rb.s = la.s
+        |  GROUP BY 1, 2
+        |)
+        |SELECT new_id, base_id, CAST(inter AS BIGINT) AS inter,
+        |  CAST(sa.n + sb.n - inter AS BIGINT) AS union_n
+        |FROM iv JOIN sizes sa ON sa.doc_id = iv.new_id
+        |JOIN sizes sb ON sb.doc_id = iv.base_id
+        |WHERE inter * 1000 >= (sa.n + sb.n - inter) * 600
+        |ORDER BY new_id, base_id""".stripMargin),
     // soundness is checked by a structurally different algorithm
     "q_text_phrases" ->
       s"""WITH p0 AS (

@@ -1348,6 +1348,34 @@ class PipelineSpec extends AnyFunSuite {
     assert((h1 & h2).nonEmpty)
   }
 
+  test("dedupAgainstIndex equals the cross-epoch slice of winnowNearDup") {
+    // the frozen-index probe must agree with the all-at-once operator on
+    // exactly the cross-epoch pairs: same selection, same verify, the
+    // only difference is WHICH pairs are eligible. Intra-increment
+    // duplicates are out of scope by contract (run winnowNearDup on the
+    // increment for those), and a df=1 index fingerprint must still pair
+    // (no df >= 2 floor cross-epoch — winnowNearDup would need BOTH
+    // copies to build df=2, the index probe needs only the base copy).
+    val d = docs.where(col("doc_id") % 5 === 0)
+    val base = d.where(col("doc_id") % 2 === 0)
+    val inc = d.where(col("doc_id") % 2 === 1)
+    val index = Dedup.winnowFingerprints(base, "doc_id", "text", k = 3, w = 8)
+    val got = Dedup.dedupAgainstIndex(inc, base, index, "doc_id", "text",
+      k = 3, w = 8, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val cross = Dedup.winnowNearDup(d, "doc_id", "text", k = 3, w = 8,
+      threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .filter { case (a, b, _, _) => a % 2 != b % 2 }
+      .map { case (a, b, i, u) =>
+        if (a % 2 == 1) (a, b, i, u) else (b, a, i, u) }
+      .toSet
+    assert(got == cross, s"got ${got.size} cross ${cross.size}")
+    assert(got.nonEmpty, "fixture slice must plant cross-epoch pairs")
+  }
+
   test("winnow fingerprint df headroom holds under both hash families") {
     // winnowNearDup's maxDf cap counts df over each hash family's OWN
     // selected set, so production (xxhash64) and oracle (arith fold)
