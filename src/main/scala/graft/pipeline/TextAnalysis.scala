@@ -301,6 +301,131 @@ object TextAnalysis {
           x => x("line"))).as("kept_text"))
   }
 
+  /** Gopher/C4-style per-document repetition signals — the standard
+    * pre-training quality suite next to [[withRepetition]] (shingle
+    * dup ratio) and [[boilerplateRatio]] (cross-doc): duplicate-LINE and
+    * duplicate-PARAGRAPH fractions (count and character mass) plus the
+    * top-2/3/4-word-gram character mass, each with its Gopher-paper
+    * threshold applied as a boolean column so a curation gate composes
+    * by filtering on the flags (or on `repetition_ok`, their
+    * conjunction).
+    *
+    * Definitions (exact integer arithmetic, engine-portable):
+    * - lines = text split on `lineSep`, paragraphs on `paraSep`; each
+    *   segment is TRIMMED and blank segments are dropped (blank lines
+    *   are document structure, not repeatable content). Per doc:
+    *   `n_lines` counts segments, `dup_line_n` counts occurrences
+    *   BEYOND the first of each repeated segment (Σ max(c−1, 0)),
+    *   `line_chars`/`dup_line_chars` the same two sums weighted by the
+    *   trimmed segment's char length. `*_para_*` mirror these.
+    * - word n-grams (n = 2,3,4) are single-space-joined over the
+    *   whitespace-split word stream of the WHOLE document (n-grams flow
+    *   across line breaks — whitespace is whitespace). `top{n}_chars` =
+    *   count·strlen of the most frequent n-gram; a count tie breaks to
+    *   the larger character mass, so the signal is deterministic
+    *   without any lexicographic ordering.
+    * - flags compare permille-scaled integers against the Gopher
+    *   thresholds: dup-line fraction > 0.30, dup-paragraph > 0.30,
+    *   dup-line chars > 0.20, dup-paragraph chars > 0.20, top-2-gram
+    *   chars > 0.20, top-3 > 0.18, top-4 > 0.16 of `n_chars` =
+    *   length of the input text. `repetition_ok` = no flag fired.
+    *
+    * Scale shape: three scan-level explodes (lines, paragraphs, words),
+    * each followed by map-side-combinable (id, segment) aggregation and
+    * an id rollup; the n-gram stream is ONE words explode + ONE per-doc
+    * window pass emitting all three gram widths (lead columns), never
+    * three passes. Everything downstream is id-keyed — co-partitioned
+    * joins, no corpus-wide state, no arrays leaving their projection. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n", paraSep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    def segAgg(sep: String, pfx: String): DataFrame = {
+      val segs = d.select(col("id"),
+          explode(split(col("__t"), java.util.regex.Pattern.quote(sep)))
+            .as("seg0"))
+        .select(col("id"), trim(col("seg0")).as("seg"))
+        .where(col("seg") =!= "")
+      segs.groupBy(col("id"), col("seg"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("len", length(col("seg")).cast("long"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).cast("long").as(s"n_${pfx}s"),
+          sum(when(col("c") >= 2, col("c") - 1).otherwise(0L))
+            .cast("long").as(s"dup_${pfx}_n"),
+          sum(col("c") * col("len")).cast("long").as(s"${pfx}_chars"),
+          sum(when(col("c") >= 2, (col("c") - 1) * col("len"))
+            .otherwise(0L)).cast("long").as(s"dup_${pfx}_chars"))
+    }
+    val lines = segAgg(lineSep, "line")
+    val paras = segAgg(paraSep, "para")
+    val words = d.select(col("id"),
+      posexplode(filter(split(trim(col("__t")), "\\s+"), w => w =!= ""))
+        .as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val l1 = lead(col("w"), 1).over(byDoc)
+    val l2 = lead(col("w"), 2).over(byDoc)
+    val l3 = lead(col("w"), 3).over(byDoc)
+    // concat_ws SKIPS nulls (a trailing 1-word "2-gram" otherwise), so
+    // each gram is explicitly nulled when its last word is missing.
+    // The leads are MATERIALIZED in their own projection before the
+    // generator: with window exprs inline in the array, the optimizer
+    // pushes the IsNotNull filter through the Generate into a WHERE
+    // containing window functions — UNSUPPORTED_EXPR_FOR_OPERATOR (the
+    // same constraint-inference trap winnowFingerprints documents)
+    val withLeads = words.select(col("id"), col("w"),
+      l1.as("l1"), l2.as("l2"), l3.as("l3"))
+    val grams = withLeads
+      .select(col("id"), posexplode(array(
+        when(col("l1").isNotNull, concat_ws(" ", col("w"), col("l1"))),
+        when(col("l2").isNotNull,
+          concat_ws(" ", col("w"), col("l1"), col("l2"))),
+        when(col("l3").isNotNull,
+          concat_ws(" ", col("w"), col("l1"), col("l2"), col("l3"))))))
+      .toDF("id", "gi", "s")
+      .where(col("s").isNotNull)
+      .select(col("id"), (col("gi") + 2).as("gn"), col("s"))
+      .groupBy(col("id"), col("gn"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("mass", col("c") * length(col("s")))
+      .groupBy(col("id"), col("gn"))
+      .agg(max(struct(col("c"), col("mass"))).as("m"))
+      .groupBy(col("id"))
+      .agg(
+        max(when(col("gn") === 2, col("m.mass"))).cast("long")
+          .as("top2_chars"),
+        max(when(col("gn") === 3, col("m.mass"))).cast("long")
+          .as("top3_chars"),
+        max(when(col("gn") === 4, col("m.mass"))).cast("long")
+          .as("top4_chars"))
+    val segCols = Seq("n_lines", "dup_line_n", "line_chars",
+      "dup_line_chars", "n_paras", "dup_para_n", "para_chars",
+      "dup_para_chars", "top2_chars", "top3_chars", "top4_chars")
+    val joined = d.select(col("id"), length(col("__t")).cast("long")
+        .as("n_chars"))
+      .join(lines, Seq("id"), "left")
+      .join(paras, Seq("id"), "left")
+      .join(grams, Seq("id"), "left")
+      .select(col("id") +: col("n_chars") +:
+        segCols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    joined
+      .withColumn("dup_line_bad",
+        col("dup_line_n") * 1000 > col("n_lines") * 300)
+      .withColumn("dup_line_chars_bad",
+        col("dup_line_chars") * 1000 > col("line_chars") * 200)
+      .withColumn("dup_para_bad",
+        col("dup_para_n") * 1000 > col("n_paras") * 300)
+      .withColumn("dup_para_chars_bad",
+        col("dup_para_chars") * 1000 > col("para_chars") * 200)
+      .withColumn("top2_bad", col("top2_chars") * 1000 > col("n_chars") * 200)
+      .withColumn("top3_bad", col("top3_chars") * 1000 > col("n_chars") * 180)
+      .withColumn("top4_bad", col("top4_chars") * 1000 > col("n_chars") * 160)
+      .withColumn("repetition_ok",
+        !(col("dup_line_bad") || col("dup_line_chars_bad") ||
+          col("dup_para_bad") || col("dup_para_chars_bad") ||
+          col("top2_bad") || col("top3_bad") || col("top4_bad")))
+  }
+
   /** Exact φ-frequent phrase mining (template/boilerplate detection): all
     * word n-grams whose corpus frequency is at least `phiPermyriad`/10000
     * of all n-gram occurrences, WITH their exact counts — the C4-style

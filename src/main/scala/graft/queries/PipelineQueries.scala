@@ -96,6 +96,36 @@ object PipelineQueries {
         concat(lit("\nrelated story "), (col("doc_id") % 2).cast("string")))
         .otherwise(lit(""))).as("text"))
 
+  /** Planted repetition structure (round 14): fixture docs are single-line,
+    * so every repetition class is planted. Strides: %3 docs carry a
+    * duplicated line (twice; %9 three times — count flag fires, char flag
+    * stays low because the line is short vs the body); %5 a UNIQUE extra
+    * line (dilution); %4 a duplicated paragraph; %11 a 30× repeated
+    * 2-word phrase (all three top-gram flags fire at any fixture doc
+    * length); %13 an 8× phrase (flags only mid-length docs — the
+    * length-dependence path). The n-gram plants sit INSIDE the first
+    * paragraph (before the paragraph plant) so duplicated paragraphs stay
+    * byte-identical. */
+  private def plantedRepetitionDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" "), concat_ws(" ",
+          (0 until 30).map(_ => lit("click here")): _*))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" "), concat_ws(" ",
+          (0 until 8).map(_ => lit("limited offer")): _*))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        lit("\nsubscribe to updates\nsubscribe to updates")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        lit("\nsubscribe to updates")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("\nstory code "), (col("doc_id") % 97).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit("\n\nfollow us on social media\n\nfollow us on social media"))
+        .otherwise(lit(""))).as("text"))
+
   /** Planted multi-script text (round 12): the fixture corpus is ASCII, so
     * the script-profile classes would all be vacuously zero — two strides
     * APPEND short Cyrillic/CJK snippets (mixed-script docs: latin stays
@@ -511,6 +541,15 @@ object PipelineQueries {
         k = 3, w = 8, threshold = 0.6)
         .orderBy(col("new_id"), col("base_id"))
     }),
+    // Gopher/C4 repetition signals (round 14): duplicate line/paragraph
+    // fractions (count + char mass) and top-2/3/4-gram char mass, each
+    // with its Gopher threshold as a boolean column; the plants cover
+    // every flag firing AND staying quiet (see plantedRepetitionDocs)
+    "q_text_gopher_rep" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(plantedRepetitionDocs(s, dir),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
     // Exact φ-frequent phrase mining (round 12): planted boilerplate
     // template on every third doc must surface with its exact count; the
     // rarer template (every 50th doc) and every natural trigram stay
@@ -3121,6 +3160,125 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = iv.base_id
         |WHERE inter * 1000 >= (sa.n + sb.n - inter) * 600
         |ORDER BY new_id, base_id""".stripMargin),
+    // Gopher repetition replica: same plants, trim+blank-drop
+    // segmentation, surplus-occurrence sums, and the two-level top-gram
+    // election (max count, then max char mass — equals Spark's
+    // max(struct(c, mass)) lexicographic rule); every SUM cast to
+    // BIGINT (DuckDB SUM(BIGINT) -> HUGEINT, the forbidden-type gate)
+    "q_text_gopher_rep" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 11 = 0
+         |       THEN ' ' || rtrim(repeat('click here ', 30)) ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0
+         |       THEN ' ' || rtrim(repeat('limited offer ', 8)) ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0 THEN chr(10)||'subscribe to updates'
+         |       ||chr(10)||'subscribe to updates' ELSE '' END
+         |    || CASE WHEN doc_id % 9 = 0
+         |       THEN chr(10)||'subscribe to updates' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'story code '
+         |       ||CAST(doc_id % 97 AS VARCHAR) ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0
+         |       THEN chr(10)||chr(10)||'follow us on social media'
+         |       ||chr(10)||chr(10)||'follow us on social media' ELSE '' END
+         |    AS t
+         |  FROM documents
+         |), lseg AS (
+         |  SELECT doc_id, trim(seg) AS seg FROM (
+         |    SELECT doc_id, unnest(string_split(t, chr(10))) AS seg FROM p) x
+         |  WHERE trim(seg) <> ''
+         |), lg AS (
+         |  SELECT doc_id, seg, COUNT(*) AS c, length(seg) AS len
+         |  FROM lseg GROUP BY 1, 2
+         |), lagg AS (
+         |  SELECT doc_id, SUM(c) AS n_lines,
+         |    SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dup_line_n,
+         |    SUM(c * len) AS line_chars,
+         |    SUM(CASE WHEN c >= 2 THEN (c - 1) * len ELSE 0 END)
+         |      AS dup_line_chars
+         |  FROM lg GROUP BY 1
+         |), pseg AS (
+         |  SELECT doc_id, trim(seg) AS seg FROM (
+         |    SELECT doc_id, unnest(string_split(t, chr(10)||chr(10))) AS seg
+         |    FROM p) x
+         |  WHERE trim(seg) <> ''
+         |), pg AS (
+         |  SELECT doc_id, seg, COUNT(*) AS c, length(seg) AS len
+         |  FROM pseg GROUP BY 1, 2
+         |), pagg AS (
+         |  SELECT doc_id, SUM(c) AS n_paras,
+         |    SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dup_para_n,
+         |    SUM(c * len) AS para_chars,
+         |    SUM(CASE WHEN c >= 2 THEN (c - 1) * len ELSE 0 END)
+         |      AS dup_para_chars
+         |  FROM pg GROUP BY 1
+         |), w AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(trim(t), '\\s+', ' ', 'g'), ' ')
+         |      AS ws
+         |  FROM p
+         |), g AS (
+         |  SELECT doc_id, 2 AS gn, ws[i]||' '||ws[i+1] AS s
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |        FROM w WHERE len(ws) >= 2) x
+         |  UNION ALL
+         |  SELECT doc_id, 3, ws[i]||' '||ws[i+1]||' '||ws[i+2]
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i
+         |        FROM w WHERE len(ws) >= 3) x
+         |  UNION ALL
+         |  SELECT doc_id, 4, ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
+         |        FROM w WHERE len(ws) >= 4) x
+         |), gc AS (
+         |  SELECT doc_id, gn, s, COUNT(*) AS c FROM g GROUP BY 1, 2, 3
+         |), gmax AS (
+         |  SELECT doc_id, gn, MAX(c) AS mc FROM gc GROUP BY 1, 2
+         |), gtop AS (
+         |  SELECT g2.doc_id, g2.gn, MAX(g2.c * length(g2.s)) AS mass
+         |  FROM gc g2 JOIN gmax m
+         |    ON g2.doc_id = m.doc_id AND g2.gn = m.gn AND g2.c = m.mc
+         |  GROUP BY 1, 2
+         |), gp AS (
+         |  SELECT doc_id,
+         |    MAX(CASE WHEN gn = 2 THEN mass END) AS top2_chars,
+         |    MAX(CASE WHEN gn = 3 THEN mass END) AS top3_chars,
+         |    MAX(CASE WHEN gn = 4 THEN mass END) AS top4_chars
+         |  FROM gtop GROUP BY 1
+         |), base AS (SELECT doc_id, length(t) AS n_chars FROM p),
+         |j AS (
+         |  SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
+         |    CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+         |    CAST(COALESCE(l.dup_line_n, 0) AS BIGINT) AS dup_line_n,
+         |    CAST(COALESCE(l.line_chars, 0) AS BIGINT) AS line_chars,
+         |    CAST(COALESCE(l.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+         |    CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
+         |    CAST(COALESCE(a.dup_para_n, 0) AS BIGINT) AS dup_para_n,
+         |    CAST(COALESCE(a.para_chars, 0) AS BIGINT) AS para_chars,
+         |    CAST(COALESCE(a.dup_para_chars, 0) AS BIGINT) AS dup_para_chars,
+         |    CAST(COALESCE(gp.top2_chars, 0) AS BIGINT) AS top2_chars,
+         |    CAST(COALESCE(gp.top3_chars, 0) AS BIGINT) AS top3_chars,
+         |    CAST(COALESCE(gp.top4_chars, 0) AS BIGINT) AS top4_chars
+         |  FROM base b
+         |  LEFT JOIN lagg l ON l.doc_id = b.doc_id
+         |  LEFT JOIN pagg a ON a.doc_id = b.doc_id
+         |  LEFT JOIN gp ON gp.doc_id = b.doc_id
+         |)
+         |SELECT *,
+         |  dup_line_n * 1000 > n_lines * 300 AS dup_line_bad,
+         |  dup_line_chars * 1000 > line_chars * 200 AS dup_line_chars_bad,
+         |  dup_para_n * 1000 > n_paras * 300 AS dup_para_bad,
+         |  dup_para_chars * 1000 > para_chars * 200 AS dup_para_chars_bad,
+         |  top2_chars * 1000 > n_chars * 200 AS top2_bad,
+         |  top3_chars * 1000 > n_chars * 180 AS top3_bad,
+         |  top4_chars * 1000 > n_chars * 160 AS top4_bad,
+         |  NOT (dup_line_n * 1000 > n_lines * 300
+         |    OR dup_line_chars * 1000 > line_chars * 200
+         |    OR dup_para_n * 1000 > n_paras * 300
+         |    OR dup_para_chars * 1000 > para_chars * 200
+         |    OR top2_chars * 1000 > n_chars * 200
+         |    OR top3_chars * 1000 > n_chars * 180
+         |    OR top4_chars * 1000 > n_chars * 160) AS repetition_ok
+         |FROM j ORDER BY doc_id""".stripMargin,
     // soundness is checked by a structurally different algorithm
     "q_text_phrases" ->
       s"""WITH p0 AS (

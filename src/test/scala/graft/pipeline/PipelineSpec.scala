@@ -1348,6 +1348,35 @@ class PipelineSpec extends AnyFunSuite {
     assert((h1 & h2).nonEmpty)
   }
 
+  test("repetitionSignals matches hand-computed values on a planted doc") {
+    // doc 1: 2 paragraphs, the second duplicated; a duplicated line
+    // inside para 1; a 4x 2-word phrase. Every numerator is checked by
+    // hand, including the count-then-mass top-gram tie-break.
+    val text = "alpha beta gamma\ndup line\ndup line\n\npromo body\n\npromo body"
+    //            lines: [alpha beta gamma, dup line, dup line, promo body, promo body]
+    //            paras: [alpha beta gamma\ndup line\ndup line, promo body, promo body]
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .collect()(0)
+    val m = r.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      n -> r.get(i) }.toMap
+    assert(m("n_chars") == text.length.toLong)
+    assert(m("n_lines") == 5L && m("dup_line_n") == 2L)
+    // line chars: 16 + 8 + 8 + 10 + 10 = 52; dup surplus: 8 + 10 = 18
+    assert(m("line_chars") == 52L && m("dup_line_chars") == 18L)
+    assert(m("n_paras") == 3L && m("dup_para_n") == 1L)
+    // para chars: 34 + 10 + 10 = 54; surplus copy of "promo body" = 10
+    assert(m("para_chars") == 54L && m("dup_para_chars") == 10L)
+    // 2-grams: "dup line" x2 wins (c=2, 8 chars -> mass 16) over
+    // "promo body" x2 (10 chars -> mass 20)? No: both c=2, tie breaks
+    // to the LARGER mass -> promo body, 20. "line dup" c=1 etc lose.
+    assert(m("top2_chars") == 20L)
+    // 3-grams: all c=1 (line breaks are whitespace) -> top = max single
+    // mass = len("alpha beta gamma") = len("promo body promo") = 16
+    assert(m("top3_chars") == 16L)
+    assert(m("repetition_ok") == false)
+  }
+
   test("dedupAgainstIndex equals the cross-epoch slice of winnowNearDup") {
     // the frozen-index probe must agree with the all-at-once operator on
     // exactly the cross-epoch pairs: same selection, same verify, the
