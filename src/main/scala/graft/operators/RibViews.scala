@@ -201,6 +201,136 @@ object RibViews {
         countDistinct(col("prefix_str")).cast("long").as("n_prefixes"),
         sum(when(col("active"), 1L).otherwise(0L)).cast("long").as("n_active"))
 
+  /** Collapse consecutive duplicate ASNs (AS-path prepending) to single
+    * hops — the normalization every AS-graph analytic needs ahead of edge
+    * extraction, or a prepended path would vote a self-edge. Pure array
+    * HOF; the index-0 guard uses `when` (not `||`) because `element_at`
+    * throws on index 0 and boolean operands are not short-circuited. */
+  def collapseRuns(arr: Column): Column =
+    when(arr.isNull, arr).otherwise(
+      filter(arr, (x, i) =>
+        when(i === 0, lit(true)).otherwise(x =!= element_at(arr, i))))
+
+  /** Gao-style AS relationship inference over the observed paths (Gao
+    * 2001, "On inferring autonomous system relationships in the
+    * Internet" — the deterministic degree-based heuristic): per path,
+    * the LEFTMOST highest-degree AS is the top provider; every edge
+    * before it votes customer→provider (the right AS provides transit),
+    * every edge from it on votes provider→customer. Vote totals classify
+    * each unordered adjacency: both directions within `1/siblingRatio`
+    * of each other → `sibling` (misconfiguration tolerance, Gao's L);
+    * otherwise the majority direction wins — `p2c` = the lower ASN
+    * provides the higher, `c2p` the reverse. Degree = distinct
+    * undirected neighbors, computed from the same frame.
+    *
+    * Returns (as_lo, as_hi, lo_provides, hi_provides, rel). All integer
+    * logic over (degree, position, counts) — engine-portable, the DuckDB
+    * oracle replays every step. Scale: the AS graph and the vote table
+    * are |edges|-sized (tiny vs the log); the only log-sized passes are
+    * the two explodes, both map-side combinable, and the per-path top
+    * election (one id-keyed aggregation). */
+  def asRelationships(df: DataFrame, siblingRatio: Int = 5): DataFrame = {
+    require(siblingRatio >= 2, s"siblingRatio must be >= 2: $siblingRatio")
+    val paths = df.select(col("event_id"),
+        collapseRuns(col("attrs.as_list")).as("p"))
+      .where(size(col("p")) >= 2)
+    def edgeStructs(p: Column): Column =
+      transform(sequence(lit(1), size(p) - 1),
+        i => struct(element_at(p, i).cast("long").as("u"),
+          element_at(p, i + 1).cast("long").as("v")))
+    val edges = paths
+      .select(explode(edgeStructs(col("p"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val degrees = und.groupBy(col("u").as("asn"))
+      .agg(count(lit(1)).as("deg"))
+    val tops = paths
+      .select(col("event_id"), posexplode(col("p")).as(Seq("pos", "asn")))
+      .join(broadcast(degrees), "asn")
+      .groupBy(col("event_id"))
+      .agg(min(struct((-col("deg")).as("nd"), col("pos").as("pos"))).as("t"))
+      .select(col("event_id"), col("t.pos").as("top"))
+    val votes = paths
+      .select(col("event_id"), posexplode(edgeStructs(col("p")))
+        .as(Seq("i", "e")))
+      .join(tops, "event_id")
+      .select(
+        when(col("i") + 1 <= col("top"), col("e.v")).otherwise(col("e.u"))
+          .as("provider"),
+        when(col("i") + 1 <= col("top"), col("e.u")).otherwise(col("e.v"))
+          .as("customer"))
+      .groupBy(col("provider"), col("customer"))
+      .agg(count(lit(1)).as("n"))
+    votes
+      .select(least(col("provider"), col("customer")).as("as_lo"),
+        greatest(col("provider"), col("customer")).as("as_hi"),
+        when(col("provider") < col("customer"), col("n")).otherwise(0L)
+          .as("lo_n"),
+        when(col("provider") > col("customer"), col("n")).otherwise(0L)
+          .as("hi_n"))
+      .groupBy(col("as_lo"), col("as_hi"))
+      .agg(sum(col("lo_n")).cast("long").as("lo_provides"),
+        sum(col("hi_n")).cast("long").as("hi_provides"))
+      .withColumn("rel",
+        when(least(col("lo_provides"), col("hi_provides")) > 0 &&
+          least(col("lo_provides"), col("hi_provides")) * siblingRatio >=
+            greatest(col("lo_provides"), col("hi_provides")), "sibling")
+          .when(col("lo_provides") >= col("hi_provides"), "p2c")
+          .otherwise("c2p"))
+  }
+
+  /** Valley-free route-leak audit — the classic looking-glass analytic:
+    * with relationships from [[asRelationships]] (or a caller-pinned
+    * `rels` table — production refreshes the inference periodically and
+    * audits each day's paths against the frozen table, the same frozen-
+    * index discipline as Dedup.dedupAgainstIndex), every path edge maps
+    * to a direction — `down` when traversed provider→customer, `up` for
+    * customer→provider, `flat` for siblings — and a LEAK is any `up`
+    * strictly after a `down` (a route learned from a provider re-exported
+    * to another provider; siblings never break the valley). Returns one
+    * row per leaked path: (event_id, rib, first_down, leak_pos,
+    * leaker_as) where leaker_as is the AS at the valley bottom — the
+    * start of the first offending up-edge.
+    *
+    * Scale: the relationship table is |AS edges| (tiny) → broadcast
+    * joins against the exploded edges; the valley scan is two id-keyed
+    * aggregations (first down per path, then first offending up), both
+    * co-partitioned on event_id. No self-joins, nothing pairwise. */
+  def routeLeaks(df: DataFrame, siblingRatio: Int = 5,
+      rels: Option[DataFrame] = None): DataFrame = {
+    val rel = rels.getOrElse(asRelationships(df, siblingRatio))
+      .select(col("as_lo"), col("as_hi"), col("rel"))
+    val paths = df.select(col("event_id"), col("rib"),
+        collapseRuns(col("attrs.as_list")).as("p"))
+      .where(size(col("p")) >= 2)
+    val edgePos = paths.select(col("event_id"), col("rib"),
+      posexplode(transform(sequence(lit(1), size(col("p")) - 1),
+        i => struct(element_at(col("p"), i).cast("long").as("u"),
+          element_at(col("p"), i + 1).cast("long").as("v"))))
+        .as(Seq("i", "e")))
+    val dirs = edgePos
+      .join(broadcast(rel),
+        least(col("e.u"), col("e.v")) === col("as_lo") &&
+          greatest(col("e.u"), col("e.v")) === col("as_hi"))
+      .select(col("event_id"), col("rib"), col("i"),
+        col("e.u").as("u"),
+        when(col("rel") === "sibling", "flat")
+          .when((col("e.u") < col("e.v") && col("rel") === "p2c") ||
+            (col("e.u") > col("e.v") && col("rel") === "c2p"), "down")
+          .otherwise("up").as("dir"))
+    val firstDown = dirs.groupBy(col("event_id"))
+      .agg(min(when(col("dir") === "down", col("i"))).as("fd"))
+      .where(col("fd").isNotNull)
+    dirs.join(firstDown, "event_id")
+      .where(col("dir") === "up" && col("i") > col("fd"))
+      .groupBy(col("event_id"), col("rib"))
+      .agg(min(col("fd")).cast("long").as("first_down"),
+        min(col("i")).cast("long").as("leak_pos"),
+        min(struct(col("i"), col("u"))).getField("u").cast("long")
+          .as("leaker_as"))
+  }
+
   /** CIDR aggregation candidates: sibling v4 prefix pairs in the current
     * RIB — two same-length prefixes differing only in their last network
     * bit, announced with the same origin AS and nexthop — that could be
