@@ -223,17 +223,26 @@ object RibViews {
     * provides the higher, `c2p` the reverse. Degree = distinct
     * undirected neighbors, computed from the same frame.
     *
+    * Votes are counted once per DISTINCT collapsed path, not per route
+    * event (ADVICE r14): Gao's heuristic votes over the observed path
+    * SET, and per-event counting would let one flappy prefix
+    * re-announcing the same path dominate an adjacency's totals and
+    * flip its classification.
+    *
     * Returns (as_lo, as_hi, lo_provides, hi_provides, rel). All integer
     * logic over (degree, position, counts) — engine-portable, the DuckDB
     * oracle replays every step. Scale: the AS graph and the vote table
     * are |edges|-sized (tiny vs the log); the only log-sized passes are
-    * the two explodes, both map-side combinable, and the per-path top
-    * election (one id-keyed aggregation). */
+    * the event-log distinct (map-side combinable — path diversity on a
+    * full internet table is millions vs billions of events) and its
+    * explodes; the per-path top election keys on the distinct path
+    * array itself (orderable, shuffle-safe — no synthetic path id whose
+    * hash an oracle would have to replay). */
   def asRelationships(df: DataFrame, siblingRatio: Int = 5): DataFrame = {
     require(siblingRatio >= 2, s"siblingRatio must be >= 2: $siblingRatio")
-    val paths = df.select(col("event_id"),
-        collapseRuns(col("attrs.as_list")).as("p"))
+    val paths = df.select(collapseRuns(col("attrs.as_list")).as("p"))
       .where(size(col("p")) >= 2)
+      .distinct()
     def edgeStructs(p: Column): Column =
       transform(sequence(lit(1), size(p) - 1),
         i => struct(element_at(p, i).cast("long").as("u"),
@@ -246,15 +255,15 @@ object RibViews {
     val degrees = und.groupBy(col("u").as("asn"))
       .agg(count(lit(1)).as("deg"))
     val tops = paths
-      .select(col("event_id"), posexplode(col("p")).as(Seq("pos", "asn")))
+      .select(col("p"), posexplode(col("p")).as(Seq("pos", "asn")))
       .join(broadcast(degrees), "asn")
-      .groupBy(col("event_id"))
+      .groupBy(col("p"))
       .agg(min(struct((-col("deg")).as("nd"), col("pos").as("pos"))).as("t"))
-      .select(col("event_id"), col("t.pos").as("top"))
+      .select(col("p"), col("t.pos").as("top"))
     val votes = paths
-      .select(col("event_id"), posexplode(edgeStructs(col("p")))
+      .select(col("p"), posexplode(edgeStructs(col("p")))
         .as(Seq("i", "e")))
-      .join(tops, "event_id")
+      .join(tops, "p")
       .select(
         when(col("i") + 1 <= col("top"), col("e.v")).otherwise(col("e.u"))
           .as("provider"),
@@ -290,8 +299,15 @@ object RibViews {
     * strictly after a `down` (a route learned from a provider re-exported
     * to another provider; siblings never break the valley). Returns one
     * row per leaked path: (event_id, rib, first_down, leak_pos,
-    * leaker_as) where leaker_as is the AS at the valley bottom — the
-    * start of the first offending up-edge.
+    * leaker_as, unknown_edges) where leaker_as is the AS at the valley
+    * bottom — the start of the first offending up-edge.
+    *
+    * Unknown-edge policy (ADVICE r14): a path edge ABSENT from the
+    * relationship table is treated as `flat` — it can neither open a
+    * valley nor offend — but is COUNTED in `unknown_edges` so the
+    * auditor sees the coverage of each verdict instead of unknown
+    * adjacencies silently hiding a leak or shifting `first_down`. A
+    * left join (not inner) keeps the edge in the position arithmetic.
     *
     * Scale: the relationship table is |AS edges| (tiny) → broadcast
     * joins against the exploded edges; the valley scan is two id-keyed
@@ -312,15 +328,18 @@ object RibViews {
     val dirs = edgePos
       .join(broadcast(rel),
         least(col("e.u"), col("e.v")) === col("as_lo") &&
-          greatest(col("e.u"), col("e.v")) === col("as_hi"))
+          greatest(col("e.u"), col("e.v")) === col("as_hi"), "left")
       .select(col("event_id"), col("rib"), col("i"),
         col("e.u").as("u"),
-        when(col("rel") === "sibling", "flat")
+        col("rel").isNull.as("unknown"),
+        when(col("rel").isNull, "flat") // unknown-edge policy: non-valley
+          .when(col("rel") === "sibling", "flat")
           .when((col("e.u") < col("e.v") && col("rel") === "p2c") ||
             (col("e.u") > col("e.v") && col("rel") === "c2p"), "down")
           .otherwise("up").as("dir"))
     val firstDown = dirs.groupBy(col("event_id"))
-      .agg(min(when(col("dir") === "down", col("i"))).as("fd"))
+      .agg(min(when(col("dir") === "down", col("i"))).as("fd"),
+        sum(when(col("unknown"), 1L).otherwise(0L)).as("unk"))
       .where(col("fd").isNotNull)
     dirs.join(firstDown, "event_id")
       .where(col("dir") === "up" && col("i") > col("fd"))
@@ -328,7 +347,8 @@ object RibViews {
       .agg(min(col("fd")).cast("long").as("first_down"),
         min(col("i")).cast("long").as("leak_pos"),
         min(struct(col("i"), col("u"))).getField("u").cast("long")
-          .as("leaker_as"))
+          .as("leaker_as"),
+        min(col("unk")).cast("long").as("unknown_edges"))
   }
 
   /** CIDR aggregation candidates: sibling v4 prefix pairs in the current

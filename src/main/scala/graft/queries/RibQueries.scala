@@ -142,6 +142,44 @@ object RibQueries {
     // re-derives both edge families from the generator arithmetic
     "q_rib_as_adjacency" -> ((s, dir) =>
       RibViews.asAdjacency(re(s, dir)).orderBy(col("as_a"), col("as_b"))),
+    // Gao AS-relationship inference (round 15): distinct-collapsed-path
+    // votes, leftmost-highest-degree top election, sibling tolerance.
+    // The fixture graph is closed-form (a1→a2→65001 with deg(a1)=7 ≥
+    // deg(a2)=6, deg(65001)=7 → top always pos 0, every vote downhill)
+    // but the oracle REPLAYS the inference from the data — degree
+    // election, vote split and classification — not the closed form
+    "q_rib_as_rels" -> ((s, dir) =>
+      RibViews.asRelationships(re(s, dir))
+        .orderBy(col("as_lo"), col("as_hi"))),
+    // Valley-free route-leak audit (round 15): leaks planted in the
+    // QUERY (natural fixture paths are all valley-free — verified by the
+    // oracle finding exactly the plants): every 11th event re-exports a
+    // provider route to a second provider (with a prepended first hop,
+    // so collapseRuns is exercised in-pipeline), every 13th additionally
+    // carries a final edge to an AS absent from the relationship table —
+    // the unknown-edge policy row (counted, treated as flat). The
+    // relationship table is FROZEN from the unmodified log (the
+    // production discipline: audit today's paths against the standing
+    // inference), so the plants cannot perturb the rels they are judged
+    // against
+    "q_rib_route_leaks" -> ((s, dir) => {
+      val base = re(s, dir)
+      val frozen = RibViews.asRelationships(base)
+      val asl = col("attrs.as_list")
+      val a1 = element_at(asl, 1)
+      val a2 = element_at(asl, 2)
+      val a1p = lit(100L) + (col("event_id") + 1) % 5
+      val planted = when(col("event_id") % 11 === 0,
+          array(a1, a1, a2, a1p))
+        .when(col("event_id") % 13 === 0,
+          array(a1, a2, a1p, lit(900L) + col("event_id") % 2))
+        .otherwise(asl)
+      RibViews.routeLeaks(
+        base.withColumn("attrs",
+          col("attrs").withField("as_list", planted)),
+        rels = Some(frozen))
+        .orderBy(col("event_id"))
+    }),
     // CIDR aggregation candidates (round 12): sibling v4 prefix pairs in
     // the current RIB with identical origin+nexthop, found by parent-block
     // GROUPING (no self-join); the oracle replays the current-state
@@ -689,6 +727,53 @@ object RibQueries {
         |  COUNT(DISTINCT prefix_str) AS n_prefixes,
         |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
         |FROM edges GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // Gao inference replay: distinct collapsed paths from the generator
+    // arithmetic ([a1,a2] always, +65001 when eid odd), undirected degree,
+    // leftmost-max-degree top election (ROW_NUMBER over deg DESC, pos),
+    // uphill/downhill vote split, sibling/p2c/c2p classification — every
+    // step of asRelationships restated independently
+    "q_rib_as_rels" -> (cte + relsCte +
+      """SELECT CAST(as_lo AS BIGINT) AS as_lo, CAST(as_hi AS BIGINT) AS as_hi,
+        |  lo_provides, hi_provides, rel
+        |FROM rels ORDER BY 1, 2""".stripMargin),
+    // route-leak replay: per-EVENT planted edges (see the query comment),
+    // left-joined against the frozen rels replay, unknown→flat policy,
+    // first-down valley scan, first offending up-edge
+    "q_rib_route_leaks" -> (cte + relsCte +
+      """, pl AS (
+        |  SELECT eid, rib, 0 AS i, a1 AS u, a2 AS v FROM re
+        |  UNION ALL
+        |  SELECT eid, rib, 1,
+        |    a2, CASE WHEN eid%11=0 OR eid%13=0 THEN 100+(eid+1)%5
+        |             ELSE 65001 END
+        |  FROM re WHERE eid%11=0 OR eid%13=0 OR len3=1
+        |  UNION ALL
+        |  SELECT eid, rib, 2, 100+(eid+1)%5, 900+eid%2
+        |  FROM re WHERE eid%13=0 AND eid%11<>0
+        |), dirs AS (
+        |  SELECT p.eid, p.rib, p.i, p.u,
+        |    CASE WHEN r.rel IS NULL THEN 1 ELSE 0 END AS unk,
+        |    CASE WHEN r.rel IS NULL THEN 'flat'
+        |         WHEN r.rel='sibling' THEN 'flat'
+        |         WHEN (p.u < p.v AND r.rel='p2c')
+        |           OR (p.u > p.v AND r.rel='c2p') THEN 'down'
+        |         ELSE 'up' END AS dir
+        |  FROM pl p LEFT JOIN rels r
+        |    ON LEAST(p.u, p.v) = r.as_lo AND GREATEST(p.u, p.v) = r.as_hi
+        |), fds AS (
+        |  SELECT eid, MIN(CASE WHEN dir='down' THEN i END) AS fd,
+        |    SUM(unk) AS unknown_edges
+        |  FROM dirs GROUP BY 1
+        |  HAVING MIN(CASE WHEN dir='down' THEN i END) IS NOT NULL
+        |)
+        |SELECT CAST(d.eid AS BIGINT) AS event_id, d.rib,
+        |  CAST(MIN(f.fd) AS BIGINT) AS first_down,
+        |  CAST(MIN(d.i) AS BIGINT) AS leak_pos,
+        |  CAST(MIN_BY(d.u, d.i) AS BIGINT) AS leaker_as,
+        |  CAST(MIN(f.unknown_edges) AS BIGINT) AS unknown_edges
+        |FROM dirs d JOIN fds f ON d.eid = f.eid
+        |WHERE d.dir='up' AND d.i > f.fd
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
     // sibling-bit arithmetic over the current-state window; BIGINT shift
     // base so a short plen cannot overflow a 32-bit 1<<31
     "q_rib_aggregatable" -> (cte +
