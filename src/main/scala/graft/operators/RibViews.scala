@@ -351,6 +351,35 @@ object RibViews {
         min(col("unk")).cast("long").as("unknown_edges"))
   }
 
+  /** Relationship drift between a FROZEN [[asRelationships]] inference
+    * (epoch N — the standing table production audits against, the same
+    * frozen-index discipline as Dedup.dedupAgainstIndex) and a fresh
+    * re-inference (epoch N+1): one row per unordered adjacency present
+    * in either table, with `status`:
+    *
+    *   - `new`     — adjacency only in the fresh inference (edge appeared)
+    *   - `gone`    — only in the frozen table (edge vanished — for a
+    *     cumulative refresh this means the path set changed enough to
+    *     drop below the 2-hop floor, for disjoint epochs simply unseen)
+    *   - `changed` — present in both with a DIFFERENT classification
+    *     (the row an operator actually pages on: a p2c flipping to c2p
+    *     upends every valley-free audit downstream of it)
+    *   - `stable`  — same classification both sides.
+    *
+    * Scale: both inputs are |AS adjacency|-sized (tiny against the
+    * event log that produced them), so the full-outer join is a
+    * broadcast-scale operation regardless of corpus size. */
+  def relsDrift(frozen: DataFrame, fresh: DataFrame): DataFrame =
+    frozen.select(col("as_lo"), col("as_hi"), col("rel").as("old_rel"))
+      .join(
+        fresh.select(col("as_lo"), col("as_hi"), col("rel").as("new_rel")),
+        Seq("as_lo", "as_hi"), "full_outer")
+      .withColumn("status",
+        when(col("old_rel").isNull, "new")
+          .when(col("new_rel").isNull, "gone")
+          .when(col("old_rel") === col("new_rel"), "stable")
+          .otherwise("changed"))
+
   /** CIDR aggregation candidates: sibling v4 prefix pairs in the current
     * RIB — two same-length prefixes differing only in their last network
     * bit, announced with the same origin AS and nexthop — that could be

@@ -643,6 +643,68 @@ object Dedup {
         col("union_n").cast("long").as("union_n"))
   }
 
+  /** Shared-span report for winnow-verified near-dup pairs — the
+    * LOCALIZATION winnowing buys that MinHash structurally cannot: which
+    * extents of each document pair actually overlap (the MOSS use case —
+    * show the match, not just the score).
+    *
+    * For every verified pair, shared fingerprints (equal `fp_hash`) are
+    * plotted as (pos_a, pos_b) points and merged along DIAGONALS
+    * (`pos_a − pos_b` constant — a contiguous shared run keeps both
+    * positions advancing in lockstep, so its points share one diagonal),
+    * splitting where consecutive selected positions sit more than `w`
+    * apart: inside a shared run the winnowing density guarantee places a
+    * selected fingerprint in every w-window, so a gap > w means the run
+    * ended. Off-diagonal incidental hash matches (boilerplate repeats)
+    * start their own 1-point "spans" instead of corrupting real extents.
+    *
+    * Returns (a, b, start_a, end_a, start_b, end_b, n_fps), one row per
+    * merged span, positions in shingle coordinates (a span covers words
+    * [start, end + k − 1] of its document). `pairs` overrides the
+    * verified-pair source (callers that already ran [[winnowNearDup]]
+    * pass its output; default recomputes).
+    *
+    * Scale shape: the fingerprint joins are candidate-driven (pairs ×
+    * winnow-sparse postings, never corpus × corpus) and both the lag
+    * split and the span rollup key on (pair, diagonal) — co-partitioned
+    * window + aggregate, nothing global. */
+  def winnowSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 8, threshold: Double = 0.6,
+      maxDf: Int = 1000, arithmeticHash: Boolean = false,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vp = pairs.getOrElse(
+        winnowNearDup(df, idCol, textCol, k, w, threshold, maxDf,
+          arithmeticHash))
+      .select(col("a"), col("b"))
+    val fps = winnowFingerprints(df, idCol, textCol, k, w, arithmeticHash)
+    val mt = vp
+      .join(fps.select(col("id").as("a"), col("fp_pos").as("pa"),
+        col("fp_hash").as("h")), "a")
+      .join(fps.select(col("id").as("b"), col("fp_pos").as("pb"),
+        col("fp_hash").as("h")), Seq("b", "h"))
+      .select(col("a"), col("b"), (col("pa") - col("pb")).as("diag"),
+        col("pa"))
+      .distinct()
+    val byDiag = Window.partitionBy(col("a"), col("b"), col("diag"))
+      .orderBy(col("pa"))
+    val spans = mt
+      .withColumn("__gap",
+        when(col("pa") - lag(col("pa"), 1).over(byDiag) > w, 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__gap")).over(
+        byDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spans.groupBy(col("a"), col("b"), col("diag"), col("__span"))
+      .agg(min(col("pa")).as("s"), max(col("pa")).as("e"),
+        count(lit(1)).cast("long").as("n_fps"))
+      .select(col("a"), col("b"),
+        col("s").cast("long").as("start_a"),
+        col("e").cast("long").as("end_a"),
+        (col("s") - col("diag")).cast("long").as("start_b"),
+        (col("e") - col("diag")).cast("long").as("end_b"),
+        col("n_fps"))
+  }
+
   /** 64-bit SimHash over word shingles, one projection: bit j is set when
     * more than half the shingle hashes have bit j set. */
   /** Incremental near-dup against a FROZEN fingerprint index — the

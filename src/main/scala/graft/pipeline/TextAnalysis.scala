@@ -360,8 +360,7 @@ object TextAnalysis {
     val lines = segAgg(lineSep, "line")
     val paras = segAgg(paraSep, "para")
     val words = d.select(col("id"),
-      posexplode(filter(split(trim(col("__t")), "\\s+"), w => w =!= ""))
-        .as(Seq("pos", "w")))
+      posexplode(splitWords(col("__t"))).as(Seq("pos", "w")))
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val l1 = lead(col("w"), 1).over(byDoc)
     val l2 = lead(col("w"), 2).over(byDoc)
@@ -468,12 +467,23 @@ object TextAnalysis {
     * documented exception class: no Catalyst primitive expresses a
     * bounded-eviction summary). Docs shorter than n words contribute no
     * phrases. */
+  /** Whitespace word-split with the empty edge tokens removed — the ONE
+    * tokenization shared by every word-level operator (repetition
+    * signals, phrase mining, the streaming hot-phrase twin). `split` on
+    * `\s+` keeps a leading "" when the text starts with whitespace, and
+    * engines disagree on the trailing edge (Java drops it, DuckDB's
+    * string_split keeps it), so filtering empties HERE is what lets the
+    * oracles replay tokenization portably (`list_filter(..., x -> x <>
+    * '')` on the SQL side). */
+  def splitWords(c: Column): Column =
+    filter(split(trim(c), "\\s+"), w => w =!= "")
+
   def frequentPhrases(df: DataFrame, textCol: String, n: Int = 3,
       phiPermyriad: Int = 5): DataFrame = {
     require(n >= 1, s"n must be positive: $n")
     require(phiPermyriad > 0 && phiPermyriad <= 10000,
       s"phiPermyriad must be in (0, 10000]: $phiPermyriad")
-    val words = split(trim(col(textCol)), "\\s+")
+    val words = splitWords(col(textCol))
     val phrase = df.select(words.as("w"))
       .where(size(col("w")) >= n)
       .select(explode(phrasesFromWords(col("w"), n)).as("p"))

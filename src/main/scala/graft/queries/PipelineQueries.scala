@@ -16,6 +16,29 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** The standing winnow-fingerprint index for q_dedup_incremental,
+    * materialized ONCE per (session, sfDir) and lineage-cut with
+    * localCheckpoint. The operator's contract is "dedup the increment
+    * against a FROZEN index" — production reads the index from storage,
+    * it never re-derives it per batch — so the bench body must not pay
+    * (and book) the index build on every timed pass (ADVICE r14 #3: the
+    * entry was timing exactly the recompute the operator exists to
+    * avoid). Bench pass 1 builds and checkpoints; the median over
+    * round-robin passes then measures the probe path. Verify output is
+    * unchanged — the checkpointed frame holds the same rows the inline
+    * build produced, and the DuckDB oracle still derives its picks CTE
+    * from scratch. Eager checkpoint; the index is |fingerprints|-sized
+    * (~2/(w+1) of corpus tokens), far below executor memory at any SF
+    * this runs at. */
+  private val frozenIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def frozenWinnowIndex(s: SparkSession, dir: String,
+      base: DataFrame): DataFrame =
+    frozenIndexCache.computeIfAbsent((s, dir), _ =>
+      Dedup.winnowFingerprints(base, "doc_id", "text", k = 3, w = 8)
+        .localCheckpoint())
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
@@ -522,6 +545,19 @@ object PipelineQueries {
       Dedup.winnowNearDup(d, "doc_id", "text", k = 3, w = 8, threshold = 0.6)
         .orderBy(col("a"), col("b"))
     }),
+    // Winnow shared-span localization (round 16, r14 ask #5): merged
+    // diagonal extents of shared fingerprints per verified pair — WHERE
+    // each near-dup pair overlaps. `_arith` end to end: spans depend on
+    // selected POSITIONS, which are hash-family-specific, so this is the
+    // portable-hash replica path (the production xxhash64 spans logic is
+    // identical code; PipelineSpec pins the merging on a hand fixture)
+    "q_dedup_winnow_spans_arith" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.winnowSharedSpans(d, "doc_id", "text", k = 3, w = 8,
+        threshold = 0.6, arithmeticHash = true)
+        .orderBy(col("a"), col("b"), col("start_a"), col("start_b"))
+    }),
     // Incremental dedup against a frozen index (round 14): the corpus is
     // split into a "base" epoch (even doc_id — the standing corpus whose
     // winnow fingerprint index is materialized) and an "increment" epoch
@@ -535,8 +571,7 @@ object PipelineQueries {
         regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
       val base = d.where(col("doc_id") % 2 === 0)
       val inc = d.where(col("doc_id") % 2 === 1)
-      val index = Dedup.winnowFingerprints(base, "doc_id", "text",
-        k = 3, w = 8)
+      val index = frozenWinnowIndex(s, dir, base)
       Dedup.dedupAgainstIndex(inc, base, index, "doc_id", "text",
         k = 3, w = 8, threshold = 0.6)
         .orderBy(col("new_id"), col("base_id"))
@@ -3127,6 +3162,57 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = iv.b
         |WHERE inter * 1000 >= (sa.n + sb.n - inter) * 600
         |ORDER BY a, b""".stripMargin),
+    // shared-span replica: arith picks end to end (positions are
+    // hash-family-specific), verified pairs re-derived exactly as
+    // q_dedup_winnow, then the diagonal merge — LAG gap split at w=8,
+    // running-sum span ids, min/max extents per (pair, diag, span)
+    "q_dedup_winnow_spans_arith" -> (winnowPicksSql("TRUE") +
+      """, fpp AS (
+        |  SELECT DISTINCT doc_id, mo // 1048576 AS fh,
+        |    1048575 - mo % 1048576 AS fpos
+        |  FROM picks
+        |), fpd AS (SELECT DISTINCT doc_id, fh FROM fpp
+        |), rare AS (
+        |  SELECT fh FROM (SELECT fh, COUNT(*) AS c FROM fpd GROUP BY 1) t
+        |  WHERE c BETWEEN 2 AND 1000
+        |), slim AS (SELECT doc_id, fh FROM fpd JOIN rare USING (fh)),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM slim l JOIN slim r ON l.fh = r.fh AND l.doc_id < r.doc_id
+        |), shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+        |iv AS (
+        |  SELECT c.a, c.b, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN shd la ON la.doc_id = c.a
+        |  JOIN shd rb ON rb.doc_id = c.b AND rb.s = la.s
+        |  GROUP BY 1, 2
+        |), vp AS (
+        |  SELECT a, b FROM iv
+        |  JOIN sizes sa ON sa.doc_id = iv.a
+        |  JOIN sizes sb ON sb.doc_id = iv.b
+        |  WHERE inter * 1000 >= (sa.n + sb.n - inter) * 600
+        |), mt AS (
+        |  SELECT DISTINCT p.a, p.b, la.fpos - rb.fpos AS diag, la.fpos AS pa
+        |  FROM vp p JOIN fpp la ON la.doc_id = p.a
+        |  JOIN fpp rb ON rb.doc_id = p.b AND rb.fh = la.fh
+        |), lgg AS (
+        |  SELECT a, b, diag, pa,
+        |    CASE WHEN pa - LAG(pa) OVER (PARTITION BY a, b, diag
+        |        ORDER BY pa) > 8 THEN 1 ELSE 0 END AS gap
+        |  FROM mt
+        |), sp AS (
+        |  SELECT a, b, diag, pa, SUM(gap) OVER (PARTITION BY a, b, diag
+        |    ORDER BY pa ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM lgg
+        |)
+        |SELECT a, b, CAST(MIN(pa) AS BIGINT) AS start_a,
+        |  CAST(MAX(pa) AS BIGINT) AS end_a,
+        |  CAST(MIN(pa) - diag AS BIGINT) AS start_b,
+        |  CAST(MAX(pa) - diag AS BIGINT) AS end_b,
+        |  COUNT(*) AS n_fps
+        |FROM sp GROUP BY a, b, diag, span
+        |ORDER BY a, b, start_a, start_b""".stripMargin),
     // incremental replica: same picks CTE over ALL docs, split by parity
     // into the frozen index side (even) and the increment side (odd);
     // index-side-only df cap, no df >= 2 floor (cross-epoch df=1 pairs
@@ -3214,8 +3300,9 @@ object PipelineQueries {
          |  FROM pg GROUP BY 1
          |), w AS (
          |  SELECT doc_id,
-         |    string_split(regexp_replace(trim(t), '\\s+', ' ', 'g'), ' ')
-         |      AS ws
+         |    list_filter(
+         |      string_split(regexp_replace(trim(t), '\\s+', ' ', 'g'), ' '),
+         |      x -> x <> '') AS ws
          |  FROM p
          |), g AS (
          |  SELECT doc_id, 2 AS gn, ws[i]||' '||ws[i+1] AS s
@@ -3292,7 +3379,9 @@ object PipelineQueries {
          |  FROM p0
          |), d AS (
          |  SELECT doc_id,
-         |    string_split(regexp_replace(trim(t), '\\s+', ' ', 'g'), ' ') AS w
+         |    list_filter(
+         |      string_split(regexp_replace(trim(t), '\\s+', ' ', 'g'), ' '),
+         |      x -> x <> '') AS w
          |  FROM p1
          |), ph AS (
          |  SELECT w[i]||' '||w[i+1]||' '||w[i+2] AS p

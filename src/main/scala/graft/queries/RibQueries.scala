@@ -180,6 +180,21 @@ object RibQueries {
         rels = Some(frozen))
         .orderBy(col("event_id"))
     }),
+    // Relationship-drift audit (round 16, r14 ask #7): the production
+    // discipline around asRelationships made operational — the FROZEN
+    // table is inferred from the even-event epoch, the fresh inference
+    // from the full log, and the audit reports every adjacency's status
+    // (new/gone/changed/stable). The natural fixture exercises new (the
+    // 65001 edges exist only on odd events) and stable; gone/changed are
+    // pinned by the RibViewsSpec hand fixture — Gao's degree heuristic is
+    // deliberately hard to flip from within generator arithmetic
+    "q_rib_rels_drift" -> ((s, dir) => {
+      val base = re(s, dir)
+      RibViews.relsDrift(
+        RibViews.asRelationships(base.where(col("event_id") % 2 === 0)),
+        RibViews.asRelationships(base))
+        .orderBy(col("as_lo"), col("as_hi"))
+    }),
     // CIDR aggregation candidates (round 12): sibling v4 prefix pairs in
     // the current RIB with identical origin+nexthop, found by parent-block
     // GROUPING (no self-join); the oracle replays the current-state
@@ -550,6 +565,71 @@ object RibQueries {
       |)
       |""".stripMargin
 
+  /** DuckDB replay of RibViews.asRelationships over the generator
+    * arithmetic — every inference step restated independently of the Spark
+    * code: distinct collapsed paths ([a1,a2] always, +65001 when len3=1;
+    * the generator's ASN ranges are disjoint so collapseRuns is identity),
+    * undirected distinct-neighbor degree, leftmost-max-degree top election
+    * (ROW_NUMBER over deg DESC, pos), uphill/downhill vote split per
+    * DISTINCT path (edge i is uphill iff i+1 <= top), and the
+    * sibling/p2c/c2p classification with siblingRatio=5. Splices after
+    * [[cte]]; yields `${x}rels(as_lo, as_hi, lo_provides, hi_provides,
+    * rel)`. `x` prefixes every CTE name so two inferences over different
+    * event subsets (the rels-drift oracle) coexist in one statement;
+    * `where` restricts the event set the inference reads. */
+  private[queries] def relsCteFor(x: String, where: String): String =
+    s""", ${x}gp AS (
+      |  SELECT DISTINCT a1 AS x1, a2 AS x2,
+      |    CASE WHEN len3=1 THEN 65001 END AS x3
+      |  FROM re WHERE $where
+      |), ${x}gpe AS (
+      |  SELECT x1, x2, x3, 0 AS i, x1 AS u, x2 AS v FROM ${x}gp
+      |  UNION ALL
+      |  SELECT x1, x2, x3, 1, x2, x3 FROM ${x}gp WHERE x3 IS NOT NULL
+      |), ${x}und AS (
+      |  SELECT DISTINCT u, v FROM (
+      |    SELECT u, v FROM ${x}gpe
+      |    UNION ALL SELECT v AS u, u AS v FROM ${x}gpe)
+      |), ${x}deg AS (
+      |  SELECT u AS asn, COUNT(*) AS deg FROM ${x}und GROUP BY 1
+      |), ${x}pnodes AS (
+      |  SELECT x1, x2, x3, 0 AS pos, x1 AS asn FROM ${x}gp
+      |  UNION ALL SELECT x1, x2, x3, 1, x2 FROM ${x}gp
+      |  UNION ALL SELECT x1, x2, x3, 2, x3 FROM ${x}gp WHERE x3 IS NOT NULL
+      |), ${x}tops AS (
+      |  SELECT x1, x2, x3, pos AS top FROM (
+      |    SELECT n.x1, n.x2, n.x3, n.pos,
+      |      ROW_NUMBER() OVER (PARTITION BY n.x1, n.x2, n.x3
+      |        ORDER BY d.deg DESC, n.pos) AS rn
+      |    FROM ${x}pnodes n JOIN ${x}deg d ON n.asn = d.asn) t
+      |  WHERE rn = 1
+      |), ${x}votes AS (
+      |  SELECT CASE WHEN e.i + 1 <= t.top THEN e.v ELSE e.u END AS provider,
+      |    CASE WHEN e.i + 1 <= t.top THEN e.u ELSE e.v END AS customer,
+      |    COUNT(*) AS n
+      |  FROM ${x}gpe e JOIN ${x}tops t ON e.x1 = t.x1 AND e.x2 = t.x2
+      |    AND e.x3 IS NOT DISTINCT FROM t.x3
+      |  GROUP BY 1, 2
+      |), ${x}rels AS (
+      |  SELECT as_lo, as_hi, lo_provides, hi_provides,
+      |    CASE WHEN LEAST(lo_provides, hi_provides) > 0
+      |          AND LEAST(lo_provides, hi_provides) * 5
+      |              >= GREATEST(lo_provides, hi_provides) THEN 'sibling'
+      |         WHEN lo_provides >= hi_provides THEN 'p2c'
+      |         ELSE 'c2p' END AS rel
+      |  FROM (
+      |    SELECT LEAST(provider, customer) AS as_lo,
+      |      GREATEST(provider, customer) AS as_hi,
+      |      CAST(SUM(CASE WHEN provider < customer THEN n ELSE 0 END) AS BIGINT)
+      |        AS lo_provides,
+      |      CAST(SUM(CASE WHEN provider > customer THEN n ELSE 0 END) AS BIGINT)
+      |        AS hi_provides
+      |    FROM ${x}votes GROUP BY 1, 2) v
+      |)
+      |""".stripMargin
+
+  private[queries] val relsCte: String = relsCteFor("", "TRUE")
+
   private def perRibSql(where: String): String =
     cte + s"SELECT rib, COUNT(*) AS n FROM re WHERE $where GROUP BY rib ORDER BY rib"
 
@@ -774,6 +854,20 @@ object RibQueries {
         |FROM dirs d JOIN fds f ON d.eid = f.eid
         |WHERE d.dir='up' AND d.i > f.fd
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+    // drift replay: two full inference replays over different event
+    // subsets (prefixes keep their CTE chains disjoint), full-outer
+    // joined on the unordered adjacency
+    "q_rib_rels_drift" -> (cte + relsCteFor("fz_", "eid % 2 = 0") +
+      relsCteFor("fr_", "TRUE") +
+      """SELECT CAST(COALESCE(a.as_lo, b.as_lo) AS BIGINT) AS as_lo,
+        |  CAST(COALESCE(a.as_hi, b.as_hi) AS BIGINT) AS as_hi,
+        |  a.rel AS old_rel, b.rel AS new_rel,
+        |  CASE WHEN a.rel IS NULL THEN 'new'
+        |       WHEN b.rel IS NULL THEN 'gone'
+        |       WHEN a.rel = b.rel THEN 'stable' ELSE 'changed' END AS status
+        |FROM fz_rels a FULL OUTER JOIN fr_rels b
+        |  ON a.as_lo = b.as_lo AND a.as_hi = b.as_hi
+        |ORDER BY 1, 2""".stripMargin),
     // sibling-bit arithmetic over the current-state window; BIGINT shift
     // base so a short plen cannot overflow a 32-bit 1<<31
     "q_rib_aggregatable" -> (cte +

@@ -264,7 +264,7 @@ object Feed {
   def hotPhrasesStream(docStream: DataFrame, textCol: String,
       minCount: Long, n: Int = 3, windowDur: String = "1 minute",
       watermark: String = "2 minutes", tsCol: String = "ts"): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
+    val words = graft.pipeline.TextAnalysis.splitWords(col(textCol))
     docStream
       .select(col(tsCol),
         explode(graft.pipeline.TextAnalysis.phrasesFromWords(words, n))

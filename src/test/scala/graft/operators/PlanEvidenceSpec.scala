@@ -376,4 +376,47 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("WindowExec"), plan.take(2000))
   }
+
+  test("incremental index probe prunes BOTH text sides by broadcast semi-join") {
+    // dedupAgainstIndex's 100 TB shape: the candidate id sets (near-dup
+    // density — small) broadcast into left-semi prunes of the base and
+    // increment TEXT scans, so the exact-verify shingle explode touches
+    // candidate docs only. A shuffled (SMJ) semi here would move the
+    // corpus text through an exchange — the exact cost the index probe
+    // exists to avoid (VERDICT r14 ask #8).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.where(col("doc_id") % 2 === 0)
+    val inc = docs.where(col("doc_id") % 2 === 1)
+    val index = graft.pipeline.Dedup.winnowFingerprints(
+      base, "doc_id", "text", k = 3, w = 8)
+    val dd = graft.pipeline.Dedup.dedupAgainstIndex(
+      inc, base, index, "doc_id", "text", k = 3, w = 8, threshold = 0.6)
+    val plan = dd.queryExecution.executedPlan.toString
+    val semis = "BroadcastHashJoin [^\n]*LeftSemi".r.findAllIn(plan).length
+    assert(semis >= 2, s"want 2 broadcast semi prunes, got $semis: " +
+      plan.take(3000))
+    assert(!"SortMergeJoin [^\n]*LeftSemi".r.findAllIn(plan).hasNext,
+      plan.take(3000))
+  }
+
+  test("gopher repetition: one n-gram Generate, every window keyed per-doc") {
+    // repetitionSignals' scale shape (VERDICT r14 ask #8): the three gram
+    // widths come from ONE words explode + ONE per-doc window pass + ONE
+    // array Generate (not three shingle passes), and no window runs
+    // unpartitioned — an all-rows window would funnel the corpus into a
+    // single task.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis
+      .repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // exactly 4 Generates: lines, paragraphs, words, the 3-width gram array
+    val gens = "Generate ".r.findAllIn(plan).length
+    assert(gens == 4, s"want 4 Generates, got $gens: " + plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    // the lead() pass is the only WindowExec and it partitions on the id
+    val windows = "Window \\[[^\n]*\\], \\[id#[0-9]+L\\]".r
+      .findAllIn(plan).length
+    assert(windows == 1, plan.take(3000))
+  }
 }

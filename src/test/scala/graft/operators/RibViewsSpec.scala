@@ -435,4 +435,114 @@ class RibViewsSpec extends AnyFunSuite {
       .collect()(0)
     assert(nul.isNullAt(0))
   }
+
+  // --- AS-relationship inference + route-leak audit (hand fixtures) -----
+
+  private def pathsDf(rows: Seq[(Long, Seq[Long])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("event_id", "as_list")
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.lit("ipv4u").as("rib"),
+        org.apache.spark.sql.functions.struct(col("as_list")).as("attrs"))
+  }
+
+  test("collapseRuns squashes prepending runs, keeps re-visits") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      (1L, Seq(1L, 1L, 2L, 2L, 2L, 3L, 1L, 1L)),
+      (2L, Seq(7L)),
+      (3L, Seq.empty[Long]))
+      .toDF("id", "xs")
+      .select(col("id"), RibViews.collapseRuns(col("xs")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(1L, 2L, 3L, 1L)) // runs squashed, ABA kept
+    assert(got(2L) == Seq(7L))
+    assert(got(3L) == Seq.empty[Long])
+  }
+
+  test("asRelationships: Gao degree election, distinct-path votes, sibling") {
+    // Star around AS 2 (deg 4: neighbors 1,3,4,5) plus an isolated 6-7
+    // pair announced once in each direction. Node 2 is the unique max-
+    // degree AS of every star path, so every star edge votes downhill
+    // from it; 6-7 splits 1:1 -> sibling. The [1,1,2,3] prepended rows
+    // must collapse and dedup into the SAME distinct path as [1,2,3] —
+    // repeated announcements never add votes (Gao votes the path SET).
+    val evs = Seq(
+      10L -> Seq(1L, 2L, 3L),
+      11L -> Seq(1L, 1L, 2L, 3L), // prepended duplicate of the same path
+      12L -> Seq(1L, 2L, 3L),     // exact duplicate announcement
+      13L -> Seq(4L, 2L, 5L),
+      14L -> Seq(3L, 2L, 5L),
+      15L -> Seq(6L, 7L),
+      16L -> Seq(7L, 6L),
+      17L -> Seq(8L))             // single-hop path: no edges, dropped
+    val got = RibViews.asRelationships(pathsDf(evs))
+      .orderBy(col("as_lo"), col("as_hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 1L, "c2p"),    // 2 provides 1 (uphill into the top)
+      (2L, 3L, 2L, 0L, "p2c"),    // two distinct paths vote 2->3 downhill
+      (2L, 4L, 1L, 0L, "p2c"),
+      (2L, 5L, 2L, 0L, "p2c"),
+      (6L, 7L, 1L, 1L, "sibling")))
+  }
+
+  test("asRelationships rejects a degenerate sibling ratio") {
+    intercept[IllegalArgumentException] {
+      RibViews.asRelationships(pathsDf(Seq(1L -> Seq(1L, 2L))),
+        siblingRatio = 1)
+    }
+  }
+
+  test("routeLeaks: valley scan, sibling/unknown flat, unknown counted") {
+    val s = spark
+    import s.implicits._
+    val rels = Seq(
+      (1L, 2L, "p2c"),   // 1 provides 2
+      (2L, 3L, "c2p"),   // 3 provides 2
+      (1L, 3L, "c2p"),
+      (1L, 4L, "p2c"),
+      (4L, 5L, "sibling")).toDF("as_lo", "as_hi", "rel")
+    val evs = Seq(
+      // leak: down (1->2, provider->customer) then up (2->3 customer->provider)
+      10L -> Seq(1L, 2L, 3L),
+      // valley-free: down (3->1 via c2p), down (1->2) — no up after down
+      11L -> Seq(3L, 1L, 2L),
+      // down, then two UNKNOWN edges (flat, counted), then the offending up
+      12L -> Seq(1L, 2L, 9L, 2L, 3L),
+      // sibling edge after a down never offends
+      13L -> Seq(1L, 4L, 5L),
+      // prepending collapses BEFORE position arithmetic: same as event 10
+      14L -> Seq(1L, 1L, 1L, 2L, 3L))
+    val got = RibViews.routeLeaks(pathsDf(evs), rels = Some(rels))
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (10L, "ipv4u", 0L, 1L, 2L, 0L),
+      (12L, "ipv4u", 0L, 3L, 2L, 2L),
+      (14L, "ipv4u", 0L, 1L, 2L, 0L)))
+  }
+
+  test("relsDrift labels every adjacency status") {
+    val s = spark
+    import s.implicits._
+    val frozen = Seq((1L, 2L, "p2c"), (2L, 3L, "c2p"), (3L, 4L, "sibling"))
+      .toDF("as_lo", "as_hi", "rel")
+    val fresh = Seq((1L, 2L, "p2c"), (2L, 3L, "p2c"), (4L, 5L, "c2p"))
+      .toDF("as_lo", "as_hi", "rel")
+    val got = RibViews.relsDrift(frozen, fresh)
+      .orderBy(col("as_lo"), col("as_hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)), r.getString(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, Some("p2c"), Some("p2c"), "stable"),
+      (2L, 3L, Some("c2p"), Some("p2c"), "changed"),
+      (3L, 4L, Some("sibling"), None, "gone"),
+      (4L, 5L, None, Some("c2p"), "new")))
+  }
 }

@@ -1405,6 +1405,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture slice must plant cross-epoch pairs")
   }
 
+  test("winnowSharedSpans merges diagonals and splits at real gaps") {
+    // hand fixture, PRODUCTION hash (the merging logic is hash-agnostic;
+    // only exact extents shift with the family — asserted as ranges):
+    // docs 1/2 share words [0..24] and [41..99] around a 16-word edit,
+    // so every shared fingerprint sits on diagonal 0 (all words distinct
+    // within a doc) in two runs separated by > w — exactly two spans,
+    // one per run. Docs 3/4 are identical: one span covering the whole
+    // selection. Jaccard(1,2) = 80/116 ≈ 0.69 >= 0.6 stays verified.
+    val wordsA = (0 until 100).map(i => s"wa$i")
+    val wordsB = wordsA.zipWithIndex.map { case (w, i) =>
+      if (i >= 25 && i <= 40) s"xb$i" else w }
+    val same = (0 until 30).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, wordsA.mkString(" ")), (2L, wordsB.mkString(" ")),
+      (3L, same), (4L, same)).toDF("doc_id", "text")
+    val got = Dedup.winnowSharedSpans(d, "doc_id", "text",
+        k = 3, w = 8, threshold = 0.6)
+      .orderBy(col("a"), col("b"), col("start_a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val p12 = got.filter(t => t._1 == 1L && t._2 == 2L)
+    val p34 = got.filter(t => t._1 == 3L && t._2 == 4L)
+    assert(got.size == p12.size + p34.size, got.toString)
+    // pair (1,2): exactly two diagonal-0 spans, one per shared run —
+    // shingle positions sharing content are [0..22] and [41..97]
+    assert(p12.size == 2, p12.toString)
+    p12.foreach { case (_, _, sa, ea, sb, eb, nf) =>
+      assert(sa == sb && ea == eb, "all matches sit on diagonal 0")
+      assert(nf >= 1)
+      assert((ea <= 22 && sa >= 0) || (sa >= 41 && ea <= 97), (sa, ea))
+    }
+    assert(p12.head._4 <= 22 && p12(1)._3 >= 41, p12.toString)
+    // pair (3,4): identical docs -> one span over the whole selection
+    assert(p34.size == 1 && p34.head._3 == p34.head._5, p34.toString)
+  }
+
   test("winnow fingerprint df headroom holds under both hash families") {
     // winnowNearDup's maxDf cap counts df over each hash family's OWN
     // selected set, so production (xxhash64) and oracle (arith fold)
