@@ -95,8 +95,39 @@ object Curate {
       sourceCol: String, jaccardPermille: Int = 600, shingleK: Int = 3,
       qualityKeepPermille: Int = 600,
       mixTargets: Map[String, Int] = Map.empty,
-      salt: String = "cur3"): DataFrame = {
-    val norm = docs.select(col(idCol), col(sourceCol),
+      salt: String = "cur3", repetitionGate: Boolean = false): DataFrame =
+    curateModernStages(docs, idCol, textCol, sourceCol, jaccardPermille,
+      shingleK, qualityKeepPermille, mixTargets, salt, repetitionGate)
+      .last._2
+
+  /** [[curateModern]]'s stage boundaries, in chain order — the same
+    * stages/attrition split [[stages]] gives the classic chain, so the
+    * modern chain's survivor curve is observable too. Stage list:
+    * `input`, `repetition` (only when `repetitionGate` — the Gopher
+    * [[TextAnalysis.repetitionSignals]] `repetition_ok` conjunction,
+    * applied to the RAW text BEFORE normalization: the duplicate-line/
+    * paragraph signals read document STRUCTURE, which normalizeText's
+    * whitespace collapse erases), `neardup`, `quality`, `mixture`.
+    *
+    * The gate is an id-keyed left-semi join against the signal
+    * aggregate (same join-back shape as the classic chain's
+    * repetitionByDoc gate, and for the same reason: gating on scan-local
+    * columns would re-inline the aggregate's whole lambda chain through
+    * predicate pushdown). */
+  def curateModernStages(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, jaccardPermille: Int = 600, shingleK: Int = 3,
+      qualityKeepPermille: Int = 600,
+      mixTargets: Map[String, Int] = Map.empty,
+      salt: String = "cur3",
+      repetitionGate: Boolean = false): Seq[(String, DataFrame)] = {
+    val unrepetitive =
+      if (!repetitionGate) docs
+      else {
+        val ok = TextAnalysis.repetitionSignals(docs, idCol, textCol)
+          .where(col("repetition_ok")).select(col("id").as("__rp_id"))
+        docs.join(ok, docs(idCol) === col("__rp_id"), "left_semi")
+      }
+    val norm = unrepetitive.select(col(idCol), col(sourceCol),
       TextAnalysis.normalizeText(col(textCol)).as(textCol))
     val pairs = Dedup.ngramJaccard(norm, idCol, textCol, shingleK)
       .where(col("inter") * 1000 >= col("union_n") * jaccardPermille)
@@ -114,10 +145,34 @@ object Curate {
       m("n_words").as("n_words"))
     val gated = Sampling.keepTopByScore(withScore, "score",
       qualityKeepPermille)
-    if (mixTargets.isEmpty) gated
-    else Sampling.targetMixture(gated, idCol, sourceCol, "n_words",
-      mixTargets, salt)
+    val mixed =
+      if (mixTargets.isEmpty) gated
+      else Sampling.targetMixture(gated, idCol, sourceCol, "n_words",
+        mixTargets, salt)
+    Seq("input" -> docs) ++
+      (if (repetitionGate) Seq("repetition" -> unrepetitive) else Nil) ++
+      Seq("neardup" -> survivors, "quality" -> gated, "mixture" -> mixed)
   }
+
+  /** Per-stage survivor counts of the MODERN chain — (stage_idx, stage,
+    * n_docs) in [[curateModernStages]] order. Stage frames shrink
+    * monotonically, so the count-per-stage jobs are each strictly
+    * cheaper than the chain itself; unlike the classic [[attrition]]
+    * there is no single-pass flag form — three of the four gates are
+    * aggregate-shaped (cluster election, histogram threshold, mixture
+    * sizing), not row-local predicates. */
+  def attritionModern(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, jaccardPermille: Int = 600, shingleK: Int = 3,
+      qualityKeepPermille: Int = 600,
+      mixTargets: Map[String, Int] = Map.empty,
+      salt: String = "cur3", repetitionGate: Boolean = false): DataFrame =
+    curateModernStages(docs, idCol, textCol, sourceCol, jaccardPermille,
+      shingleK, qualityKeepPermille, mixTargets, salt, repetitionGate)
+      .zipWithIndex.map { case ((nm, df), i) =>
+        df.agg(count(lit(1)).cast("long").as("n_docs"))
+          .select(lit(i.toLong).as("stage_idx"), lit(nm).as("stage"),
+            col("n_docs"))
+      }.reduce(_.unionByName(_))
 
   /** Corpus data card: the per-(language, source) audit rollup a dataset
     * release publishes (the Datasheets-for-Datasets practice) and an

@@ -705,6 +705,88 @@ object Dedup {
         col("n_fps"))
   }
 
+  /** Multi-epoch incremental dedup with index MAINTENANCE — the loop
+    * [[dedupAgainstIndex]] is one step of, closed (r14 ask #4): epochs
+    * arrive in order, each is deduped against the standing index built
+    * by its PREDECESSORS, its intra-epoch duplicates are removed by
+    * [[winnowNearDup]], and only the ADMITTED (non-duplicate) docs
+    * append their fingerprints to the index for the next epoch — the
+    * Feed.compact-shaped batch cycle a crawl pipeline actually runs.
+    *
+    * Verdict per document, deterministic:
+    *   - `index_dup` — verified (J ≥ threshold) against an admitted doc
+    *     of an EARLIER epoch; `dup_of` = smallest such base id. Index
+    *     precedence over intra: the standing corpus owns the canonical
+    *     copy.
+    *   - `intra_dup` — the larger side of a verified same-epoch pair;
+    *     `dup_of` = smallest such partner (keep-min election, the
+    *     [[exact]] discipline).
+    *   - `kept` — admitted; fingerprints join the index.
+    *
+    * Returns (id, epoch, status, dup_of) for EVERY input doc — the
+    * complete per-epoch admission ledger (what `n_docs − kept` attrition
+    * a crawl operator watches).
+    *
+    * Scale shape: each epoch step is the [[dedupAgainstIndex]] probe
+    * (bucketed candidate join + candidate-pruned verify) plus one
+    * intra-epoch [[winnowNearDup]]; the index grows by admitted-survivor
+    * fingerprints only. The per-epoch index/ledger frames are
+    * localCheckpointed — each epoch is a separate batch in production
+    * (the index lives in storage between crawls), and without the cut
+    * the epoch-e plan would re-derive every predecessor epoch's verify
+    * once per downstream reference. The driver-side loop is over the
+    * EPOCH LIST (a handful), never over rows. */
+  def epochDedup(df: DataFrame, idCol: String, textCol: String,
+      epochCol: String, epochs: Seq[Long], k: Int = 3, w: Int = 8,
+      threshold: Double = 0.6, maxDf: Int = 1000): DataFrame = {
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    require(epochs.distinct == epochs, s"epochs must be distinct: $epochs")
+    var index: Option[DataFrame] = None
+    var baseText: Option[DataFrame] = None
+    val ledgers = epochs.map { e =>
+      val de = df.where(col(epochCol) === lit(e))
+      val idxDups = (index, baseText) match {
+        case (Some(ix), Some(bt)) =>
+          dedupAgainstIndex(de, bt, ix, idCol, textCol, k, w, threshold,
+            maxDf)
+            .groupBy(col("new_id").as("id"))
+            .agg(min(col("base_id")).as("__dup_idx"))
+        case _ =>
+          de.select(col(idCol).as("id"), lit(null).cast("long")
+            .as("__dup_idx")).limit(0)
+      }
+      val intraDups = winnowNearDup(de, idCol, textCol, k, w, threshold,
+          maxDf)
+        .groupBy(col("b").as("id"))
+        .agg(min(col("a")).as("__dup_intra"))
+      val ledger = de.select(col(idCol).as("id"))
+        .join(idxDups, Seq("id"), "left")
+        .join(intraDups, Seq("id"), "left")
+        .select(col("id"), lit(e).as("epoch"),
+          when(col("__dup_idx").isNotNull, "index_dup")
+            .when(col("__dup_intra").isNotNull, "intra_dup")
+            .otherwise("kept").as("status"),
+          coalesce(col("__dup_idx"), col("__dup_intra")).cast("long")
+            .as("dup_of"))
+        .localCheckpoint()
+      val admitted = ledger.where(col("status") === "kept")
+        .select(col("id").as(idCol))
+      val admittedText = de.join(admitted, Seq(idCol), "left_semi")
+      val admittedFps = winnowFingerprints(admittedText, idCol, textCol,
+        k, w).select(col("id"), col("fp_hash")).distinct()
+      index = Some(index match {
+        case Some(ix) => ix.unionByName(admittedFps).localCheckpoint()
+        case None => admittedFps.localCheckpoint()
+      })
+      baseText = Some(baseText match {
+        case Some(bt) => bt.unionByName(admittedText)
+        case None => admittedText
+      })
+      ledger
+    }
+    ledgers.reduce(_.unionByName(_))
+  }
+
   /** 64-bit SimHash over word shingles, one projection: bit j is set when
     * more than half the shingle hashes have bit j set. */
   /** Incremental near-dup against a FROZEN fingerprint index — the

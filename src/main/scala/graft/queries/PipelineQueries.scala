@@ -130,7 +130,7 @@ object PipelineQueries {
     * paragraph (before the paragraph plant) so duplicated paragraphs stay
     * byte-identical. */
   private def plantedRepetitionDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), concat(
+    docs(s, dir).select(col("doc_id"), col("source"), concat(
       col("text"),
       when(col("doc_id") % 11 === 0,
         concat(lit(" "), concat_ws(" ",
@@ -575,6 +575,22 @@ object PipelineQueries {
       Dedup.dedupAgainstIndex(inc, base, index, "doc_id", "text",
         k = 3, w = 8, threshold = 0.6)
         .orderBy(col("new_id"), col("base_id"))
+    }),
+    // Epoch-maintained incremental dedup (round 16, r14 ask #4): three
+    // epochs (doc_id % 3), each deduped against the index its
+    // predecessors BUILT — admitted docs append fingerprints, duplicates
+    // never do — plus the intra-epoch near-dup half; the full admission
+    // ledger (kept/index_dup/intra_dup + canonical partner) is the
+    // output. The oracle unrolls the three epoch steps sequentially from
+    // the shared picks CTE.
+    "q_dedup_epoch" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"),
+        (col("doc_id") % 3).as("epoch"))
+      Dedup.epochDedup(d, "doc_id", "text", "epoch", Seq(0L, 1L, 2L),
+        k = 3, w = 8, threshold = 0.6)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }),
     // Gopher/C4 repetition signals (round 14): duplicate line/paragraph
     // fractions (count + char mass) and top-2/3/4-gram char mass, each
@@ -1044,6 +1060,28 @@ object PipelineQueries {
         mixTargets = Map("src0" -> 500, "src1" -> 300, "src2" -> 200),
         salt = "cur3")
         .orderBy(col("doc_id"))),
+    // curate4 (round 16, r14 ask #6): the modern chain with the Gopher
+    // repetition gate composed in FRONT — the gate reads the RAW planted
+    // text (normalization would erase the line/paragraph structure the
+    // signals measure), then normalize → near-dup election → quality
+    // percentile → mixture run on the gated corpus. Planted repetition
+    // docs make the gate falsifiable (natural fixture docs all pass)
+    "q_pipeline_curate4" -> ((s, dir) =>
+      Curate.curateModern(plantedRepetitionDocs(s, dir), "doc_id", "text",
+        "source", jaccardPermille = 600, shingleK = 3,
+        qualityKeepPermille = 600,
+        mixTargets = Map("src0" -> 500, "src1" -> 300, "src2" -> 200),
+        salt = "cur4", repetitionGate = true)
+        .orderBy(col("doc_id"))),
+    // the modern chain's attrition curve with the repetition gate's row
+    // visible (r14 ask #6's second half); oracle counts each CTE boundary
+    "q_pipeline_attrition4" -> ((s, dir) =>
+      Curate.attritionModern(plantedRepetitionDocs(s, dir), "doc_id",
+        "text", "source", jaccardPermille = 600, shingleK = 3,
+        qualityKeepPermille = 600,
+        mixTargets = Map("src0" -> 500, "src1" -> 300, "src2" -> 200),
+        salt = "cur4", repetitionGate = true)
+        .orderBy(col("stage_idx"))),
 
     // pipeline observability: the attrition curve — per-stage survivor
     // counts of the six-stage chain (a gate suddenly eating the corpus is
@@ -1252,6 +1290,93 @@ object PipelineQueries {
        |)
        |""".stripMargin
 
+  /** DuckDB replica of the 3-epoch [[Dedup.epochDedup]] run: the three
+    * epoch steps unrolled sequentially from the shared picks CTE —
+    * per-epoch intra near-dup (df floor over the epoch's OWN selected
+    * set), index probe against the union of PRIOR epochs' admitted
+    * fingerprints (index-side df cap only), survivors = neither dropped
+    * — every block generated from the same two templates so the three
+    * steps cannot drift apart. */
+  private def epochDedupOracleSql: String = {
+    def intraBlock(e: Int) =
+      s""", e${e}f AS (
+         |  SELECT doc_id, fh FROM fpd WHERE doc_id % 3 = $e
+         |), e${e}r AS (
+         |  SELECT fh FROM (SELECT fh, COUNT(*) AS c FROM e${e}f GROUP BY 1) t
+         |  WHERE c BETWEEN 2 AND 1000
+         |), e${e}c AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM e${e}f l JOIN e${e}r rr ON l.fh = rr.fh
+         |  JOIN e${e}f r ON r.fh = l.fh AND l.doc_id < r.doc_id
+         |), e${e}iv AS (
+         |  SELECT c.a, c.b, COUNT(*) AS inter
+         |  FROM e${e}c c
+         |  JOIN shdx la ON la.doc_id = c.a
+         |  JOIN shdx rb ON rb.doc_id = c.b AND rb.s = la.s
+         |  GROUP BY 1, 2
+         |), e${e}ip AS (
+         |  SELECT iv.a, iv.b FROM e${e}iv iv
+         |  JOIN szx sa ON sa.doc_id = iv.a
+         |  JOIN szx sb ON sb.doc_id = iv.b
+         |  WHERE iv.inter * 1000 >= (sa.n + sb.n - iv.inter) * 600
+         |), e${e}di AS (
+         |  SELECT b AS doc_id, MIN(a) AS dup_of FROM e${e}ip GROUP BY 1
+         |)""".stripMargin
+    def probeBlock(e: Int, ix: String) =
+      s""", ok$e AS (
+         |  SELECT fh FROM (SELECT fh, COUNT(*) AS c FROM $ix GROUP BY 1) t
+         |  WHERE c <= 1000
+         |), p${e}c AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+         |  FROM e${e}f n JOIN ok$e o ON o.fh = n.fh
+         |  JOIN $ix b ON b.fh = n.fh
+         |), p${e}iv AS (
+         |  SELECT c.new_id, c.base_id, COUNT(*) AS inter
+         |  FROM p${e}c c
+         |  JOIN shdx la ON la.doc_id = c.new_id
+         |  JOIN shdx rb ON rb.doc_id = c.base_id AND rb.s = la.s
+         |  GROUP BY 1, 2
+         |), p${e}ip AS (
+         |  SELECT iv.new_id, iv.base_id FROM p${e}iv iv
+         |  JOIN szx sa ON sa.doc_id = iv.new_id
+         |  JOIN szx sb ON sb.doc_id = iv.base_id
+         |  WHERE iv.inter * 1000 >= (sa.n + sb.n - iv.inter) * 600
+         |), p${e}dx AS (
+         |  SELECT new_id AS doc_id, MIN(base_id) AS dup_of
+         |  FROM p${e}ip GROUP BY 1
+         |)""".stripMargin
+    def survBlock(e: Int, hasProbe: Boolean) = {
+      val probeFilter = if (hasProbe)
+        s"\n  AND doc_id NOT IN (SELECT doc_id FROM p${e}dx)" else ""
+      s""", e${e}sf AS (
+         |  SELECT doc_id, fh FROM e${e}f
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM e${e}di)$probeFilter
+         |)""".stripMargin
+    }
+    winnowPicksSql("TRUE") +
+      """, fpd AS (SELECT DISTINCT doc_id, mo // 1048576 AS fh FROM picks),
+        |shdx AS (SELECT DISTINCT doc_id, s FROM sh),
+        |szx AS (SELECT doc_id, COUNT(*) AS n FROM shdx GROUP BY 1)""".stripMargin +
+      intraBlock(0) + survBlock(0, hasProbe = false) +
+      intraBlock(1) + probeBlock(1, "e0sf") + survBlock(1, hasProbe = true) +
+      intraBlock(2) +
+      "\n, ix2 AS (SELECT * FROM e0sf UNION ALL SELECT * FROM e1sf)" +
+      probeBlock(2, "ix2") +
+      """
+        |SELECT d.doc_id, CAST(d.doc_id % 3 AS BIGINT) AS epoch,
+        |  CASE WHEN px.dup_of IS NOT NULL THEN 'index_dup'
+        |       WHEN di.dup_of IS NOT NULL THEN 'intra_dup'
+        |       ELSE 'kept' END AS status,
+        |  CAST(COALESCE(px.dup_of, di.dup_of) AS BIGINT) AS dup_of
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM p1dx UNION ALL SELECT * FROM p2dx) px
+        |  ON px.doc_id = d.doc_id
+        |LEFT JOIN (SELECT * FROM e0di UNION ALL SELECT * FROM e1di
+        |           UNION ALL SELECT * FROM e2di) di
+        |  ON di.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DuckDB replica of [[Sampling.mixCoord]]: the char fold of
     * `'salt:id'` pushed through the same two multiply + xor-shift rounds
     * (SampleMixMult). A correlated scalar subquery chain so the fold
@@ -1273,10 +1398,12 @@ object PipelineQueries {
 
   /** Shared shingle CTEs: `shm` is the word-3-shingle multiset, `shd` the
     * set — mirrors Dedup.explodedShingleStrings (incl. the whole-text
-    * shingle for sub-3-word docs). */
-  private val shingleCte =
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split($docNorm, ' ') AS words FROM documents
+    * shingle for sub-3-word docs). `src` must expose (doc_id, text) — the
+    * curate4 oracle shingles the repetition-gated planted corpus instead
+    * of the raw table. */
+  private def shingleCtes(src: String): String =
+    s"""d AS (
+       |  SELECT doc_id, string_split($docNorm, ' ') AS words FROM $src
        |), shm AS (
        |  SELECT doc_id, words[i]||' '||words[i+1]||' '||words[i+2] AS s
        |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-1)) AS i
@@ -1284,8 +1411,138 @@ object PipelineQueries {
        |  UNION ALL
        |  SELECT doc_id, array_to_string(words, ' ') AS s
        |  FROM d WHERE len(words) < 3
-       |), shd AS (
+       |), shd AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, s FROM shm
+       |)""".stripMargin
+
+  private val shingleCte = "WITH " + shingleCtes("documents")
+
+  /** [[plantedRepetitionDocs]] as a SQL CTE body — (doc_id, t). */
+  private val repPlantsSql: String =
+    """  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 11 = 0
+      |       THEN ' ' || rtrim(repeat('click here ', 30)) ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0
+      |       THEN ' ' || rtrim(repeat('limited offer ', 8)) ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0 THEN chr(10)||'subscribe to updates'
+      |       ||chr(10)||'subscribe to updates' ELSE '' END
+      |    || CASE WHEN doc_id % 9 = 0
+      |       THEN chr(10)||'subscribe to updates' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'story code '
+      |       ||CAST(doc_id % 97 AS VARCHAR) ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0
+      |       THEN chr(10)||chr(10)||'follow us on social media'
+      |       ||chr(10)||chr(10)||'follow us on social media' ELSE '' END
+      |    AS t
+      |  FROM documents""".stripMargin
+
+  /** Gopher repetition replica over an existing CTE `src`(doc_id, t):
+    * the full signal chain — trim+blank-drop segmentation, surplus
+    * sums, two-level top-gram election, threshold flags — with every
+    * CTE name prefixed by `x` so two instances (or an instance inside a
+    * larger chain, the curate4 oracle) cannot collide. Ends in
+    * `${x}rep`: one row per doc, same column order as
+    * [[TextAnalysis.repetitionSignals]]. Every SUM cast to BIGINT
+    * (DuckDB SUM(BIGINT) → HUGEINT, the forbidden-type gate). */
+  private def gopherSignalsSql(src: String, x: String): String =
+    s""", ${x}lseg AS (
+       |  SELECT doc_id, trim(seg) AS seg FROM (
+       |    SELECT doc_id, unnest(string_split(t, chr(10))) AS seg
+       |    FROM $src) q
+       |  WHERE trim(seg) <> ''
+       |), ${x}lg AS (
+       |  SELECT doc_id, seg, COUNT(*) AS c, length(seg) AS len
+       |  FROM ${x}lseg GROUP BY 1, 2
+       |), ${x}lagg AS (
+       |  SELECT doc_id, SUM(c) AS n_lines,
+       |    SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dup_line_n,
+       |    SUM(c * len) AS line_chars,
+       |    SUM(CASE WHEN c >= 2 THEN (c - 1) * len ELSE 0 END)
+       |      AS dup_line_chars
+       |  FROM ${x}lg GROUP BY 1
+       |), ${x}pseg AS (
+       |  SELECT doc_id, trim(seg) AS seg FROM (
+       |    SELECT doc_id, unnest(string_split(t, chr(10)||chr(10))) AS seg
+       |    FROM $src) q
+       |  WHERE trim(seg) <> ''
+       |), ${x}pg AS (
+       |  SELECT doc_id, seg, COUNT(*) AS c, length(seg) AS len
+       |  FROM ${x}pseg GROUP BY 1, 2
+       |), ${x}pagg AS (
+       |  SELECT doc_id, SUM(c) AS n_paras,
+       |    SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dup_para_n,
+       |    SUM(c * len) AS para_chars,
+       |    SUM(CASE WHEN c >= 2 THEN (c - 1) * len ELSE 0 END)
+       |      AS dup_para_chars
+       |  FROM ${x}pg GROUP BY 1
+       |), ${x}w AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      string_split(regexp_replace(trim(t), '\\s+', ' ', 'g'), ' '),
+       |      y -> y <> '') AS ws
+       |  FROM $src
+       |), ${x}g AS (
+       |  SELECT doc_id, 2 AS gn, ws[i]||' '||ws[i+1] AS s
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+       |        FROM ${x}w WHERE len(ws) >= 2) q
+       |  UNION ALL
+       |  SELECT doc_id, 3, ws[i]||' '||ws[i+1]||' '||ws[i+2]
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i
+       |        FROM ${x}w WHERE len(ws) >= 3) q
+       |  UNION ALL
+       |  SELECT doc_id, 4, ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
+       |        FROM ${x}w WHERE len(ws) >= 4) q
+       |), ${x}gc AS (
+       |  SELECT doc_id, gn, s, COUNT(*) AS c FROM ${x}g GROUP BY 1, 2, 3
+       |), ${x}gmax AS (
+       |  SELECT doc_id, gn, MAX(c) AS mc FROM ${x}gc GROUP BY 1, 2
+       |), ${x}gtop AS (
+       |  SELECT g2.doc_id, g2.gn, MAX(g2.c * length(g2.s)) AS mass
+       |  FROM ${x}gc g2 JOIN ${x}gmax m
+       |    ON g2.doc_id = m.doc_id AND g2.gn = m.gn AND g2.c = m.mc
+       |  GROUP BY 1, 2
+       |), ${x}gp AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN gn = 2 THEN mass END) AS top2_chars,
+       |    MAX(CASE WHEN gn = 3 THEN mass END) AS top3_chars,
+       |    MAX(CASE WHEN gn = 4 THEN mass END) AS top4_chars
+       |  FROM ${x}gtop GROUP BY 1
+       |), ${x}base AS (SELECT doc_id, length(t) AS n_chars FROM $src),
+       |${x}j AS (
+       |  SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
+       |    CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+       |    CAST(COALESCE(l.dup_line_n, 0) AS BIGINT) AS dup_line_n,
+       |    CAST(COALESCE(l.line_chars, 0) AS BIGINT) AS line_chars,
+       |    CAST(COALESCE(l.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+       |    CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
+       |    CAST(COALESCE(a.dup_para_n, 0) AS BIGINT) AS dup_para_n,
+       |    CAST(COALESCE(a.para_chars, 0) AS BIGINT) AS para_chars,
+       |    CAST(COALESCE(a.dup_para_chars, 0) AS BIGINT) AS dup_para_chars,
+       |    CAST(COALESCE(gp2.top2_chars, 0) AS BIGINT) AS top2_chars,
+       |    CAST(COALESCE(gp2.top3_chars, 0) AS BIGINT) AS top3_chars,
+       |    CAST(COALESCE(gp2.top4_chars, 0) AS BIGINT) AS top4_chars
+       |  FROM ${x}base b
+       |  LEFT JOIN ${x}lagg l ON l.doc_id = b.doc_id
+       |  LEFT JOIN ${x}pagg a ON a.doc_id = b.doc_id
+       |  LEFT JOIN ${x}gp gp2 ON gp2.doc_id = b.doc_id
+       |), ${x}rep AS (
+       |  SELECT *,
+       |    dup_line_n * 1000 > n_lines * 300 AS dup_line_bad,
+       |    dup_line_chars * 1000 > line_chars * 200 AS dup_line_chars_bad,
+       |    dup_para_n * 1000 > n_paras * 300 AS dup_para_bad,
+       |    dup_para_chars * 1000 > para_chars * 200 AS dup_para_chars_bad,
+       |    top2_chars * 1000 > n_chars * 200 AS top2_bad,
+       |    top3_chars * 1000 > n_chars * 180 AS top3_bad,
+       |    top4_chars * 1000 > n_chars * 160 AS top4_bad,
+       |    NOT (dup_line_n * 1000 > n_lines * 300
+       |      OR dup_line_chars * 1000 > line_chars * 200
+       |      OR dup_para_n * 1000 > n_paras * 300
+       |      OR dup_para_chars * 1000 > para_chars * 200
+       |      OR top2_chars * 1000 > n_chars * 200
+       |      OR top3_chars * 1000 > n_chars * 180
+       |      OR top4_chars * 1000 > n_chars * 160) AS repetition_ok
+       |  FROM ${x}j
        |)""".stripMargin
 
   /** Generated DuckDB replica of the arithmetic-hash MinHash pipeline:
@@ -1845,6 +2102,115 @@ object PipelineQueries {
        |  FROM scored) t
        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
   }
+
+  /** The curateModern oracle's CTE chain — recursive near-dup closure +
+    * quality election, histogram gate, mixture rates — optionally headed
+    * by the Gopher repetition gate (plants + prefixed signal chain + the
+    * gated `g4` corpus), so curate3, curate4 and attrition4 share ONE
+    * body and cannot drift. Ends after `rates`; splice
+    * [[curateModernFinalSql]] (and anything else that needs the stage
+    * CTEs) behind it. */
+  private def curateModernOracleCtes(repGate: Boolean): String = {
+    val head =
+      if (!repGate) shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      else s"WITH RECURSIVE p AS (\n$repPlantsSql\n)" +
+        gopherSignalsSql("p", "rp_") +
+        """, g4 AS MATERIALIZED (
+          |  SELECT p.doc_id, d0.source, p.t AS text
+          |  FROM p JOIN documents d0 USING (doc_id)
+          |  JOIN rp_rep r ON r.doc_id = p.doc_id AND r.repetition_ok
+          |), """.stripMargin + shingleCtes("g4")
+    val nrmSrc = if (repGate) "g4" else "documents"
+    head + s""", sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
+         |), jp AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+         |  FROM shd l JOIN shd r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a, b FROM jp
+         |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |  WHERE inter*1000 >= (sa.n + sb.n - inter)*600
+         |), e AS MATERIALIZED (
+         |  SELECT a AS x, b AS y FROM cand
+         |  UNION SELECT b AS x, a AS y FROM cand
+         |), reach(x, y) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT e.x, r.y FROM e JOIN reach r ON r.x = e.y
+         |), comp AS (
+         |  SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x
+         |), nrm AS MATERIALIZED (
+         |  SELECT doc_id, source, $docNorm AS t FROM $nrmSrc
+         |), lab AS (
+         |  SELECT nrm.doc_id, coalesce(comp.cluster_id, nrm.doc_id) AS cl,
+         |    CAST(length(t) AS BIGINT) AS q
+         |  FROM nrm LEFT JOIN comp USING (doc_id)
+         |), keepers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cl
+         |      ORDER BY q DESC, doc_id) AS r FROM lab) t
+         |  WHERE r = 1
+         |), m AS (
+         |  SELECT nrm.doc_id, source,
+         |    len(string_split(t, ' ')) AS n_words,
+         |    length(t) AS n_chars,
+         |    len(regexp_extract_all(t, '[A-Za-z]')) AS alpha,
+         |    len(regexp_extract_all(t,'\\bthe\\b'))+len(regexp_extract_all(t,'\\band\\b'))
+         |      +len(regexp_extract_all(t,'\\bof\\b'))+len(regexp_extract_all(t,'\\bto\\b'))
+         |      +len(regexp_extract_all(t,'\\bin\\b'))
+         |      +len(regexp_extract_all(t,'\\bder\\b'))+len(regexp_extract_all(t,'\\bdie\\b'))
+         |      +len(regexp_extract_all(t,'\\bund\\b'))+len(regexp_extract_all(t,'\\bdas\\b'))
+         |      +len(regexp_extract_all(t,'\\bist\\b'))
+         |      +len(regexp_extract_all(t,'\\ble\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
+         |      +len(regexp_extract_all(t,'\\bet\\b'))+len(regexp_extract_all(t,'\\bles\\b'))
+         |      +len(regexp_extract_all(t,'\\bdes\\b'))
+         |      +len(regexp_extract_all(t,'\\bel\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
+         |      +len(regexp_extract_all(t,'\\blos\\b'))+len(regexp_extract_all(t,'\\bque\\b'))
+         |      +len(regexp_extract_all(t,'\\bde\\b')) AS stop
+         |  FROM nrm JOIN keepers USING (doc_id)
+         |), scd AS (
+         |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+         |    CAST(FLOOR(alpha*1000.0/greatest(n_chars,1))
+         |      + FLOOR(stop*1000.0/greatest(n_words,1)) AS BIGINT) AS score
+         |  FROM m
+         |), h AS (
+         |  SELECT score AS s2, COUNT(*) AS c FROM scd GROUP BY 1
+         |), cum AS (
+         |  SELECT s2, SUM(c) OVER (ORDER BY s2 DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER () AS n
+         |  FROM h
+         |), thr AS (
+         |  SELECT MAX(CASE WHEN cum >= greatest(1, (n*600) // 1000) THEN s2 END) AS t2
+         |  FROM cum
+         |), gate AS (
+         |  SELECT * FROM scd WHERE score >= (SELECT t2 FROM thr)
+         |), tgt AS (
+         |  SELECT * FROM (VALUES ('src0', 500), ('src1', 300), ('src2', 200))
+         |    t(source, p)
+         |), tot AS (
+         |  SELECT source, CAST(SUM(n_words) AS BIGINT) AS total
+         |  FROM gate GROUP BY 1
+         |), live AS (
+         |  SELECT p, total FROM tgt JOIN tot USING (source)
+         |  WHERE p > 0 AND total > 0
+         |), rates AS (
+         |  SELECT ti.source,
+         |    CASE WHEN ti.total IS NULL OR ti.total <= 0 THEN 0
+         |      ELSE (SELECT MIN(ti.p * lj.total * 1000 // (lj.p * ti.total))
+         |            FROM live lj) END AS rate
+         |  FROM (SELECT tgt.source, tgt.p, tot.total
+         |        FROM tgt LEFT JOIN tot USING (source)) ti
+         |)""".stripMargin
+  }
+
+  /** The chain's final projection: histogram-gated rows joined to their
+    * source's mixture rate, sampled under `salt`. */
+  private def curateModernFinalSql(salt: String): String =
+    s"""SELECT g.doc_id, g.source, g.score, g.n_words
+       |FROM gate g JOIN rates USING (source)
+       |WHERE ${samplePermilleSql(salt, "doc_id")} < rate""".stripMargin
 
   def oracleSql: Map[String, String] = staticOracleSql ++ centroidOracleEntries
 
@@ -3246,126 +3612,17 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = iv.base_id
         |WHERE inter * 1000 >= (sa.n + sb.n - inter) * 600
         |ORDER BY new_id, base_id""".stripMargin),
+    // 3-epoch admission ledger replica (generated blocks, see
+    // epochDedupOracleSql)
+    "q_dedup_epoch" -> epochDedupOracleSql,
     // Gopher repetition replica: same plants, trim+blank-drop
     // segmentation, surplus-occurrence sums, and the two-level top-gram
     // election (max count, then max char mass — equals Spark's
     // max(struct(c, mass)) lexicographic rule); every SUM cast to
     // BIGINT (DuckDB SUM(BIGINT) -> HUGEINT, the forbidden-type gate)
     "q_text_gopher_rep" ->
-      s"""WITH p AS (
-         |  SELECT doc_id, text
-         |    || CASE WHEN doc_id % 11 = 0
-         |       THEN ' ' || rtrim(repeat('click here ', 30)) ELSE '' END
-         |    || CASE WHEN doc_id % 13 = 0
-         |       THEN ' ' || rtrim(repeat('limited offer ', 8)) ELSE '' END
-         |    || CASE WHEN doc_id % 3 = 0 THEN chr(10)||'subscribe to updates'
-         |       ||chr(10)||'subscribe to updates' ELSE '' END
-         |    || CASE WHEN doc_id % 9 = 0
-         |       THEN chr(10)||'subscribe to updates' ELSE '' END
-         |    || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'story code '
-         |       ||CAST(doc_id % 97 AS VARCHAR) ELSE '' END
-         |    || CASE WHEN doc_id % 4 = 0
-         |       THEN chr(10)||chr(10)||'follow us on social media'
-         |       ||chr(10)||chr(10)||'follow us on social media' ELSE '' END
-         |    AS t
-         |  FROM documents
-         |), lseg AS (
-         |  SELECT doc_id, trim(seg) AS seg FROM (
-         |    SELECT doc_id, unnest(string_split(t, chr(10))) AS seg FROM p) x
-         |  WHERE trim(seg) <> ''
-         |), lg AS (
-         |  SELECT doc_id, seg, COUNT(*) AS c, length(seg) AS len
-         |  FROM lseg GROUP BY 1, 2
-         |), lagg AS (
-         |  SELECT doc_id, SUM(c) AS n_lines,
-         |    SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dup_line_n,
-         |    SUM(c * len) AS line_chars,
-         |    SUM(CASE WHEN c >= 2 THEN (c - 1) * len ELSE 0 END)
-         |      AS dup_line_chars
-         |  FROM lg GROUP BY 1
-         |), pseg AS (
-         |  SELECT doc_id, trim(seg) AS seg FROM (
-         |    SELECT doc_id, unnest(string_split(t, chr(10)||chr(10))) AS seg
-         |    FROM p) x
-         |  WHERE trim(seg) <> ''
-         |), pg AS (
-         |  SELECT doc_id, seg, COUNT(*) AS c, length(seg) AS len
-         |  FROM pseg GROUP BY 1, 2
-         |), pagg AS (
-         |  SELECT doc_id, SUM(c) AS n_paras,
-         |    SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dup_para_n,
-         |    SUM(c * len) AS para_chars,
-         |    SUM(CASE WHEN c >= 2 THEN (c - 1) * len ELSE 0 END)
-         |      AS dup_para_chars
-         |  FROM pg GROUP BY 1
-         |), w AS (
-         |  SELECT doc_id,
-         |    list_filter(
-         |      string_split(regexp_replace(trim(t), '\\s+', ' ', 'g'), ' '),
-         |      x -> x <> '') AS ws
-         |  FROM p
-         |), g AS (
-         |  SELECT doc_id, 2 AS gn, ws[i]||' '||ws[i+1] AS s
-         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-         |        FROM w WHERE len(ws) >= 2) x
-         |  UNION ALL
-         |  SELECT doc_id, 3, ws[i]||' '||ws[i+1]||' '||ws[i+2]
-         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i
-         |        FROM w WHERE len(ws) >= 3) x
-         |  UNION ALL
-         |  SELECT doc_id, 4, ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
-         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
-         |        FROM w WHERE len(ws) >= 4) x
-         |), gc AS (
-         |  SELECT doc_id, gn, s, COUNT(*) AS c FROM g GROUP BY 1, 2, 3
-         |), gmax AS (
-         |  SELECT doc_id, gn, MAX(c) AS mc FROM gc GROUP BY 1, 2
-         |), gtop AS (
-         |  SELECT g2.doc_id, g2.gn, MAX(g2.c * length(g2.s)) AS mass
-         |  FROM gc g2 JOIN gmax m
-         |    ON g2.doc_id = m.doc_id AND g2.gn = m.gn AND g2.c = m.mc
-         |  GROUP BY 1, 2
-         |), gp AS (
-         |  SELECT doc_id,
-         |    MAX(CASE WHEN gn = 2 THEN mass END) AS top2_chars,
-         |    MAX(CASE WHEN gn = 3 THEN mass END) AS top3_chars,
-         |    MAX(CASE WHEN gn = 4 THEN mass END) AS top4_chars
-         |  FROM gtop GROUP BY 1
-         |), base AS (SELECT doc_id, length(t) AS n_chars FROM p),
-         |j AS (
-         |  SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
-         |    CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
-         |    CAST(COALESCE(l.dup_line_n, 0) AS BIGINT) AS dup_line_n,
-         |    CAST(COALESCE(l.line_chars, 0) AS BIGINT) AS line_chars,
-         |    CAST(COALESCE(l.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
-         |    CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
-         |    CAST(COALESCE(a.dup_para_n, 0) AS BIGINT) AS dup_para_n,
-         |    CAST(COALESCE(a.para_chars, 0) AS BIGINT) AS para_chars,
-         |    CAST(COALESCE(a.dup_para_chars, 0) AS BIGINT) AS dup_para_chars,
-         |    CAST(COALESCE(gp.top2_chars, 0) AS BIGINT) AS top2_chars,
-         |    CAST(COALESCE(gp.top3_chars, 0) AS BIGINT) AS top3_chars,
-         |    CAST(COALESCE(gp.top4_chars, 0) AS BIGINT) AS top4_chars
-         |  FROM base b
-         |  LEFT JOIN lagg l ON l.doc_id = b.doc_id
-         |  LEFT JOIN pagg a ON a.doc_id = b.doc_id
-         |  LEFT JOIN gp ON gp.doc_id = b.doc_id
-         |)
-         |SELECT *,
-         |  dup_line_n * 1000 > n_lines * 300 AS dup_line_bad,
-         |  dup_line_chars * 1000 > line_chars * 200 AS dup_line_chars_bad,
-         |  dup_para_n * 1000 > n_paras * 300 AS dup_para_bad,
-         |  dup_para_chars * 1000 > para_chars * 200 AS dup_para_chars_bad,
-         |  top2_chars * 1000 > n_chars * 200 AS top2_bad,
-         |  top3_chars * 1000 > n_chars * 180 AS top3_bad,
-         |  top4_chars * 1000 > n_chars * 160 AS top4_bad,
-         |  NOT (dup_line_n * 1000 > n_lines * 300
-         |    OR dup_line_chars * 1000 > line_chars * 200
-         |    OR dup_para_n * 1000 > n_paras * 300
-         |    OR dup_para_chars * 1000 > para_chars * 200
-         |    OR top2_chars * 1000 > n_chars * 200
-         |    OR top3_chars * 1000 > n_chars * 180
-         |    OR top4_chars * 1000 > n_chars * 160) AS repetition_ok
-         |FROM j ORDER BY doc_id""".stripMargin,
+      (s"WITH p AS (\n$repPlantsSql\n)" + gopherSignalsSql("p", "") +
+        "\nSELECT * FROM rep ORDER BY doc_id"),
     // soundness is checked by a structurally different algorithm
     "q_text_phrases" ->
       s"""WITH p0 AS (
@@ -3552,92 +3809,29 @@ object PipelineQueries {
     // (q_text_quality_gate), and the mixture derivation (q_sample_mixture),
     // chained over the normalized text in the chain's stage order
     "q_pipeline_curate3" ->
-      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, sizes AS (
-         |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
-         |), jp AS (
-         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
-         |  FROM shd l JOIN shd r ON l.s = r.s AND l.doc_id < r.doc_id
-         |  GROUP BY 1, 2
-         |), cand AS (
-         |  SELECT a, b FROM jp
-         |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-         |  WHERE inter*1000 >= (sa.n + sb.n - inter)*600
-         |), e AS (
-         |  SELECT a AS x, b AS y FROM cand
-         |  UNION SELECT b AS x, a AS y FROM cand
-         |), reach(x, y) AS (
-         |  SELECT x, x FROM e
-         |  UNION
-         |  SELECT e.x, r.y FROM e JOIN reach r ON r.x = e.y
-         |), comp AS (
-         |  SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x
-         |), nrm AS (
-         |  SELECT doc_id, source, $docNorm AS t FROM documents
-         |), lab AS (
-         |  SELECT nrm.doc_id, coalesce(comp.cluster_id, nrm.doc_id) AS cl,
-         |    CAST(length(t) AS BIGINT) AS q
-         |  FROM nrm LEFT JOIN comp USING (doc_id)
-         |), keepers AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cl
-         |      ORDER BY q DESC, doc_id) AS r FROM lab) t
-         |  WHERE r = 1
-         |), m AS (
-         |  SELECT nrm.doc_id, source,
-         |    len(string_split(t, ' ')) AS n_words,
-         |    length(t) AS n_chars,
-         |    len(regexp_extract_all(t, '[A-Za-z]')) AS alpha,
-         |    len(regexp_extract_all(t,'\\bthe\\b'))+len(regexp_extract_all(t,'\\band\\b'))
-         |      +len(regexp_extract_all(t,'\\bof\\b'))+len(regexp_extract_all(t,'\\bto\\b'))
-         |      +len(regexp_extract_all(t,'\\bin\\b'))
-         |      +len(regexp_extract_all(t,'\\bder\\b'))+len(regexp_extract_all(t,'\\bdie\\b'))
-         |      +len(regexp_extract_all(t,'\\bund\\b'))+len(regexp_extract_all(t,'\\bdas\\b'))
-         |      +len(regexp_extract_all(t,'\\bist\\b'))
-         |      +len(regexp_extract_all(t,'\\ble\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
-         |      +len(regexp_extract_all(t,'\\bet\\b'))+len(regexp_extract_all(t,'\\bles\\b'))
-         |      +len(regexp_extract_all(t,'\\bdes\\b'))
-         |      +len(regexp_extract_all(t,'\\bel\\b'))+len(regexp_extract_all(t,'\\bla\\b'))
-         |      +len(regexp_extract_all(t,'\\blos\\b'))+len(regexp_extract_all(t,'\\bque\\b'))
-         |      +len(regexp_extract_all(t,'\\bde\\b')) AS stop
-         |  FROM nrm JOIN keepers USING (doc_id)
-         |), scd AS (
-         |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
-         |    CAST(FLOOR(alpha*1000.0/greatest(n_chars,1))
-         |      + FLOOR(stop*1000.0/greatest(n_words,1)) AS BIGINT) AS score
-         |  FROM m
-         |), h AS (
-         |  SELECT score AS s2, COUNT(*) AS c FROM scd GROUP BY 1
-         |), cum AS (
-         |  SELECT s2, SUM(c) OVER (ORDER BY s2 DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         |    SUM(c) OVER () AS n
-         |  FROM h
-         |), thr AS (
-         |  SELECT MAX(CASE WHEN cum >= greatest(1, (n*600) // 1000) THEN s2 END) AS t2
-         |  FROM cum
-         |), gate AS (
-         |  SELECT * FROM scd WHERE score >= (SELECT t2 FROM thr)
-         |), tgt AS (
-         |  SELECT * FROM (VALUES ('src0', 500), ('src1', 300), ('src2', 200))
-         |    t(source, p)
-         |), tot AS (
-         |  SELECT source, CAST(SUM(n_words) AS BIGINT) AS total
-         |  FROM gate GROUP BY 1
-         |), live AS (
-         |  SELECT p, total FROM tgt JOIN tot USING (source)
-         |  WHERE p > 0 AND total > 0
-         |), rates AS (
-         |  SELECT ti.source,
-         |    CASE WHEN ti.total IS NULL OR ti.total <= 0 THEN 0
-         |      ELSE (SELECT MIN(ti.p * lj.total * 1000 // (lj.p * ti.total))
-         |            FROM live lj) END AS rate
-         |  FROM (SELECT tgt.source, tgt.p, tot.total
-         |        FROM tgt LEFT JOIN tot USING (source)) ti
-         |)
-         |SELECT g.doc_id, g.source, g.score, g.n_words
-         |FROM gate g JOIN rates USING (source)
-         |WHERE ${samplePermilleSql("cur3", "doc_id")} < rate
-         |ORDER BY doc_id""".stripMargin,
+      (curateModernOracleCtes(repGate = false) + "\n" +
+        curateModernFinalSql("cur3") + "\nORDER BY doc_id"),
+    // curate4 (round 16, r14 ask #6): the same modern chain with the
+    // Gopher repetition gate FIRST — on the RAW planted text, before the
+    // shingle CTEs see the corpus (normalization would erase the line/
+    // paragraph structure the signals read)
+    "q_pipeline_curate4" ->
+      (curateModernOracleCtes(repGate = true) + "\n" +
+        curateModernFinalSql("cur4") + "\nORDER BY doc_id"),
+    // modern-chain attrition: survivor counts at each oracle CTE
+    // boundary — independently derived from the Spark stage frames
+    "q_pipeline_attrition4" ->
+      (curateModernOracleCtes(repGate = true) +
+        "\n, fin AS (\n" + curateModernFinalSql("cur4") + "\n)\n" +
+        """SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_docs
+          |FROM (
+          |  SELECT 0 AS stage_idx, 'input' AS stage,
+          |    (SELECT COUNT(*) FROM documents) AS n_docs
+          |  UNION ALL SELECT 1, 'repetition', (SELECT COUNT(*) FROM g4)
+          |  UNION ALL SELECT 2, 'neardup', (SELECT COUNT(*) FROM keepers)
+          |  UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM gate)
+          |  UNION ALL SELECT 4, 'mixture', (SELECT COUNT(*) FROM fin)) t
+          |ORDER BY 1""".stripMargin),
     "q_pipeline_curate" -> curateOracleSql(None),
     // same chain with the model gate between heuristics and the
     // repetition cap (mirrors Curate.curate stage order)

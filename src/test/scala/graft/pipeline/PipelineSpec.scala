@@ -1405,6 +1405,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture slice must plant cross-epoch pairs")
   }
 
+  test("attritionModern: gate row fires, curve monotone, last = chain output") {
+    // plant a Gopher-failing tail (6 duplicate lines) on every 4th doc so
+    // the repetition stage visibly bites; the curve must stay monotone
+    // non-increasing and its last row must equal the chain's own output
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\nxq yq\nxq yq\nxq yq\nxq yq\nxq yq\nxq yq"))
+          .otherwise(lit(""))).as("text"))
+    val rows = Curate.attritionModern(d, "doc_id", "text", "source",
+        repetitionGate = true)
+      .orderBy(col("stage_idx"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(rows.map(_._2) ==
+      Seq("input", "repetition", "neardup", "quality", "mixture"))
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3, s"attrition must not grow: $a -> $b") }
+    assert(rows(1)._3 < rows(0)._3, "repetition gate must fire on plants")
+    val out = Curate.curateModern(d, "doc_id", "text", "source",
+      repetitionGate = true).count()
+    assert(out == rows.last._3)
+  }
+
+  test("epochDedup: index grows with admissions, drops never feed it") {
+    // three epochs; the decisive rows are doc 7 (dup of an EPOCH-1
+    // admission — flags index_dup only because the index grew past the
+    // seed epoch) and docs 2/6 (intra drops whose fingerprints must NOT
+    // enter the index — their copies in later epochs resolve to the
+    // ADMITTED canonical, never to the dropped twin).
+    def txt(seed: String) = (0 until 20).map(i => s"$seed$i").mkString(" ")
+    val d = Seq(
+      (1L, 0L, txt("a")), (2L, 0L, txt("a")), (3L, 0L, txt("c")),
+      (4L, 1L, txt("a")), (5L, 1L, txt("e")), (6L, 1L, txt("e")),
+      (7L, 2L, txt("e")), (8L, 2L, txt("c")), (9L, 2L, txt("z")))
+      .toDF("doc_id", "epoch", "text")
+    val got = Dedup.epochDedup(d, "doc_id", "text", "epoch",
+        Seq(0L, 1L, 2L), k = 3, w = 8, threshold = 0.6)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, "kept", -1L), (2L, 0L, "intra_dup", 1L),
+      (3L, 0L, "kept", -1L),
+      (4L, 1L, "index_dup", 1L), (5L, 1L, "kept", -1L),
+      (6L, 1L, "intra_dup", 5L),
+      (7L, 2L, "index_dup", 5L), (8L, 2L, "index_dup", 3L),
+      (9L, 2L, "kept", -1L)), got.toString)
+  }
+
   test("winnowSharedSpans merges diagonals and splits at real gaps") {
     // hand fixture, PRODUCTION hash (the merging logic is hash-agnostic;
     // only exact extents shift with the family — asserted as ranges):
