@@ -422,6 +422,117 @@ object RibViews {
       .drop("__nc")
   }
 
+  /** MOAS audit (Multiple-Origin AS): prefixes the CURRENT RIB carries
+    * with two or more distinct origin ASNs — the classic hijack /
+    * misconfiguration alarm a looking glass pages on (the reference's
+    * per-origin rollup surface, src/bgprib.rs:628-653, read the other
+    * way around). Origin is [[pathOrigin]] (last ASN — prepending
+    * cannot change it, so no collapse needed); conflicting origins can
+    * come from different sessions, paths, or RDs of the same NLRI.
+    *
+    * Shape: the current-state window (the one shuffle every current-RIB
+    * analytic pays) then ONE map-side-combined aggregation keyed on
+    * (rib, prefix) — output is bounded by |distinct announced prefixes|
+    * and the ≥2-origins filter cuts it to the (rare) conflict set.
+    * No self-join: min/max origin plus the distinct count give the
+    * operator the conflict pair without materializing pairs. */
+  def moasPrefixes(df: DataFrame): DataFrame =
+    current(df)
+      .where(col("prefix_str").isNotNull)
+      .select(col("rib"), col("prefix_str"),
+        pathOrigin.cast("long").as("origin"))
+      .where(col("origin").isNotNull)
+      .groupBy(col("rib"), col("prefix_str"))
+      .agg(countDistinct(col("origin")).cast("long").as("n_origins"),
+        count(lit(1)).cast("long").as("n_routes"),
+        min(col("origin")).as("min_origin"),
+        max(col("origin")).as("max_origin"))
+      .where(col("n_origins") >= 2)
+
+  /** AS transit centrality ("hegemony"-family metric, after the IHR AS
+    * Hegemony measure: the share of observed paths an AS sits INSIDE):
+    * per ASN, the number of distinct collapsed AS paths where it appears
+    * strictly interior (neither first hop nor origin — the positions
+    * where it forwards someone else's traffic), the total distinct path
+    * count, and the integer permille share. The operational "who is a
+    * transit chokepoint" view over the same path set the Gao inference
+    * reads.
+    *
+    * Shape: identical scale posture to [[asRelationships]] — the only
+    * log-sized pass is the distinct over collapsed paths (map-side
+    * combinable); the posexplode runs over the distinct path SET, and
+    * the per-ASN aggregate is |ASN|-sized. The 1-row total joins back
+    * as a broadcast nested-loop against the tiny per-ASN table. A path
+    * counts once per interior ASN even if the ASN recurs (distinct
+    * before the rollup). */
+  def asHegemony(df: DataFrame): DataFrame = {
+    val paths = df.select(collapseRuns(col("attrs.as_list")).as("p"))
+      .where(size(col("p")) >= 1)
+      .distinct()
+    val total = paths.agg(count(lit(1)).cast("long").as("n_paths"))
+    paths
+      .select(col("p"), posexplode(col("p")).as(Seq("pos", "asn")))
+      .where(col("pos") > 0 && col("pos") < size(col("p")) - 1)
+      .select(col("p"), col("asn").cast("long").as("asn"))
+      .distinct()
+      .groupBy(col("asn"))
+      .agg(count(lit(1)).cast("long").as("n_transit_paths"))
+      .join(broadcast(total), lit(true), "inner")
+      .withColumn("transit_x1000",
+        expr("n_transit_paths * 1000 div n_paths"))
+  }
+
+  /** RPKI route-origin validation (RFC 6811 semantics) of the current
+    * v4 unicast RIB against a ROA table `(roa_ip, roa_plen, roa_maxlen,
+    * roa_origin)`: a ROA COVERS a route when the route's prefix sits
+    * inside the ROA prefix (roa_plen ≤ plen and equal network bits at
+    * roa_plen); a covered route is `valid` if SOME covering ROA matches
+    * its origin AND its length (plen ≤ roa_maxlen), `invalid_length` if
+    * an origin-matching covering ROA exists but only with plen >
+    * maxlen, `invalid_origin` if covering ROAs exist but none matches
+    * the origin, and `not_found` with no covering ROA at all (RFC 6811
+    * collapses the two invalid reasons into one state; the split is the
+    * actionable column — wrong origin is the hijack page, wrong length
+    * the config fix).
+    *
+    * Shape: the ROA table is a smalldimension (a full production RPKI
+    * dump is ~500k rows) — broadcast; the containment condition is a
+    * range predicate, so the join plans as a BroadcastNestedLoopJoin
+    * with the corpus-side stream never shuffling, and the per-route
+    * verdict is ONE map-side-combined aggregation keyed on the route.
+    * Returns one row per current v4 route: (rib, prefix_str, origin,
+    * validity). */
+  def rpkiValidate(df: DataFrame, roas: DataFrame): DataFrame = {
+    val cur = current(df)
+      .where(col("prefix").isNotNull && col("prefix.version") === 4 &&
+        col("prefix.prefix_len").between(1, 32))
+      .select(col("rib"), col("prefix_str"),
+        col("prefix.ip_lo").as("ip"),
+        col("prefix.prefix_len").cast("long").as("plen"),
+        pathOrigin.cast("long").as("origin"),
+        col("session_id"), col("path_id"))
+    val covers = col("roa_plen") <= col("plen") &&
+      call_function("shiftright", col("ip"),
+        lit(32) - col("roa_plen").cast("int")) ===
+      call_function("shiftright", col("roa_ip"),
+        lit(32) - col("roa_plen").cast("int"))
+    cur.join(broadcast(roas), covers, "left")
+      .groupBy(col("rib"), col("prefix_str"), col("session_id"),
+        col("path_id"), col("origin"))
+      .agg(
+        max(when(col("roa_origin") === col("origin") &&
+          col("plen") <= col("roa_maxlen"), 1).otherwise(0)).as("__v"),
+        max(when(col("roa_origin") === col("origin"), 1).otherwise(0))
+          .as("__o"),
+        max(when(col("roa_plen").isNotNull, 1).otherwise(0)).as("__c"))
+      .withColumn("validity",
+        when(col("__v") === 1, "valid")
+          .when(col("__o") === 1, "invalid_length")
+          .when(col("__c") === 1, "invalid_origin")
+          .otherwise("not_found"))
+      .drop("__v", "__o", "__c")
+  }
+
   /** Bounded history ring: newest `depth` records per key — the reference's
     * `shrink_hist` retention (A5, src/bgprib.rs:326-341). */
   def retained(df: DataFrame, depth: Int): DataFrame =

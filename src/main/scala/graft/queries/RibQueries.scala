@@ -195,6 +195,41 @@ object RibQueries {
         RibViews.asRelationships(base))
         .orderBy(col("as_lo"), col("as_hi"))
     }),
+    // MOAS audit (round 16): prefixes the current RIB carries with >= 2
+    // distinct origins. The natural fixture is MOAS-rich: the same
+    // (rib, prefix) arises from many (event, user) pairs, and origin is
+    // 65001 on odd events vs 200+uid%7 on even — the oracle replays the
+    // current-state window, the origin arithmetic and the >=2 filter
+    "q_rib_moas" -> ((s, dir) =>
+      RibViews.moasPrefixes(re(s, dir))
+        .orderBy(col("rib"), col("prefix_str"))),
+    // AS transit centrality (round 16): distinct-collapsed-path share
+    // per interior ASN. Natural interior set = {a2 on odd events} (the
+    // 3-hop paths); the oracle re-derives the distinct path set from
+    // (a1, a2, len3) and the permille by integer division
+    "q_rib_hegemony" -> ((s, dir) =>
+      RibViews.asHegemony(re(s, dir)).orderBy(col("asn"))),
+    // RPKI origin validation (round 16): current v4 routes against a
+    // planted ROA table (/16 covers for EVEN second octets only, origin
+    // 200+o2%7, maxLength 24/32/28 cycling) — odd-o2 and 224.x routes
+    // land not_found, odd-event (65001-origin) covered routes
+    // invalid_origin, origin-matching routes split valid/invalid_length
+    // on plen vs maxlen. The ROA table is built from range arithmetic
+    // on BOTH sides, so neither side reads the other's table
+    "q_rib_rpki" -> ((s, dir) => {
+      val roas = s.range(0, 16).where(col("id") % 2 === 0)
+        .select((lit(167772160L) + col("id") * 65536L).as("roa_ip"),
+          lit(16L).as("roa_plen"),
+          (lit(24L) + (col("id") % 3) * 4L).as("roa_maxlen"),
+          (lit(200L) + col("id") % 7).as("roa_origin"))
+      RibViews.rpkiValidate(re(s, dir), roas)
+        .select(col("rib"), col("prefix_str"),
+          col("session_id").cast("long").as("session_id"),
+          col("path_id").cast("long").as("path_id"),
+          col("origin"), col("validity"))
+        .orderBy(col("rib"), col("prefix_str"), col("session_id"),
+          col("path_id"), col("origin"))
+    }),
     // CIDR aggregation candidates (round 12): sibling v4 prefix pairs in
     // the current RIB with identical origin+nexthop, found by parent-block
     // GROUPING (no self-join); the oracle replays the current-state
@@ -868,6 +903,68 @@ object RibQueries {
         |FROM fz_rels a FULL OUTER JOIN fr_rels b
         |  ON a.as_lo = b.as_lo AND a.as_hi = b.as_hi
         |ORDER BY 1, 2""".stripMargin),
+    // MOAS replay: current-state window, origin arithmetic (65001 on odd
+    // events, else a2), >=2-distinct-origins filter
+    "q_rib_moas" -> (cte +
+      s"""SELECT rib, prefix_str, COUNT(DISTINCT origin) AS n_origins,
+         |  COUNT(*) AS n_routes,
+         |  CAST(MIN(origin) AS BIGINT) AS min_origin,
+         |  CAST(MAX(origin) AS BIGINT) AS max_origin
+         |FROM (
+         |  SELECT rib, prefix_str, active,
+         |    CASE WHEN eid%2=1 THEN 65001 ELSE a2 END AS origin,
+         |    ROW_NUMBER() OVER (PARTITION BY $keyExpr
+         |      ORDER BY ts DESC, eid DESC) AS rn
+         |  FROM re) t
+         |WHERE rn=1 AND active AND prefix_str IS NOT NULL
+         |GROUP BY 1, 2 HAVING COUNT(DISTINCT origin) >= 2
+         |ORDER BY 1, 2""".stripMargin),
+    // hegemony replay: the distinct collapsed path set is exactly the
+    // distinct (a1, a2, len3) triples; interior ASNs exist only on the
+    // 3-hop paths (a2); permille by integer division
+    "q_rib_hegemony" -> (cte +
+      """, hpaths AS (SELECT DISTINCT a1, a2, len3 FROM re)
+        |, htot AS (SELECT COUNT(*) AS n_paths FROM hpaths)
+        |SELECT CAST(a2 AS BIGINT) AS asn,
+        |  COUNT(*) AS n_transit_paths,
+        |  CAST(t.n_paths AS BIGINT) AS n_paths,
+        |  CAST(COUNT(*) * 1000 // t.n_paths AS BIGINT) AS transit_x1000
+        |FROM hpaths, htot t WHERE len3 = 1
+        |GROUP BY a2, t.n_paths ORDER BY 1""".stripMargin),
+    // RPKI replay: current v4 routes left-joined to the same
+    // range-arithmetic ROA table under the covering condition, RFC 6811
+    // verdict CASE per route
+    "q_rib_rpki" -> (cte +
+      s""", rcur AS (
+         |  SELECT rib, prefix_str, ip, plen, session_id, path_id,
+         |    CASE WHEN eid%2=1 THEN 65001 ELSE a2 END AS origin
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY $keyExpr
+         |      ORDER BY ts DESC, eid DESC) AS rn
+         |    FROM re) t
+         |  WHERE rn=1 AND active AND ip IS NOT NULL
+         |    AND plen BETWEEN 1 AND 32
+         |), roas AS (
+         |  SELECT 167772160 + range*65536 AS roa_ip, 16 AS roa_plen,
+         |    24 + (range%3)*4 AS roa_maxlen, 200 + range%7 AS roa_origin
+         |  FROM range(0, 16, 2)
+         |)
+         |SELECT c.rib, c.prefix_str,
+         |  CAST(c.session_id AS BIGINT) AS session_id,
+         |  CAST(c.path_id AS BIGINT) AS path_id,
+         |  CAST(c.origin AS BIGINT) AS origin,
+         |  CASE WHEN MAX(CASE WHEN r.roa_origin = c.origin
+         |         AND c.plen <= r.roa_maxlen THEN 1 ELSE 0 END) = 1
+         |       THEN 'valid'
+         |       WHEN MAX(CASE WHEN r.roa_origin = c.origin
+         |         THEN 1 ELSE 0 END) = 1 THEN 'invalid_length'
+         |       WHEN MAX(CASE WHEN r.roa_plen IS NOT NULL
+         |         THEN 1 ELSE 0 END) = 1 THEN 'invalid_origin'
+         |       ELSE 'not_found' END AS validity
+         |FROM rcur c LEFT JOIN roas r
+         |  ON r.roa_plen <= c.plen
+         |  AND (c.ip >> (32 - r.roa_plen)) = (r.roa_ip >> (32 - r.roa_plen))
+         |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin),
     // sibling-bit arithmetic over the current-state window; BIGINT shift
     // base so a short plen cannot overflow a 32-bit 1<<31
     "q_rib_aggregatable" -> (cte +

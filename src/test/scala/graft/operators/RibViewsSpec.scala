@@ -527,6 +527,79 @@ class RibViewsSpec extends AnyFunSuite {
       (14L, "ipv4u", 0L, 1L, 2L, 0L)))
   }
 
+  test("asHegemony: interior-position share over the distinct path set") {
+    val evs = Seq(
+      10L -> Seq(1L, 2L, 3L),
+      11L -> Seq(1L, 1L, 2L, 3L),       // collapses into path 10
+      12L -> Seq(1L, 2L, 2L, 3L),       // also collapses into path 10
+      13L -> Seq(4L, 2L, 5L),
+      14L -> Seq(1L, 3L),               // 2-hop: no interior
+      15L -> Seq(9L),                   // 1-hop: counts in the total only
+      16L -> Seq(1L, 2L, 3L, 2L, 4L))   // 2 recurs interior: counted ONCE
+    // distinct paths: [1,2,3], [4,2,5], [1,3], [9], [1,2,3,2,4] -> 5
+    val got = RibViews.asHegemony(pathsDf(evs))
+      .orderBy(col("asn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (2L, 3L, 5L, 600L), // interior of paths 10, 13, 16
+      (3L, 1L, 5L, 200L))) // interior of path 16 only
+  }
+
+  private def curEv(ts: Long, sess: Int, pfx: String, plen: Int,
+      asList: Seq[Long], active: Boolean = true): RouteEvent =
+    RouteEvent(new java.sql.Timestamp(ts), "ipv4u", sess, 0L, active,
+      Some(Model.v4(pfx, plen)), Some(s"$pfx/$plen"), None, None,
+      None, None, None, None,
+      Model.emptyAttrs.copy(as_list = asList), asList.sum)
+
+  test("moasPrefixes: >=2 current origins, withdrawn/stale excluded") {
+    val rows = Seq(
+      // ring (sess 0): origin flips 100 -> 200; only the newest counts
+      curEv(base, 0, "10.0.0.0", 24, Seq(10L, 100L)),
+      curEv(base + 1000, 0, "10.0.0.0", 24, Seq(10L, 200L)),
+      // ring (sess 1): second CURRENT origin for the same prefix
+      curEv(base, 1, "10.0.0.0", 24, Seq(20L, 100L)),
+      // ring (sess 2): third origin but WITHDRAWN - must not count
+      curEv(base, 2, "10.0.0.0", 24, Seq(30L, 300L)),
+      curEv(base + 1000, 2, "10.0.0.0", 24, Seq(30L, 300L),
+        active = false),
+      // single-origin prefix: filtered by the >=2 cut
+      curEv(base, 0, "10.1.0.0", 24, Seq(10L, 100L)),
+      curEv(base, 1, "10.1.0.0", 24, Seq(20L, 100L)))
+    val got = RibViews.moasPrefixes(df(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(("ipv4u", "10.0.0.0/24", 2L, 2L, 100L, 200L)))
+  }
+
+  test("rpkiValidate: valid / invalid_length / invalid_origin / not_found") {
+    val s = spark
+    import s.implicits._
+    // two overlapping ROAs for 10.0.0.0/16: origin 100 up to /24,
+    // origin 200 up to /28
+    val roas = Seq(
+      (167772160L, 16L, 24L, 100L),
+      (167772160L, 16L, 28L, 200L)).toDF(
+      "roa_ip", "roa_plen", "roa_maxlen", "roa_origin")
+    val rows = Seq(
+      curEv(base, 0, "10.0.1.0", 24, Seq(9L, 100L)),  // valid (roa1)
+      curEv(base, 1, "10.0.2.0", 28, Seq(9L, 100L)),  // too long for roa1
+      curEv(base, 2, "10.0.2.0", 28, Seq(9L, 200L)),  // valid via roa2
+      curEv(base, 3, "10.0.3.0", 24, Seq(9L, 300L)),  // wrong origin
+      curEv(base, 0, "10.1.0.0", 24, Seq(9L, 100L)))  // outside both ROAs
+    val got = RibViews.rpkiValidate(df(rows), roas)
+      .orderBy(col("prefix_str"), col("session_id"))
+      .collect().map(r => (r.getString(1), r.getLong(4), r.getString(5)))
+      .toSeq
+    assert(got == Seq(
+      ("10.0.1.0/24", 100L, "valid"),
+      ("10.0.2.0/28", 100L, "invalid_length"),
+      ("10.0.2.0/28", 200L, "valid"),
+      ("10.0.3.0/24", 300L, "invalid_origin"),
+      ("10.1.0.0/24", 100L, "not_found")))
+  }
+
   test("relsDrift labels every adjacency status") {
     val s = spark
     import s.implicits._
