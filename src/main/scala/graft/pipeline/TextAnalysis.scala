@@ -764,6 +764,54 @@ object TextAnalysis {
         coalesce(col("lm_micro_nats"), lit(0L)).as("lm_micro_nats"))
   }
 
+  /** CCNet-style per-language perplexity partition: every document lands
+    * in the `head` / `middle` / `tail` third of ITS LANGUAGE's
+    * [[bigramLmScore]] distribution (CCNet trains a KenLM per language
+    * and keeps/weights docs by perplexity third — the standard
+    * statistical curation split ahead of mixing). Scores are quantized
+    * to a `grid` of micro-nats first (shifted by +10⁸ so every operand
+    * of the integer division is positive — Spark `div` truncates toward
+    * zero where DuckDB `//` floors, and they agree only on non-negative
+    * operands), and the thirds are computed over the QUANTIZED histogram:
+    * all docs in one grid class share a bucket, with ties promoted to
+    * the better bucket. Cut ranks are ceil-thirds (k₁ = ⌈n/3⌉,
+    * k₂ = ⌈2n/3⌉) of the per-language doc count; a class belongs to
+    * `head` when fewer than k₁ docs score strictly better, to `middle`
+    * under k₂, else `tail`.
+    *
+    * Shape: the LM pass is [[bigramLmScore]] (two count aggregations +
+    * two stream joins); on top of it ONE map-side-combined histogram
+    * aggregation keyed (lang, class) — at a 10⁴ grid the histogram is at
+    * most ~10⁴ rows per language regardless of corpus size, so the
+    * running-sum window runs over a BOUNDED table (never the corpus) and
+    * the class→bucket map broadcast-joins back to the scored stream.
+    * Same exact-percentile posture as Sampling.keepTopByScore: no global
+    * sort, no per-group value collection. */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, grid: Long = 10000L): DataFrame = {
+    require(grid > 0, s"grid must be positive: $grid")
+    val scored = bigramLmScore(df, idCol, textCol)
+      .join(df.select(col(idCol).as("id"), col(langCol).as("lang")),
+        Seq("id"))
+      .withColumn("q",
+        expr(s"(lm_micro_nats + 100000000L) div ${grid}L"))
+    val hist = scored.groupBy(col("lang"), col("q"))
+      .agg(count(lit(1)).as("c"))
+    val desc = Window.partitionBy(col("lang")).orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = hist
+      .withColumn("better", coalesce(sum(col("c")).over(desc), lit(0L)))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket",
+        when(col("better") < expr("(n + 2) div 3"), "head")
+          .when(col("better") < expr("(2 * n + 2) div 3"), "middle")
+          .otherwise("tail"))
+      .select(col("lang"), col("q"), col("bucket"))
+    scored.join(broadcast(buckets), Seq("lang", "q"))
+      .select(col("id"), col("lang"), col("q"), col("bucket"))
+  }
+
   /** Hashed linear classifier score (fastText-style model-based quality
     * filtering — the wiki-vs-commoncrawl gate of CCNet/LLaMA pipelines,
     * distinct from the heuristic [[qualityMetrics]]): each case-folded

@@ -702,6 +702,15 @@ object PipelineQueries {
       TextAnalysis.bigramLmScore(docs(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_micro_nats"))
         .orderBy(col("doc_id"))),
+    // CCNet-style per-language perplexity thirds over the bigram-LM
+    // score: quantized histogram + ceil-third cut ranks (ties promote);
+    // the oracle replays the LM chain, the shifted quantization and the
+    // strictly-better running sum per language
+    "q_text_ccnet" -> ((s, dir) =>
+      TextAnalysis.ccnetBuckets(docs(s, dir), "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("lang"), col("q"),
+          col("bucket"))
+        .orderBy(col("doc_id"))),
     // C4-style corpus-level line dedup over planted boilerplate lines (the
     // fixture text is single-line, so repeating nav/share/copyright lines
     // are planted column-side on id strides — same discipline as the
@@ -2212,6 +2221,35 @@ object PipelineQueries {
        |FROM gate g JOIN rates USING (source)
        |WHERE ${samplePermilleSql(salt, "doc_id")} < rate""".stripMargin
 
+  /** Shared bigram-LM oracle chain (add-k smoothing, micro-nat floor) —
+    * the replica of TextAnalysis.bigramLmScore spliced by q_text_lm and
+    * q_text_ccnet, ending at the per-doc `agg(doc_id, nb, mn)` CTE. */
+  private val lmAggCte: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents
+       |), w2 AS (SELECT doc_id, ws, len(ws) AS nw FROM d),
+       |uni AS (SELECT unnest(ws) AS w FROM w2),
+       |uc AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY w),
+       |v AS (SELECT COUNT(*) AS nv FROM uc),
+       |bg AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2x
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+       |        FROM w2 WHERE nw >= 2)
+       |), bc AS (SELECT w1, w2x, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    ln((bc.cb + 0.5) / (uc.cu + 0.5 * (SELECT nv FROM v))) AS lp
+       |  FROM bg
+       |  JOIN bc ON bc.w1 = bg.w1 AND bc.w2x = bg.w2x
+       |  JOIN uc ON uc.w = bg.w1
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS nb,
+       |    CAST(floor(AVG(lp) * 1000000) AS BIGINT) AS mn
+       |  FROM sc GROUP BY doc_id
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = staticOracleSql ++ centroidOracleEntries
 
 
@@ -2796,34 +2834,36 @@ object PipelineQueries {
     // same micro-nat floor; per-term ulp drift on ln stays ~10⁻¹⁴ relative
     // against the 10⁻⁶ fixed-point grid
     "q_text_lm" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
-         |  FROM documents
-         |), w2 AS (SELECT doc_id, ws, len(ws) AS nw FROM d),
-         |uni AS (SELECT unnest(ws) AS w FROM w2),
-         |uc AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY w),
-         |v AS (SELECT COUNT(*) AS nv FROM uc),
-         |bg AS (
-         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2x
-         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-         |        FROM w2 WHERE nw >= 2)
-         |), bc AS (SELECT w1, w2x, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT bg.doc_id,
-         |    ln((bc.cb + 0.5) / (uc.cu + 0.5 * (SELECT nv FROM v))) AS lp
-         |  FROM bg
-         |  JOIN bc ON bc.w1 = bg.w1 AND bc.w2x = bg.w2x
-         |  JOIN uc ON uc.w = bg.w1
-         |), agg AS (
-         |  SELECT doc_id, COUNT(*) AS nb,
-         |    CAST(floor(AVG(lp) * 1000000) AS BIGINT) AS mn
-         |  FROM sc GROUP BY doc_id
-         |)
+      (lmAggCte + """
          |SELECT dd.doc_id, COALESCE(agg.nb, 0) AS n_bigrams,
          |  COALESCE(agg.mn, 0) AS lm_micro_nats
          |FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id
-         |ORDER BY dd.doc_id""".stripMargin,
+         |ORDER BY dd.doc_id""".stripMargin),
+    // CCNet thirds replay: the shared LM chain, then the shifted
+    // quantization, per-language histogram, descending strictly-better
+    // running sum and the ceil-third cut ranks — every operand of the
+    // integer divisions non-negative so DuckDB `//` (floor) and Spark
+    // `div` (truncate) agree
+    "q_text_ccnet" ->
+      (lmAggCte + """,
+         |scored AS (
+         |  SELECT dd.doc_id, dd.lang,
+         |    (COALESCE(agg.mn, 0) + 100000000) // 10000 AS q
+         |  FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id
+         |), hist AS (SELECT lang, q, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, q,
+         |    COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY q DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS better,
+         |    SUM(c) OVER (PARTITION BY lang) AS n
+         |  FROM hist
+         |)
+         |SELECT s.doc_id, s.lang, CAST(s.q AS BIGINT) AS q,
+         |  CASE WHEN c.better < (c.n + 2) // 3 THEN 'head'
+         |       WHEN c.better < (2 * c.n + 2) // 3 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored s JOIN cum c ON c.lang = s.lang AND c.q = s.q
+         |ORDER BY s.doc_id""".stripMargin),
     // planted-line rebuild + keep-first line dedup: the dedup key is the
     // fingerprint NORMALIZATION (trim, lower, whitespace collapse) — the
     // oracle groups on the normalized string itself where the engine

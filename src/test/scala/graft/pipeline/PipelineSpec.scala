@@ -2414,4 +2414,52 @@ class PipelineSpec extends AnyFunSuite {
       .select("w").as[String].collect().toSet
     assert(ws == Set("hello", "world", "ok"))
   }
+
+  test("ccnetBuckets: ceil-third cut model, per-language, ties promote") {
+    // texts engineered only for score DIVERSITY — the expected buckets are
+    // recomputed from the operator's own (lang, q) output by an
+    // independent model of the histogram/cut logic, so the assertion pins
+    // the partition mechanics without re-deriving the LM
+    val rows = (0 until 14).map { i =>
+      val lang = if (i < 9) "en" else "de"
+      val text = if (i % 3 == 0) "the cat sat on the mat the cat sat"
+        else if (i % 3 == 1) s"the cat ran uniq$i over uniq${i}x fences"
+        else s"zzz$i qqq$i www$i rrr$i ttt$i yyy$i"
+      (i.toLong, lang, text)
+    }
+    val d = rows.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.ccnetBuckets(d, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.length == 14)
+    // independent model: per language, classes descending by q; a class is
+    // head when strictly-better count < ceil(n/3), middle under ceil(2n/3)
+    val expected = got.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val n = g.length
+      val (k1, k2) = ((n + 2) / 3, (2 * n + 2) / 3)
+      val classCounts = g.groupBy(_._3).view.mapValues(_.length).toMap
+      g.map { case (id, lang, q, _) =>
+        val better = classCounts.collect {
+          case (qq, c) if qq > q => c }.sum
+        (id, if (better < k1) "head"
+        else if (better < k2) "middle" else "tail")
+      }
+    }.toMap
+    got.foreach { case (id, _, _, bucket) =>
+      assert(bucket == expected(id), s"doc $id")
+    }
+    // same class ⇒ same bucket, and bucket order follows q order
+    got.groupBy(g => (g._2, g._3)).values.foreach { cls =>
+      assert(cls.map(_._4).distinct.length == 1)
+    }
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    got.groupBy(_._2).values.foreach { g =>
+      g.sortBy(-_._3).map(x => rank(x._4)).foldLeft(0) { (prev, r) =>
+        assert(r >= prev); r
+      }
+    }
+    // the fixture actually exercises all three buckets in the big language
+    assert(got.filter(_._2 == "en").map(_._4).distinct.sorted.toSeq ==
+      Seq("head", "middle", "tail"))
+  }
 }
