@@ -482,6 +482,53 @@ object RibViews {
         expr("n_transit_paths * 1000 div n_paths"))
   }
 
+  /** Customer cones over the inferred relationship graph (the CAIDA
+    * AS-rank metric next to Gao inference): for each AS, the set of
+    * ASes reachable by walking provider→customer edges only — "whose
+    * routes does this AS sell transit for" — reported as the cone SIZE
+    * (self included, so a stub AS books 1) plus the direct-customer
+    * count. Sibling edges do not extend a cone (CAIDA contracts
+    * siblings into one organization first; callers wanting that merge
+    * pre-contract the rels table).
+    *
+    * Shape: the input is the |AS-adjacency|-sized [[asRelationships]]
+    * output (tiny against the event log — ~500k edges on a full
+    * internet table), so this is a broadcast-scale fixpoint, NOT a
+    * corpus-scale one: reach-set expansion joins run over at most
+    * |edges|·depth rows, the loop is paced by the provider hierarchy
+    * depth (≤ ~10 on the real topology), and each round
+    * localCheckpoints to truncate lineage (the duplicateClusters
+    * discipline). `maxIters` is a cycle backstop only — a p2c cycle
+    * saturates the reach sets and the count fixpoint exits. */
+  def customerCones(rels: DataFrame, maxIters: Int = 64): DataFrame = {
+    val down = rels.where(col("rel") === "p2c")
+      .select(col("as_lo").as("p"), col("as_hi").as("c"))
+      .unionByName(rels.where(col("rel") === "c2p")
+        .select(col("as_hi").as("p"), col("as_lo").as("c")))
+    val asns = rels.select(col("as_lo").as("asn"))
+      .unionByName(rels.select(col("as_hi").as("asn"))).distinct()
+    var reach = asns.select(col("asn"), col("asn").as("m"))
+      .localCheckpoint()
+    var prev = -1L
+    var n = reach.count()
+    var it = 0
+    while (n != prev && it < maxIters) {
+      prev = n
+      it += 1
+      val next = reach.join(down, reach("m") === down("p"))
+        .select(reach("asn").as("asn"), down("c").as("m"))
+      reach = reach.unionByName(next).distinct().localCheckpoint()
+      n = reach.count()
+    }
+    val ndir = down.groupBy(col("p"))
+      .agg(count(lit(1)).cast("long").as("n_direct"))
+    reach.groupBy(col("asn"))
+      .agg(count(lit(1)).cast("long").as("cone_size"))
+      .join(ndir, col("asn") === col("p"), "left")
+      .select(col("asn"), col("cone_size"),
+        coalesce(col("n_direct"), lit(0L)).as("n_direct"))
+  }
+
   /** RPKI route-origin validation (RFC 6811 semantics) of the current
     * v4 unicast RIB against a ROA table `(roa_ip, roa_plen, roa_maxlen,
     * roa_origin)`: a ROA COVERS a route when the route's prefix sits

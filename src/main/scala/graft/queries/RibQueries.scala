@@ -209,6 +209,13 @@ object RibQueries {
     // (a1, a2, len3) and the permille by integer division
     "q_rib_hegemony" -> ((s, dir) =>
       RibViews.asHegemony(re(s, dir)).orderBy(col("asn"))),
+    // Customer cones (round 16): CAIDA AS-rank cone size + direct
+    // customers over the inferred relationship graph; the oracle walks
+    // the SAME inference replay with a recursive CTE — an independent
+    // transitive-closure mechanism against the engine's fixpoint loop
+    "q_rib_as_cone" -> ((s, dir) =>
+      RibViews.customerCones(RibViews.asRelationships(re(s, dir)))
+        .orderBy(col("asn"))),
     // RPKI origin validation (round 16): current v4 routes against a
     // planted ROA table (/16 covers for EVEN second octets only, origin
     // 200+o2%7, maxLength 24/32/28 cycling) — odd-o2 and 224.x routes
@@ -931,6 +938,29 @@ object RibQueries {
         |  CAST(COUNT(*) * 1000 // t.n_paths AS BIGINT) AS transit_x1000
         |FROM hpaths, htot t WHERE len3 = 1
         |GROUP BY a2, t.n_paths ORDER BY 1""".stripMargin),
+    // cone replay: provider->customer edges off the rels replay, then a
+    // RECURSIVE-CTE reach closure (an independent transitive-closure
+    // mechanism vs the engine's count-fixpoint loop); self included
+    "q_rib_as_cone" -> ((cte + relsCte +
+      """, down AS (
+        |  SELECT as_lo AS p, as_hi AS c FROM rels WHERE rel = 'p2c'
+        |  UNION ALL
+        |  SELECT as_hi AS p, as_lo AS c FROM rels WHERE rel = 'c2p'
+        |), nodes AS (
+        |  SELECT DISTINCT asn FROM (
+        |    SELECT as_lo AS asn FROM rels
+        |    UNION ALL SELECT as_hi FROM rels)
+        |), reach AS (
+        |  SELECT asn, asn AS m FROM nodes
+        |  UNION
+        |  SELECT r.asn, d.c FROM reach r JOIN down d ON d.p = r.m
+        |)
+        |SELECT CAST(r.asn AS BIGINT) AS asn, COUNT(*) AS cone_size,
+        |  CAST(COALESCE(MIN(dc.nd), 0) AS BIGINT) AS n_direct
+        |FROM reach r LEFT JOIN (
+        |  SELECT p, COUNT(*) AS nd FROM down GROUP BY 1) dc ON dc.p = r.asn
+        |GROUP BY r.asn ORDER BY 1""".stripMargin)
+      .replaceFirst("WITH ", "WITH RECURSIVE ")),
     // RPKI replay: current v4 routes left-joined to the same
     // range-arithmetic ROA table under the covering condition, RFC 6811
     // verdict CASE per route

@@ -600,6 +600,39 @@ class RibViewsSpec extends AnyFunSuite {
       ("10.1.0.0/24", 100L, "not_found")))
   }
 
+  test("customerCones: transitive p2c closure, siblings never extend") {
+    val s = spark
+    import s.implicits._
+    val rels = Seq(
+      (1L, 2L, "p2c"),     // 1 -> 2
+      (2L, 3L, "p2c"),     // 2 -> 3
+      (3L, 4L, "c2p"),     // 4 -> 3
+      (5L, 6L, "sibling")) // no cone contribution
+      .toDF("as_lo", "as_hi", "rel")
+    val got = RibViews.customerCones(rels)
+      .orderBy(col("asn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L), // {1,2,3}
+      (2L, 2L, 1L), // {2,3}
+      (3L, 1L, 0L), // stub: self only
+      (4L, 2L, 1L), // {4,3}
+      (5L, 1L, 0L),
+      (6L, 1L, 0L)))
+  }
+
+  test("customerCones: a p2c cycle saturates instead of looping") {
+    val s = spark
+    import s.implicits._
+    val rels = Seq((1L, 2L, "p2c"), (2L, 3L, "p2c"), (1L, 3L, "c2p"))
+      .toDF("as_lo", "as_hi", "rel")
+    // edges: 1->2, 2->3, 3->1 — a cycle; every cone saturates to all 3
+    val got = RibViews.customerCones(rels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("relsDrift labels every adjacency status") {
     val s = spark
     import s.implicits._
