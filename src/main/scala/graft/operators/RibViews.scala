@@ -580,6 +580,36 @@ object RibViews {
       .drop("__v", "__o", "__c")
   }
 
+  /** RFC 6811 verdict as a PURE COLUMN over a LITERAL ROA set — the
+    * stateless form of [[rpkiValidate]] for streams and small ROA dumps:
+    * the ROA array rides the plan as a literal (like a trained
+    * classifier's weight vector), covering/origin/length checks are
+    * array HOFs, so the expression is scan-local — usable per-event in
+    * a Structured Streaming select where the join+groupBy form would
+    * demand watermarked aggregation state. Production full-table dumps
+    * (~500k ROAs) stay on the [[rpkiValidate]] broadcast-join path;
+    * FeedSpec pins the two forms verdict-equal on the same events. */
+  def rpkiVerdictFor(ip: Column, plen: Column, origin: Column,
+      roas: Seq[(Long, Long, Long, Long)]): Column = {
+    require(roas.nonEmpty, "rpkiVerdictFor needs at least one ROA")
+    val arr = array(roas.map { case (rip, rplen, rmax, rorig) =>
+      struct(lit(rip).as("rip"), lit(rplen).as("rplen"),
+        lit(rmax).as("rmax"), lit(rorig).as("rorig"))
+    }: _*)
+    val covering = filter(arr, r =>
+      r.getField("rplen") <= plen &&
+        call_function("shiftright", ip,
+          lit(32) - r.getField("rplen").cast("int")) ===
+        call_function("shiftright", r.getField("rip"),
+          lit(32) - r.getField("rplen").cast("int")))
+    when(exists(covering, r => r.getField("rorig") === origin &&
+      plen <= r.getField("rmax")), "valid")
+      .when(exists(covering, r => r.getField("rorig") === origin),
+        "invalid_length")
+      .when(size(covering) > 0, "invalid_origin")
+      .otherwise("not_found")
+  }
+
   /** Bounded history ring: newest `depth` records per key — the reference's
     * `shrink_hist` retention (A5, src/bgprib.rs:326-341). */
   def retained(df: DataFrame, depth: Int): DataFrame =

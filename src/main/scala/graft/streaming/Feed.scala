@@ -23,6 +23,12 @@ case class BmpGateEvent(msg_type: String, rdh: Long, rdl: Long,
 case class OriginAlert(ring_id: Long, rib: String, prefix_str: String,
     ts_ms: Long, from_as: Long, to_as: Long)
 
+/** One RPKI alert emitted by [[Feed.rpkiAlertStream]]: active v4
+  * announcement `event_id` for `rib`/`prefix_str` with `origin` judged
+  * `invalid_origin` or `invalid_length` against the deployed ROA set. */
+case class RpkiAlert(event_id: Long, rib: String, prefix_str: String,
+    ts_ms: Long, origin: Long, validity: String)
+
 /** One flap-damping transition emitted by [[Feed.flapDampStream]]: ring
   * `ring_id` crossed the suppress threshold (`kind = "suppress"`) or
   * decayed back under the reuse threshold (`kind = "reuse"`) at `ts_ms`,
@@ -393,6 +399,38 @@ object Feed {
         state.update(last)
         out.result().iterator
       }
+  }
+
+  /** ST15 (round 16): streaming RPKI invalid-announcement alerts — the
+    * LIVE form of `q_rib_rpki` (the BGPalerter/routinator workflow:
+    * page when someone announces your space with the wrong origin or an
+    * over-specific length). STATELESS by construction: the ROA set
+    * rides the plan as a literal array
+    * ([[graft.operators.RibViews.rpkiVerdictFor]]) and every ACTIVE v4
+    * announcement gets its RFC 6811 verdict in the scan — no GroupState,
+    * no watermark, no aggregation mode constraints; a refreshed ROA dump
+    * redeploys the query (full-table dumps stay on the batch
+    * rpkiValidate join). Only `invalid_*` verdicts emit — `not_found`
+    * is the internet's default state and would flood the sink. Events
+    * without a usable path never alert (no sentinel-origin rows). */
+  def rpkiAlertStream(eventStream: DataFrame,
+      roas: Seq[(Long, Long, Long, Long)]): Dataset[RpkiAlert] = {
+    import eventStream.sparkSession.implicits._
+    val origin = graft.operators.RibViews.pathOrigin
+    eventStream
+      .where(col("active") && col("prefix").isNotNull &&
+        col("prefix.version") === 4 &&
+        col("prefix.prefix_len").between(1, 32))
+      .select(col("event_id"), col("rib"),
+        coalesce(col("prefix_str"), lit("")).as("prefix_str"),
+        unix_millis(col("ts")).as("ts_ms"),
+        origin.cast("long").as("origin"),
+        graft.operators.RibViews.rpkiVerdictFor(col("prefix.ip_lo"),
+          col("prefix.prefix_len").cast("long"), origin, roas)
+          .as("validity"))
+      .where(col("origin").isNotNull &&
+        col("validity").startsWith("invalid"))
+      .as[RpkiAlert]
   }
 
   /** ST14 (round 12): streaming route-flap damping — the RFC 2439 shape

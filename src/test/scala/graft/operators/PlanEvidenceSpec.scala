@@ -419,4 +419,19 @@ class PlanEvidenceSpec extends AnyFunSuite {
       .findAllIn(plan).length
     assert(windows == 1, plan.take(3000))
   }
+
+  test("asRelationships: broadcast degree join, no synthetic-id shuffle") {
+    // the Gao inference's scale shape (VERDICT r14 ask #8): the degree
+    // table joins the path-node explode by BROADCAST (the AS set is
+    // dimension-sized), and the top election keys on the distinct path
+    // array itself — no window, no cartesian, and no row_number-style
+    // synthetic id whose generation would force an extra exchange.
+    val plan = RibViews.asRelationships(re)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("WindowExec") && !plan.contains("Window ["),
+      plan.take(3000))
+    assert(!plan.contains("monotonically_increasing_id"), plan.take(3000))
+  }
 }

@@ -650,6 +650,68 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("ST15 streamed RPKI alerts equal an independent batch join replay") {
+    val stage = tmp()
+    val ckpt = tmp() + "/ckpt"
+    val events = graft.queries.Tables(spark, srcSf, "events")
+    events.repartition(3).write.mode("overwrite").parquet(stage)
+    // the q_rib_rpki ROA set: /16 covers for even second octets
+    val roas = (0 until 16 by 2).map(o2 =>
+      (167772160L + o2 * 65536L, 16L, 24L + (o2 % 3) * 4L,
+        200L + o2 % 7))
+    val routeStream = graft.sources.RouteEventGen.fromEvents(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage))
+    val q = Feed.rpkiAlertStream(routeStream, roas)
+      .writeStream.format("memory").queryName("rpki_alerts")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT event_id, origin, validity FROM rpki_alerts")
+      .collect().map(_.toString).sorted.toSeq
+    // independent batch mechanism: ROA DataFrame + covering LEFT JOIN +
+    // per-event verdict aggregation (the rpkiValidate join shape) — not
+    // the array-HOF expression the stream compiles
+    import spark.implicits._
+    val roaDf = roas.toDF("roa_ip", "roa_plen", "roa_maxlen", "roa_origin")
+    val ev = graft.sources.RouteEventGen.fromEvents(events)
+      .where(col("active") && col("prefix").isNotNull &&
+        col("prefix.version") === 4 &&
+        col("prefix.prefix_len").between(1, 32))
+      .select(col("event_id"), col("prefix.ip_lo").as("ip"),
+        col("prefix.prefix_len").cast("long").as("plen"),
+        RibViews.pathOrigin.cast("long").as("origin"))
+      .where(col("origin").isNotNull)
+    val covers = col("roa_plen") <= col("plen") &&
+      call_function("shiftright", col("ip"),
+        lit(32) - col("roa_plen").cast("int")) ===
+      call_function("shiftright", col("roa_ip"),
+        lit(32) - col("roa_plen").cast("int"))
+    val batch = ev.join(broadcast(roaDf), covers, "left")
+      .groupBy(col("event_id"), col("origin"))
+      .agg(
+        max(when(col("roa_origin") === col("origin") &&
+          col("plen") <= col("roa_maxlen"), 1).otherwise(0)).as("v"),
+        max(when(col("roa_origin") === col("origin"), 1).otherwise(0))
+          .as("o"),
+        max(when(col("roa_plen").isNotNull, 1).otherwise(0)).as("c"))
+      .withColumn("validity",
+        when(col("v") === 1, "valid")
+          .when(col("o") === 1, "invalid_length")
+          .when(col("c") === 1, "invalid_origin")
+          .otherwise("not_found"))
+      .where(col("validity").startsWith("invalid"))
+      .select(col("event_id"), col("origin"), col("validity"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    // both invalid classes must actually occur in the fixture
+    assert(streamed.exists(_.contains("invalid_origin")))
+    assert(streamed.exists(_.contains("invalid_length")))
+    assert(streamed == batch)
+  }
+
   test("ST14 flap damping equals the batch fold model") {
     val stage = tmp()
     val ckpt = tmp() + "/ckpt"
