@@ -580,6 +580,32 @@ object RibViews {
       .drop("__v", "__o", "__c")
   }
 
+  /** Prefix visibility report: how many prefixes the CURRENT RIB
+    * carries at each peer-session count — the looking-glass "is this
+    * route globally visible or partial" histogram (RIPE RIS/RouteViews
+    * practice: a prefix seen by few of the N peers signals a leak
+    * remnant, anycast scoping, or an ongoing withdrawal). Denominator =
+    * distinct sessions in the WHOLE log (peers ever configured), so a
+    * fully-visible prefix books 1000 permille even while some session
+    * currently withdraws everything else.
+    *
+    * Shape: the current-state window, then TWO map-side-combined
+    * aggregations (per-prefix distinct-session count → per-count prefix
+    * histogram) — output is |distinct session counts| rows per rib; the
+    * 1-row total broadcast-joins in. */
+  def prefixVisibility(df: DataFrame): DataFrame = {
+    val total = df.agg(countDistinct(col("session_id")).cast("long")
+      .as("total_sessions"))
+    current(df).where(col("prefix_str").isNotNull)
+      .groupBy(col("rib"), col("prefix_str"))
+      .agg(countDistinct(col("session_id")).cast("long").as("n_sessions"))
+      .groupBy(col("rib"), col("n_sessions"))
+      .agg(count(lit(1)).cast("long").as("n_prefixes"))
+      .join(broadcast(total), lit(true), "inner")
+      .withColumn("visibility_x1000",
+        expr("n_sessions * 1000 div total_sessions"))
+  }
+
   /** RFC 6811 verdict as a PURE COLUMN over a LITERAL ROA set — the
     * stateless form of [[rpkiValidate]] for streams and small ROA dumps:
     * the ROA array rides the plan as a literal (like a trained

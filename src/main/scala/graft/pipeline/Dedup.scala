@@ -1491,4 +1491,57 @@ object Dedup {
       .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
       .withColumn("dup_x1000", expr("n_dup_tokens * 1000 div n_tokens"))
   }
+
+  /** Exact-substring span REMOVAL — the rewrite [[repeatedSpans]] only
+    * measures (the "dedup the substring, keep the document" practice of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": corpus-repeated passages are excised, the surrounding
+    * novel text survives — doc-level dedup would either keep the pasted
+    * boilerplate or drop the whole document). A token position is
+    * removed when ANY corpus-repeated word-k-gram covers it; the
+    * surviving tokens rejoin in order. Returns (id, n_tokens, n_kept,
+    * cleaned_text); a fully-boilerplate doc books an empty string (the
+    * caller's length gate then drops it).
+    *
+    * Shape: identical candidate machinery to [[repeatedSpans]] (gram
+    * rows linear in tokens, 31-bit portable hash keys, LEFT SEMI against
+    * the ≥minCount set), plus a per-doc reassembly aggregation:
+    * `array_sort(collect_list(struct(pos, word)))` — bounded by DOC
+    * length, never corpus-sized (the lineDedup rebuild posture), with
+    * the sort inside the array kernel rather than a window, so the only
+    * exchanges are the gram count and the per-doc rollup. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minCount: Int = 2): DataFrame = {
+    require(k > 0 && minCount >= 2,
+      s"k=$k must be positive, minCount=$minCount >= 2")
+    val words = df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(col("id"), col("ws"),
+        size(col("ws")).cast("long").as("n_tokens"))
+    val grams = words.where(col("n_tokens") >= k)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, cast(n_tokens as int) - $k), i -> array_join(slice(ws, i + 1, $k), ' '))")))
+      .select(col("id"), col("pos"), arithHash31(col("col")).as("g"))
+    val repeated = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= minCount)
+      .select(col("g"))
+    val covered = grams.join(repeated, Seq("g"), "left_semi")
+      .select(col("id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tok"))
+      .distinct()
+    val kept = words
+      .select(col("id"), col("n_tokens"),
+        posexplode(col("ws")).as(Seq("tok", "w")))
+      .join(covered, Seq("id", "tok"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(tok, w))), x -> x.w), ' ')")
+          .as("cleaned_text"))
+    words.select(col("id"), col("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

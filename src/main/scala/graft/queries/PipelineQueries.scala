@@ -786,6 +786,18 @@ object PipelineQueries {
           sum(col("n_dup_tokens")).cast("long").as("sum_dup_tokens"))
         .orderBy(col("source"))
     }),
+    // exact-substring span REMOVAL (Lee et al. practice): the rewrite the
+    // spans measure feeds — repeated-k-gram-covered tokens excised, the
+    // novel remainder rejoined in order; the oracle rebuilds every
+    // cleaned string independently (string-fold grams + ORDER BY rebuild)
+    "q_dedup_span_removal" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.removeRepeatedSpans(d, "doc_id", "text", k = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          col("cleaned_text"))
+        .orderBy(col("doc_id"))
+    }),
     // sequence packing: concatenate-then-chunk layout of the corpus token
     // stream into 512-token context windows — per-doc global offsets via
     // the distributed two-phase prefix sum (never a single-task window)
@@ -3108,6 +3120,44 @@ object PipelineQueries {
          |  CAST(SUM(per.n_dup) AS BIGINT) AS sum_dup_tokens
          |FROM per JOIN documents d2 USING (doc_id)
          |GROUP BY d2.source ORDER BY d2.source""".stripMargin,
+    // span-removal replica: identical gram/fold machinery to
+    // q_dedup_spans, then the kept-token rebuild via string_agg ORDER BY
+    // position — an independent reassembly mechanism vs the engine's
+    // array_sort(collect_list) kernel
+    "q_dedup_span_removal" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split($docNorm, ' ') AS words
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, words
+         |  FROM d
+         |), grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ${sqlCharFold("array_to_string(words[i:i+4], ' ')", 31L, 1073741789L)} AS g
+         |  FROM (SELECT doc_id, words, unnest(range(1, len(words)-3)) AS i
+         |        FROM w WHERE n_tokens >= 5)
+         |), rep AS (
+         |  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+         |), cov AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT grams.doc_id, unnest(generate_series(pos, pos + 4)) AS tok
+         |        FROM grams JOIN rep USING (g))
+         |), toks AS (
+         |  SELECT doc_id, generate_subscripts(words, 1) - 1 AS tok,
+         |    unnest(words) AS wd
+         |  FROM w
+         |), kept AS (
+         |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(t.wd, ' ' ORDER BY t.tok) AS cleaned_text
+         |  FROM toks t LEFT JOIN cov
+         |    ON cov.doc_id = t.doc_id AND cov.tok = t.tok
+         |  WHERE cov.tok IS NULL
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT w.doc_id, w.n_tokens, COALESCE(kept.n_kept, 0) AS n_kept,
+         |  COALESCE(kept.cleaned_text, '') AS cleaned_text
+         |FROM w LEFT JOIN kept USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin,
     // global prefix sum replicated as a plain window cumsum (the oracle can
     // afford the single-task plan the engine avoids); integer-div chunks
     "q_pack_sequences" ->

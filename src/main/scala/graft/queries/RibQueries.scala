@@ -209,6 +209,12 @@ object RibQueries {
     // (a1, a2, len3) and the permille by integer division
     "q_rib_hegemony" -> ((s, dir) =>
       RibViews.asHegemony(re(s, dir)).orderBy(col("asn"))),
+    // Prefix visibility histogram (round 16): prefixes per current
+    // peer-session count, permille of peers ever seen — the RIS-style
+    // partial-visibility report; oracle replays window + both rollups
+    "q_rib_visibility" -> ((s, dir) =>
+      RibViews.prefixVisibility(re(s, dir))
+        .orderBy(col("rib"), col("n_sessions"))),
     // Customer cones (round 16): CAIDA AS-rank cone size + direct
     // customers over the inferred relationship graph; the oracle walks
     // the SAME inference replay with a recursive CTE — an independent
@@ -938,6 +944,28 @@ object RibQueries {
         |  CAST(COUNT(*) * 1000 // t.n_paths AS BIGINT) AS transit_x1000
         |FROM hpaths, htot t WHERE len3 = 1
         |GROUP BY a2, t.n_paths ORDER BY 1""".stripMargin),
+    // visibility replay: current-state window, per-prefix distinct
+    // sessions, per-count histogram, whole-log session denominator
+    "q_rib_visibility" -> (cte +
+      s""", vtot AS (SELECT COUNT(DISTINCT session_id) AS total_sessions FROM re)
+         |, vper AS (
+         |  SELECT rib, prefix_str,
+         |    CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions
+         |  FROM (
+         |    SELECT rib, prefix_str, session_id, active,
+         |      ROW_NUMBER() OVER (PARTITION BY $keyExpr
+         |        ORDER BY ts DESC, eid DESC) AS rn
+         |    FROM re) t
+         |  WHERE rn=1 AND active AND prefix_str IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT rib, n_sessions, COUNT(*) AS n_prefixes,
+         |  CAST(v.total_sessions AS BIGINT) AS total_sessions,
+         |  CAST(n_sessions * 1000 // v.total_sessions AS BIGINT)
+         |    AS visibility_x1000
+         |FROM vper, vtot v
+         |GROUP BY rib, n_sessions, v.total_sessions
+         |ORDER BY 1, 2""".stripMargin),
     // cone replay: provider->customer edges off the rels replay, then a
     // RECURSIVE-CTE reach closure (an independent transitive-closure
     // mechanism vs the engine's count-fixpoint loop); self included

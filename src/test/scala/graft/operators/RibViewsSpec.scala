@@ -633,6 +633,25 @@ class RibViewsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("prefixVisibility: per-count histogram over the whole-log denominator") {
+    val rows = Seq(
+      // prefix A current on sessions 0 and 1
+      curEv(base, 0, "10.0.0.0", 24, Seq(1L, 2L)),
+      curEv(base, 1, "10.0.0.0", 24, Seq(1L, 2L)),
+      // prefix B current on session 0 only; session 2 WITHDDREW it
+      curEv(base, 0, "10.1.0.0", 24, Seq(1L, 2L)),
+      curEv(base, 2, "10.1.0.0", 24, Seq(1L, 2L)),
+      curEv(base + 1000, 2, "10.1.0.0", 24, Seq(1L, 2L), active = false))
+    // denominator: sessions 0, 1, 2 ever seen -> 3
+    val got = RibViews.prefixVisibility(df(rows))
+      .orderBy(col("n_sessions"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 333L),  // one prefix at 1/3 visibility
+      (2L, 1L, 3L, 666L))) // one prefix at 2/3
+  }
+
   test("relsDrift labels every adjacency status") {
     val s = spark
     import s.implicits._

@@ -2415,6 +2415,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(ws == Set("hello", "world", "ok"))
   }
 
+  test("removeRepeatedSpans: excises covered tokens, keeps novel remainder") {
+    // doc 1 and doc 2 share the 5-gram "a b c d e" (cross-doc repeat);
+    // doc 3 repeats its own 5-gram twice (within-doc); doc 4 is novel;
+    // doc 5 is shorter than k and must survive whole
+    val d = Seq(
+      (1L, "x1 x2 a b c d e y1 y2"),
+      (2L, "a b c d e z1 z2 z3 z4"),
+      (3L, "p q r s t u p q r s t u"),
+      (4L, "n1 n2 n3 n4 n5 n6"),
+      (5L, "s1 s2 s3")).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(d, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((9L, 4L, "x1 x2 y1 y2")))
+    assert(got(2L) == ((9L, 4L, "z1 z2 z3 z4")))
+    // doc 3: grams (pqrst), (qrstu), ... repeat at offset 6 -> the
+    // 6-token period covers EVERY position: fully excised
+    assert(got(3L) == ((12L, 0L, "")))
+    assert(got(4L) == ((6L, 6L, "n1 n2 n3 n4 n5 n6")))
+    assert(got(5L) == ((3L, 3L, "s1 s2 s3")))
+    // consistency with the measuring twin: n_tokens - n_kept = dup tokens
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_dup_tokens"))
+      .toMap
+    got.foreach { case (id, (nt, nk, _)) =>
+      assert(nt - nk == spans(id), s"doc $id") }
+  }
+
   test("ccnetBuckets: ceil-third cut model, per-language, ties promote") {
     // texts engineered only for score DIVERSITY — the expected buckets are
     // recomputed from the operator's own (lang, q) output by an
