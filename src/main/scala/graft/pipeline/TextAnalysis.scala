@@ -865,6 +865,65 @@ object TextAnalysis {
       thresholdPermille: Long): Column =
     classifierMargin(text, weights) >= thresholdPermille
 
+  /** Distributed BATCH-perceptron training of the hashed bag-of-words
+    * model [[classifierScore]] consumes — the training half of
+    * model-based filtering, in-engine (CCNet/LLaMA pipelines train the
+    * wiki-vs-crawl gate offline; this trains the same shape on the
+    * cluster). The BATCH variant is deliberately chosen over the
+    * classic sequential perceptron: per epoch, EVERY currently
+    * misclassified document contributes `y·x` to one summed update, so
+    * the result is independent of row order and partitioning — fully
+    * deterministic, all-integer, and an oracle can replay each epoch as
+    * plain SQL aggregations (a sequential perceptron's weight after doc
+    * i depends on the arbitrary order of docs before it).
+    *
+    * Features: word-hash bucket counts (the same 31-bit fold as
+    * inference, `dim` buckets); label `y ∈ {+1, −1}`; a doc is
+    * misclassified when `y·(w·x) ≤ 0` (zero counts as wrong, so the
+    * all-zero initial model updates on every doc — the standard cold
+    * start). Returns the per-epoch weight trajectory and error counts.
+    *
+    * Shape: the doc-bucket count table builds ONCE (one shuffle, ≤
+    * docs × dim rows, localCheckpointed); each epoch is two map-side-
+    * combined aggregations over it — score per doc, summed update per
+    * bucket — and the weight vector (dim longs) rides the driver like
+    * the BPE argmax loop (ONE dim-row collect per epoch, the
+    * adjudicated driver-loop discipline). Epochs are a fixed small
+    * constant; everything else is linear in corpus words. */
+  def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int, epochs: Int): Seq[(Int, Seq[Long], Long)] = {
+    require(dim > 0 && epochs >= 1, s"dim=$dim, epochs=$epochs")
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => w =!= "")
+    val docFeats = df.select(col(idCol).as("__row"),
+        (label.cast("int") * 2 - 1).as("y"), explode(words).as("w"))
+      .select(col("__row"), col("y"),
+        (graft.pipeline.Dedup.arithHash31(col("w")) % dim).cast("int")
+          .as("b"))
+      .groupBy(col("__row"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    var weights = Seq.fill(dim)(0L)
+    val out = Seq.newBuilder[(Int, Seq[Long], Long)]
+    for (e <- 1 to epochs) {
+      val wlit = typedlit(weights.toArray)
+      val scored = docFeats
+        .groupBy(col("__row"), col("y"))
+        .agg(sum(col("cnt") * element_at(wlit, col("b") + 1)).as("s"))
+      val wrong = scored.where(col("y") * col("s") <= 0)
+        .select(col("__row"))
+      val upd = docFeats.join(wrong, Seq("__row"), "left_semi")
+        .groupBy(col("b"))
+        .agg(sum(col("y") * col("cnt")).as("d"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nWrong = wrong.count()
+      weights = weights.zipWithIndex.map { case (w, b) =>
+        w + upd.getOrElse(b, 0L) }
+      out += ((e, weights, nWrong))
+    }
+    out.result()
+  }
+
   /** Document fingerprint: 64-bit hash of the whitespace/case-normalized
     * text — the exact-dedup key and the cheap "same content" signature. */
   def fingerprint(text: Column): Column =

@@ -786,6 +786,22 @@ object PipelineQueries {
           sum(col("n_dup_tokens")).cast("long").as("sum_dup_tokens"))
         .orderBy(col("source"))
     }),
+    // batch-perceptron training of the hashed bag-of-words gate (round
+    // 16): the in-engine training half of model-based filtering; output
+    // is the full per-epoch weight trajectory + error counts, so the
+    // oracle pins every update, not just the final model
+    "q_text_perceptron" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      TextAnalysis.perceptronTrain(d, "doc_id", "text",
+        col("lang") === "en", dim = 16, epochs = 2)
+        .flatMap { case (e, ws, nw) =>
+          ws.zipWithIndex.map { case (w, b) => (e.toLong, b.toLong, w, nw) }
+        }
+        .toDF("epoch", "bucket", "w", "n_wrong")
+        .orderBy(col("epoch"), col("bucket"))
+    }),
     // exact-substring span REMOVAL (Lee et al. practice): the rewrite the
     // spans measure feeds — repeated-k-gram-covered tokens excised, the
     // novel remainder rejoined in order; the oracle rebuilds every
@@ -2233,6 +2249,24 @@ object PipelineQueries {
        |FROM gate g JOIN rates USING (source)
        |WHERE ${samplePermilleSql(salt, "doc_id")} < rate""".stripMargin
 
+  /** One batch-perceptron epoch as SQL: score each doc with the previous
+    * epoch's weights, collect misclassified (y·s ≤ 0 — zero counts as
+    * wrong, the cold-start rule), sum `y·cnt` per bucket over them, add
+    * into the next weight CTE. Chained by q_text_perceptron. */
+  private def perceptronEpochSql(e: Int): String =
+    s"""
+       |, s$e AS (
+       |  SELECT dw.doc_id, dw.y, SUM(dw.cnt * w${e - 1}.w) AS s
+       |  FROM dw JOIN w${e - 1} USING (b) GROUP BY 1, 2
+       |), m$e AS (SELECT doc_id FROM s$e WHERE y * s <= 0
+       |), u$e AS (
+       |  SELECT b, SUM(y * cnt) AS d FROM dw JOIN m$e USING (doc_id)
+       |  GROUP BY 1
+       |), w$e AS (
+       |  SELECT w${e - 1}.b, w${e - 1}.w + COALESCE(u$e.d, 0) AS w
+       |  FROM w${e - 1} LEFT JOIN u$e USING (b)
+       |)""".stripMargin
+
   /** Shared bigram-LM oracle chain (add-k smoothing, micro-nat floor) —
     * the replica of TextAnalysis.bigramLmScore spliced by q_text_lm and
     * q_text_ccnet, ending at the per-doc `agg(doc_id, nb, mn)` CTE. */
@@ -3120,6 +3154,33 @@ object PipelineQueries {
          |  CAST(SUM(per.n_dup) AS BIGINT) AS sum_dup_tokens
          |FROM per JOIN documents d2 USING (doc_id)
          |GROUP BY d2.source ORDER BY d2.source""".stripMargin,
+    // perceptron replay: per-doc bucket counts once, then each epoch as
+    // score -> misclassified -> summed update -> next weights, all from
+    // the generated epoch template; both epochs' weights AND error
+    // counts compared
+    "q_text_perceptron" ->
+      (s"""WITH dwords AS (
+         |  SELECT doc_id, CASE WHEN lang='en' THEN 1 ELSE -1 END AS y,
+         |    unnest(string_split(lower($docNorm), ' ')) AS w
+         |  FROM documents
+         |), dw AS (
+         |  SELECT doc_id, y,
+         |    CAST(${sqlCharFold("w", 31L, 1073741789L)} % 16 AS INTEGER) AS b,
+         |    COUNT(*) AS cnt
+         |  FROM dwords WHERE w <> '' GROUP BY 1, 2, 3
+         |), w0 AS (
+         |  SELECT CAST(range AS INTEGER) AS b, CAST(0 AS BIGINT) AS w
+         |  FROM range(0, 16)
+         |)""".stripMargin +
+        perceptronEpochSql(1) + perceptronEpochSql(2) + """
+         |SELECT CAST(1 AS BIGINT) AS epoch, CAST(b AS BIGINT) AS bucket,
+         |  CAST(w AS BIGINT) AS w, (SELECT COUNT(*) FROM m1) AS n_wrong
+         |FROM w1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(b AS BIGINT), CAST(w AS BIGINT),
+         |  (SELECT COUNT(*) FROM m2)
+         |FROM w2
+         |ORDER BY epoch, bucket""".stripMargin),
     // span-removal replica: identical gram/fold machinery to
     // q_dedup_spans, then the kept-token rebuild via string_agg ORDER BY
     // position — an independent reassembly mechanism vs the engine's

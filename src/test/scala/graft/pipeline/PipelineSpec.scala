@@ -2415,6 +2415,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(ws == Set("hello", "world", "ok"))
   }
 
+  test("perceptronTrain equals an independent batch-update model") {
+    val dim = 8
+    val rows = Seq(
+      (1L, true, "good solid prose with verbs"),
+      (2L, true, "good words good order"),
+      (3L, false, "zzz zzz spam spam spam"),
+      (4L, false, "buy buy buy zzz"),
+      (5L, true, "prose and order and verbs"),
+      (6L, false, "spam buy zzz spam"))
+    val d = rows.toDF("doc_id", "is_good", "text")
+    val got = TextAnalysis.perceptronTrain(d, "doc_id", "text",
+      col("is_good"), dim, epochs = 3)
+    // independent model: same fold, batch update per epoch in plain Scala
+    def bucket(t: String): Int = {
+      val f = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L)
+      (f % dim).toInt
+    }
+    val feats = rows.map { case (_, lbl, text) =>
+      val y = if (lbl) 1L else -1L
+      val counts = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(bucket).view.mapValues(_.length.toLong).toMap
+      (y, counts)
+    }
+    var w = Vector.fill(dim)(0L)
+    (1 to 3).foreach { e =>
+      val wrong = feats.filter { case (y, c) =>
+        y * c.map { case (b, n) => n * w(b) }.sum <= 0 }
+      val nw = wrong.size.toLong
+      val upd = wrong.flatMap { case (y, c) =>
+        c.map { case (b, n) => b -> y * n } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      w = w.zipWithIndex.map { case (x, b) => x + upd.getOrElse(b, 0L) }
+      val (ge, gw, gn) = got(e - 1)
+      assert(ge == e)
+      assert(gw == w.toSeq, s"epoch $e weights")
+      assert(gn == nw, s"epoch $e errors")
+    }
+    // the trained gate must actually separate the fixture classes
+    val finalW = got.last._2
+    def score(text: String): Long =
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .map(t => finalW(bucket(t))).sum
+    rows.foreach { case (_, lbl, text) =>
+      assert((score(text) > 0) == lbl, text)
+    }
+  }
+
   test("removeRepeatedSpans: excises covered tokens, keeps novel remainder") {
     // doc 1 and doc 2 share the 5-gram "a b c d e" (cross-doc repeat);
     // doc 3 repeats its own 5-gram twice (within-doc); doc 4 is novel;
