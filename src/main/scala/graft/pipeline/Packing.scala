@@ -106,6 +106,43 @@ object Packing {
         col("first_chunk"), col("last_chunk"), col("n_chunks"))
   }
 
+  /** Document-preserving batch layout: pack WHOLE documents into bins of
+    * nominal capacity `binCapacity` tokens, never splitting a document —
+    * the truncation-free alternative to [[packSequences]]' concatenate-
+    * then-chunk (the "fewer truncations" layout: a doc cut mid-thought
+    * trains on broken context; this keeps every doc intact and pads or
+    * overflows the boundary instead). Greedy in ascending-id order: a
+    * document joins the bin its global start offset falls in, so bins
+    * fill to at most `binCapacity + doc_len − 1` tokens (the one
+    * boundary-crossing doc) — the bounded-overflow tradeoff that makes
+    * the layout a pure function of the prefix sum. Exact
+    * capacity-respecting best-fit requires the sequential bin-state scan
+    * single-node packers run; this is the distributed form: same prefix
+    * sum as packSequences (two-phase, never a global window), one
+    * bin-partitioned window for the within-bin index (each bin holds a
+    * bounded handful of docs). Returns (id, n_tokens, bin, pos_in_bin). */
+  def packDocsNoSplit(df: DataFrame, idCol: String, textCol: String,
+      binCapacity: Int, buckets: Int = 0): DataFrame = {
+    require(binCapacity > 0, s"binCapacity must be positive: $binCapacity")
+    val packed = packSequences(df, idCol, textCol, binCapacity, buckets)
+    val binWin = Window.partitionBy(col("bin")).orderBy(col("id"))
+    packed
+      .withColumn("bin", expr(s"start_offset div ${binCapacity.toLong}"))
+      .withColumn("pos_in_bin",
+        (row_number().over(binWin) - 1).cast("long"))
+      .select(col("id"), col("n_tokens"), col("bin"), col("pos_in_bin"))
+  }
+
+  /** Per-bin audit of [[packDocsNoSplit]]: doc count, token fill, and the
+    * overflow flag (fill past the nominal capacity — at most one
+    * boundary-crossing doc's tail by construction). One map-side-combined
+    * aggregation; output is |bins| rows. */
+  def binFill(packedDocs: DataFrame, binCapacity: Int): DataFrame =
+    packedDocs.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("fill"))
+      .withColumn("overflow", col("fill") > binCapacity.toLong)
+
   /** Chunk manifest: one row per (chunk, document) incidence — which
     * documents feed each fixed-length context window, and how many of the
     * document's tokens land there. Derived from [[packSequences]] by

@@ -835,6 +835,25 @@ object PipelineQueries {
           sum(col("n_tokens_in_chunk")).cast("long").as("n_toks"))
         .orderBy(col("chunk"))
     }),
+    // document-preserving packing (round 16): whole docs into
+    // 512-capacity bins, bounded overflow instead of truncation; per-doc
+    // assignment (bin, position) plus the per-bin fill audit both pinned
+    "q_pack_bins" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Packing.packDocsNoSplit(d, "doc_id", "text", binCapacity = 512)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("bin"),
+          col("pos_in_bin"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_pack_bin_fill" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Packing.binFill(
+        Packing.packDocsNoSplit(d, "doc_id", "text", binCapacity = 512),
+        binCapacity = 512)
+        .orderBy(col("bin"))
+    }),
     // lexical diversity (type-token ratio): templated/boilerplate detection
     "q_text_ttr" -> ((s, dir) => {
       val d = docs(s, dir).select(col("source"),
@@ -3239,6 +3258,40 @@ object PipelineQueries {
          |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
          |    AS n_chunks
          |FROM c ORDER BY id""".stripMargin,
+    // no-split packing replica: same cumsum, bin = start // capacity,
+    // within-bin position by id; the fill audit re-aggregates per bin
+    "q_pack_bins" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS so
+         |  FROM t
+         |)
+         |SELECT id AS doc_id, n_tokens, so // 512 AS bin,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY so // 512 ORDER BY id) - 1
+         |    AS BIGINT) AS pos_in_bin
+         |FROM c ORDER BY 1""".stripMargin,
+    "q_pack_bin_fill" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS so
+         |  FROM t
+         |)
+         |SELECT so // 512 AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS fill,
+         |  SUM(n_tokens) > 512 AS overflow
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pack_manifest" ->
       s"""WITH t AS (
          |  SELECT doc_id AS id,

@@ -847,6 +847,41 @@ class PipelineSpec extends AnyFunSuite {
       (50L, 3L, 23L, 2L, 2L, 1L))) // [23,26) in chunk 2
   }
 
+  test("no-split packing: whole docs per bin, bounded overflow, fill audit") {
+    // tokens: 4, 5, 3, 10, 2, 9 → starts 0, 4, 9, 12, 22, 24; capacity 10
+    val d = Seq(
+      (1L, "a a a a"),
+      (2L, "b b b b b"),
+      (3L, "c c c"),
+      (4L, "d d d d d d d d d d"),
+      (5L, "e e"),
+      (6L, "f f f f f f f f f")
+    ).toDF("doc_id", "text")
+    val packed = Packing.packDocsNoSplit(d, "doc_id", "text",
+      binCapacity = 10, buckets = 2)
+    val r = packed.orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 4L, 0L, 0L),
+      (2L, 5L, 0L, 1L),
+      (3L, 3L, 0L, 2L),  // starts at 9 < 10: bin 0 overflows to 12
+      (4L, 10L, 1L, 0L), // starts at 12
+      (5L, 2L, 2L, 0L),  // starts at 22
+      (6L, 9L, 2L, 1L)))
+    val fills = Packing.binFill(packed, binCapacity = 10)
+      .orderBy("bin").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(fills.toSeq == Seq(
+      (0L, 3L, 12L, true),  // the one boundary-crossing doc's tail
+      (1L, 1L, 10L, false),
+      (2L, 2L, 11L, true)))
+    // overflow bound: fill <= capacity + (max doc in bin) - 1
+    val byBin = r.groupBy(_._3)
+    fills.foreach { case (bin, _, fill, _) =>
+      assert(fill <= 10 + byBin(bin).map(_._2).max - 1)
+    }
+  }
+
   test("sequence packing: bucket count never changes the layout") {
     val one = Packing.packSequences(docs, "doc_id", "text", 512, buckets = 1)
       .orderBy("id").collect().toSeq
