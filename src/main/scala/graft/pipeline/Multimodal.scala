@@ -264,6 +264,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** dHash (difference hash) of each decoded image — the standard
+    * perceptual near-duplicate signature (a re-encoded / slightly
+    * retouched image keeps its hash; the exact content-hash of
+    * [[duplicateFrames]] does not): sample a (gridW+1)×gridH grayscale
+    * raster with the SAME deterministic floor mapping as
+    * [[resizeImages]] (`src = dst·srcDim div gridDim` — no Graphics2D
+    * interpolation state), set bit `y·gridW + x` when gray(x) >
+    * gray(x+1) in the row. Gray is the integer mean `(r+g+b) div 3` —
+    * engine-portable, so the two-tone fixture's hash is a CLOSED FORM
+    * the oracle predicts from doc-id arithmetic alone. Same
+    * mapPartitions contract as [[decodeImages]]; gridW·gridH must fit a
+    * 64-bit signature. */
+  def imageDhash(blobs: DataFrame, gridW: Int = 8,
+      gridH: Int = 8): DataFrame = {
+    require(gridW > 0 && gridH > 0 && gridW * gridH <= 64,
+      s"grid ${gridW}x$gridH must fit 64 bits")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    blobs.select("asset_id", "payload").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = if (row.isNullAt(1)) Array.emptyByteArray
+          else row.getAs[Array[Byte]](1)
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        } catch { case _: Exception => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          def gray(gx: Int, gy: Int): Long = {
+            val sx = gx * w / (gridW + 1)
+            val sy = gy * h / gridH
+            val rgb = img.getRGB(sx, sy)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3L
+          }
+          var hash = 0L
+          var y = 0
+          while (y < gridH) {
+            var x = 0
+            while (x < gridW) {
+              if (gray(x, y) > gray(x + 1, y))
+                hash |= 1L << (y * gridW + x)
+              x += 1
+            }
+            y += 1
+          }
+          Some(Row(id, hash))
+        }
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------------- real video path
 
   /** A deterministic real-video blob table from `documents`: every doc

@@ -1213,6 +1213,20 @@ object PipelineQueries {
       Multimodal.resizeImages(Multimodal.imageBlobs2(docs(s, dir)), 2, 2)
         .orderBy(col("asset_id"))),
 
+    // perceptual dHash over the REAL ImageIO decode of the two-tone
+    // fixture: the 4x2 raster has exactly one tone transition under the
+    // 9x8 floor-mapped sample grid (bit x=4 per row), so the hash is a
+    // CLOSED FORM of the left/right gray comparison — the oracle derives
+    // it from doc-id arithmetic alone and this query aggregates the
+    // signature groups (the perceptual-dedup key)
+    "q_multimodal_dhash" -> ((s, dir) =>
+      Multimodal.imageDhash(Multimodal.imageBlobs2(docs(s, dir)))
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).cast("long").as("n_assets"),
+          min(col("asset_id")).cast("long").as("min_asset"),
+          max(col("asset_id")).cast("long").as("max_asset"))
+        .orderBy(col("dhash"))),
+
     // REAL javax.sound.sampled audio decode: deterministic 8-bit PCM WAVs
     // planted column-side (wavPayload hex arithmetic, length varies by
     // parity), AudioSystem decodes the stream in mapPartitions, and the
@@ -4117,6 +4131,25 @@ object PipelineQueries {
         |  CAST(doc_id % 256 AS BIGINT) AS left_r,
         |  CAST((doc_id * 3) % 256 AS BIGINT) AS right_r
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // dHash replay: the 9x8 grid over the 4x2 two-tone raster sets only
+    // bit x=4 of each of the 8 rows (the single tone transition), so the
+    // hash is 0x1010101010101010 when gray_left > gray_right, else 0 —
+    // derived here purely from the planted channel arithmetic
+    "q_multimodal_dhash" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    (doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256) // 3 AS gl,
+        |    ((doc_id * 3) % 256 + (doc_id * 5) % 256 + (doc_id * 11) % 256) // 3 AS gr
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN gl > gr THEN 1157442765409226768 ELSE 0 END AS dhash
+        |  FROM g
+        |)
+        |SELECT CAST(dhash AS BIGINT) AS dhash, COUNT(*) AS n_assets,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_asset,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_asset
+        |FROM hs GROUP BY 1 ORDER BY 1""".stripMargin,
     // the engine decodes real WAV bytes; the oracle predicts what the
     // decoder must recover from the planted constant-amplitude fixtures
     "q_multimodal_audio" ->

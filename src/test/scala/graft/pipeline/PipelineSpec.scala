@@ -1021,6 +1021,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.toSeq == Seq(1L, 2L, 1L, 20L, 5L, 7L, 10L, 30L))
   }
 
+  test("dHash: independent raster model on an ImageIO-encoded PNG; two-tone closed form") {
+    // 9x8 gradient PNG encoded by ImageIO itself (no shared convention):
+    // the independent model recomputes the hash from the raw raster with
+    // the same floor mapping + integer gray
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 9; y <- 0 until 8)
+      img.setRGB(x, y, (((x * 29 + y * 13) % 256) << 16) |
+        (((x * 7) % 256) << 8) | ((y * 11) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val blobs = Seq((1L, "image", bos.toByteArray))
+      .toDF("asset_id", "modality", "payload")
+    def gray(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3L
+    }
+    var want = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      // grid == raster here (9x8 source, 9x8 samples): sx = x, sy = y
+      if (gray(x, y) > gray(x + 1, y)) want |= 1L << (y * 8 + x)
+    }
+    val got = Multimodal.imageDhash(blobs).collect()(0)
+    assert(got.toSeq == Seq(1L, want))
+    assert(want != 0L && want != -1L) // the gradient actually exercises bits
+    // two-tone fixture: closed-form constant, sign of the gray compare
+    val d = Seq((10L, "x"), (77L, "y")).toDF("doc_id", "text")
+    val hs = Multimodal.imageDhash(Multimodal.imageBlobs2(d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def side(id: Long) = (
+      (id % 256 + (id * 7) % 256 + (id * 13) % 256) / 3,
+      ((id * 3) % 256 + (id * 5) % 256 + (id * 11) % 256) / 3)
+    Seq(10L, 77L).foreach { id =>
+      val (gl, gr) = side(id)
+      val expect = if (gl > gr) 0x1010101010101010L else 0L
+      assert(hs(id) == expect, s"doc $id")
+    }
+  }
+
   test("image decode drops undecodable payloads instead of failing") {
     val blobs = Seq(
       (1L, "image", "not an image at all".getBytes("UTF-8")),
