@@ -319,6 +319,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** Scene-change detection over decoded per-frame statistics (shot
+    * boundaries — the signal frame-sampling pipelines use to sample one
+    * frame per shot instead of every-N blind sampling): a transition is
+    * flagged when the integer gray mean `(r+g+b) div 3` jumps more than
+    * `threshold` between consecutive frames of one asset. Input is
+    * [[decodeVideoFrames]] output; per-asset rollup: frame count, change
+    * count. The lag window partitions by asset — bounded by
+    * frames-per-clip, never corpus-wide. */
+  def sceneChanges(frames: DataFrame, threshold: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("gray", expr("(mean_r + mean_g + mean_b) div 3"))
+      .withColumn("pg", lag(col("gray"), 1).over(w))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        sum(when(col("pg").isNotNull &&
+          abs(col("gray") - col("pg")) > threshold, 1L).otherwise(0L))
+          .cast("long").as("n_changes"))
+  }
+
   // ------------------------------------------------------- real video path
 
   /** A deterministic real-video blob table from `documents`: every doc

@@ -1213,6 +1213,14 @@ object PipelineQueries {
       Multimodal.resizeImages(Multimodal.imageBlobs2(docs(s, dir)), 2, 2)
         .orderBy(col("asset_id"))),
 
+    // scene-change detection over the REAL video-frame decode: the
+    // planted +17-per-frame channel shift stays under the gray threshold
+    // except where a channel WRAPS mod 256 — the oracle derives exactly
+    // which transitions wrap from doc-id arithmetic
+    "q_multimodal_scenes" -> ((s, dir) =>
+      Multimodal.sceneChanges(
+        Multimodal.decodeVideoFrames(Multimodal.videoBlobs(docs(s, dir))))
+        .orderBy(col("asset_id"))),
     // perceptual dHash over the REAL ImageIO decode of the two-tone
     // fixture: the 4x2 raster has exactly one tone transition under the
     // 9x8 floor-mapped sample grid (bit x=4 per row), so the hash is a
@@ -4131,6 +4139,23 @@ object PipelineQueries {
         |  CAST(doc_id % 256 AS BIGINT) AS left_r,
         |  CAST((doc_id * 3) % 256 AS BIGINT) AS right_r
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // scene replay: per-frame gray means from the planted shift
+    // arithmetic (wraps included), lag window, threshold count
+    "q_multimodal_scenes" ->
+      """WITH f AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id + i*17) % 256 + (doc_id*7 + i*17) % 256
+        |      + (doc_id*13 + i*17) % 256) // 3 AS gray
+        |  FROM documents, (SELECT range AS i FROM range(0, 3))
+        |), dl AS (
+        |  SELECT doc_id, gray,
+        |    LAG(gray) OVER (PARTITION BY doc_id ORDER BY i) AS pg
+        |  FROM f
+        |)
+        |SELECT doc_id AS asset_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(CASE WHEN pg IS NOT NULL AND ABS(gray - pg) > 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+        |FROM dl GROUP BY 1 ORDER BY 1""".stripMargin,
     // dHash replay: the 9x8 grid over the 4x2 two-tone raster sets only
     // bit x=4 of each of the 8 rows (the single tone transition), so the
     // hash is 0x1010101010101010 when gray_left > gray_right, else 0 —

@@ -1060,6 +1060,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sceneChanges: threshold is strict, single-frame clips never flag") {
+    val frames = Seq(
+      (1L, 0L, 100L, 100L, 100L), // gray 100
+      (1L, 1L, 120L, 120L, 120L), // delta 20: under threshold
+      (1L, 2L, 200L, 200L, 200L), // delta 80: change
+      (2L, 0L, 10L, 10L, 10L),    // single frame
+      (3L, 0L, 0L, 0L, 0L),
+      (3L, 1L, 50L, 50L, 50L))    // delta exactly 50: strict > spares it
+      .toDF("asset_id", "frame_idx", "mean_r", "mean_g", "mean_b")
+    val got = Multimodal.sceneChanges(frames, threshold = 50L)
+      .orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 1L), (2L, 1L, 0L), (3L, 2L, 0L)))
+  }
+
   test("image decode drops undecodable payloads instead of failing") {
     val blobs = Seq(
       (1L, "image", "not an image at all".getBytes("UTF-8")),
