@@ -23,6 +23,13 @@ case class BmpGateEvent(msg_type: String, rdh: Long, rdl: Long,
 case class OriginAlert(ring_id: Long, rib: String, prefix_str: String,
     ts_ms: Long, from_as: Long, to_as: Long)
 
+/** One MOAS alert emitted by [[Feed.moasAlertStream]]: `prefix_str` in
+  * `rib` gained a NEW conflicting origin — after event `event_id` the
+  * prefix's live rings carry `n_origins` distinct origins (≥ 2), the
+  * arriving one being `origin`. */
+case class MoasAlert(rib: String, prefix_str: String, ts_ms: Long,
+    event_id: Long, origin: Long, n_origins: Long)
+
 /** One RPKI alert emitted by [[Feed.rpkiAlertStream]]: active v4
   * announcement `event_id` for `rib`/`prefix_str` with `origin` judged
   * `invalid_origin` or `invalid_length` against the deployed ROA set. */
@@ -397,6 +404,48 @@ object Feed {
           last = r._6
         }
         state.update(last)
+        out.result().iterator
+      }
+  }
+
+  /** ST16 (round 16): streaming MOAS alerts — the LIVE form of
+    * `q_rib_moas` (the hijack alarm: a second origin AS appears for a
+    * prefix that already has a live one). Keyed by (rib, prefix); the
+    * GroupState holds the CURRENT origin per live ring (a small map —
+    * bounded by peers × paths announcing that one prefix), maintained
+    * from the feed: an active event books its ring's origin, a withdraw
+    * evicts the ring. An alert emits exactly when the prefix's distinct-
+    * origin count INCREASES to ≥ 2 — each new conflicting origin pages
+    * once; steady-state re-announcements of an existing conflict stay
+    * silent. Events without a usable path leave the state untouched
+    * (ST12 discipline — an attribute-parse failure must not book or
+    * evict an origin). Rows sort (ts, event_id) within a batch;
+    * NoTimeout keys live as long as ring retention. */
+  def moasAlertStream(eventStream: DataFrame): Dataset[MoasAlert] = {
+    import eventStream.sparkSession.implicits._
+    eventStream
+      .where(col("prefix_str").isNotNull)
+      .select(col("rib"), col("prefix_str"), col("ring_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        col("active").cast("int").as("act"),
+        coalesce(graft.operators.RibViews.pathOrigin.cast("long"),
+          lit(Long.MinValue)).as("origin"))
+      .as[(String, String, Long, Long, Long, Int, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Map[Long, Long], MoasAlert](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var m = state.getOption.getOrElse(Map.empty[Long, Long])
+        val out = Vector.newBuilder[MoasAlert]
+        rows.toVector.sortBy(r => (r._4, r._5)).foreach { r =>
+          val before = m.values.toSet.size
+          if (r._6 == 1 && r._7 != Long.MinValue) m += (r._3 -> r._7)
+          else if (r._6 == 0) m -= r._3
+          val after = m.values.toSet.size
+          if (after >= 2 && after > before)
+            out += MoasAlert(key._1, key._2, r._4, r._5, r._7, after.toLong)
+        }
+        state.update(m)
         out.result().iterator
       }
   }

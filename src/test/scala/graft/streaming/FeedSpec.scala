@@ -650,6 +650,63 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("ST16 streamed MOAS alerts equal an independent fold model") {
+    val stage = tmp()
+    val ckpt = tmp() + "/ckpt"
+    val events = graft.queries.Tables(spark, srcSf, "events")
+    // ordered arrival (ST12 discipline): sequential event-time chunks
+    import org.apache.spark.sql.expressions.Window
+    val chunked = events.withColumn("__c",
+      ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { c =>
+      chunked.where(col("__c") === c).drop("__c").coalesce(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("append").parquet(stage)
+      Thread.sleep(1100)
+    }
+    val routeStream = graft.sources.RouteEventGen.fromEvents(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage))
+    val q = Feed.moasAlertStream(routeStream)
+      .writeStream.format("memory").queryName("moas_alerts")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT rib, prefix_str, ts_ms, event_id, origin, n_origins " +
+        "FROM moas_alerts").collect().map(_.toString).sorted.toSeq
+    // independent fold model over the batch-derived log
+    val rows = graft.sources.RouteEventGen.fromEvents(events)
+      .where(col("prefix_str").isNotNull)
+      .select(col("rib"), col("prefix_str"), col("ring_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        col("active"),
+        RibViews.pathOrigin.cast("long").as("origin"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val model = rows.groupBy(r => (r._1, r._2)).toSeq.flatMap {
+      case ((rib, pfx), g) =>
+        var m = Map.empty[Long, Long]
+        g.sortBy(r => (r._4, r._5)).flatMap { r =>
+          val before = m.values.toSet.size
+          (r._6, r._7) match {
+            case (true, Some(o)) => m += (r._3 -> o)
+            case (false, _)      => m -= r._3
+            case _               => ()
+          }
+          val after = m.values.toSet.size
+          if (after >= 2 && after > before)
+            Some(org.apache.spark.sql.Row(
+              rib, pfx, r._4, r._5, r._7.get, after.toLong).toString)
+          else None
+        }
+    }.sorted
+    assert(streamed.nonEmpty)
+    assert(streamed == model)
+  }
+
   test("ST15 streamed RPKI alerts equal an independent batch join replay") {
     val stage = tmp()
     val ckpt = tmp() + "/ckpt"
