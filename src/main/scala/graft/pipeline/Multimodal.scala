@@ -449,6 +449,97 @@ object Multimodal {
         .otherwise(wavPayload(amp, 32)).as("payload"))
   }
 
+  /** A RAMPING 8-bit PCM WAV as a Column: sample i is
+    * `(base + i·step) mod 256` — the varying-amplitude twin of
+    * [[wavPayload]] (whose constant tone makes every energy delta zero,
+    * useless for fingerprinting). Same RIFF header arithmetic; the body
+    * renders per-sample hex via a transform over the index sequence. */
+  def wavPayloadRamp(base: Column, step: Column, nSamples: Int,
+      sampleRate: Int = 8000): Column = {
+    require(nSamples > 0, "nSamples must be positive")
+    def le(value: Long, nBytes: Int): String =
+      (0 until nBytes).map(i => f"${(value >> (8 * i)) & 0xff}%02x").mkString
+    def ascii(s: String): String =
+      s.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    val header = ascii("RIFF") + le(36L + nSamples, 4) + ascii("WAVE") +
+      ascii("fmt ") + le(16, 4) + le(1, 2) + le(1, 2) +
+      le(sampleRate.toLong, 4) + le(sampleRate.toLong, 4) +
+      le(1, 2) + le(8, 2) + ascii("data") + le(nSamples.toLong, 4)
+    val body = array_join(transform(sequence(lit(0), lit(nSamples - 1)),
+      i => lpad(hex((base.cast("long") + i.cast("long") * step.cast("long"))
+        % 256), 2, "0")), "")
+    unhex(concat(lit(header), body))
+  }
+
+  /** Deterministic ramping-audio blobs from `documents`: base and step
+    * are doc_id arithmetic, so every frame energy — and therefore the
+    * fingerprint bits, wraps included — is a closed form the oracle
+    * predicts. */
+  def audioBlobs2(docs: DataFrame, nSamples: Int = 32): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id.as("asset_id"), lit("audio").as("modality"),
+      wavPayloadRamp(id % 256, lit(1L) + id % 5, nSamples).as("payload"))
+  }
+
+  /** Energy-delta audio fingerprint over the REAL decoded sample stream
+    * — the simplified Haitsma–Kalker shape (sign of the frame-to-frame
+    * energy change is the classic robust-audio-ID bit): the unsigned
+    * 8-bit samples split into consecutive `frameLen`-sample frames, bit
+    * f of the fingerprint is set when frame f+1's energy (plain sample
+    * sum — integer, engine-portable) exceeds frame f's. Returns
+    * (asset_id, n_frames, fp); non-8-bit or empty payloads drop
+    * (quarantine posture). Same mapPartitions contract and sticky SPI
+    * reader as [[decodeAudio]]. */
+  def audioFingerprint(blobs: DataFrame, frameLen: Int = 4): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive: $frameLen")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    blobs.select("asset_id", "payload").mapPartitions { it =>
+      val open = stickyAudioOpener()
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = if (row.isNullAt(1)) Array.emptyByteArray
+          else row.getAs[Array[Byte]](1)
+        try {
+          val ais = open(payload)
+          try {
+            if (ais.getFormat.getSampleSizeInBits != 8) None
+            else {
+              val samples = Array.newBuilder[Int]
+              val buf = new Array[Byte](4096)
+              var read = ais.read(buf)
+              while (read > 0) {
+                var i = 0
+                while (i < read) { samples += (buf(i) & 0xff); i += 1 }
+                read = ais.read(buf)
+              }
+              val s = samples.result()
+              val nFrames = s.length / frameLen
+              if (nFrames < 1 || nFrames > 64) None
+              else {
+                val e = Array.tabulate(nFrames) { f =>
+                  var acc = 0L; var i = f * frameLen
+                  while (i < (f + 1) * frameLen) { acc += s(i); i += 1 }
+                  acc
+                }
+                var fp = 0L
+                var f = 0
+                while (f < nFrames - 1) {
+                  if (e(f + 1) > e(f)) fp |= 1L << f
+                  f += 1
+                }
+                Some(Row(id, nFrames.toLong, fp))
+              }
+            }
+          } finally ais.close()
+        } catch { case _: Exception => None }
+      }
+    }(enc)
+  }
+
   /** Decoded-audio statistics schema: format fields and the integer mean
     * of the REAL decoded sample stream. */
   val audioStatsSchema: StructType = StructType(Seq(
@@ -465,55 +556,57 @@ object Multimodal {
     * quarantine posture as [[decodeImages]]). Same partition-preserving
     * `mapPartitions` contract: iterator in, iterator out, nothing on the
     * driver. */
+  /** Per-partition sticky AudioFileReader opener. Resolves the SPI once
+    * and keeps the last-matching reader STICKY: the naive
+    * AudioSystem.getAudioInputStream call re-enters a global synchronized
+    * provider cache AND probes providers in registration order, each
+    * non-matching one signalling by THROWING (2-3 stack-trace fill-ins
+    * per row — measured ~9 s for 50k 58-byte WAVs vs 0.3 s matched). A
+    * homogeneous corpus pays zero mismatch exceptions after the first
+    * row; mixed corpora pay one miss per format switch. Falls back to
+    * AudioSystem when the context classloader exposes no providers.
+    * Call INSIDE mapPartitions — the returned closure carries the
+    * per-partition sticky state. */
+  private def stickyAudioOpener(): Array[Byte] => javax.sound.sampled.AudioInputStream = {
+    import scala.jdk.CollectionConverters._
+    val readers =
+      try java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toArray
+      catch { case _: Throwable =>
+        Array.empty[javax.sound.sampled.spi.AudioFileReader] }
+    var sticky: javax.sound.sampled.spi.AudioFileReader = null
+    def open(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      if (readers.isEmpty)
+        return javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+      if (sticky != null) {
+        try return sticky.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => () }
+      }
+      var i = 0
+      while (i < readers.length) {
+        if (readers(i) ne sticky) {
+          try {
+            val ais = readers(i).getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            sticky = readers(i)
+            return ais
+          } catch { case _: Exception => () }
+        }
+        i += 1
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no reader matched")
+    }
+    open
+  }
+
   def decodeAudio(blobs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
     blobs.select("asset_id", "payload").mapPartitions { it =>
-      // Resolve the AudioFileReader SPI once per PARTITION and keep the
-      // last-matching reader STICKY. Two per-row costs hide in the naive
-      // AudioSystem.getAudioInputStream call: (a) it re-enters
-      // JDK13Services.getProviders — a global synchronized provider
-      // cache; (b) it probes providers IN REGISTRATION ORDER, and every
-      // non-matching provider signals mismatch by THROWING
-      // UnsupportedAudioFileException — 2-3 exception constructions
-      // (stack-trace fill-in included) per decoded row. Measured on the
-      // sf1 sweep this made audio the only superlinear-looking stage
-      // (~9 s for 50k 58-byte WAVs vs 0.3 s with a matched reader). The
-      // sticky reader makes a homogeneous corpus pay ZERO mismatch
-      // exceptions after the first row; mixed corpora pay one miss per
-      // format switch. Falls back to AudioSystem if the context
-      // classloader exposes no providers.
-      import scala.jdk.CollectionConverters._
-      val readers =
-        try java.util.ServiceLoader
-          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
-          .iterator().asScala.toArray
-        catch { case _: Throwable =>
-          Array.empty[javax.sound.sampled.spi.AudioFileReader] }
-      var sticky: javax.sound.sampled.spi.AudioFileReader = null
-      def open(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-        if (readers.isEmpty)
-          return javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
-        if (sticky != null) {
-          try return sticky.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          catch { case _: Exception => () }
-        }
-        var i = 0
-        while (i < readers.length) {
-          if (readers(i) ne sticky) {
-            try {
-              val ais = readers(i).getAudioInputStream(
-                new java.io.ByteArrayInputStream(payload))
-              sticky = readers(i)
-              return ais
-            } catch { case _: Exception => () }
-          }
-          i += 1
-        }
-        throw new javax.sound.sampled.UnsupportedAudioFileException(
-          "no reader matched")
-      }
+      val open = stickyAudioOpener()
       it.flatMap { row =>
         val id = row.getLong(0)
         val payload = if (row.isNullAt(1)) Array.emptyByteArray

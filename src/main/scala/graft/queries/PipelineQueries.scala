@@ -1213,6 +1213,12 @@ object PipelineQueries {
       Multimodal.resizeImages(Multimodal.imageBlobs2(docs(s, dir)), 2, 2)
         .orderBy(col("asset_id"))),
 
+    // energy-delta audio fingerprint over the REAL WAV decode of the
+    // ramping fixture: frame energies are closed-form arithmetic sums
+    // (mod-256 wraps included), so the oracle predicts every bit
+    "q_multimodal_audio_fp" -> ((s, dir) =>
+      Multimodal.audioFingerprint(Multimodal.audioBlobs2(docs(s, dir)))
+        .orderBy(col("asset_id"))),
     // scene-change detection over the REAL video-frame decode: the
     // planted +17-per-frame channel shift stays under the gray threshold
     // except where a channel WRAPS mod 256 — the oracle derives exactly
@@ -4139,6 +4145,23 @@ object PipelineQueries {
         |  CAST(doc_id % 256 AS BIGINT) AS left_r,
         |  CAST((doc_id * 3) % 256 AS BIGINT) AS right_r
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // audio-fp replay: ramp samples (base + i*step) mod 256, 4-sample
+    // frame sums, lead compare -> fingerprint bits
+    "q_multimodal_audio_fp" ->
+      """WITH sa AS (
+        |  SELECT doc_id, i,
+        |    (doc_id % 256 + i * (1 + doc_id % 5)) % 256 AS v
+        |  FROM documents, (SELECT range AS i FROM range(0, 32))
+        |), fr AS (
+        |  SELECT doc_id, i // 4 AS f, SUM(v) AS e FROM sa GROUP BY 1, 2
+        |), bl AS (
+        |  SELECT doc_id, f, e,
+        |    LEAD(e) OVER (PARTITION BY doc_id ORDER BY f) AS ne
+        |  FROM fr
+        |)
+        |SELECT doc_id AS asset_id, CAST(8 AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN ne > e THEN 1 << f ELSE 0 END) AS BIGINT) AS fp
+        |FROM bl WHERE ne IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     // scene replay: per-frame gray means from the planted shift
     // arithmetic (wraps included), lag window, threshold count
     "q_multimodal_scenes" ->

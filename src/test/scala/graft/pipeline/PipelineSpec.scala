@@ -1136,6 +1136,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.toSeq == Seq(1L, 40L, 11025L, 1L, 8L, 200L))
   }
 
+  test("audio fingerprint: independent-WAV model, ramp closed form, constant tone is zero") {
+    import javax.sound.sampled._
+    // independently AudioSystem-encoded samples (no wavPayloadRamp
+    // convention): hand pattern with rises, falls and a flat frame pair
+    val samples = Array[Int](
+      10, 10, 10, 10, // frame 0: e=40
+      50, 50, 50, 50, // frame 1: e=200 > 40 -> bit 0
+      20, 20, 20, 20, // frame 2: e=80 < 200 -> no bit 1
+      20, 20, 20, 20, // frame 3: e=80 == 80 -> strict: no bit 2
+      90, 90, 90, 90) // frame 4: e=360 -> bit 3
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples.map(_.toByte)),
+      fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val blobs = Seq((1L, "audio", bos.toByteArray))
+      .toDF("asset_id", "modality", "payload")
+    val row = Multimodal.audioFingerprint(blobs, frameLen = 4).collect()(0)
+    assert(row.toSeq == Seq(1L, 5L, (1L << 0) | (1L << 3)))
+    // ramp fixture: engine fp equals the closed-form arithmetic model
+    val d = Seq((10L, "x"), (253L, "y")).toDF("doc_id", "text")
+    val got = Multimodal.audioFingerprint(Multimodal.audioBlobs2(d))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def model(id: Long): Long = {
+      val s = (0 until 32).map(i => (id % 256 + i * (1 + id % 5)) % 256)
+      val e = (0 until 8).map(f => s.slice(f * 4, f * 4 + 4).sum)
+      (0 until 7).map(f => if (e(f + 1) > e(f)) 1L << f else 0L).sum
+    }
+    Seq(10L, 253L).foreach { id =>
+      assert(got(id) == ((8L, model(id))), s"doc $id")
+    }
+    // the constant-tone fixture fingerprints to zero (every delta 0)
+    val const = Multimodal.audioFingerprint(
+      Multimodal.audioBlobs(Seq((6L, "t")).toDF("doc_id", "text")))
+      .collect()(0)
+    assert(const.getLong(2) == 0L)
+  }
+
   test("audio decode drops undecodable payloads instead of failing") {
     val blobs = Seq(
       (1L, "audio", "definitely not a wav".getBytes("UTF-8")),
