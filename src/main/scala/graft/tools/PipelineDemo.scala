@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * library's user story in one main, every stage a first-class operator
   * with its own oracle elsewhere:
   *
-  *   raw docs → markup strip → corpus line dedup → clusters materialized
-  *   once (size audit + keepBest election from ONE resolution) → curation
-  *   chain (fingerprint dedup, quality gate, classifier gate, repetition
-  *   cap, PII redaction, sampling) → bigram-LM tail cut → token-budget mix
-  *   → sequence packing → chunk manifest
+  *   raw docs → markup strip → corpus line dedup → repeated-span removal
+  *   → clusters materialized once (size audit + keepBest election from
+  *   ONE resolution) → curation chain (fingerprint dedup, quality gate,
+  *   classifier gate, repetition cap, PII redaction, sampling) → CCNet
+  *   per-language perplexity-third cut → token-budget mix → sequence
+  *   packing + chunk manifest, plus the no-split bin layout and an
+  *   in-engine perceptron-trained language gate report
   *
   * Prints one JSON line of per-stage row/token counts and writes the
   * packed manifest to the output dir. Usage:
@@ -46,45 +48,49 @@ object PipelineDemo {
       .join(raw.select(col("doc_id"), col("source")), Seq("doc_id"))
     val n1 = lineDeduped.count()
 
+    // 2a. exact-substring span removal (round 16): excise corpus-repeated
+    // passages, keep the novel remainder — doc-level dedup downstream
+    // then judges the cleaned text, not the shared boilerplate
+    val spanCleaned = Dedup.removeRepeatedSpans(
+      lineDeduped, "doc_id", "text", k = 5)
+      .where(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("cleaned_text").as("text"))
+      .join(raw.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val nSpan = spanCleaned.count()
+
     // 2b. clusters-materialized: the composition pattern for cluster
     // consumers at corpus scale — run the expensive chain (shingle
     // self-join + label propagation) ONCE, materialize, and fan the
     // consumers out from the materialized frame. The bench queries
     // deliberately re-run the chain per query (self-contained oracles);
     // a production pipeline does THIS instead.
-    val pairs = Dedup.ngramJaccard(lineDeduped, "doc_id", "text", 3)
+    val pairs = Dedup.ngramJaccard(spanCleaned, "doc_id", "text", 3)
       .where(col("inter") * 10 >= col("union_n") * 6)
     val clusters = Dedup.duplicateClusters(pairs)
       .localCheckpoint() // one evaluation serves both consumers below
     val sizeHist = Dedup.clusterSizeHistogram(clusters).collect()
       .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
-    val scored = lineDeduped.withColumn("len", length(col("text")))
+    val scored = spanCleaned.withColumn("len", length(col("text")))
     val reps = Dedup.keepBestFromClusters(scored, "doc_id", "len", clusters)
     val nReps = reps.count()
 
     // 3. curation chain (dedup, quality, classifier, repetition, PII, sample)
     val w = (0 until 64).map(b => (b * 37 + 11) % 7)
-    val curated = Curate.curate(lineDeduped, "doc_id", "text",
+    val curated = Curate.curate(spanCleaned, "doc_id", "text",
       classifier = Some((w, 2000L)), samplePermille = 900)
       .localCheckpoint() // chain reused by three consumers below
     val n2 = curated.count()
 
-    // 4. statistical tail cut: drop the lowest-likelihood docs (bottom of
-    // the corpus-trained bigram LM — the CCNet perplexity gate)
-    val lm = TextAnalysis.bigramLmScore(curated, "doc_id", "text")
-    // the percentile over zero rows is NULL (tiny corpus or aggressive
-    // upstream gates can leave no doc with bigrams) — skip the LM cut
-    // then instead of NPEing on getLong
-    val cutRow = lm.where(col("n_bigrams") > 0)
-      .agg(percentile_approx(col("lm_micro_nats"), lit(0.1), lit(1000)))
-      .collect()(0)
-    val cutOpt = Option(cutRow.get(0)).map(_.asInstanceOf[Long])
-    val kept = cutOpt match {
-      case Some(cut) => curated.join(
-        lm.where(col("lm_micro_nats") >= cut).select(col("id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      case None => curated
-    }
+    // 4. statistical tail cut, CCNet-faithful (round 16): per-LANGUAGE
+    // perplexity thirds over the corpus-trained bigram LM; the tail
+    // third of each language drops (exact histogram cuts — no approx
+    // percentile, no NULL corner: every doc gets a bucket)
+    val withLang = curated.join(raw.select(col("doc_id"), col("lang")),
+      Seq("doc_id"))
+    val buckets = TextAnalysis.ccnetBuckets(withLang, "doc_id", "text", "lang")
+    val kept = curated.join(
+      buckets.where(col("bucket") =!= "tail").select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
     val n3 = kept.count()
 
     // 5. token-budget mixture across sources, then 6. pack + manifest
@@ -97,6 +103,24 @@ object PipelineDemo {
     val manifest = Packing.chunkManifest(packed, seqLen = 512)
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
     val nSeq = spark.read.parquet(s"$outDir/manifest").count()
+
+    // 6b. document-preserving alternative layout (round 16): whole docs
+    // into 512-capacity bins, bounded overflow instead of truncation —
+    // report the bin count and how many bins run past nominal capacity
+    val bins = Packing.binFill(
+      Packing.packDocsNoSplit(mixed, "doc_id", "text", binCapacity = 512),
+      binCapacity = 512)
+      .agg(count(lit(1)), sum(when(col("overflow"), 1L).otherwise(0L)))
+      .collect()(0)
+    val (nBins, nOver) = (bins.getLong(0), bins.getLong(1))
+
+    // 6c. in-engine trained language gate (round 16): batch perceptron on
+    // the shipped mix's own language labels — the report shows the
+    // trained separation (epoch error counts falling)
+    val pTraj = TextAnalysis.perceptronTrain(
+      mixed.join(raw.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      "doc_id", "text", col("lang") === "en", dim = 64, epochs = 3)
+    val pErrs = pTraj.map(_._3).mkString("[", ",", "]")
 
     // 7. held-out split over the mixed corpus (round 12): growth-stable
     // permille bands of the hash coordinate — the labels survive corpus
@@ -118,8 +142,9 @@ object PipelineDemo {
     val nCardGroups = spark.read.parquet(s"$outDir/datacard").count()
 
     println(s"""{"stage_counts":{"raw":$n0,"line_deduped":$n1,""" +
-      s""""curated":$n2,"lm_kept":$n3,"mixed":$n4},""" +
-      s""""lm_cut_micro_nats":${cutOpt.getOrElse(null)},"packed_sequences":$nSeq,""" +
+      s""""span_cleaned":$nSpan,"curated":$n2,"ccnet_kept":$n3,"mixed":$n4},""" +
+      s""""packed_sequences":$nSeq,"nosplit_bins":$nBins,"overflow_bins":$nOver,""" +
+      s""""perceptron_epoch_errors":$pErrs,""" +
       s""""cluster_size_hist":$sizeHist,"keepbest_rows":$nReps,""" +
       s""""splits":$splitJson,"datacard_groups":$nCardGroups,"out":"$outDir"}""")
     spark.stop()
