@@ -261,4 +261,26 @@ object Curate {
     row.selectExpr(
       s"stack(${names.size}, $stackArgs) as (stage_idx, stage, n_docs)")
   }
+
+  /** Dataset release diff — the per-document changelog between two corpus
+    * versions (the datacard's sibling: what a release note publishes):
+    * full-outer join on the doc id, content compared by the normalized
+    * fingerprint (same identity as exact dedup — whitespace/case variants
+    * of one text read `unchanged`; xxhash64 collision risk is the
+    * q_dedup_exact-established posture). Status per doc:
+    * `added` / `removed` / `changed` / `unchanged`. One id-keyed join;
+    * both sides scan-project only (id, fingerprint). */
+  def datasetDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fps(df: DataFrame, name: String) = df.select(
+      col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as(name))
+    fps(oldDf, "old_fp").join(fps(newDf, "new_fp"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed"))
+      .select(col("id"), col("status"))
+  }
 }

@@ -399,6 +399,27 @@ object Dedup {
       .where(col("n_shared_shingles") >= minShared)
   }
 
+  /** Contamination ATTRIBUTION — the per-pair report behind
+    * [[decontaminate]]'s per-train-doc rollup: one row per (train doc,
+    * eval doc) sharing ≥ `minShared` distinct shingles, with the shared
+    * count. This is what an eval-integrity review actually reads ("which
+    * benchmark item leaked into which training document"), and the input
+    * to an eval-side fix (drop the item) vs a train-side fix (drop the
+    * doc). Same shape as the parent: eval shingles broadcast, the corpus
+    * never shuffles, output is bounded by true contamination incidence —
+    * tiny by definition (a large output IS the finding). */
+  def decontaminatePairs(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, k: Int = 3, minShared: Int = 1): DataFrame = {
+    val evalSh = explodedShingleHashes(df.where(isEval), idCol, textCol, k)
+      .distinct().withColumnRenamed("id", "eval_id")
+    val trainSh = explodedShingleHashes(df.where(!isEval), idCol, textCol, k)
+      .distinct()
+    trainSh.join(broadcast(evalSh), "h")
+      .groupBy(col("id"), col("eval_id"))
+      .agg(countDistinct(col("h")).cast("long").as("n_shared_shingles"))
+      .where(col("n_shared_shingles") >= minShared)
+  }
+
   /** Bloom-prefiltered decontamination — the 100 TB form of
     * [[decontaminate]], with the IDENTICAL result: the eval n-gram set
     * folds into a two-probe Bloom bit table (a plan-constant long-array

@@ -643,6 +643,34 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    // Contamination attribution (round 16): the per-(train, eval) pair
+    // report behind q_decontam's rollup — which benchmark item leaked
+    // into which training doc, with the shared-shingle count
+    "q_decontam_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.decontaminatePairs(d, "doc_id", "text",
+        col("doc_id") % 97 === 0, k = 3, minShared = 2)
+        .select(col("id").as("doc_id"), col("eval_id"),
+          col("n_shared_shingles"))
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+    // Dataset release diff (round 16): v2 derived in-query (drop %7,
+    // append a marker to %5, add fresh ids for %11) so every status is
+    // planted; the oracle compares normalized text instead of the hash
+    "q_pipeline_dataset_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new doc "), col("text")).as("text")))
+      Curate.datasetDiff(v1, v2, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
     // Corpus data card (round 12): the per-(lang, source) release audit —
     // volume, dup mass, quality-pass, label agreement, wrong-script — in
     // one aggregation; runs over the script-planted docs so n_nonlatin is
@@ -3622,6 +3650,39 @@ object PipelineQueries {
          |FROM shd t JOIN shd e ON t.s = e.s
          |  AND e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
          |GROUP BY 1 HAVING COUNT(DISTINCT t.s) >= 2
+         |ORDER BY 1""".stripMargin,
+    // attribution replay: the same shingle join grouped per PAIR
+    "q_decontam_pairs" ->
+      s"""$shingleCte
+         |SELECT t.doc_id, e.doc_id AS eval_id,
+         |  COUNT(DISTINCT t.s) AS n_shared_shingles
+         |FROM shd t JOIN shd e ON t.s = e.s
+         |  AND e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+         |GROUP BY 1, 2 HAVING COUNT(DISTINCT t.s) >= 2
+         |ORDER BY 1, 2""".stripMargin,
+    // diff replay: v2 derived by the same arithmetic; content equality
+    // on the NORMALIZED STRING where the engine compares its xxhash64
+    // (the q_dedup_exact identity posture)
+    "q_pipeline_dataset_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+         |  FROM documents
+         |), v2 AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(
+         |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+         |    )), '\\s+', ' ', 'g') AS nt
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    regexp_replace(lower(trim('new doc ' || text)), '\\s+', ' ', 'g')
+         |  FROM documents WHERE doc_id % 11 = 0
+         |)
+         |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+         |       WHEN v2.doc_id IS NULL THEN 'removed'
+         |       WHEN v1.nt = v2.nt THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          |ORDER BY 1""".stripMargin,
     // the Bloom prefilter admits a superset and the verify join removes it:
     // the exact-decontamination SQL IS the oracle for the bloom path

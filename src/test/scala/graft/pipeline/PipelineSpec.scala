@@ -2545,6 +2545,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(ws == Set("hello", "world", "ok"))
   }
 
+  test("decontaminatePairs: per-pair attribution, rollup equals decontaminate") {
+    val d = Seq(
+      (97L, "alpha beta gamma delta epsilon"),      // eval (id%97==0)
+      (194L, "one two three four five"),            // eval
+      (1L, "alpha beta gamma delta zzz"),           // shares 3-shingles w/ 97
+      (2L, "one two three four qqq"),               // shares w/ 194
+      (3L, "alpha beta gamma delta one two three four"), // 2 shingles w/ BOTH
+      (4L, "totally novel words here"))             // clean
+      .toDF("doc_id", "text")
+    val pairs = Dedup.decontaminatePairs(d, "doc_id", "text",
+      col("doc_id") % 97 === 0, k = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pairs.map(p => (p._1, p._2)) ==
+      Set((1L, 97L), (2L, 194L), (3L, 97L), (3L, 194L)))
+    // rollup consistency: per-train distinct eval docs == parent operator
+    val parent = Dedup.decontaminate(d, "doc_id", "text",
+      col("doc_id") % 97 === 0, k = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rolled = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(rolled.keySet == parent.keySet)
+    rolled.foreach { case (id, n) => assert(parent(id) == n, s"doc $id") }
+  }
+
+  test("datasetDiff: all four statuses; whitespace variants read unchanged") {
+    val v1 = Seq(
+      (1L, "same text"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (4L, "Spacing   Variant")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "same text"),
+      (2L, "has changed"),
+      (4L, "spacing variant"),   // case+whitespace normalize: unchanged
+      (5L, "brand new")).toDF("doc_id", "text")
+    val got = Curate.datasetDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added"))
+  }
+
   test("perceptronTrain equals an independent batch-update model") {
     val dim = 8
     val rows = Seq(
