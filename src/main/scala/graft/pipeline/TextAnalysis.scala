@@ -929,6 +929,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Host-level URL statistics — the per-domain rollup CC-style pipelines
+    * feed domain blocklists and per-domain quality priors from: every
+    * URL's authority is extracted (explicit character class, no `\s`
+    * whose definition drifts across engines; port/path/query/fragment
+    * cut at `:/?#`), case-folded (DNS names are case-insensitive), and
+    * rolled up to (host, n_docs, n_urls). Scan-level extract + explode +
+    * one map-side-combined aggregation keyed on host — output is
+    * |distinct hosts| rows, tiny next to the corpus. */
+  def hostStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol),
+          lit("https?://([^/ \\t\\n\\r:?#]+)"), lit(1))).as("h"))
+      .select(col("id"), lower(col("h")).as("host"))
+      .groupBy(col("host"))
+      .agg(countDistinct(col("id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_urls"))
+
   /** Redaction patterns, deliberately restricted to syntax with identical
     * semantics in Java regex and RE2 (no backrefs, no lookaround, no
     * ambiguous alternation) so an external SQL engine applies them

@@ -643,6 +643,20 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    // Per-domain URL rollup (round 16): the blocklist/quality-prior
+    // input; hosts from the PII plant plus an UPPERCASE-host second URL
+    // on %10 docs so case-folding is observable — the oracle predicts
+    // every row from arithmetic, independent of the regex engine
+    "q_text_url_hosts" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(plantedPii(col("doc_id"), col("text")),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" see http://H"),
+              (col("doc_id") % 9).cast("string"), lit(".EXAMPLE/q")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.hostStats(planted, "doc_id", "text")
+        .orderBy(col("host"))
+    }),
     // Contamination attribution (round 16): the per-(train, eval) pair
     // report behind q_decontam's rollup — which benchmark item leaked
     // into which training doc, with the shared-shingle count
@@ -3651,6 +3665,16 @@ object PipelineQueries {
          |  AND e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
          |GROUP BY 1 HAVING COUNT(DISTINCT t.s) >= 2
          |ORDER BY 1""".stripMargin,
+    // host replay: closed form of the plant — every %5 doc carries
+    // h<id%9>.example once, %10 docs a second (case-folded) time; the
+    // fixture text itself contains no URLs (the PII-plant invariant)
+    "q_text_url_hosts" ->
+      """SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) || '.example' AS host,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END) AS BIGINT)
+        |    AS n_urls
+        |FROM documents WHERE doc_id % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // attribution replay: the same shingle join grouped per PAIR
     "q_decontam_pairs" ->
       s"""$shingleCte

@@ -2569,6 +2569,21 @@ class PipelineSpec extends AnyFunSuite {
     rolled.foreach { case (id, n) => assert(parent(id) == n, s"doc $id") }
   }
 
+  test("hostStats: case-fold, port/path cut, multi-URL docs, no-URL docs") {
+    val d = Seq(
+      (1L, "see https://A.Example.COM/path and http://a.example.com:8080/x"),
+      (2L, "plain text no urls at all"),
+      (3L, "http://b.example/q?u=1 twice http://b.example#frag"),
+      (4L, "ftp://not.matched/ and https://a.example.com"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.hostStats(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      "a.example.com" -> ((2L, 3L)), // doc 1 twice (case + port), doc 4 once
+      "b.example" -> ((1L, 2L))))    // one doc, two URLs
+  }
+
   test("datasetDiff: all four statuses; whitespace variants read unchanged") {
     val v1 = Seq(
       (1L, "same text"),
