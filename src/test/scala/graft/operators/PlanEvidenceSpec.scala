@@ -420,6 +420,32 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(windows == 1, plan.take(3000))
   }
 
+  test("rpkiValidate: ROA dimension broadcasts, route stream never sort-merges") {
+    // the covering condition is a range predicate, so the join must plan
+    // as BroadcastNestedLoopJoin with the ROA side broadcast — a
+    // sort-merge (impossible for non-equi anyway) or a shuffled NLJ
+    // would move the route stream for an 8-row dimension
+    val s = spark
+    import s.implicits._
+    val roas = Seq((167772160L, 16L, 24L, 100L))
+      .toDF("roa_ip", "roa_plen", "roa_maxlen", "roa_origin")
+    val plan = RibViews.rpkiValidate(re, broadcast(roas))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("packDocsNoSplit: the bin window partitions by bin, never one task") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.pipeline.Packing
+      .packDocsNoSplit(docs, "doc_id", "text", binCapacity = 512)
+      .queryExecution.executedPlan.toString
+    // the prefix sum windows by bucket, the rank windows by bin — no
+    // window may collapse the corpus onto a single partition
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
   test("asRelationships: broadcast degree join, no synthetic-id shuffle") {
     // the Gao inference's scale shape (VERDICT r14 ask #8): the degree
     // table joins the path-node explode by BROADCAST (the AS set is
