@@ -128,6 +128,34 @@ object TextAnalysis {
       greatest(size(words), lit(1)).cast("double")).cast("long")
   }
 
+  /** Character-n-gram compressibility proxy (the Dolma/RefinedWeb
+    * zlib-ratio signal, restated engine-portably): distinct character
+    * n-grams over total n-grams. Templated/machine-generated text reuses
+    * the same few n-grams and scores low; natural prose stays high. The
+    * exact DEFLATE ratio is zlib-version- and level-dependent (not
+    * replayable bit-exact across engines), so the engine standardizes on
+    * this deterministic proxy from the same duplicated-n-gram family as
+    * Gopher's repetition signals — but char-level, so it also catches
+    * repetition that word-level TTR misses (e.g. repeated markup runs
+    * inside long "words"). Returns (n_grams, n_distinct, distinct_x1000)
+    * with the oracle-safe floor(d·1000.0/t) permille pattern.
+    *
+    * Scan-local at any scale: the gram array is doc-bounded (long
+    * documents arrive chunk-bounded upstream — [[chunkDocument]]), no
+    * shuffle, stays inside whole-stage codegen. */
+  def compressibilitySignals(text: Column, n: Int = 4): Seq[(String, Column)] = {
+    val total = greatest(length(text) - (n - 1), lit(0))
+    val grams = when(total > 0,
+      transform(sequence(lit(1), total), i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+    val distinct = size(array_distinct(grams))
+    Seq(
+      "n_grams" -> total.cast("long"),
+      "n_distinct" -> distinct.cast("long"),
+      "distinct_x1000" -> floor(distinct.cast("double") * 1000.0 /
+        greatest(total, lit(1)).cast("double")).cast("long"))
+  }
+
   /** Keep gate: reasonable length, some stopwords, mostly alphabetic —
     * the standard quality filter shape. */
   def qualityKeep(text: Column): Column = {

@@ -896,6 +896,16 @@ object PipelineQueries {
         binCapacity = 512)
         .orderBy(col("bin"))
     }),
+    // char-ngram compressibility proxy (the zlib-ratio quality signal,
+    // engine-portable): per-doc distinct-4-gram permille — scan-local,
+    // exercises the gram machinery at char level vs TTR's word level
+    "q_text_compressibility" -> ((s, dir) => {
+      val sig = TextAnalysis.compressibilitySignals(col("text"))
+      docs(s, dir)
+        .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+        .where(col("n_grams") > 0)
+        .orderBy(col("doc_id"))
+    }),
     // lexical diversity (type-token ratio): templated/boilerplate detection
     "q_text_ttr" -> ((s, dir) => {
       val d = docs(s, dir).select(col("source"),
@@ -4097,6 +4107,18 @@ object PipelineQueries {
          |)
          |SELECT doc_id, word, tf, df, score_x1000 FROM ranked
          |WHERE r <= 3 ORDER BY doc_id, word""".stripMargin,
+    "q_text_compressibility" ->
+      """SELECT doc_id,
+        |  CAST(length(text)-3 AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(
+        |    [substr(text, i, 4) for i in range(1, length(text)-2)])) AS BIGINT)
+        |    AS n_distinct,
+        |  CAST(FLOOR(
+        |    len(list_distinct(
+        |      [substr(text, i, 4) for i in range(1, length(text)-2)])) * 1000.0
+        |    / greatest(length(text)-3, 1)) AS BIGINT) AS distinct_x1000
+        |FROM documents WHERE length(text) >= 4
+        |ORDER BY doc_id""".stripMargin,
     "q_text_ttr" ->
       s"""WITH t AS (
          |  SELECT source,

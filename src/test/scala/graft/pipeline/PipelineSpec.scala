@@ -1211,6 +1211,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(250L, 1000L, 500L, 1000L))
   }
 
+  test("compressibility signals: char-4-gram distinct permille") {
+    val d = Seq(
+      "aaaaaaaa",     // 5 grams, all "aaaa" → 1 distinct → 200
+      "abcdefgh",     // 5 grams, all distinct → 1000
+      "abcabcabc",    // 6 grams, 3 distinct (abc/bca/cab rotations) → 500
+      "abc",          // shorter than n → 0 grams
+      "").toDF("text")
+    val sig = TextAnalysis.compressibilitySignals(col("text"))
+    val got = d.select(sig.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 1L, 200L), (5L, 5L, 1000L), (6L, 3L, 500L),
+      (0L, 0L, 0L), (0L, 0L, 0L)))
+  }
+
   test("quality keep gate") {
     val good = "the quick brown fox jumps over the lazy dog and runs to the house in town"
     val bad = "@@ ## $$ %% ^^"
