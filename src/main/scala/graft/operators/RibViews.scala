@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.filter.{FilterCompiler, FilterParser, RouteFilter}
@@ -604,6 +604,128 @@ object RibViews {
       .join(broadcast(total), lit(true), "inner")
       .withColumn("visibility_x1000",
         expr("n_sessions * 1000 div total_sessions"))
+  }
+
+  /** IANA special-purpose ("bogon"/martian) address ranges, as
+    * (class, version, lo, hi, plen) numeric bounds: v4 rows bound
+    * `prefix.ip_lo`, v6 rows bound the upper-64 `prefix.ip_hi` (every
+    * listed v6 range is /64-or-shorter). Bounds are two's-complement
+    * longs on BOTH engines and no listed range crosses the sign
+    * boundary, so a signed BETWEEN is exact. The set is pairwise
+    * disjoint per family (RFC 6890's table is), which [[bogonAudit]]
+    * relies on for its one-row-per-route left join. */
+  val standardBogonRanges: Seq[(String, Int, Long, Long, Int)] = {
+    def v4(a: Long, b: Long, c: Long, d: Long, plen: Int) = {
+      val base = (a << 24) | (b << 16) | (c << 8) | d
+      (base, base + ((1L << (32 - plen)) - 1), plen)
+    }
+    def v6(hi: Long, plen: Int) = (hi, hi | ((1L << (64 - plen)) - 1), plen)
+    def row(cls: String, ver: Int, t: (Long, Long, Int)) =
+      (cls, ver, t._1, t._2, t._3)
+    Seq(
+      row("v4-this-net", 4, v4(0, 0, 0, 0, 8)),
+      row("v4-rfc1918-10", 4, v4(10, 0, 0, 0, 8)),
+      row("v4-cgn", 4, v4(100, 64, 0, 0, 10)),
+      row("v4-loopback", 4, v4(127, 0, 0, 0, 8)),
+      row("v4-link-local", 4, v4(169, 254, 0, 0, 16)),
+      row("v4-rfc1918-172", 4, v4(172, 16, 0, 0, 12)),
+      row("v4-ietf-special", 4, v4(192, 0, 0, 0, 24)),
+      row("v4-test-net-1", 4, v4(192, 0, 2, 0, 24)),
+      row("v4-rfc1918-192", 4, v4(192, 168, 0, 0, 16)),
+      row("v4-benchmark", 4, v4(198, 18, 0, 0, 15)),
+      row("v4-test-net-2", 4, v4(198, 51, 100, 0, 24)),
+      row("v4-test-net-3", 4, v4(203, 0, 113, 0, 24)),
+      row("v4-multicast", 4, v4(224, 0, 0, 0, 4)),
+      row("v4-reserved", 4, v4(240, 0, 0, 0, 4)),
+      row("v6-reserved-low", 6, v6(0L, 8)),
+      row("v6-teredo", 6, v6(0x2001L << 48, 32)),
+      row("v6-doc", 6, v6((0x2001L << 48) | (0x0db8L << 32), 32)),
+      row("v6-6to4", 6, v6(0x2002L << 48, 16)),
+      row("v6-ula", 6, v6(0xfc00L << 48, 7)),
+      row("v6-link-local", 6, v6(0xfe80L << 48, 10)),
+      row("v6-multicast", 6, v6(0xff00L << 48, 8)))
+  }
+
+  /** [[standardBogonRanges]] as the broadcastable dimension
+    * [[bogonAudit]] consumes. */
+  def bogonDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    standardBogonRanges
+      .toDF("bogon_class", "bogon_version", "bogon_lo", "bogon_hi",
+        "bogon_plen")
+  }
+
+  /** Bogon/martian announcement audit: classify every CURRENT route by
+    * the special-purpose range its NLRI base address falls in — the
+    * looking-glass hygiene report (a transit feed announcing RFC 1918,
+    * documentation, or reserved space is a config leak; the reference's
+    * users run exactly this scan over its subnet index,
+    * src/bgprib.rs:628-653). Routes outside every range report
+    * `clean`.
+    *
+    * Shape: same as [[rpkiValidate]] — the range table is a tiny
+    * dimension (21 rows; a full-team bogon feed is ~thousands), so the
+    * containment predicate plans as a BroadcastNestedLoopJoin with the
+    * corpus side never shuffling; the ranges are pairwise disjoint per
+    * family so the left join emits exactly one row per route (no
+    * most-specific re-aggregation), and the rollup is ONE
+    * map-side-combined aggregation. Returns (rib, bogon_class,
+    * n_routes, n_prefixes). */
+  def bogonAudit(df: DataFrame, bogons: DataFrame): DataFrame = {
+    val cur = current(df).where(col("prefix").isNotNull)
+      .select(col("rib"), col("prefix_str"),
+        col("prefix.version").cast("int").as("__ver"),
+        when(col("prefix.version") === 4, col("prefix.ip_lo"))
+          .otherwise(col("prefix.ip_hi")).as("__addr"))
+    val covers = col("bogon_version") === col("__ver") &&
+      col("__addr").between(col("bogon_lo"), col("bogon_hi"))
+    cur.join(broadcast(bogons), covers, "left")
+      .groupBy(col("rib"),
+        coalesce(col("bogon_class"), lit("clean")).as("bogon_class"))
+      .agg(count(lit(1)).cast("long").as("n_routes"),
+        countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
+  }
+
+  /** Per-prefix update bursts — the BGP convergence/path-exploration
+    * report (Labovitz et al., "Delayed Internet Routing Convergence"):
+    * updates for one prefix cluster in time while the mesh explores
+    * alternate paths after a change; each maximal run of events with
+    * inter-arrival ≤ `gapMs` is one burst, its duration the convergence
+    * time, its `n_flips` the announce/withdraw oscillations inside it
+    * (flips across a burst boundary are distinct incidents, not
+    * exploration, and don't count). Returns one row per burst:
+    * (rib, prefix_str, burst, start_ms, n_events, n_flips,
+    * duration_ms).
+    *
+    * Shape: one exchange on (rib, prefix_str) serves everything — the
+    * lag flags and their running sum share partitioning and ordering so
+    * Catalyst stacks them in a single WindowExec (the
+    * [[Temporal.sessionize]] discipline), and the burst rollup's
+    * grouping keys are a superset of the window partition keys, so the
+    * aggregation reuses the exchange (hash(rib, prefix_str) already
+    * clusters every (rib, prefix_str, burst) group). Linear per prefix
+    * at any scale; never a global window. */
+  def updateBursts(df: DataFrame, gapMs: Long = 86400000L): DataFrame = {
+    require(gapMs >= 0, s"gapMs must be non-negative: $gapMs")
+    val w = Window.partitionBy(col("rib"), col("prefix_str"))
+      .orderBy(col("ts"), col("event_id"))
+    val ms = unix_millis(col("ts"))
+    val gap = ms - lag(ms, 1).over(w)
+    val tagged = df.where(col("prefix_str").isNotNull)
+      .select(col("rib"), col("prefix_str"), col("ts"), col("event_id"),
+        col("active"), ms.as("__ms"))
+      .withColumn("__flip", when(gap.isNotNull && gap <= gapMs &&
+        col("active") =!= lag(col("active"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("__new",
+        when(gap.isNull || gap > gapMs, 1L).otherwise(0L))
+      .withColumn("burst", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    tagged.groupBy(col("rib"), col("prefix_str"), col("burst"))
+      .agg(min(col("__ms")).cast("long").as("start_ms"),
+        count(lit(1)).cast("long").as("n_events"),
+        sum(col("__flip")).cast("long").as("n_flips"),
+        (max(col("__ms")) - min(col("__ms"))).cast("long")
+          .as("duration_ms"))
   }
 
   /** RFC 6811 verdict as a PURE COLUMN over a LITERAL ROA set — the

@@ -243,6 +243,23 @@ object RibQueries {
         .orderBy(col("rib"), col("prefix_str"), col("session_id"),
           col("path_id"), col("origin"))
     }),
+
+    // bogon/martian audit (round 16): current routes classified against
+    // the IANA special-purpose ranges — the fixture's 10.x unicast space
+    // lands rfc1918, 224.x multicast, 2001:0:… Teredo, ff05:… v6
+    // multicast, exercising both the v4 ip_lo and v6 ip_hi range paths.
+    // The range table is shared DATA (like the classifier weights
+    // precedent): the oracle gets the same literal rows, no shared logic
+    "q_rib_bogons" -> ((s, dir) =>
+      RibViews.bogonAudit(re(s, dir), RibViews.bogonDim(s))
+        .orderBy(col("rib"), col("bogon_class"))),
+
+    // per-prefix update bursts (round 16): convergence/path-exploration
+    // sessionization — 24h gap against the fixture's ~1/day per-prefix
+    // event cadence yields a mix of single-event and multi-event bursts
+    "q_rib_convergence" -> ((s, dir) =>
+      RibViews.updateBursts(re(s, dir), gapMs = 86400000L)
+        .orderBy(col("rib"), col("prefix_str"), col("burst"))),
     // CIDR aggregation candidates (round 12): sibling v4 prefix pairs in
     // the current RIB with identical origin+nexthop, found by parent-block
     // GROUPING (no self-join); the oracle replays the current-state
@@ -697,6 +714,13 @@ object RibQueries {
   private val keyExpr =
     "rib, keyip, keyx2, plen, rdh, rdl, label, session_id, path_id"
 
+  /** [[RibViews.standardBogonRanges]] as SQL VALUES rows — shared DATA
+    * between engine and oracle (the classifier-weights precedent); the
+    * containment/rollup logic on each side is written independently. */
+  private val bogonValues: String = RibViews.standardBogonRanges.map {
+    case (cls, ver, lo, hi, plen) => s"('$cls', $ver, $lo, $hi, $plen)"
+  }.mkString(",\n      ")
+
   def oracleSql: Map[String, String] = Map(
     "q_rib_filter_subnet" -> perRibSql(s"$v4SubnetMatch AND o2 BETWEEN 4 AND 7"),
     "q_rib_filter_rd" -> perRibSql("rib='vpnv4u' AND uid%3=1 AND eid%2=0"),
@@ -1023,6 +1047,52 @@ object RibQueries {
          |  ON r.roa_plen <= c.plen
          |  AND (c.ip >> (32 - r.roa_plen)) = (r.roa_ip >> (32 - r.roa_plen))
          |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin),
+    // bogon replay: current-state window, base address = v4 ip else v6
+    // hi64, signed-BETWEEN against the same literal range rows (shared
+    // DATA, independently-written logic); disjoint ranges → left join
+    // emits one row per route
+    "q_rib_bogons" -> (cte +
+      s""", bdim(bclass, bver, blo, bhi, bplen) AS (
+         |  VALUES $bogonValues
+         |), bcur AS (
+         |  SELECT rib, prefix_str,
+         |    CASE WHEN ip IS NOT NULL THEN 4 ELSE 6 END AS ver,
+         |    COALESCE(ip, hi6) AS addr
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY $keyExpr
+         |      ORDER BY ts DESC, eid DESC) AS rn
+         |    FROM re) t
+         |  WHERE rn=1 AND active AND prefix_str IS NOT NULL
+         |)
+         |SELECT rib, COALESCE(b.bclass, 'clean') AS bogon_class,
+         |  COUNT(*) AS n_routes,
+         |  COUNT(DISTINCT prefix_str) AS n_prefixes
+         |FROM bcur c LEFT JOIN bdim b
+         |  ON b.bver = c.ver AND c.addr BETWEEN b.blo AND b.bhi
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // convergence replay: per (rib, prefix) lag gaps, 24h burst
+    // boundaries, running-sum burst ids, per-burst rollup
+    "q_rib_convergence" -> (cte +
+      """, cb AS (
+        |  SELECT rib, prefix_str, epoch_ms(ts) AS ms, eid, active,
+        |    epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w AS gap,
+        |    LAG(active) OVER w AS pa
+        |  FROM re WHERE prefix_str IS NOT NULL
+        |  WINDOW w AS (PARTITION BY rib, prefix_str ORDER BY ts, eid)
+        |), cs AS (
+        |  SELECT rib, prefix_str, ms, active,
+        |    CASE WHEN gap IS NOT NULL AND gap <= 86400000
+        |      AND active <> pa THEN 1 ELSE 0 END AS flip,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 86400000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY rib, prefix_str ORDER BY ms, eid
+        |        ROWS UNBOUNDED PRECEDING) AS burst
+        |  FROM cb
+        |)
+        |SELECT rib, prefix_str, CAST(burst AS BIGINT) AS burst,
+        |  CAST(MIN(ms) AS BIGINT) AS start_ms, COUNT(*) AS n_events,
+        |  CAST(SUM(flip) AS BIGINT) AS n_flips,
+        |  CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
+        |FROM cs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
     // sibling-bit arithmetic over the current-state window; BIGINT shift
     // base so a short plen cannot overflow a 32-bit 1<<31
     "q_rib_aggregatable" -> (cte +

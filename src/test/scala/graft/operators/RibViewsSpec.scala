@@ -270,6 +270,58 @@ class RibViewsSpec extends AnyFunSuite {
       (2L, 3L) -> ((2L, 1L, 1L))))
   }
 
+  test("bogonAudit: special-purpose classes, clean fallback, withdrawn hidden") {
+    def rt(ts: Long, rib: String, p: IpPfx, sess: Int = 0,
+        active: Boolean = true) =
+      RouteEvent(new java.sql.Timestamp(ts), rib, sess, 0L, active,
+        Some(p), Some(Model.pfxStr(p)), None, None, None, None, None, None,
+        Model.emptyAttrs, 0L)
+    val rows = Seq(
+      rt(base, "ipv4u", Model.v4("10.1.2.0", 24)),          // rfc1918-10
+      rt(base, "ipv4u", Model.v4("10.1.2.0", 24), sess = 1), // 2nd route, same prefix
+      rt(base, "ipv4u", Model.v4("8.8.8.0", 24)),            // clean
+      rt(base, "ipv4u", Model.v4("192.168.7.0", 24)),        // rfc1918-192
+      rt(base, "ipv4m", Model.v4("224.1.0.0", 16)),          // multicast
+      rt(base, "ipv4u", Model.v4("127.0.0.0", 8), sess = 2,
+        active = false),                                     // withdrawn: hidden
+      rt(base, "ipv6u", Model.v6(0x2001000000000005L, 0L, 64)), // teredo
+      rt(base, "ipv6u", Model.v6(0x2600L << 48, 0L, 48)))    // clean v6
+    val got = RibViews.bogonAudit(df(rows), RibViews.bogonDim(spark))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("ipv4u", "v4-rfc1918-10") -> ((2L, 1L)),
+      ("ipv4u", "clean") -> ((1L, 1L)),
+      ("ipv4u", "v4-rfc1918-192") -> ((1L, 1L)),
+      ("ipv4m", "v4-multicast") -> ((1L, 1L)),
+      ("ipv6u", "v6-teredo") -> ((1L, 1L)),
+      ("ipv6u", "clean") -> ((1L, 1L))))
+  }
+
+  test("updateBursts: gap splits, exact gap stays, flips in-burst only") {
+    val s = spark
+    import s.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    val rows = Seq(
+      // p1: T,F within 500ms (flip), F at exact gap (stays, no flip),
+      // then T after 2500ms (> gap: new burst; boundary flip NOT counted)
+      ("ipv4u", "10.0.0.0/24", t(0), 1L, true),
+      ("ipv4u", "10.0.0.0/24", t(500), 2L, false),
+      ("ipv4u", "10.0.0.0/24", t(1500), 3L, false),
+      ("ipv4u", "10.0.0.0/24", t(4000), 4L, true),
+      // p2: lone event
+      ("ipv4u", "10.0.1.0/24", t(0), 5L, true))
+      .toDF("rib", "prefix_str", "ts", "event_id", "active")
+    val got = RibViews.updateBursts(rows, gapMs = 1000L).collect()
+      .map(r => (r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      ("10.0.0.0/24", 1L) -> ((base, 3L, 1L, 1500L)),
+      ("10.0.0.0/24", 2L) -> ((base + 4000L, 1L, 0L, 0L)),
+      ("10.0.1.0/24", 1L) -> ((base, 1L, 0L, 0L))))
+  }
+
   test("aggregatableSiblings: both halves, same origin+nexthop, current only") {
     def rt(ts: Long, addr: String, plen: Int, origin: Long, nh: String,
         active: Boolean = true) = {
