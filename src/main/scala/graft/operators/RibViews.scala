@@ -686,6 +686,26 @@ object RibViews {
         countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
   }
 
+  /** Bogon class as a PURE COLUMN over a LITERAL range set — the
+    * stateless twin of [[bogonAudit]] for streams (the
+    * [[rpkiVerdictFor]] discipline): the ranges ride the plan as a
+    * literal array, the containment check is one array HOF, so the
+    * expression is scan-local and usable per-event in a Structured
+    * Streaming select with no join/aggregation state. Ranges must be
+    * pairwise disjoint per family (the standard set is) — the first
+    * match is THE match. Routes outside every range report `clean`. */
+  def bogonClassFor(ver: Column, addr: Column,
+      ranges: Seq[(String, Int, Long, Long, Int)] = standardBogonRanges)
+      : Column = {
+    val arr = array(ranges.map { case (cls, v, lo, hi, _) =>
+      struct(lit(cls).as("cls"), lit(v).as("v"),
+        lit(lo).as("lo"), lit(hi).as("hi"))
+    }: _*)
+    val m = filter(arr, r => r.getField("v") === ver &&
+      addr.between(r.getField("lo"), r.getField("hi")))
+    coalesce(element_at(m, 1).getField("cls"), lit("clean"))
+  }
+
   /** Per-prefix update bursts — the BGP convergence/path-exploration
     * report (Labovitz et al., "Delayed Internet Routing Convergence"):
     * updates for one prefix cluster in time while the mesh explores

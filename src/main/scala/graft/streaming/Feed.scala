@@ -36,6 +36,12 @@ case class MoasAlert(rib: String, prefix_str: String, ts_ms: Long,
 case class RpkiAlert(event_id: Long, rib: String, prefix_str: String,
     ts_ms: Long, origin: Long, validity: String)
 
+/** One bogon alert emitted by [[Feed.bogonAlertStream]]: active
+  * announcement `event_id` for `rib`/`prefix_str` whose NLRI base
+  * address falls in special-purpose range `bogon_class`. */
+case class BogonAlert(event_id: Long, rib: String, prefix_str: String,
+    ts_ms: Long, bogon_class: String)
+
 /** One flap-damping transition emitted by [[Feed.flapDampStream]]: ring
   * `ring_id` crossed the suppress threshold (`kind = "suppress"`) or
   * decayed back under the reuse threshold (`kind = "reuse"`) at `ts_ms`,
@@ -480,6 +486,35 @@ object Feed {
       .where(col("origin").isNotNull &&
         col("validity").startsWith("invalid"))
       .as[RpkiAlert]
+  }
+
+  /** ST17 — live bogon/martian gate: every ACTIVE announcement whose
+    * NLRI base address falls in an IANA special-purpose range emits an
+    * alert as it arrives (the hygiene tripwire a looking glass runs on
+    * its transit feeds — RFC 1918 / documentation / reserved space on a
+    * session is a config leak the operator wants paged on, not
+    * discovered in tomorrow's [[graft.operators.RibViews.bogonAudit]]
+    * report). STATELESS by construction, same discipline as
+    * [[rpkiAlertStream]]: the 21-row range set rides the plan as a
+    * literal array ([[graft.operators.RibViews.bogonClassFor]]), the
+    * containment check is one array HOF in the scan — no GroupState, no
+    * watermark; `clean` announcements never emit. Custom/team bogon
+    * feeds beyond literal-array size stay on the batch broadcast-join
+    * audit. */
+  def bogonAlertStream(eventStream: DataFrame): Dataset[BogonAlert] = {
+    import eventStream.sparkSession.implicits._
+    val ver = col("prefix.version").cast("int")
+    val addr = when(ver === 4, col("prefix.ip_lo"))
+      .otherwise(col("prefix.ip_hi"))
+    eventStream
+      .where(col("active") && col("prefix").isNotNull &&
+        col("prefix_str").isNotNull)
+      .select(col("event_id"), col("rib"), col("prefix_str"),
+        unix_millis(col("ts")).as("ts_ms"),
+        graft.operators.RibViews.bogonClassFor(ver, addr)
+          .as("bogon_class"))
+      .where(col("bogon_class") =!= "clean")
+      .as[BogonAlert]
   }
 
   /** ST14 (round 12): streaming route-flap damping — the RFC 2439 shape

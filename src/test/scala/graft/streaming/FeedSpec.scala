@@ -769,6 +769,48 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("ST17 streamed bogon alerts equal an independent batch join replay") {
+    val stage = tmp()
+    val ckpt = tmp() + "/ckpt"
+    val events = graft.queries.Tables(spark, srcSf, "events")
+    events.repartition(3).write.mode("overwrite").parquet(stage)
+    val routeStream = graft.sources.RouteEventGen.fromEvents(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage))
+    val q = Feed.bogonAlertStream(routeStream)
+      .writeStream.format("memory").queryName("bogon_alerts")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT event_id, rib, bogon_class FROM bogon_alerts")
+      .collect().map(_.toString).sorted.toSeq
+    // independent batch mechanism: the broadcast-dimension range join
+    // (the bogonAudit shape, at event granularity) — not the array-HOF
+    // expression the stream compiles; inner join = non-clean only
+    val ev = graft.sources.RouteEventGen.fromEvents(events)
+      .where(col("active") && col("prefix").isNotNull &&
+        col("prefix_str").isNotNull)
+      .select(col("event_id"), col("rib"),
+        col("prefix.version").cast("int").as("ver"),
+        when(col("prefix.version") === 4, col("prefix.ip_lo"))
+          .otherwise(col("prefix.ip_hi")).as("addr"))
+    val batch = ev.join(
+      broadcast(RibViews.bogonDim(spark)),
+      col("bogon_version") === col("ver") &&
+        col("addr").between(col("bogon_lo"), col("bogon_hi")), "inner")
+      .select(col("event_id"), col("rib"), col("bogon_class"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    // both address families' range paths must actually fire
+    assert(streamed.exists(_.contains("v4-rfc1918-10")))
+    assert(streamed.exists(_.contains("v4-multicast")))
+    assert(streamed.exists(_.contains("v6-teredo")))
+    assert(streamed.exists(_.contains("v6-multicast")))
+    assert(streamed == batch)
+  }
+
   test("ST14 flap damping equals the batch fold model") {
     val stage = tmp()
     val ckpt = tmp() + "/ckpt"
