@@ -140,6 +140,49 @@ object Dedup {
       .drop("keep_id")
   }
 
+  /** Cross-source duplicate overlap matrix — the dataset-provenance
+    * report ("how much of source A is literally in source B"), the first
+    * question a training-mix audit asks before weighting sources: per
+    * unordered source pair, the number of distinct normalized
+    * fingerprints present in BOTH, with each side's unique-fingerprint
+    * total and the overlap as a permille of the smaller side
+    * (containment of the smaller corpus, so a full subset reads 1000).
+    *
+    * Shape: one distinct on (fp, source), then a groupBy(fp) whose
+    * collect_set is bounded by |sources| (a handful even at 100 TB — the
+    * mix table, not the corpus), pair expansion as an array HOF over the
+    * SORTED source set (a < b by construction, ≤ |sources|²/2 structs
+    * per fp), one map-side-combined pair count, and two broadcast joins
+    * against the |sources|-row unique table. No all-pairs doc join
+    * anywhere. Returns (source_a, source_b, n_shared, n_unique_a,
+    * n_unique_b, overlap_x1000). */
+  def crossSourceOverlap(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val ps = df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"),
+      col(srcCol).as("source")).distinct()
+    val uniq = ps.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_unique"))
+    val srcs = ps.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+    val pairs = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs")) - i - 1),
+        y => struct(x.as("source_a"), y.as("source_b")))))
+    srcs.select(explode(pairs).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .join(broadcast(uniq.select(col("source").as("source_a"),
+        col("n_unique").as("n_unique_a"))), "source_a")
+      .join(broadcast(uniq.select(col("source").as("source_b"),
+        col("n_unique").as("n_unique_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_unique_a"), col("n_unique_b"),
+        floor(col("n_shared").cast("double") * 1000.0 /
+          least(col("n_unique_a"), col("n_unique_b")).cast("double"))
+          .cast("long").as("overlap_x1000"))
+  }
+
   /** MinHash signature: numHashes universal-hash minima over the shingle
     * set, all computed inside one projection. */
   def minhashSignature(sh: Column, numHashes: Int): Column = {

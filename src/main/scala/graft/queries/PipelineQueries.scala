@@ -202,6 +202,19 @@ object PipelineQueries {
           countDistinct(fp).cast("long").as("n_unique"))
         .orderBy(col("source"))
     }),
+    // cross-source overlap matrix: dataset-provenance audit. Planted in
+    // the QUERY (every 11th doc becomes one of 4 shared boilerplate
+    // templates — the fixture's natural texts never cross sources); the
+    // crossSourceOverlap operator under test is general
+    "q_dedup_cross_source" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("source"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("shared boilerplate notice variant "),
+            (col("doc_id") % 4).cast("string")))
+          .otherwise(col("text")).as("text"))
+      Dedup.crossSourceOverlap(planted, "text", "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
@@ -2535,6 +2548,35 @@ object PipelineQueries {
       s"""SELECT source, COUNT(*) AS n_docs,
          |  COUNT(DISTINCT lower($docNorm)) AS n_unique
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_cross_source" ->
+      s"""WITH pd AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id%11=0
+         |      THEN 'shared boilerplate notice variant '
+         |        ||CAST(doc_id%4 AS VARCHAR)
+         |      ELSE text END AS text
+         |  FROM documents
+         |), ps AS (
+         |  SELECT DISTINCT
+         |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+         |    source
+         |  FROM pd
+         |), u AS (
+         |  SELECT source, COUNT(*) AS n FROM ps GROUP BY 1
+         |), pr AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS n_shared
+         |  FROM ps a JOIN ps b ON a.fp = b.fp AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(ua.n AS BIGINT) AS n_unique_a,
+         |  CAST(ub.n AS BIGINT) AS n_unique_b,
+         |  CAST(FLOOR(n_shared * 1000.0 / least(ua.n, ub.n)) AS BIGINT)
+         |    AS overlap_x1000
+         |FROM pr JOIN u ua ON ua.source = source_a
+         |  JOIN u ub ON ub.source = source_b
+         |ORDER BY 1, 2""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH d AS (
          |  SELECT doc_id, string_split($docNorm, ' ') AS words FROM documents

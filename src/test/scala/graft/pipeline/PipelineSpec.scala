@@ -1211,6 +1211,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(250L, 1000L, 500L, 1000L))
   }
 
+  test("crossSourceOverlap: pair counts, subset permille, normalized fps") {
+    val d = Seq(
+      ("A", "alpha text"), ("A", "beta  text"), ("A", "gamma text"),
+      ("B", "Alpha text"),                     // case-folds onto A's alpha
+      ("B", "beta text"),                      // whitespace-folds onto A's beta
+      ("C", "gamma text"), ("C", "delta text"),
+      ("C", "gamma text")                      // intra-source dup: one fp
+    ).toDF("source", "text")
+    val got = Dedup.crossSourceOverlap(d, "text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((2L, 3L, 2L, 1000L)),   // B is a full subset of A
+      ("A", "C") -> ((1L, 3L, 2L, 500L))))   // B∩C empty: no row
+  }
+
   test("compressibility signals: char-4-gram distinct permille") {
     val d = Seq(
       "aaaaaaaa",     // 5 grams, all "aaaa" → 1 distinct → 200
