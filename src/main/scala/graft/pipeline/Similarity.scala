@@ -397,6 +397,34 @@ object Similarity {
     * population and the scored candidate fraction both stay √n-bounded as
     * the corpus grows instead of a fixed 16-cell layout going quadratic
     * per cell). */
+  /** Recall@k of an approximate top-k against the exact ground truth —
+    * THE acceptance metric for every ANN deployment (faiss/ScaNN report
+    * it; a pruned index without a recall number is unshippable). Both
+    * inputs are (probe_id, id, rank) top-k frames (any of this module's
+    * *TopK outputs); rows ranked > k are ignored so a wider truth frame
+    * can be reused across k values. Per probe: hits = |truth∩approx|,
+    * `k` = the truth rows actually present (< k when the corpus is
+    * smaller than k), recall permille by the oracle-safe
+    * floor(h·1000.0/k) pattern.
+    *
+    * Shape: both sides are k·|probes| rows — the eval is dimension-table
+    * sized at any corpus scale; one equi-join + one map-side-combined
+    * rollup. The COST lives in the topK inputs, which carry their own
+    * scale postures. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val t = truth.where(col("rank") <= k)
+      .select(col("probe_id"), col("id"))
+    val a = approx.where(col("rank") <= k)
+      .select(col("probe_id"), col("id"), lit(1L).as("__hit"))
+    t.join(a, Seq("probe_id", "id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hit"),
+        count(lit(1)).cast("long").as("k"))
+      .select(col("probe_id"), col("n_hit"), col("k"),
+        floor(col("n_hit").cast("double") * 1000.0 /
+          col("k").cast("double")).cast("long").as("recall_x1000"))
+  }
+
   def ivfTopKAuto(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int = 2, maxTrain: Long = 0L): DataFrame = {
     val nlist = ivfParamsFor(corpus.count())

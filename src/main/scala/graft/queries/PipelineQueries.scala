@@ -396,6 +396,18 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // recall@10 of the IVF path against the brute-force ground truth —
+    // the ANN acceptance metric as a first-class oracle row (the spec pin
+    // promoted to the board); the oracle replays BOTH paths and the
+    // intersection count independently
+    "q_sim_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      val bf = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", 10)
+      val ivf = Similarity.ivfTopK(e, probes, "vec_id", "embedding", 10)
+      Similarity.recallAtK(bf, ivf, 10).orderBy(col("probe_id"))
+    }),
+
     // int8 embedding quantization (round 11, beyond-the-reference): the
     // 4x storage/bandwidth lever. Codes are integer-exact after one
     // double divide/round chain replicated verbatim in the oracle;
@@ -2055,6 +2067,61 @@ object PipelineQueries {
        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** Recall@10 replica (q_sim_recall): both retrieval paths re-derived in
+    * one statement — the IVF chain (assignment CTEs + probe cells +
+    * candidate re-rank) and the brute-force chain over the same `v`/
+    * `norms`, then the per-probe intersection count and the permille. */
+  private def recallOracleSql(cents: Array[Array[Double]],
+      nprobe: Int = 4): String = {
+    centroidAssignCte(cents) +
+    s""", pcells AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM sc WHERE vec_id IN (0, 17, 42)) t WHERE rn <= $nprobe
+       |), cand AS (
+       |  SELECT DISTINCT p.probe_id, a.vec_id AS id
+       |  FROM pcells p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.probe_id
+       |), norms AS (
+       |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
+       |), iscored AS (
+       |  SELECT cand.probe_id, cand.id,
+       |    SUM(pv.x * cx.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+       |  FROM cand
+       |  JOIN v pv ON pv.vec_id = cand.probe_id
+       |  JOIN v cx ON cx.vec_id = cand.id AND cx.i = pv.i
+       |  JOIN norms np ON np.vec_id = cand.probe_id
+       |  JOIN norms nc ON nc.vec_id = cand.id
+       |  GROUP BY 1, 2
+       |), itop AS (
+       |  SELECT probe_id, id FROM (
+       |    SELECT probe_id, id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+       |    FROM iscored) t WHERE rnk <= 10
+       |), bscored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+       |    SUM(p.x * c.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+       |  FROM (SELECT * FROM v WHERE vec_id IN (0, 17, 42)) p
+       |  JOIN v c ON p.i = c.i AND c.vec_id <> p.vec_id
+       |  JOIN norms np ON np.vec_id = p.vec_id
+       |  JOIN norms nc ON nc.vec_id = c.vec_id
+       |  GROUP BY 1, 2
+       |), btop AS (
+       |  SELECT probe_id, id FROM (
+       |    SELECT probe_id, id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+       |    FROM bscored) t WHERE rnk <= 10
+       |)
+       |SELECT b.probe_id,
+       |  CAST(COUNT(i.id) AS BIGINT) AS n_hit,
+       |  COUNT(*) AS k,
+       |  CAST(FLOOR(COUNT(i.id) * 1000.0 / COUNT(*)) AS BIGINT)
+       |    AS recall_x1000
+       |FROM btop b LEFT JOIN itop i
+       |  ON i.probe_id = b.probe_id AND i.id = b.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Per-cluster rollup over the assignment (q_embed_clusters): integer
     * aggregates only, so the hash compare is exact. */
   private def clustersOracleSql(cents: Array[Array[Double]]): String =
@@ -2092,6 +2159,7 @@ object PipelineQueries {
           plantedEmb(s, dir).select(col("vec_id"), col("v")), "vec_id", "v")
         Some(Map(
           "q_sim_ivf" -> ivfOracleSql(cents),
+          "q_sim_recall" -> recallOracleSql(cents),
           "q_sim_ivf_auto" -> ivfOracleSql(autoCents,
             nprobe = math.max(4, autoNlist / 4)),
           "q_sim_pq" -> pqOracleSql(books),

@@ -1211,6 +1211,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(250L, 1000L, 500L, 1000L))
   }
 
+  test("recallAtK: intersection permille, short truth, rank>k ignored") {
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),              // only 2 truth rows: k_eff=2
+      (1L, 99L, 4)                              // rank 4 > k: ignored
+    ).toDF("probe_id", "id", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 12L, 2), (1L, 77L, 3), // 2 of 3 hit
+      (2L, 55L, 1), (2L, 56L, 2),               // 0 of 2 hit
+      (1L, 11L, 4)                               // rank 4 > k: NOT a hit
+    ).toDF("probe_id", "id", "rank")
+    val got = Similarity.recallAtK(truth, approx, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 3L, 666L)),
+      2L -> ((0L, 2L, 0L))))
+  }
+
   test("crossSourceOverlap: pair counts, subset permille, normalized fps") {
     val d = Seq(
       ("A", "alpha text"), ("A", "beta  text"), ("A", "gamma text"),
