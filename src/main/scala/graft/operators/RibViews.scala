@@ -686,6 +686,56 @@ object RibViews {
         countDistinct(col("prefix_str")).cast("long").as("n_prefixes"))
   }
 
+  /** CIDR route-table compression by sibling merge to fixpoint — the
+    * operational "how small could this RIB be" analysis (the announce
+    * side of the reference's aggregatable-siblings report,
+    * [[aggregatableSiblings]]: that one FINDS mergeable pairs, this one
+    * performs the merge transitively). Input is a SET of v4 routes
+    * (rib, ip, plen, attr_key) where `attr_key` encodes whatever must
+    * match for two routes to be forwarding-equivalent (origin, nexthop,
+    * policy — caller's choice); each round merges every sibling pair
+    * (both halves of a parent present with equal attr_key) into the
+    * parent, to fixpoint. Pure sibling merge: a more-specific covered by
+    * a supernet is NOT elided (that is a policy decision, not an
+    * identity), so the result announces exactly the same address space.
+    *
+    * Shape: each round is ONE map-side-combined aggregation keyed on
+    * (rib, parent, plen, attr_key) + one anti-join + a distinct — all
+    * partition-parallel; the working set shrinks monotonically and the
+    * round count is bounded by address length (≤ 32), with
+    * localCheckpoint truncating lineage per round (the [[customerCones]]
+    * fixpoint discipline). The per-round driver count is the fixpoint
+    * test, not a data fetch. */
+  def aggregateRoutes(routes: DataFrame, maxIters: Int = 32): DataFrame = {
+    var w = routes.select(col("rib"), col("ip"), col("plen"),
+      col("attr_key")).distinct().localCheckpoint()
+    var merged = true
+    var i = 0
+    while (merged && i < maxIters) {
+      val sib = call_function("shiftleft", lit(1L),
+        lit(32) - col("plen").cast("int"))
+      val t = w.withColumn("__cb",
+        pmod(call_function("shiftright", col("ip"),
+          lit(32) - col("plen").cast("int")), lit(2L)))
+        .withColumn("__parent", col("ip") - col("__cb") * sib)
+      val m = t.where(col("plen") >= 1)
+        .groupBy(col("rib"), col("__parent"), col("plen"), col("attr_key"))
+        .agg(countDistinct(col("__cb")).as("__nc"))
+        .where(col("__nc") === 2).drop("__nc")
+      if (m.isEmpty) merged = false
+      else {
+        val keep = t.join(m,
+          Seq("rib", "__parent", "plen", "attr_key"), "left_anti")
+          .select(col("rib"), col("ip"), col("plen"), col("attr_key"))
+        val up = m.select(col("rib"), col("__parent").as("ip"),
+          (col("plen") - 1).as("plen"), col("attr_key"))
+        w = keep.union(up).distinct().localCheckpoint()
+      }
+      i += 1
+    }
+    w
+  }
+
   /** Bogon class as a PURE COLUMN over a LITERAL range set — the
     * stateless twin of [[bogonAudit]] for streams (the
     * [[rpkiVerdictFor]] discipline): the ranges ride the plan as a

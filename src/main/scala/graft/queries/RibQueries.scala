@@ -244,6 +244,25 @@ object RibQueries {
           col("path_id"), col("origin"))
     }),
 
+    // CIDR compression (round 16): sibling-merge fixpoint over the
+    // current v4 table. The forwarding-equivalence key is planted in the
+    // QUERY (per-o2 parity — natural origins/nexthops vary per event,
+    // which would leave nothing mergeable); the aggregateRoutes fixpoint
+    // under test is general. Cross-parity o2 blocks can never merge, so
+    // the plant also pins the negative case
+    "q_rib_aggregate" -> ((s, dir) => {
+      val cur = RibViews.current(re(s, dir))
+        .where(col("prefix").isNotNull && col("prefix.version") === 4 &&
+          col("prefix.prefix_len").between(1, 32) &&
+          col("rib").isin("ipv4u", "ipv4m", "fs4u"))
+        .select(col("rib"), col("prefix.ip_lo").as("ip"),
+          col("prefix.prefix_len").cast("long").as("plen"),
+          (lit(65000L) + pmod(call_function("shiftright",
+            col("prefix.ip_lo"), lit(16)), lit(2L))).as("attr_key"))
+      RibViews.aggregateRoutes(cur)
+        .orderBy(col("rib"), col("ip"), col("plen"), col("attr_key"))
+    }),
+
     // bogon/martian audit (round 16): current routes classified against
     // the IANA special-purpose ranges — the fixture's 10.x unicast space
     // lands rfc1918, 224.x multicast, 2001:0:… Teredo, ff05:… v6
@@ -714,6 +733,37 @@ object RibQueries {
   private val keyExpr =
     "rib, keyip, keyx2, plen, rdh, rdl, label, session_id, path_id"
 
+  /** Unrolled sibling-merge rounds for the q_rib_aggregate oracle: a
+    * recursive CTE cannot express row REMOVAL, so the replay chains
+    * `rounds` fixed iterations — a round past the fixpoint is an exact
+    * no-op (no pairs → w carries through unchanged), so any chain length
+    * ≥ the actual round count reproduces the fixpoint bit-for-bit. The
+    * fixture cascades at most /24→/16 (8 rounds); 12 leaves margin.
+    * Every round CTE is MATERIALIZED: each w references its predecessor
+    * three times, so default inlining would expand the base scan ~3¹²
+    * times (observed as an fd-exhaustion error, not just slowness). */
+  private def aggregateOracleChain(rounds: Int): String = {
+    def parent = "ip - ((ip >> (32 - plen)) % 2) * (CAST(1 AS BIGINT) << (32 - plen))"
+    (0 until rounds).map { k =>
+      s""", m$k AS MATERIALIZED (
+         |  SELECT rib, plen, attr_key, $parent AS parent
+         |  FROM w$k WHERE plen >= 1
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING COUNT(DISTINCT (ip >> (32 - plen)) % 2) = 2
+         |), w${k + 1} AS MATERIALIZED (
+         |  SELECT DISTINCT rib, ip, plen, attr_key FROM (
+         |    SELECT t.rib, t.ip, t.plen, t.attr_key
+         |    FROM (SELECT *, $parent AS parent FROM w$k) t
+         |    LEFT JOIN m$k m ON m.rib = t.rib AND m.plen = t.plen
+         |      AND m.attr_key = t.attr_key AND m.parent = t.parent
+         |    WHERE m.parent IS NULL
+         |    UNION ALL
+         |    SELECT rib, parent AS ip, plen - 1 AS plen, attr_key FROM m$k
+         |  ) u
+         |)""".stripMargin
+    }.mkString("\n")
+  }
+
   /** [[RibViews.standardBogonRanges]] as SQL VALUES rows — shared DATA
     * between engine and oracle (the classifier-weights precedent); the
     * containment/rollup logic on each side is written independently. */
@@ -1047,6 +1097,23 @@ object RibQueries {
          |  ON r.roa_plen <= c.plen
          |  AND (c.ip >> (32 - r.roa_plen)) = (r.roa_ip >> (32 - r.roa_plen))
          |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin),
+    // CIDR-compression replay: current window → planted equivalence key →
+    // the unrolled sibling-merge chain (aggregateOracleChain)
+    "q_rib_aggregate" -> (cte +
+      s""", acur AS (
+         |  SELECT rib, ip, plen, 65000 + ((ip >> 16) % 2) AS attr_key
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY $keyExpr
+         |      ORDER BY ts DESC, eid DESC) AS rn
+         |    FROM re) t
+         |  WHERE rn=1 AND active AND rib IN ('ipv4u','ipv4m','fs4u')
+         |    AND ip IS NOT NULL AND plen BETWEEN 1 AND 32
+         |), w0 AS MATERIALIZED (
+         |  SELECT DISTINCT rib, ip, plen, attr_key FROM acur)
+         |${aggregateOracleChain(12)}
+         |SELECT rib, CAST(ip AS BIGINT) AS ip, CAST(plen AS BIGINT) AS plen,
+         |  CAST(attr_key AS BIGINT) AS attr_key
+         |FROM w12 ORDER BY 1, 2, 3, 4""".stripMargin),
     // bogon replay: current-state window, base address = v4 ip else v6
     // hi64, signed-BETWEEN against the same literal range rows (shared
     // DATA, independently-written logic); disjoint ranges → left join

@@ -299,6 +299,30 @@ class RibViewsSpec extends AnyFunSuite {
       ("ipv6u", "clean") -> ((1L, 1L))))
   }
 
+  test("aggregateRoutes: sibling cascade, key isolation, no covered-elide") {
+    val s = spark
+    import s.implicits._
+    val b = 167772160L // 10.0.0.0
+    val routes = Seq(
+      // four /26s, same key → cascade to one /24 (two rounds)
+      ("ipv4u", b, 26L, 1L), ("ipv4u", b + 64L, 26L, 1L),
+      ("ipv4u", b + 128L, 26L, 1L), ("ipv4u", b + 192L, 26L, 1L),
+      // sibling /25s with DIFFERENT keys: must not merge
+      ("ipv4u", b + 256L, 25L, 2L), ("ipv4u", b + 384L, 25L, 1L),
+      // plain one-round pair
+      ("ipv4u", b + 512L, 24L, 1L), ("ipv4u", b + 768L, 24L, 1L),
+      // more-specific covered by the /24 the cascade produces: survives
+      ("ipv4u", b + 32L, 27L, 1L))
+      .toDF("rib", "ip", "plen", "attr_key")
+    val got = RibViews.aggregateRoutes(routes).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (b, 24L, 1L),            // the cascaded /24
+      (b + 32L, 27L, 1L),      // covered more-specific NOT elided
+      (b + 256L, 25L, 2L), (b + 384L, 25L, 1L),
+      (b + 512L, 23L, 1L)))    // the one-round merge
+  }
+
   test("updateBursts: gap splits, exact gap stays, flips in-burst only") {
     val s = spark
     import s.implicits._
