@@ -42,6 +42,17 @@ case class RpkiAlert(event_id: Long, rib: String, prefix_str: String,
 case class BogonAlert(event_id: Long, rib: String, prefix_str: String,
     ts_ms: Long, bogon_class: String)
 
+/** One COMPLETED update burst emitted by [[Feed.burstStream]] for
+  * (rib, prefix_str): burst index `burst` within the key, first event
+  * at `start_ms`, `n_events` updates, `n_flips` in-burst
+  * announce/withdraw oscillations, `duration_ms` = last − first. */
+case class BurstReport(rib: String, prefix_str: String, burst: Long,
+    start_ms: Long, n_events: Long, n_flips: Long, duration_ms: Long)
+
+/** Per-(rib, prefix) open-burst state held by [[Feed.burstStream]]. */
+case class BurstState(burstIdx: Long, startMs: Long, lastMs: Long,
+    nEvents: Long, nFlips: Long, lastActive: Boolean)
+
 /** One flap-damping transition emitted by [[Feed.flapDampStream]]: ring
   * `ring_id` crossed the suppress threshold (`kind = "suppress"`) or
   * decayed back under the reuse threshold (`kind = "reuse"`) at `ts_ms`,
@@ -486,6 +497,50 @@ object Feed {
       .where(col("origin").isNotNull &&
         col("validity").startsWith("invalid"))
       .as[RpkiAlert]
+  }
+
+  /** ST18 — live convergence watcher, the streaming twin of
+    * [[graft.operators.RibViews.updateBursts]] (the flapDamp
+    * batch/stream twin discipline): per (rib, prefix), GroupState holds
+    * the ONE open burst (constant per key — index, start, last, counts,
+    * last flag); an arriving event either extends it (gap ≤ `gapMs`,
+    * counting in-burst flips exactly like the batch window) or CLOSES it
+    * — the completed burst emits and a fresh one opens. By construction
+    * a key's final burst is still open when the stream stops, so the
+    * emitted set is the batch report minus each key's last burst
+    * (flushing it early would need an event-time timeout and would
+    * publish a burst that might still grow — a convergence report for an
+    * unconverged burst is the one wrong answer this operator must never
+    * give). */
+  def burstStream(eventStream: DataFrame,
+      gapMs: Long = 86400000L): Dataset[BurstReport] = {
+    import eventStream.sparkSession.implicits._
+    eventStream
+      .where(col("prefix_str").isNotNull)
+      .select(col("rib"), col("prefix_str"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        col("active").cast("int").as("act"))
+      .as[(String, String, Long, Long, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BurstState, BurstReport](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var st = state.getOption.orNull
+        val out = Vector.newBuilder[BurstReport]
+        rows.toVector.sortBy(r => (r._3, r._4)).foreach { r =>
+          val act = r._5 == 1
+          if (st == null) st = BurstState(1L, r._3, r._3, 1L, 0L, act)
+          else if (r._3 - st.lastMs > gapMs) {
+            out += BurstReport(key._1, key._2, st.burstIdx, st.startMs,
+              st.nEvents, st.nFlips, st.lastMs - st.startMs)
+            st = BurstState(st.burstIdx + 1, r._3, r._3, 1L, 0L, act)
+          } else st = BurstState(st.burstIdx, st.startMs, r._3,
+            st.nEvents + 1L,
+            st.nFlips + (if (act != st.lastActive) 1L else 0L), act)
+        }
+        state.update(st)
+        out.result().iterator
+      }
   }
 
   /** ST17 — live bogon/martian gate: every ACTIVE announcement whose

@@ -811,6 +811,48 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("ST18 streamed completed bursts equal the batch report minus open bursts") {
+    val stage = tmp()
+    val ckpt = tmp() + "/ckpt"
+    val events = graft.queries.Tables(spark, srcSf, "events")
+    import org.apache.spark.sql.expressions.Window
+    // ST12 staging discipline: sequential event-time chunks so per-key
+    // arrival order is (ts, event_id) across micro-batches
+    val chunked = events.withColumn("__c",
+      ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { c =>
+      chunked.where(col("__c") === c).drop("__c").coalesce(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("append").parquet(stage)
+      Thread.sleep(1100)
+    }
+    // 5-day gap: sf0.001 per-key cadence is ~days, so bursts span chunks
+    val gap = 5L * 86400000L
+    val routeStream = graft.sources.RouteEventGen.fromEvents(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage))
+    val q = Feed.burstStream(routeStream, gapMs = gap)
+      .writeStream.format("memory").queryName("burst_reports")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      """SELECT rib, prefix_str, burst, start_ms, n_events, n_flips,
+        |  duration_ms FROM burst_reports""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    // batch twin minus each key's LAST burst (still open in the stream)
+    val batch = RibViews.updateBursts(
+      graft.sources.RouteEventGen.fromEvents(events), gapMs = gap)
+    val keyW = Window.partitionBy(col("rib"), col("prefix_str"))
+    val closed = batch.withColumn("__mx", max(col("burst")).over(keyW))
+      .where(col("burst") < col("__mx")).drop("__mx")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    // multi-event bursts with in-burst flips must actually occur
+    assert(streamed.exists(s => s.split(",")(5) != "0"))
+    assert(streamed == closed)
+  }
+
   test("ST14 flap damping equals the batch fold model") {
     val stage = tmp()
     val ckpt = tmp() + "/ckpt"
