@@ -663,14 +663,16 @@ object RibViews {
     * src/bgprib.rs:628-653). Routes outside every range report
     * `clean`.
     *
-    * Shape: same as [[rpkiValidate]] — the range table is a tiny
-    * dimension (21 rows; a full-team bogon feed is ~thousands), so the
-    * containment predicate plans as a BroadcastNestedLoopJoin with the
-    * corpus side never shuffling; the ranges are pairwise disjoint per
-    * family so the left join emits exactly one row per route (no
-    * most-specific re-aggregation), and the rollup is ONE
-    * map-side-combined aggregation. Returns (rib, bogon_class,
-    * n_routes, n_prefixes). */
+    * Shape: the range table is a tiny dimension (21 rows; a full-team
+    * bogon feed is ~thousands) — Catalyst keys a broadcast hash join on
+    * the version-equality conjunct with the range containment as the
+    * join residual (strictly better than the rpkiValidate BNLJ: each
+    * route probes only its family's ranges), and the corpus side never
+    * shuffles for the join; the ranges are pairwise disjoint per family
+    * so the left join emits exactly one row per route (no most-specific
+    * re-aggregation), and the rollup is ONE map-side-combined
+    * aggregation. Plan-pinned in PlanEvidenceSpec. Returns
+    * (rib, bogon_class, n_routes, n_prefixes). */
   def bogonAudit(df: DataFrame, bogons: DataFrame): DataFrame = {
     val cur = current(df).where(col("prefix").isNotNull)
       .select(col("rib"), col("prefix_str"),

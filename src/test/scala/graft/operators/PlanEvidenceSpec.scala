@@ -44,6 +44,32 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(plan.contains("In(prefix.ip_lo"), plan.take(2000))
   }
 
+  test("bogon audit: dim broadcasts, range as join residual; no SMJ") {
+    val plan = RibViews.bogonAudit(re, RibViews.bogonDim(spark))
+      .queryExecution.executedPlan.toString
+    // Catalyst keys the broadcast join on the version-equality conjunct
+    // and keeps the range containment as the join residual — strictly
+    // better than the naive BNLJ (each route probes only its family's
+    // ranges); either way the route stream must never shuffle for it
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BuildRight"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("update bursts: one data exchange serves windows AND the burst rollup") {
+    val plan = RibViews.updateBursts(re)
+      .queryExecution.executedPlan.toString
+    // the lag flags, the running sum and the per-burst aggregation all
+    // cluster on (rib, prefix_str): exactly ONE hash exchange on that key
+    // (the grouping superset reuses the window partitioning)
+    val exchanges = "hashpartitioning\\(rib".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 (rib,...) exchange, got $exchanges\n" +
+      plan.take(3000))
+  }
+
   test("json page entries reach the log via a broadcast semi-join on route_id") {
     // the page keys (≤ limit longs) must broadcast into the log scan — a
     // shuffled join here would move the whole log at 100 TB (SCALE.md P6)
