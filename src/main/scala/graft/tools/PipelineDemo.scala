@@ -74,6 +74,23 @@ object PipelineDemo {
     val reps = Dedup.keepBestFromClusters(scored, "doc_id", "len", clusters)
     val nReps = reps.count()
 
+    // 2c. provenance audit (round 16): cross-source duplicate overlap —
+    // the report a mix designer reads BEFORE setting per-source budgets
+    // (a source that is mostly another source's content shouldn't get
+    // independent weight)
+    val xsrc = Dedup.crossSourceOverlap(spanCleaned, "text", "source")
+      .agg(count(lit(1)), coalesce(max(col("overlap_x1000")), lit(0L)))
+      .collect()(0)
+    val (nXPairs, xMax) = (xsrc.getLong(0), xsrc.getLong(1))
+
+    // 2d. compressibility screen (round 16): char-4-gram distinct
+    // permille; the sub-300 count is the "would be dropped as
+    // machine-repetitive" report next to the word-level gates below
+    val nRepetitive = spanCleaned.select(
+      TextAnalysis.compressibilitySignals(col("text"))
+        .toMap.apply("distinct_x1000").as("cx"))
+      .where(col("cx") < 300).count()
+
     // 3. curation chain (dedup, quality, classifier, repetition, PII, sample)
     val w = (0 until 64).map(b => (b * 37 + 11) % 7)
     val curated = Curate.curate(spanCleaned, "doc_id", "text",
@@ -143,6 +160,8 @@ object PipelineDemo {
 
     println(s"""{"stage_counts":{"raw":$n0,"line_deduped":$n1,""" +
       s""""span_cleaned":$nSpan,"curated":$n2,"ccnet_kept":$n3,"mixed":$n4},""" +
+      s""""xsource_pairs":$nXPairs,"xsource_max_permille":$xMax,""" +
+      s""""repetitive_docs":$nRepetitive,""" +
       s""""packed_sequences":$nSeq,"nosplit_bins":$nBins,"overflow_bins":$nOver,""" +
       s""""perceptron_epoch_errors":$pErrs,""" +
       s""""cluster_size_hist":$sizeHist,"keepbest_rows":$nReps,""" +
