@@ -323,6 +323,41 @@ class RibViewsSpec extends AnyFunSuite {
       (b + 512L, 23L, 1L)))    // the one-round merge
   }
 
+  test("aggregateRoutes invariants on random route sets: space preserved, fixpoint complete") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val base = 167772160L // 10.0.0.0; universe 10.0.0.0/16
+    val routeGen = for {
+      plen <- Gen.choose(24, 32)
+      block <- Gen.choose(0, (1 << (plen - 16)) - 1)
+      key <- Gen.choose(1L, 2L)
+    } yield (base + block.toLong * (1L << (32 - plen)), plen.toLong, key)
+    (0 until 5).foreach { trial =>
+      val routes = sample(Gen.listOfN(60, routeGen), 1000L + trial)
+      val in = routes.map { case (ip, pl, k) => ("ipv4u", ip, pl, k) }
+        .toDF("rib", "ip", "plen", "attr_key")
+      val out = RibViews.aggregateRoutes(in).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      // 1. covered address space per key is EXACTLY preserved
+      def space(rs: Seq[(Long, Long, Long)], key: Long): Set[Long] =
+        rs.filter(_._3 == key).flatMap { case (ip, pl, _) =>
+          (0L until (1L << (32 - pl))).map(ip + _) }.toSet
+      Seq(1L, 2L).foreach { k =>
+        assert(space(routes, k) == space(out.toSeq, k), s"trial $trial key $k")
+      }
+      // 2. fixpoint completeness: no mergeable sibling pair remains
+      val left = out.groupBy { case (ip, pl, k) =>
+        (pl, k, ip - ((ip >> (32 - pl)) % 2) * (1L << (32 - pl))) }
+        .filter { case (_, v) =>
+          v.map { case (ip, pl, _) => (ip >> (32 - pl)) % 2 }.toSet.size == 2 }
+      assert(left.isEmpty, s"trial $trial unmerged siblings: $left")
+    }
+  }
+
   test("updateBursts: gap splits, exact gap stays, flips in-burst only") {
     val s = spark
     import s.implicits._
@@ -344,6 +379,51 @@ class RibViewsSpec extends AnyFunSuite {
       ("10.0.0.0/24", 1L) -> ((base, 3L, 1L, 1500L)),
       ("10.0.0.0/24", 2L) -> ((base + 4000L, 1L, 0L, 0L)),
       ("10.0.1.0/24", 1L) -> ((base, 1L, 0L, 0L))))
+  }
+
+  test("updateBursts equals the fold model on random event sequences") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val gap = 100L
+    // random per-prefix event sequences: jittered inter-arrivals around
+    // the gap (exact-gap ties included), random flags
+    val seqGen = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 200L), Gen.oneOf(true, false)))
+    val rows = (0 until 8).flatMap { p =>
+      val evs = sample(seqGen, 500L + p)
+      evs.scanLeft((0L, true)) { case ((t, _), (d, a)) => (t + d, a) }.tail
+        .zipWithIndex.map { case ((t, a), i) =>
+          ("ipv4u", s"10.0.$p.0/24", new java.sql.Timestamp(base + t),
+            (p * 100 + i).toLong, a) }
+    }
+    // independent fold model
+    case class B(idx: Long, start: Long, last: Long, n: Long, flips: Long,
+        lastA: Boolean)
+    val model = rows.groupBy(_._2).flatMap { case (pfx, evs) =>
+      val sorted = evs.sortBy(e => (e._3.getTime, e._4))
+      val closed = scala.collection.mutable.Buffer.empty[(String, Long, Long, Long, Long, Long)]
+      var cur: B = null
+      sorted.foreach { e =>
+        val t = e._3.getTime
+        if (cur == null) cur = B(1, t, t, 1, 0, e._5)
+        else if (t - cur.last > gap) {
+          closed += ((pfx, cur.idx, cur.start, cur.n, cur.flips, cur.last - cur.start))
+          cur = B(cur.idx + 1, t, t, 1, 0, e._5)
+        } else cur = B(cur.idx, cur.start, t, cur.n + 1,
+          cur.flips + (if (e._5 != cur.lastA) 1 else 0), e._5)
+      }
+      closed += ((pfx, cur.idx, cur.start, cur.n, cur.flips, cur.last - cur.start))
+      closed
+    }.toSet
+    val got = RibViews.updateBursts(
+      rows.toDF("rib", "prefix_str", "ts", "event_id", "active"), gapMs = gap)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
+    assert(got == model)
   }
 
   test("aggregatableSiblings: both halves, same origin+nexthop, current only") {
