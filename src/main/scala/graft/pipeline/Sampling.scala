@@ -400,6 +400,47 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Exact per-key quantile VALUES over an integer-grid column — the
+    * report form of the [[keepTopByScore]] machinery ("what sequence
+    * length covers p99 of documents per source" is THE packing/seq-len
+    * planning question): for each requested permille q, the smallest
+    * value whose cumulative count reaches rank ⌈n·q∕1000⌉ (the
+    * classical lower exact quantile — discrete, no interpolation).
+    *
+    * Same exact-percentile posture as keepTopByScore: the corpus folds
+    * to a per-key value histogram (map-side-combined, ≤ |distinct
+    * values| rows per key — bounded by the caller's integer grid), the
+    * running sum walks the HISTOGRAM under a per-key window, each
+    * quantile picks the unique bucket straddling its rank
+    * (prev-cum < rank ≤ cum), all in exact integer arithmetic the
+    * DuckDB oracle replays verbatim. No global sort, no per-group value
+    * collection, no approx sketch. NULL values are excluded from both n
+    * and the output. Returns (key, q_x1000, value, rank, n). */
+  def exactQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      qX1000: Seq[Int]): DataFrame = {
+    require(qX1000.nonEmpty && qX1000.forall(q => q > 0 && q <= 1000),
+      s"quantiles must be in (0, 1000]: $qX1000")
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(keyCol))))
+    cum.select(col(keyCol), col("__v"), col("__c"), col("__cum"),
+      col("__n"),
+      explode(array(qX1000.map(q => lit(q.toLong)): _*)).as("q_x1000"))
+      // rank = ceil(n·q/1000) by integer arithmetic (div is exact at any
+      // corpus size; Column `/` would round through IEEE double)
+      .withColumn("__rank", call_function("div",
+        col("__n") * col("q_x1000") + lit(999L), lit(1000L)).cast("long"))
+      .where(col("__cum") >= col("__rank") &&
+        col("__cum") - col("__c") < col("__rank"))
+      .select(col(keyCol), col("q_x1000"), col("__v").as("value"),
+        col("__rank").as("rank"), col("__n").as("n"))
+  }
+
   /** [[keepTopByScore]] for CONTINUOUS scores — when no integer grid
     * bounds the histogram, the exact path's |distinct scores| guarantee is
     * gone; this variant reads the threshold from Spark's built-in

@@ -1024,6 +1024,14 @@ object PipelineQueries {
           sum(col("n_common")).cast("long").as("sum_common"))
         .orderBy(col("source"))
     }),
+    // exact per-source token-length quantiles (p50/p90/p99): the seq-len
+    // planning report over the keepTopByScore histogram machinery
+    "q_text_len_quantiles" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Sampling.exactQuantiles(d, "source", "n_tok", Seq(500, 900, 990))
+        .orderBy(col("source"), col("q_x1000"))
+    }),
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -4242,6 +4250,29 @@ object PipelineQueries {
          |  CAST(MIN(ttr) AS BIGINT) AS min_ttr,
          |  CAST(MAX(ttr) AS BIGINT) AS max_ttr
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_len_quantiles" ->
+      s"""WITH tc AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         |      AS v
+         |  FROM documents
+         |), h AS (
+         |  SELECT source, v, COUNT(*) AS c FROM tc GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, v, c,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cm,
+         |    SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM h
+         |)
+         |SELECT source, CAST(q AS BIGINT) AS q_x1000,
+         |  CAST(v AS BIGINT) AS value,
+         |  CAST((n*q + 999) // 1000 AS BIGINT) AS rank,
+         |  CAST(n AS BIGINT) AS n
+         |FROM cum, (SELECT unnest([500, 900, 990]) AS q) qs
+         |WHERE cm >= (n*q + 999) // 1000
+         |  AND cm - c < (n*q + 999) // 1000
+         |ORDER BY 1, 2""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens,

@@ -1211,6 +1211,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(250L, 1000L, 500L, 1000L))
   }
 
+  test("exactQuantiles: ceil ranks, tie buckets, null exclusion, singleton") {
+    val d = Seq(
+      ("A", Some(1L)), ("A", Some(2L)), ("A", Some(2L)), ("A", Some(3L)),
+      ("A", Some(10L)), ("A", None),     // null: excluded from n and output
+      ("B", Some(7L))
+    ).toDF("k", "v")
+    val got = Sampling.exactQuantiles(d, "k", "v", Seq(200, 500, 900))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      ("A", 200L) -> ((1L, 1L, 5L)),   // rank ceil(1.0)=1 → value 1
+      ("A", 500L) -> ((2L, 3L, 5L)),   // rank ceil(2.5)=3 → tie bucket 2
+      ("A", 900L) -> ((10L, 5L, 5L)),  // rank ceil(4.5)=5 → max value
+      ("B", 200L) -> ((7L, 1L, 1L)),
+      ("B", 500L) -> ((7L, 1L, 1L)),
+      ("B", 900L) -> ((7L, 1L, 1L))))
+  }
+
   test("recallAtK: intersection permille, short truth, rank>k ignored") {
     val truth = Seq(
       (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
