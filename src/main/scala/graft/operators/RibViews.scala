@@ -738,6 +738,29 @@ object RibViews {
     w
   }
 
+  /** Martian next-hop audit — the BGP-speaker-side complement of
+    * [[bogonAudit]]: a route whose NEXT-HOP sits in special-purpose
+    * space is unreachable through any real peering (RFC 4271 §5.1.3
+    * expects a resolvable next-hop), the classic symptom of a
+    * misconfigured redistribution. Same broadcast-dimension shape as
+    * bogonAudit over the attribute's address instead of the NLRI.
+    * Returns (rib, bogon_class, n_routes, n_nexthops). */
+  def bogonNexthops(df: DataFrame, bogons: DataFrame): DataFrame = {
+    val nh = col("attrs.nexthop")
+    val cur = current(df).where(nh.isNotNull)
+      .select(col("rib"),
+        nh.getField("version").cast("int").as("__ver"),
+        when(nh.getField("version") === 4, nh.getField("ip_lo"))
+          .otherwise(nh.getField("ip_hi")).as("__addr"))
+    val covers = col("bogon_version") === col("__ver") &&
+      col("__addr").between(col("bogon_lo"), col("bogon_hi"))
+    cur.join(broadcast(bogons), covers, "left")
+      .groupBy(col("rib"),
+        coalesce(col("bogon_class"), lit("clean")).as("bogon_class"))
+      .agg(count(lit(1)).cast("long").as("n_routes"),
+        countDistinct(col("__addr")).cast("long").as("n_nexthops"))
+  }
+
   /** Bogon class as a PURE COLUMN over a LITERAL range set — the
     * stateless twin of [[bogonAudit]] for streams (the
     * [[rpkiVerdictFor]] discipline): the ranges ride the plan as a

@@ -273,6 +273,13 @@ object RibQueries {
       RibViews.bogonAudit(re(s, dir), RibViews.bogonDim(s))
         .orderBy(col("rib"), col("bogon_class"))),
 
+    // martian next-hop audit (round 16): the attribute-side bogon check —
+    // the fixture's nexthops are all 192.168.2-ish, so every rib lands
+    // v4-rfc1918-192 naturally (the misconfigured-redistribution page)
+    "q_rib_bogon_nexthops" -> ((s, dir) =>
+      RibViews.bogonNexthops(re(s, dir), RibViews.bogonDim(s))
+        .orderBy(col("rib"), col("bogon_class"))),
+
     // per-prefix update bursts (round 16): convergence/path-exploration
     // sessionization — 24h gap against the fixture's ~1/day per-prefix
     // event cadence yields a mix of single-event and multi-event bursts
@@ -1136,6 +1143,25 @@ object RibQueries {
          |  COUNT(DISTINCT prefix_str) AS n_prefixes
          |FROM bcur c LEFT JOIN bdim b
          |  ON b.bver = c.ver AND c.addr BETWEEN b.blo AND b.bhi
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // next-hop bogon replay: current window, nexthop numeric from the
+    // generator arithmetic (192.168.nh3.nh4), same literal range rows
+    "q_rib_bogon_nexthops" -> (cte +
+      s""", ndim(bclass, bver, blo, bhi, bplen) AS (
+         |  VALUES $bogonValues
+         |), ncur AS (
+         |  SELECT rib, 3232235520 + nh3*256 + nh4 AS addr
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY $keyExpr
+         |      ORDER BY ts DESC, eid DESC) AS rn
+         |    FROM re) t
+         |  WHERE rn=1 AND active
+         |)
+         |SELECT rib, COALESCE(b.bclass, 'clean') AS bogon_class,
+         |  COUNT(*) AS n_routes,
+         |  COUNT(DISTINCT addr) AS n_nexthops
+         |FROM ncur c LEFT JOIN ndim b
+         |  ON b.bver = 4 AND c.addr BETWEEN b.blo AND b.bhi
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // convergence replay: per (rib, prefix) lag gaps, 24h burst
     // boundaries, running-sum burst ids, per-burst rollup

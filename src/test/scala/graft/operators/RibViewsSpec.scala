@@ -299,6 +299,28 @@ class RibViewsSpec extends AnyFunSuite {
       ("ipv6u", "clean") -> ((1L, 1L))))
   }
 
+  test("bogonNexthops: attribute-side classes, clean and v6 nexthops") {
+    def rt(rib: String, pfx: IpPfx, nh: IpPfx, sess: Int = 0) =
+      RouteEvent(new java.sql.Timestamp(base), rib, sess, 0L, active = true,
+        Some(pfx), Some(Model.pfxStr(pfx)), None, None, None, None, None,
+        None, Model.emptyAttrs.copy(nexthop = Some(nh)), 0L)
+    val rows = Seq(
+      rt("ipv4u", Model.v4("8.8.4.0", 24), Model.v4("192.168.2.7", 32)),
+      rt("ipv4u", Model.v4("8.8.5.0", 24), Model.v4("192.168.2.7", 32),
+        sess = 1),                                     // same martian nh
+      rt("ipv4u", Model.v4("8.8.6.0", 24), Model.v4("203.0.112.1", 32)),
+      rt("ipv6u", Model.v6(0x2600L << 48, 0L, 48),
+        Model.v6(0xfe80L << 48, 1L, 64)))              // v6 link-local nh
+    val got = RibViews.bogonNexthops(df(rows), RibViews.bogonDim(spark))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("ipv4u", "v4-rfc1918-192") -> ((2L, 1L)),  // 2 routes, 1 distinct nh
+      ("ipv4u", "clean") -> ((1L, 1L)),           // 203.0.112.x: NOT test-net-3
+      ("ipv6u", "v6-link-local") -> ((1L, 1L))))
+  }
+
   test("aggregateRoutes: sibling cascade, key isolation, no covered-elide") {
     val s = spark
     import s.implicits._
