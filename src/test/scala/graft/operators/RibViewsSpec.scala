@@ -299,6 +299,40 @@ class RibViewsSpec extends AnyFunSuite {
       ("ipv6u", "clean") -> ((1L, 1L))))
   }
 
+  test("bogonClassFor equals the Scala range model on random addresses") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // random v4 addresses biased into special ranges plus uniform noise,
+    // and random v6 upper-64s around each range's base
+    val v4Gen = Gen.oneOf(
+      Gen.choose(0L, 4294967295L),
+      Gen.oneOf(RibViews.standardBogonRanges.filter(_._2 == 4))
+        .flatMap { case (_, _, lo, hi, _) => Gen.choose(lo, hi) })
+    val v6Gen = Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(RibViews.standardBogonRanges.filter(_._2 == 6))
+        .flatMap { case (_, _, lo, hi, _) => Gen.choose(lo, hi) })
+    val rows = (0 until 60).map { i =>
+      if (i % 2 == 0) (4, sample(v4Gen, 40L + i))
+      else (6, sample(v6Gen, 40L + i))
+    }
+    def model(ver: Int, addr: Long): String =
+      RibViews.standardBogonRanges
+        .find { case (_, v, lo, hi, _) =>
+          v == ver && addr >= lo && addr <= hi }
+        .map(_._1).getOrElse("clean")
+    val got = rows.toDF("ver", "addr")
+      .select(RibViews.bogonClassFor(col("ver"), col("addr")).as("c"))
+      .as[String].collect().toSeq
+    rows.zip(got).foreach { case ((v, a), c) =>
+      assert(c == model(v, a), s"ver $v addr $a")
+    }
+  }
+
   test("bogonNexthops: attribute-side classes, clean and v6 nexthops") {
     def rt(rib: String, pfx: IpPfx, nh: IpPfx, sess: Int = 0) =
       RouteEvent(new java.sql.Timestamp(base), rib, sess, 0L, active = true,

@@ -1211,6 +1211,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(250L, 1000L, 500L, 1000L))
   }
 
+  test("compressibility equals the Scala set model on random strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val texts: Seq[String] = (0 until 40).map { i =>
+      sample(Gen.listOfN(sample(Gen.choose(0, 30), 7L + i),
+        Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString), 900L + i)
+    }
+    val sig = TextAnalysis.compressibilitySignals(col("text"))
+    val got = texts.toDF("text")
+      .select(sig.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long)].collect().toSeq
+    texts.zip(got).foreach { case (t, (n, d, px)) =>
+      val total = math.max(t.length - 3, 0)
+      val distinct =
+        if (total == 0) 0 else t.sliding(4).toSet.size
+      assert(n == total && d == distinct, s"text '$t'")
+      val exp = if (total == 0) 0L
+        else math.floor(distinct * 1000.0 / total).toLong
+      assert(px == exp, s"text '$t'")
+    }
+  }
+
+  test("crossSourceOverlap equals the brute set model on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val rowGen = Gen.zip(Gen.oneOf("s1", "s2", "s3", "s4"),
+      Gen.choose(0, 9).map(i => s"doc text $i"))
+    (0 until 3).foreach { trial =>
+      val rows = sample(Gen.listOfN(50, rowGen), 300L + trial)
+      val bySrc = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLowerCase).toSet).toMap
+      val model = (for {
+        a <- bySrc.keys; b <- bySrc.keys if a < b
+        shared = (bySrc(a) & bySrc(b)).size if shared > 0
+      } yield (a, b) -> ((shared.toLong, bySrc(a).size.toLong,
+        bySrc(b).size.toLong,
+        math.floor(shared * 1000.0 /
+          math.min(bySrc(a).size, bySrc(b).size)).toLong))).toMap
+      val got = Dedup.crossSourceOverlap(
+        rows.toDF("source", "text"), "text", "source").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got == model, s"trial $trial")
+    }
+  }
+
   test("exactQuantiles: ceil ranks, tie buckets, null exclusion, singleton") {
     val d = Seq(
       ("A", Some(1L)), ("A", Some(2L)), ("A", Some(2L)), ("A", Some(3L)),
