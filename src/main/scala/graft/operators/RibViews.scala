@@ -659,9 +659,10 @@ object RibViews {
     * the special-purpose range its NLRI base address falls in — the
     * looking-glass hygiene report (a transit feed announcing RFC 1918,
     * documentation, or reserved space is a config leak; the reference's
-    * users run exactly this scan over its subnet index,
-    * src/bgprib.rs:628-653). Routes outside every range report
-    * `clean`.
+    * users run exactly this scan through its subnet-range filter path,
+    * src/ribfilter.rs:571-633 — `find_least_subnet` +
+    * `get_subnet_range` over the prefix BTree). Routes outside every
+    * range report `clean`.
     *
     * Shape: the range table is a tiny dimension (21 rows; a full-team
     * bogon feed is ~thousands) — Catalyst keys a broadcast hash join on
@@ -758,7 +759,12 @@ object RibViews {
       .groupBy(col("rib"),
         coalesce(col("bogon_class"), lit("clean")).as("bogon_class"))
       .agg(count(lit(1)).cast("long").as("n_routes"),
-        countDistinct(col("__addr")).cast("long").as("n_nexthops"))
+        // distinct over the (version, address) PAIR: __addr is v4 ip_lo
+        // for v4 nexthops but v6 hi64 for v6 ones, so a bare
+        // countDistinct(__addr) would collapse a v4 address numerically
+        // equal to a v6 hi64 within a mixed-family class
+        countDistinct(col("__ver"), col("__addr")).cast("long")
+          .as("n_nexthops"))
   }
 
   /** Bogon class as a PURE COLUMN over a LITERAL range set — the

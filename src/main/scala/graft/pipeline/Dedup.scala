@@ -140,6 +140,49 @@ object Dedup {
       .drop("keep_id")
   }
 
+  /** URL-keyed document dedup — the metadata-level pass a crawl pipeline
+    * (Dolma's url-dedup stage) runs AHEAD of content dedup: two fetches
+    * of the same page are duplicates by provenance alone, so collapsing
+    * them on the normalized URL costs one 2-column shuffle instead of
+    * any text work, and whatever survives feeds [[exact]] /
+    * [[winnowNearDup]] for the content-level passes.
+    *
+    * Normalization, each step a single regex so an external SQL engine
+    * replays it bit-identically: lowercase + trim; strip `#fragment`;
+    * fold `http://` into `https://` (scheme variants of one page);
+    * strip one leading `www.` from the host; strip trailing slashes.
+    * Docs with a NULL/blank URL carry no provenance key and are KEPT
+    * unconditionally (`url_norm` NULL, `keep` true) — content dedup
+    * downstream still sees them.
+    *
+    * Keep-first = smallest id per normalized URL (the [[exact]] keep-min
+    * election; ingest ids are arrival-ordered, so min-id IS first-fetch).
+    * Returns (id, url_norm, keep, dup_of) for every input doc.
+    *
+    * Scale shape: normalization is scan-local codegen'd regex; the only
+    * exchange is the min-window on `url_norm` — hash-partitioned by URL,
+    * no global sort, no join. URL keys are near-unique by construction
+    * so skew needs no salting. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(trim(col(urlCol))), "#.*$", ""),
+          "^http://", "https://"),
+        "^https://www\\.", "https://"),
+      "/+$", "")
+    val nn = when(col(urlCol).isNotNull && trim(col(urlCol)) =!= "", norm)
+    df.select(col(idCol).as("id"), nn.as("url_norm"))
+      .withColumn("keep_id",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("url_norm"))))
+      .select(col("id"), col("url_norm"),
+        (col("url_norm").isNull || col("id") === col("keep_id"))
+          .as("keep"),
+        when(col("url_norm").isNotNull && col("id") =!= col("keep_id"),
+          col("keep_id")).cast("long").as("dup_of"))
+  }
+
   /** Cross-source duplicate overlap matrix — the dataset-provenance
     * report ("how much of source A is literally in source B"), the first
     * question a training-mix audit asks before weighting sources: per
@@ -794,15 +837,27 @@ object Dedup {
     * Scale shape: each epoch step is the [[dedupAgainstIndex]] probe
     * (bucketed candidate join + candidate-pruned verify) plus one
     * intra-epoch [[winnowNearDup]]; the index grows by admitted-survivor
-    * fingerprints only. The per-epoch index/ledger frames are
-    * localCheckpointed — each epoch is a separate batch in production
+    * fingerprints only. The per-epoch index/ledger/admitted-text frames
+    * are ALL localCheckpointed — each epoch is a separate batch in production
     * (the index lives in storage between crawls), and without the cut
     * the epoch-e plan would re-derive every predecessor epoch's verify
     * once per downstream reference. The driver-side loop is over the
     * EPOCH LIST (a handful), never over rows. */
   def epochDedup(df: DataFrame, idCol: String, textCol: String,
       epochCol: String, epochs: Seq[Long], k: Int = 3, w: Int = 8,
-      threshold: Double = 0.6, maxDf: Int = 1000): DataFrame = {
+      threshold: Double = 0.6, maxDf: Int = 1000): DataFrame =
+    epochDedupWithState(df, idCol, textCol, epochCol, epochs, k, w,
+      threshold, maxDf)._1
+
+  /** [[epochDedup]] plus the loop's final internal state — (ledger,
+    * index, baseText) — so specs can pin that BOTH accumulators are
+    * lineage-truncated: after E epochs each must be a single
+    * materialized-RDD scan, not an E-deep union replaying earlier
+    * epochs' derivations. */
+  private[graft] def epochDedupWithState(df: DataFrame, idCol: String,
+      textCol: String, epochCol: String, epochs: Seq[Long], k: Int = 3,
+      w: Int = 8, threshold: Double = 0.6, maxDf: Int = 1000)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(epochs.nonEmpty, "epochs must be non-empty")
     require(epochs.distinct == epochs, s"epochs must be distinct: $epochs")
     var index: Option[DataFrame] = None
@@ -842,13 +897,17 @@ object Dedup {
         case Some(ix) => ix.unionByName(admittedFps).localCheckpoint()
         case None => admittedFps.localCheckpoint()
       })
+      // the admitted-TEXT union is lineage-truncated like the index: a
+      // checkpoint-free chain would re-scan epoch-1 text through an
+      // E-deep union (each leg re-running its ledger semi-join) on
+      // every downstream reference of a later epoch's probe
       baseText = Some(baseText match {
-        case Some(bt) => bt.unionByName(admittedText)
-        case None => admittedText
+        case Some(bt) => bt.unionByName(admittedText).localCheckpoint()
+        case None => admittedText.localCheckpoint()
       })
       ledger
     }
-    ledgers.reduce(_.unionByName(_))
+    (ledgers.reduce(_.unionByName(_)), index.get, baseText.get)
   }
 
   /** 64-bit SimHash over word shingles, one projection: bit j is set when

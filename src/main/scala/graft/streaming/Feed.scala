@@ -511,7 +511,15 @@ object Feed {
     * (flushing it early would need an event-time timeout and would
     * publish a burst that might still grow — a convergence report for an
     * unconverged burst is the one wrong answer this operator must never
-    * give). */
+    * give).
+    *
+    * Arrival order: events sort by (ts, event_id) WITHIN a micro-batch;
+    * across batches the stream assumes in-order arrival per key (the
+    * ST12 chunked-staging discipline, as the flapDamp family documents).
+    * A late cross-batch event (ts < the open burst's lastMs) is folded
+    * into the open burst with `lastMs` CLAMPED to max(lastMs, ts), so a
+    * straggler can never shrink the burst's duration or un-due a
+    * gap-split. */
   def burstStream(eventStream: DataFrame,
       gapMs: Long = 86400000L): Dataset[BurstReport] = {
     import eventStream.sparkSession.implicits._
@@ -534,7 +542,8 @@ object Feed {
             out += BurstReport(key._1, key._2, st.burstIdx, st.startMs,
               st.nEvents, st.nFlips, st.lastMs - st.startMs)
             st = BurstState(st.burstIdx + 1, r._3, r._3, 1L, 0L, act)
-          } else st = BurstState(st.burstIdx, st.startMs, r._3,
+          } else st = BurstState(st.burstIdx, st.startMs,
+            math.max(st.lastMs, r._3),
             st.nEvents + 1L,
             st.nFlips + (if (act != st.lastActive) 1L else 0L), act)
         }

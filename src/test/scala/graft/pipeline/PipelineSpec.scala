@@ -30,6 +30,33 @@ class PipelineSpec extends AnyFunSuite {
     .select(col("doc_id"), regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("urlDedup: normalization variants collapse, null URLs always kept") {
+    // one page in 5 spellings (scheme / www / trailing slash / fragment /
+    // uppercase) → one survivor (min id); a distinct page survives; a
+    // NULL and a blank URL are both kept with url_norm NULL
+    val d = Seq(
+      (1L, "https://Ex.com/a"),
+      (2L, "http://ex.com/a"),           // scheme folds
+      (3L, "https://www.ex.com/a"),      // www strips
+      (4L, "https://ex.com/a/"),         // trailing slash strips
+      (5L, "https://ex.com/a#frag"),     // fragment strips
+      (6L, "https://ex.com/b"),          // distinct page
+      (7L, null.asInstanceOf[String]),   // no URL: kept
+      (8L, "  ")                         // blank URL: kept
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(d, "doc_id", "url").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val a = Some("https://ex.com/a")
+    assert(got == Map(
+      1L -> ((a, true, -1L)), 2L -> ((a, false, 1L)),
+      3L -> ((a, false, 1L)), 4L -> ((a, false, 1L)),
+      5L -> ((a, false, 1L)),
+      6L -> ((Some("https://ex.com/b"), true, -1L)),
+      7L -> ((None, true, -1L)), 8L -> ((None, true, -1L))))
+  }
+
   test("exact dedup marks canonical member per duplicate group") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
       .toDF("doc_id", "text")
@@ -1278,6 +1305,31 @@ class PipelineSpec extends AnyFunSuite {
       ("B", 200L) -> ((7L, 1L, 1L)),
       ("B", 500L) -> ((7L, 1L, 1L)),
       ("B", 900L) -> ((7L, 1L, 1L))))
+  }
+
+  test("exactQuantiles stored-count fast path equals inline recompute") {
+    // r16 ask #8: the quantile walk must be a pure function of the value
+    // column — a count STORED in the table (written once, read back from
+    // parquet, the packing-manifest / n_chars shape) must yield the
+    // bit-identical report to recomputing the same count inline per doc.
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stored_q").toString
+    d.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    def report(df: org.apache.spark.sql.DataFrame) =
+      Sampling.exactQuantiles(df, "source", "n_tok", Seq(500, 900, 990))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val viaStored = report(stored)
+    val viaInline = report(d.select(col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok")))
+    assert(viaStored == viaInline)
+    assert(viaStored.nonEmpty)
   }
 
   test("recallAtK: intersection permille, short truth, rank>k ignored") {
