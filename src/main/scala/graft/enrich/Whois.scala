@@ -109,6 +109,106 @@ object Whois {
     None
   }
 
+  // --- E1 config surface: the whois-rust server map ----------------------
+
+  /** One routed whois server: `host` plus the query template sent to it
+    * (`$addr` substitutes the lookup target; bare-string map entries get
+    * the crate's default template `"$addr\r\n"`). */
+  final case class WhoisServer(host: String, query: String) {
+    def queryString(target: String): String =
+      query.replace("$addr", target)
+  }
+
+  /** The parsed `whois.json` routing map: domain-SUFFIX keys → server,
+    * `""` the default, and the `_`/`ip` special entry for address
+    * targets. */
+  final case class WhoisServerMap(suffixes: Map[String, WhoisServer],
+      default: Option[WhoisServer], ip: Option[WhoisServer]) {
+
+    private val V4 = """[0-9]{1,3}(\.[0-9]{1,3}){3}""".r
+
+    /** Initial-server election for `target` (the routing the reference
+      * delegates to the whois-rust crate): an address literal (dotted
+      * v4 or colon-bearing v6) routes to the `_`.`ip` entry; a domain
+      * walks its suffixes LONGEST-FIRST (`a.b.org` tries `a.b.org`,
+      * `b.org`, `org`) against the map, falling back to the `""`
+      * default. None = no route (the reference's invalid-query
+      * response). */
+    def serverFor(target: String): Option[WhoisServer] = {
+      val t = target.trim.toLowerCase
+      val isAddr = V4.pattern.matcher(t).matches() || t.contains(':')
+      if (isAddr) ip.orElse(default)
+      else {
+        val labels = t.split('.').toSeq
+        labels.indices
+          .flatMap(i => suffixes.get(labels.drop(i).mkString(".")))
+          .headOption.orElse(default)
+      }
+    }
+  }
+
+  /** Parse the whois-rust `whois.json` server map — the file the
+    * reference's `whoisjsonconfig` key points at (loaded via
+    * `WhoIs::from_path`, src/config.rs:596-604; the shipped map routes
+    * `org` → whois.pir.org, default → whois.ripe.net, and IP targets →
+    * whois.arin.net with the `n + $addr` ARIN query form). Map values
+    * are either a bare host string or an object `{host, query}`;
+    * absent `query` means the crate's default `"$addr\r\n"` template.
+    * Unknown `_` sub-entries beyond `ip` are ignored (the crate only
+    * consults `ip`). */
+  def parseServerMap(json: String): WhoisServerMap = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(json)
+    def server(n: com.fasterxml.jackson.databind.JsonNode): Option[WhoisServer] =
+      if (n == null || n.isNull) None
+      else if (n.isTextual) Some(WhoisServer(n.asText, "$addr\r\n"))
+      else if (n.isObject && n.hasNonNull("host"))
+        Some(WhoisServer(n.get("host").asText,
+          if (n.hasNonNull("query")) n.get("query").asText else "$addr\r\n"))
+      else None
+    val fields = root.properties().iterator()
+    val suffixes = Map.newBuilder[String, WhoisServer]
+    var default: Option[WhoisServer] = None
+    var ip: Option[WhoisServer] = None
+    while (fields.hasNext) {
+      val e = fields.next()
+      e.getKey match {
+        case ""  => default = server(e.getValue)
+        case "_" => ip = server(e.getValue.get("ip"))
+        case k   => server(e.getValue).foreach(s =>
+          suffixes += k.toLowerCase -> s)
+      }
+    }
+    WhoisServerMap(suffixes.result(), default, ip)
+  }
+
+  /** [[parseServerMap]] over a file path — the engine-side consumer of
+    * the config's `whoisjsonconfig` value. */
+  def loadServerMap(path: String): WhoisServerMap =
+    parseServerMap(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** [[chaseWhois]] with the initial server elected from a parsed
+    * [[WhoisServerMap]] (closing the config loop: the reference parses
+    * `whoisjsonconfig` and routes the FIRST query through the map; the
+    * referral walk after that is [[chaseWhois]]'s own). `fetch` here is
+    * (query-string, server-host) → response — the map's query template
+    * is applied to whichever server is being asked (referral servers
+    * inherit the elected entry's template; the shipped map's templates
+    * are per-routing-class, not per-hop). None = no route for the
+    * target (the reference's `Invalid WHOIS query`). */
+  def chaseWhoisWithMap(target: String,
+      checkitem: Option[scala.util.matching.Regex], map: WhoisServerMap,
+      fetch: (String, String) => String, maxDepth: Int = 16)
+      : Option[String] =
+    map.serverFor(target).flatMap { srv =>
+      chaseWhois(target, checkitem,
+        (t, serverOpt) =>
+          fetch(srv.queryString(t), serverOpt.getOrElse(srv.host)),
+        maxDepth)
+    }
+
   /** Reverse-DNS query name (src/whoissvc.rs:251-301): v4 →
     * `d.c.b.a.IN-ADDR.ARPA.`, v6 → nibble-reversed `ip6.arpa.` form. */
   def ptrQueryName(target: String): Option[String] = {

@@ -118,6 +118,53 @@ class WhoisSpec extends AnyFunSuite {
     assert(Whois.ptrQueryName("not-an-ip").isEmpty)
   }
 
+  test("server map: shipped whois.json routes org/default/ip per the crate") {
+    // the reference's whoisjsonconfig file (loaded at config.rs:596-604,
+    // consumed by the whois-rust crate): org → pir, "" default → ripe,
+    // "_"."ip" → arin with the "n + $addr" ARIN query form
+    val map = Whois.loadServerMap("/root/reference/whois.json")
+    assert(map.serverFor("example.org")
+      .contains(Whois.WhoisServer("whois.pir.org", "$addr\r\n")))
+    // unmapped TLD falls to the "" default
+    assert(map.serverFor("example.com")
+      .contains(Whois.WhoisServer("whois.ripe.net", "$addr\r\n")))
+    // address literals (v4 and v6) route to the _.ip entry with its
+    // custom query template
+    val ip = map.serverFor("8.8.8.8")
+    assert(ip.contains(Whois.WhoisServer("whois.arin.net", "n + $addr\r\n")))
+    assert(map.serverFor("2001:db8::1") == ip)
+    assert(ip.get.queryString("8.8.8.8") == "n + 8.8.8.8\r\n")
+  }
+
+  test("server map: longest suffix wins, case-insensitive, no-route None") {
+    val map = Whois.parseServerMap(
+      """{"uk": "whois.nic.uk",
+        |  "co.uk": {"host": "whois.custom.uk", "query": "-d $addr\r\n"},
+        |  "_": {"ip": {"host": "whois.arin.net"}}}""".stripMargin)
+    assert(map.serverFor("Shop.Example.CO.UK")
+      .contains(Whois.WhoisServer("whois.custom.uk", "-d $addr\r\n")))
+    assert(map.serverFor("example.uk")
+      .contains(Whois.WhoisServer("whois.nic.uk", "$addr\r\n")))
+    // no default in this map: unmapped domain has no route
+    assert(map.serverFor("example.org").isEmpty)
+    // object entry without query gets the crate default template
+    assert(map.serverFor("8.8.8.8")
+      .contains(Whois.WhoisServer("whois.arin.net", "$addr\r\n")))
+  }
+
+  test("chaseWhoisWithMap feeds the elected server + template to fetch") {
+    val map = Whois.loadServerMap("/root/reference/whois.json")
+    val seen = scala.collection.mutable.Buffer[(String, String)]()
+    val got = Whois.chaseWhoisWithMap("8.8.8.8", None, map,
+      (q, srv) => { seen += ((q, srv)); arinResponse })
+    assert(got.contains(arinResponse))
+    assert(seen.toSeq == Seq(("n + 8.8.8.8\r\n", "whois.arin.net")))
+    // a target with no route never fetches
+    val noRoute = Whois.WhoisServerMap(Map.empty, None, None)
+    assert(Whois.chaseWhoisWithMap("example.org", None, noRoute,
+      (_, _) => fail("must not fetch")).isEmpty)
+  }
+
   test("origin-AS enrichment derives the last ASN and a deterministic org") {
     val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
     val enriched = Whois.enrichOriginAs(
