@@ -68,16 +68,33 @@ object Api {
 
   /** `/api/...` router over the event log. Returns None for paths the
     * reference 404s (src/bgpsvc.rs:463-481). `state` is supplied by the
-    * session adapter. */
-  def handle(events: DataFrame, path: String, state: SessionState = Established): Option[String] = {
+    * session adapter; `roas` is the operator-configured ROA table for
+    * `/api/rpki` (absent → every route reports `not_found`, the RFC 6811
+    * no-covering-ROA verdict). */
+  def handle(events: DataFrame, path: String, state: SessionState = Established,
+      roas: Option[DataFrame] = None): Option[String] = {
     val (p, qs) = path.indexOf('?') match {
       case -1 => (path, "")
       case i => (path.substring(0, i), path.substring(i + 1))
     }
     val parts = p.split('/').toSeq
     if (parts.length < 3 || parts(1) != "api") return None
+    def limitOf: Int = {
+      val q = parseQuery(qs)
+      q.get("limit").flatMap(v =>
+        try Some(java.lang.Long.parseLong(v))
+        catch { case _: NumberFormatException => None })
+        .map(l => math.min(math.max(l, 0L), Int.MaxValue.toLong).toInt)
+        .getOrElse(1000)
+    }
     parts(2) match {
       case "ping" => Some(ping)
+      // --- the security-report endpoints (round 17; engine extensions —
+      // the reference's users run these scans by hand over /api/json):
+      case "moas" => Some(moasJson(events, limitOf))
+      case "rpki" => Some(rpkiJson(events, roas, limitOf))
+      case "leaks" => Some(leaksJson(events, limitOf))
+      case "bogons" => Some(bogonsJson(events))
       case "state" => Some(state.render)
       case "statistics" => Some(Statistics.statisticsJson(events))
       case "sessions" => Some(sessionsJson(events))
@@ -145,6 +162,104 @@ object Api {
       ()
     }
   }
+
+  // --- round-17 security endpoints: summary + bounded item page, the
+  // diffJson posture (persist so the scan runs once per request; the
+  // collects are summary-sized plus `limit` item rows) ------------------
+
+  private def withPersisted[A](d: DataFrame)(f: DataFrame => A): A = {
+    val p = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(p) finally { p.unpersist(blocking = false); () }
+  }
+
+  /** `/api/moas[?limit=<n>]` — [[RibViews.moasPrefixes]] as a JSON
+    * document: per-rib conflict counts plus up to `limit` conflicting
+    * prefixes in deterministic order. */
+  def moasJson(events: DataFrame, limit: Int): String =
+    withPersisted(RibViews.moasPrefixes(events)) { d =>
+      val summary = d.groupBy(col("rib"))
+        .agg(count(lit(1)).as("n")).orderBy(col("rib")).collect()
+        .map(r => s"""{"rib":"${r.getString(0)}","conflicts":${r.getLong(1)}}""")
+        .mkString("[", ",", "]")
+      val items = d.orderBy(col("rib"), col("prefix_str")).limit(limit)
+        .collect().map { r =>
+          s"""{"rib":"${r.getString(0)}","prefix":"${esc(r.getString(1))}",""" +
+            s""""n_origins":${r.getLong(2)},"n_routes":${r.getLong(3)},""" +
+            s""""min_origin":${r.getLong(4)},"max_origin":${r.getLong(5)}}"""
+        }.mkString("[", ",", "]")
+      s"""{"summary":$summary,"items":$items}"""
+    }
+
+  /** `/api/rpki[?limit=<n>]` — [[RibViews.rpkiValidate]] against the
+    * configured ROA table: per-(rib, validity) counts plus up to `limit`
+    * INVALID routes (the actionable page — valid/not_found rows stay in
+    * the summary). No ROA table configured → an empty one, so every
+    * route summarizes as `not_found` and the item page is empty. */
+  def rpkiJson(events: DataFrame, roas: Option[DataFrame], limit: Int): String = {
+    val roaTable = roas.getOrElse(
+      events.sparkSession.range(0)
+        .select(col("id").as("roa_ip"), col("id").as("roa_plen"),
+          col("id").as("roa_maxlen"), col("id").as("roa_origin")))
+    withPersisted(RibViews.rpkiValidate(events, roaTable)) { d =>
+      val summary = d.groupBy(col("rib"), col("validity"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("rib"), col("validity")).collect()
+        .map(r => s"""{"rib":"${r.getString(0)}","validity":"${r.getString(1)}",""" +
+          s""""n_routes":${r.getLong(2)}}""")
+        .mkString("[", ",", "]")
+      val items = d.where(col("validity").startsWith("invalid"))
+        .orderBy(col("rib"), col("prefix_str"), col("session_id"),
+          col("path_id"))
+        .limit(limit).collect().map { r =>
+          def f(n: String) = r.get(r.fieldIndex(n))
+          s"""{"rib":"${f("rib")}","prefix":"${esc(String.valueOf(f("prefix_str")))}",""" +
+            s""""origin":${f("origin")},"validity":"${f("validity")}"}"""
+        }.mkString("[", ",", "]")
+      s"""{"summary":$summary,"items":$items}"""
+    }
+  }
+
+  /** `/api/leaks[?limit=<n>]` — [[RibViews.routeLeaks]] with the
+    * relationship table inferred from the same event log (the standing
+    * deployment refreshes the inference periodically; this endpoint is
+    * the self-contained form): per-rib leak counts plus up to `limit`
+    * leaked paths. */
+  def leaksJson(events: DataFrame, limit: Int): String =
+    withPersisted(RibViews.routeLeaks(events)) { d =>
+      val summary = d.groupBy(col("rib"))
+        .agg(count(lit(1)).as("n")).orderBy(col("rib")).collect()
+        .map(r => s"""{"rib":"${r.getString(0)}","leaks":${r.getLong(1)}}""")
+        .mkString("[", ",", "]")
+      val items = d.orderBy(col("rib"), col("event_id")).limit(limit)
+        .collect().map { r =>
+          def L(n: String) = r.getLong(r.fieldIndex(n))
+          s"""{"event_id":${L("event_id")},"rib":"${r.getString(r.fieldIndex("rib"))}",""" +
+            s""""leaker_as":${L("leaker_as")},"leak_pos":${L("leak_pos")},""" +
+            s""""first_down":${L("first_down")},"unknown_edges":${L("unknown_edges")}}"""
+        }.mkString("[", ",", "]")
+      s"""{"summary":$summary,"items":$items}"""
+    }
+
+  /** `/api/bogons` — [[RibViews.bogonAudit]] + [[RibViews.bogonNexthops]]
+    * over the standard IANA range set, both already summary-shaped
+    * (≤ |ribs| × |classes| rows — no limit needed). */
+  def bogonsJson(events: DataFrame): String = {
+    val dim = RibViews.bogonDim(events.sparkSession)
+    val routes = RibViews.bogonAudit(events, dim)
+      .orderBy(col("rib"), col("bogon_class")).collect()
+      .map(r => s"""{"rib":"${r.getString(0)}","class":"${r.getString(1)}",""" +
+        s""""n_routes":${r.getLong(2)},"n_prefixes":${r.getLong(3)}}""")
+      .mkString("[", ",", "]")
+    val nexthops = RibViews.bogonNexthops(events, dim)
+      .orderBy(col("rib"), col("bogon_class")).collect()
+      .map(r => s"""{"rib":"${r.getString(0)}","class":"${r.getString(1)}",""" +
+        s""""n_routes":${r.getLong(2)},"n_nexthops":${r.getLong(3)}}""")
+      .mkString("[", ",", "]")
+    s"""{"routes":$routes,"nexthops":$nexthops}"""
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** The handshake-registered session registry as a /api/sessions document
     * — the wire-level face: the reference serializes its peer map of

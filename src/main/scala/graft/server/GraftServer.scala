@@ -41,7 +41,8 @@ case class ServerRoutes(
       (_, _) => throw new UnsupportedOperationException("no whois egress"),
     dnsPtr: String => String =
       _ => throw new UnsupportedOperationException("no dns egress"),
-    httpRoot: Option[Path] = None)
+    httpRoot: Option[Path] = None,
+    roas: () => Option[DataFrame] = () => None)
 
 /** The embedded HTTP + WebSocket server — the reference's primary user
   * surface (hyper service src/main.rs:139-168, WS upgrade 104-138) bound
@@ -54,7 +55,8 @@ case class ServerRoutes(
   *   - `/api/ws` → RFC 6455 upgrade, then Subscribe commands drive
   *     event-frame pushes ([[Feed.parseClientCmd]] → `subscribe`)
   *   - `/api/<anything else>` → the rib service ([[Api.handle]]:
-  *     statistics/sessions/state/json/<rib>), `text/json`
+  *     statistics/sessions/state/json/<rib>, plus the engine-extension
+  *     security reports moas/rpki/leaks/bogons), `text/json`
   *   - everything else → static file under `httpRoot`, `/` →
   *     `/index.html`, missing → 404
   *
@@ -156,9 +158,10 @@ final class GraftServer(routes: ServerRoutes, host: String = "127.0.0.1",
 
   // ------------------------------------------------------------- routes
 
-  /** `/api/statistics|sessions|state|json/<rib>` → [[Api.handle]]. */
+  /** `/api/statistics|sessions|state|json/<rib>` plus the round-17
+    * security reports (`moas|rpki|leaks|bogons`) → [[Api.handle]]. */
   private def ribRoute(path: String): Array[Byte] =
-    Api.handle(routes.events(), path, routes.state()) match {
+    Api.handle(routes.events(), path, routes.state(), routes.roas()) match {
       case Some(doc) =>
         HttpWire.response(200, doc.getBytes(UTF_8), Some("text/json"))
       case None => HttpWire.response(404, NotFound)

@@ -139,6 +139,107 @@ class ApiSpec extends AnyFunSuite {
     assert(Api.handle(d, "/api/nonsense").isEmpty)
   }
 
+  test("router: /api/moas — conflicting-origin page") {
+    val s = spark
+    import s.implicits._
+    def ev(sess: Int, o3: Int, origin: Long, h: Long) = {
+      val p = Model.v4(s"10.0.$o3.0", 24)
+      RouteEvent(new java.sql.Timestamp(base + h), "ipv4u", sess, 0L,
+        active = true, Some(p), Some(Model.pfxStr(p)), None, None, None,
+        None, None, None,
+        Model.emptyAttrs.copy(as_list = Seq(7L, origin)), h)
+    }
+    // 10.0.1.0/24 announced with origins 100 AND 200 (two sessions) —
+    // the conflict; 10.0.2.0/24 single-origin stays off the page
+    val d = s.createDataset(Seq(
+      ev(0, 1, 100L, 1L), ev(1, 1, 200L, 2L), ev(0, 2, 300L, 3L))).toDF()
+    val doc = Api.handle(d, "/api/moas").get
+    assert(doc.contains("\"summary\":[{\"rib\":\"ipv4u\",\"conflicts\":1}]"), doc)
+    assert(doc.contains("\"prefix\":\"10.0.1.0/24\"") &&
+      doc.contains("\"n_origins\":2") && doc.contains("\"n_routes\":2") &&
+      doc.contains("\"min_origin\":100") &&
+      doc.contains("\"max_origin\":200"), doc)
+    assert(!doc.contains("10.0.2.0/24"), doc)
+    // limit=0 keeps the summary, drops the item page
+    assert(Api.handle(d, "/api/moas?limit=0").get.contains("\"items\":[]"))
+  }
+
+  test("router: /api/rpki — invalid page against a configured ROA table") {
+    val s = spark
+    import s.implicits._
+    def ev(o3: Int, origin: Long, h: Long) = {
+      val p = Model.v4(s"10.0.$o3.0", 24)
+      RouteEvent(new java.sql.Timestamp(base + h), "ipv4u", 0, 0L,
+        active = true, Some(p), Some(Model.pfxStr(p)), None, None, None,
+        None, None, None,
+        Model.emptyAttrs.copy(as_list = Seq(7L, origin)), h)
+    }
+    val d = s.createDataset(Seq(ev(1, 100L, 1L), ev(2, 200L, 2L))).toDF()
+    // ROA 10.0.0.0/16 maxlen 24 origin 100: route 1 valid, route 2
+    // announced by the wrong origin → invalid_origin, the item page
+    val roas = Seq((167772160L, 16L, 24L, 100L))
+      .toDF("roa_ip", "roa_plen", "roa_maxlen", "roa_origin")
+    val doc = Api.handle(d, "/api/rpki", roas = Some(roas)).get
+    assert(doc.contains("\"validity\":\"valid\",\"n_routes\":1"), doc)
+    assert(doc.contains("\"validity\":\"invalid_origin\",\"n_routes\":1"), doc)
+    assert(doc.contains("\"prefix\":\"10.0.2.0/24\"") &&
+      doc.contains("\"origin\":200"), doc)
+    assert(!doc.contains("\"prefix\":\"10.0.1.0/24\""), doc)
+    // no ROA table configured: everything not_found, empty invalid page
+    val bare = Api.handle(d, "/api/rpki").get
+    assert(bare.contains("\"validity\":\"not_found\",\"n_routes\":2"), bare)
+    assert(bare.contains("\"items\":[]"), bare)
+  }
+
+  test("router: /api/leaks — valley-free audit over the inferred rels") {
+    val s = spark
+    import s.implicits._
+    def ev(path: Seq[Long], h: Long) =
+      RouteEvent(new java.sql.Timestamp(base + h), "ipv4u", 0, 0L,
+        active = true, None, None, None, None, None,
+        None, None, None, Model.emptyAttrs.copy(as_list = path), h)
+    // degree plants make AS1/AS2 providers of AS5 under the Gao
+    // inference; path [1,5,2] then descends 1→5 (down) and re-exports
+    // 5→2 (up after down) — the one leak, leaker AS5
+    val paths = Seq(
+      Seq(10L, 1L, 11L), Seq(12L, 1L, 13L), Seq(14L, 1L, 15L),
+      Seq(20L, 2L, 21L), Seq(22L, 2L, 23L), Seq(24L, 2L, 25L)) ++
+      (40L to 45L).map(x => Seq(x, 1L, 5L)) :+ Seq(30L, 1L, 5L)
+    val votes2 = (32L to 37L).map(x => Seq(x, 2L, 5L))
+    val all = (paths ++ votes2 :+ Seq(1L, 5L, 2L)).zipWithIndex
+      .map { case (p, i) => ev(p, i + 1L) }
+    val d = s.createDataset(all).toDF()
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.col("attrs_hash"))
+    val doc = Api.handle(d, "/api/leaks").get
+    assert(doc.contains("\"summary\":[{\"rib\":\"ipv4u\",\"leaks\":1}]"), doc)
+    assert(doc.contains("\"leaker_as\":5") && doc.contains("\"leak_pos\":1") &&
+      doc.contains("\"first_down\":0") &&
+      doc.contains("\"unknown_edges\":0"), doc)
+  }
+
+  test("router: /api/bogons — route classes + martian next-hops") {
+    val s = spark
+    import s.implicits._
+    def ev(dotted: String, nh: Option[IpPfx], h: Long) = {
+      val p = Model.v4(dotted, 24)
+      RouteEvent(new java.sql.Timestamp(base + h), "ipv4u", 0, 0L,
+        active = true, Some(p), Some(Model.pfxStr(p)), None, None, None,
+        None, None, None, Model.emptyAttrs.copy(nexthop = nh), h)
+    }
+    val d = s.createDataset(Seq(
+      ev("10.1.0.0", Some(Model.v4("192.168.9.9", 32)), 1L),
+      ev("8.8.8.0", None, 2L))).toDF()
+    val doc = Api.handle(d, "/api/bogons").get
+    assert(doc.contains(
+      "{\"rib\":\"ipv4u\",\"class\":\"v4-rfc1918-10\",\"n_routes\":1,\"n_prefixes\":1}"),
+      doc)
+    assert(doc.contains("\"class\":\"clean\""), doc)
+    assert(doc.contains(
+      "\"nexthops\":[{\"rib\":\"ipv4u\",\"class\":\"v4-rfc1918-192\",\"n_routes\":1,\"n_nexthops\":1}]"),
+      doc)
+  }
+
   test("router: /api/diff delta document — classes, rib select, limit") {
     val s = spark
     import s.implicits._

@@ -68,6 +68,29 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("security report routes carry the engine documents verbatim") {
+    // round-17 endpoints over a real socket: each response IS the Api
+    // renderer's document for the same inputs. The ROA table reaches
+    // /api/rpki through the ServerRoutes supplier (the config seam).
+    val roas = spark.range(0, 16).where(col("id") % 2 === 0)
+      .select((lit(167772160L) + col("id") * 65536L).as("roa_ip"),
+        lit(16L).as("roa_plen"), (lit(24L) + (col("id") % 3) * 4L).as("roa_maxlen"),
+        (lit(200L) + col("id") % 7).as("roa_origin"))
+    val routes = ServerRoutes(events = () => events, roas = () => Some(roas))
+    withServer(routes) { port =>
+      assert(get(port, "/api/moas") ==
+        (200, Api.moasJson(events, 1000)))
+      val rpki = get(port, "/api/rpki?limit=5")
+      assert(rpki == (200, Api.rpkiJson(events, Some(roas), 5)))
+      assert(rpki._2.contains("\"validity\""))
+      assert(get(port, "/api/leaks") == (200, Api.leaksJson(events, 1000)))
+      val bogons = get(port, "/api/bogons")
+      assert(bogons == (200, Api.bogonsJson(events)))
+      assert(bogons._2.contains("\"routes\"") &&
+        bogons._2.contains("\"nexthops\""))
+    }
+  }
+
   test("non-GET methods 404 (src/main.rs:140-142)") {
     withServer(ServerRoutes(events = () => events)) { port =>
       val conn = new URL(s"http://127.0.0.1:$port/api/ping")
