@@ -333,6 +333,48 @@ class RibViewsSpec extends AnyFunSuite {
     }
   }
 
+  test("rpkiVerdictFor equals the RFC 6811 Scala model on random routes") {
+    // the r17 ANSI-hazard discipline (the bogonClassFor precedent): the
+    // scan-local literal-array kernel vs an independently-written Scala
+    // model of covering/origin/length, over random (ip, plen, origin) ×
+    // random ROA sets — including the edges the RIB fixture never
+    // plants: plen 0, /32 host routes, rplen 0 catch-all ROAs, empty
+    // covering sets, and multi-ROA conflicts where valid must win
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1711)
+    def model(ip: Long, plen: Long, origin: Long,
+        roas: Seq[(Long, Long, Long, Long)]): String = {
+      val covering = roas.filter { case (rip, rplen, _, _) =>
+        rplen <= plen &&
+          (ip >> (32 - rplen).toInt) == (rip >> (32 - rplen).toInt) }
+      if (covering.exists(r => r._4 == origin && plen <= r._3)) "valid"
+      else if (covering.exists(r => r._4 == origin)) "invalid_length"
+      else if (covering.nonEmpty) "invalid_origin"
+      else "not_found"
+    }
+    for (trial <- 0 until 3) {
+      // tight value spaces so every verdict class actually occurs
+      val roas = (0 until 10).map { _ =>
+        (rnd.nextInt(16).toLong << 28, rnd.nextInt(9).toLong * 4,
+          8L + rnd.nextInt(25), 100L + rnd.nextInt(4))
+      }
+      val rows = (0 until 120).map { _ =>
+        (rnd.nextInt(16).toLong << 28 | rnd.nextLong(1L << 28),
+          rnd.nextInt(33).toLong, 100L + rnd.nextInt(4))
+      }
+      val got = rows.toDF("ip", "plen", "origin")
+        .select(RibViews.rpkiVerdictFor(col("ip"), col("plen"),
+          col("origin"), roas).as("v"))
+        .as[String].collect().toSeq
+      rows.zip(got).foreach { case ((ip, plen, o), v) =>
+        assert(v == model(ip, plen, o, roas),
+          s"trial $trial ip $ip plen $plen origin $o roas $roas")
+      }
+      assert(got.toSet.size >= 3, s"trial $trial verdict diversity: $got")
+    }
+  }
+
   test("bogonNexthops: attribute-side classes, clean and v6 nexthops") {
     def rt(rib: String, pfx: IpPfx, nh: IpPfx, sess: Int = 0) =
       RouteEvent(new java.sql.Timestamp(base), rib, sess, 0L, active = true,

@@ -1102,6 +1102,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, 1L), (2L, 1L, 0L), (3L, 2L, 0L)))
   }
 
+  test("property: dHash equals the raster model on random PNG rasters") {
+    // r17 ANSI-hazard sweep: random raster dimensions (incl. sizes
+    // smaller than the sample grid, where the floor mapping re-samples
+    // pixels) and random RGB content, each PNG-encoded by ImageIO (
+    // lossless) and recomputed by an independent Scala model of the
+    // floor mapping + integer gray + bit order
+    val rnd = new scala.util.Random(9090)
+    val rasters = (0 until 6).map { i =>
+      val w = 3 + rnd.nextInt(22)
+      val h = 3 + rnd.nextInt(18)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, rnd.nextInt(1 << 24))
+      (i.toLong, img)
+    }
+    val blobs = rasters.map { case (id, img) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, "image", bos.toByteArray)
+    }.toDF("asset_id", "modality", "payload")
+    def model(img: java.awt.image.BufferedImage, gridW: Int, gridH: Int): Long = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      def gray(gx: Int, gy: Int): Long = {
+        val rgb = img.getRGB(gx * w / (gridW + 1), gy * h / gridH)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3L
+      }
+      (for (y <- 0 until gridH; x <- 0 until gridW
+        if gray(x, y) > gray(x + 1, y)) yield 1L << (y * gridW + x))
+        .foldLeft(0L)(_ | _)
+    }
+    for ((gw, gh) <- Seq((8, 8), (5, 3))) {
+      val got = Multimodal.imageDhash(blobs, gridW = gw, gridH = gh)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rasters.foreach { case (id, img) =>
+        assert(got(id) == model(img, gw, gh), s"asset $id grid ${gw}x$gh")
+      }
+    }
+  }
+
+  test("property: sceneChanges equals the fold model on random frame stats") {
+    // random per-frame means (full 0-255 range, clip lengths 1..12,
+    // threshold crossings both directions) vs an independent fold; the
+    // `div 3` gray and the strict > are restated, not shared
+    val rnd = new scala.util.Random(3131)
+    val frames = (0 until 8).flatMap { a =>
+      (0 until (1 + rnd.nextInt(12))).map { f =>
+        (a.toLong, f.toLong, rnd.nextInt(256).toLong,
+          rnd.nextInt(256).toLong, rnd.nextInt(256).toLong)
+      }
+    }
+    val thr = 40L
+    val got = Multimodal.sceneChanges(
+        frames.toDF("asset_id", "frame_idx", "mean_r", "mean_g", "mean_b"),
+        threshold = thr)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val model = frames.groupBy(_._1).map { case (a, fs) =>
+      val grays = fs.sortBy(_._2).map(t => (t._3 + t._4 + t._5) / 3)
+      val changes = grays.zip(grays.drop(1))
+        .count { case (p, g) => math.abs(g - p) > thr }
+      a -> ((fs.size.toLong, changes.toLong))
+    }
+    assert(got == model)
+  }
+
   test("image decode drops undecodable payloads instead of failing") {
     val blobs = Seq(
       (1L, "image", "not an image at all".getBytes("UTF-8")),
@@ -1305,6 +1371,39 @@ class PipelineSpec extends AnyFunSuite {
       ("B", 200L) -> ((7L, 1L, 1L)),
       ("B", 500L) -> ((7L, 1L, 1L)),
       ("B", 900L) -> ((7L, 1L, 1L))))
+  }
+
+  test("property: exactQuantiles equals the sorted-rank model on random grids") {
+    // r17 ANSI-hazard sweep: the histogram walk vs an independent
+    // sort-and-index model over random keys/values — negative values,
+    // heavy ties, singleton groups, all-null groups (must vanish), and
+    // the q=1000 / q=1 rank edges the planted fixture never exercises
+    val rnd = new scala.util.Random(4242)
+    val qs = Seq(1, 250, 500, 777, 1000)
+    for (trial <- 0 until 3) {
+      val rows = (0 until 300).map { _ =>
+        val k = "k" + rnd.nextInt(5)
+        val v: java.lang.Long =
+          if (k == "k4" || rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(15) - 7L)
+        (k, v)
+      }
+      val got = Sampling.exactQuantiles(rows.toDF("k", "v"), "k", "v", qs)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val model = rows.filter(_._2 != null).groupBy(_._1)
+        .flatMap { case (k, kvs) =>
+          val sorted = kvs.map(_._2.longValue).sorted
+          val n = sorted.size.toLong
+          qs.map { q =>
+            val rank = (n * q + 999) / 1000
+            (k, q.toLong) -> ((sorted((rank - 1).toInt), rank, n))
+          }
+        }.toMap
+      assert(got == model, s"trial $trial")
+      assert(!got.keySet.exists(_._1 == "k4"), "all-null group must vanish")
+    }
   }
 
   test("exactQuantiles stored-count fast path equals inline recompute") {
