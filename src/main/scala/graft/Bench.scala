@@ -151,8 +151,16 @@ object Bench {
     try graft.sources.RouteEventGen.routeEvents(spark, sfDir).count()
     catch { case e: Throwable => errors("ingest_route_events") = errMsg(e) }
     val ingestSec = (System.nanoTime() - tIngest0) / 1e9
-    // stable name order: per-query timings comparable across rounds
+    // stable name order: per-query timings comparable across rounds.
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 bounds the run to a named subset (the
+    // r17 third-scale-point leg: the slowest families at sf3, where a
+    // full-surface pass would burn hours on scale-flat queries); the
+    // artifact records the subset in "only" so a bounded leg can never
+    // read as full coverage
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (pass <- 1 to reps) {
@@ -267,8 +275,10 @@ object Bench {
     val spreadField = """"spread":""" + spread.toSeq.sortBy(_._1)
       .map { case (k, (mn, md, mx)) => s"\"$k\":[$mn,$md,$mx]" }
       .mkString("{", ",", "}")
+    val onlyField = only.map(s => s""""only":${s.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,"replica_queries":$replicaList,$errField,$spreadField,$calib}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,$onlyField"prod_total":$prodTotal,"replica_total":$replicaTotal,"replica_queries":$replicaList,$errField,$spreadField,$calib}"""
     println(line)
     // full artifact on disk: immune to stdout head/tail truncation
     try {
