@@ -163,16 +163,23 @@ object Dedup {
     * exchange is the min-window on `url_norm` — hash-partitioned by URL,
     * no global sort, no join. URL keys are near-unique by construction
     * so skew needs no salting. */
-  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+  /** The [[urlDedup]] normalization as a standalone column — shared with
+    * the streaming gate ([[graft.streaming.Feed.urlDedupStream]]) so the
+    * two faces can never drift. NULL/blank input → NULL (no provenance
+    * key). */
+  def urlNorm(url: Column): Column = {
     val norm = regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(lower(trim(col(urlCol))), "#.*$", ""),
+          regexp_replace(lower(trim(url)), "#.*$", ""),
           "^http://", "https://"),
         "^https://www\\.", "https://"),
       "/+$", "")
-    val nn = when(col(urlCol).isNotNull && trim(col(urlCol)) =!= "", norm)
-    df.select(col(idCol).as("id"), nn.as("url_norm"))
+    when(url.isNotNull && trim(url) =!= "", norm)
+  }
+
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    df.select(col(idCol).as("id"), urlNorm(col(urlCol)).as("url_norm"))
       .withColumn("keep_id",
         min(col("id")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("url_norm"))))

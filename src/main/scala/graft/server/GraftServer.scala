@@ -42,7 +42,13 @@ case class ServerRoutes(
     dnsPtr: String => String =
       _ => throw new UnsupportedOperationException("no dns egress"),
     httpRoot: Option[Path] = None,
-    roas: () => Option[DataFrame] = () => None)
+    roas: () => Option[DataFrame] = () => None,
+    /** parsed whois.json routing map ([[Whois.loadServerMap]] over the
+      * config's `whoisjsonconfig`): present → the initial whois server
+      * is elected per-target through the map and the elected query
+      * template reaches `whoisFetch`; absent → the fetcher's own
+      * default server (the pre-r17 behavior). */
+    whoisServers: Option[Whois.WhoisServerMap] = None)
 
 /** The embedded HTTP + WebSocket server — the reference's primary user
   * surface (hyper service src/main.rs:139-168, WS upgrade 104-138) bound
@@ -194,7 +200,20 @@ final class GraftServer(routes: ServerRoutes, host: String = "127.0.0.1",
       case _ => None
     }
     try {
-      Whois.chaseWhois(query, checkitem, routes.whoisFetch) match {
+      val chased = routes.whoisServers match {
+        case Some(map) =>
+          map.serverFor(query) match {
+            case None => // no route in the map: the reference's
+              // invalid-query response (whoissvc.rs INVALID_WHOIS)
+              return HttpWire.response(200,
+                "Invalid WHOIS query".getBytes(UTF_8))
+            case Some(_) =>
+              Whois.chaseWhoisWithMap(query, checkitem, map,
+                (q, srv) => routes.whoisFetch(q, Some(srv)))
+          }
+        case None => Whois.chaseWhois(query, checkitem, routes.whoisFetch)
+      }
+      chased match {
         case Some(raw) =>
           val body =
             if (parts.length > 3 && kind != "raw") {

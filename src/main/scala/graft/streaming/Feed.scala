@@ -275,6 +275,38 @@ object Feed {
     gated.unionByName(docStream.where(!coalesce(usable, lit(false))))
   }
 
+  /** ST19 (round 17): streaming URL-keyed dedup gate — the live face of
+    * [[graft.pipeline.Dedup.urlDedup]] (Dolma's url-dedup stage AHEAD of
+    * content dedup): the first arrival per NORMALIZED URL inside the
+    * watermark horizon passes, later fetches of the same page drop at
+    * the ingest edge before any text work reaches [[dedupStream]] /
+    * [[nearDupGateStream]] downstream — the cheapest gate a crawl feed
+    * can run, and the natural FIRST stage of the streaming gate chain.
+    *
+    * Normalization is the batch operator's own column
+    * ([[graft.pipeline.Dedup.urlNorm]] — the two faces cannot drift).
+    * Docs with a NULL/blank URL carry no provenance key and PASS the
+    * gate un-deduped (the nearDupGateStream posture: keying them on a
+    * shared constant would silently collapse every URL-less doc into
+    * one). State = one entry per distinct normalized URL inside the
+    * watermark horizon.
+    *
+    * Election split, stated honestly: the stream keeps FIRST-ARRIVAL
+    * where the batch pass keeps min-id — under the ST12 in-order
+    * arrival discipline (ids ascend with arrival) the two agree
+    * exactly, and the periodic batch sweep owns the global canonical
+    * election regardless (the ST10 lambda split). */
+  def urlDedupStream(docStream: DataFrame, urlCol: String,
+      tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
+    val usable = col(urlCol).isNotNull && trim(col(urlCol)) =!= ""
+    val gated = docStream.where(usable)
+      .withColumn("__unorm", graft.pipeline.Dedup.urlNorm(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__unorm")
+      .drop("__unorm")
+    gated.unionByName(docStream.where(!coalesce(usable, lit(false))))
+  }
+
   /** ST13 (round 12): streaming trending-template detection — the live
     * face of [[graft.pipeline.TextAnalysis.frequentPhrases]]: per
     * event-time window, count each document n-gram and emit

@@ -487,6 +487,21 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!plan.contains("monotonically_increasing_id"), plan.take(3000))
   }
 
+  test("urlDedup: one URL-keyed exchange, no join, scan-local normalization") {
+    // the operator's whole cost claim: normalization is codegen'd regex
+    // in the scan, the ONLY exchange is the min-window on url_norm —
+    // no join anywhere, no second shuffle
+    import spark.implicits._
+    val d = (0 until 50).map(i => (i.toLong, s"https://ex${i % 5}.com/p"))
+      .toDF("doc_id", "url")
+    val plan = graft.pipeline.Dedup.urlDedup(d, "doc_id", "url")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(url_norm"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      plan.take(3000))
+  }
+
   test("epochDedup accumulators are lineage-truncated after 5 epochs") {
     // VERDICT r16 watch item #1: the admitted-text union must be
     // localCheckpointed like the index — otherwise a later epoch's probe

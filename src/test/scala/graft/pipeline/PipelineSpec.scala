@@ -57,6 +57,47 @@ class PipelineSpec extends AnyFunSuite {
       7L -> ((None, true, -1L)), 8L -> ((None, true, -1L))))
   }
 
+  test("property: urlDedup equals the Scala normalization model on random URLs") {
+    // random URLs over a small host/path space with random variant noise
+    // (scheme, www, trailing slashes, fragments, case, padding) vs an
+    // independently-written Scala normalizer + keep-min fold
+    val rnd = new scala.util.Random(2025)
+    def randUrl(): String = {
+      if (rnd.nextInt(12) == 0) return if (rnd.nextBoolean()) null else "  "
+      val scheme = if (rnd.nextBoolean()) "http://" else "https://"
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val host = s"H${rnd.nextInt(3)}.Example.com"
+      val path = s"/P${rnd.nextInt(4)}"
+      val slashes = "/" * rnd.nextInt(3)
+      val frag = if (rnd.nextBoolean()) s"#sec${rnd.nextInt(3)}" else ""
+      val pad = if (rnd.nextInt(4) == 0) " " else ""
+      s"$pad$scheme$www$host$path$slashes$frag$pad"
+    }
+    def model(u: String): Option[String] = {
+      if (u == null || u.trim.isEmpty) return None
+      var s = u.trim.toLowerCase
+      s = s.replaceAll("#.*$", "")
+      s = s.replaceAll("^http://", "https://")
+      s = s.replaceAll("^https://www\\.", "https://")
+      Some(s.replaceAll("/+$", ""))
+    }
+    val rows = (0 until 200).map(i => (i.toLong, randUrl()))
+    val got = Dedup.urlDedup(rows.toDF("doc_id", "url"), "doc_id", "url")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val norms = rows.map { case (i, u) => i -> model(u) }.toMap
+    val keepOf = rows.flatMap { case (i, u) => model(u).map(_ -> i) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
+    rows.foreach { case (i, _) =>
+      val n = norms(i)
+      val expKeep = n.forall(keepOf(_) == i)
+      val expDup = n.filterNot(_ => expKeep).map(keepOf)
+      assert(got(i) == ((n, expKeep, expDup)), s"id $i: ${got(i)}")
+    }
+    assert(got.values.exists(!_._2), "fixture must plant collisions")
+  }
+
   test("exact dedup marks canonical member per duplicate group") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
       .toDF("doc_id", "text")

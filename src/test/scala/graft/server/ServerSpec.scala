@@ -91,6 +91,35 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("whois route elects the initial server through the configured map") {
+    import graft.enrich.Whois
+    val seen = scala.collection.mutable.Buffer[(String, Option[String])]()
+    val map = Whois.loadServerMap("/root/reference/whois.json")
+    val routes = ServerRoutes(events = () => events,
+      whoisFetch = (q, srv) => { seen += ((q, srv)); "NetRange: 8.0.0.0/8" },
+      whoisServers = Some(map))
+    withServer(routes) { port =>
+      // an IP query routes to the map's _.ip entry, and the fetcher
+      // sees the elected server + the entry's OWN query template
+      val (code, body) = get(port, "/api/whois?query=8.8.8.8")
+      assert(code == 200 && body.contains("NetRange"), body)
+      assert(seen.toSeq == Seq(("n + 8.8.8.8\r\n", Some("whois.arin.net"))))
+      // a domain walks the suffix map: org → pir
+      seen.clear()
+      get(port, "/api/whois?query=example.org")
+      assert(seen.toSeq == Seq(("example.org\r\n", Some("whois.pir.org"))))
+    }
+    // a routeless map answers with the reference's invalid-query body
+    // and never fetches
+    val bare = Whois.WhoisServerMap(Map.empty, None, None)
+    withServer(ServerRoutes(events = () => events,
+        whoisFetch = (_, _) => fail("must not fetch"),
+        whoisServers = Some(bare))) { port =>
+      assert(get(port, "/api/whois?query=example.org") ==
+        (200, "Invalid WHOIS query"))
+    }
+  }
+
   test("non-GET methods 404 (src/main.rs:140-142)") {
     withServer(ServerRoutes(events = () => events)) { port =>
       val conn = new URL(s"http://127.0.0.1:$port/api/ping")

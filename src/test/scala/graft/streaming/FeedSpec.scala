@@ -221,6 +221,58 @@ class FeedSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet) // nothing lost vs batch dedup
   }
 
+  test("ST19 streaming URL dedup keeps one doc per normalized URL; URL-less pass") {
+    val s = spark
+    import s.implicits._
+    val stage = tmp()
+    val id = col("doc_id")
+    // the q_dedup_url construction: 20 URL classes × scheme/www/slash/
+    // fragment variants, every 7th doc URL-less (every 13th of those
+    // BLANK, not null — both spellings of "no provenance key")
+    val url = when(id % 7 === 0,
+        when(id % 13 === 0, lit("  ")).otherwise(lit(null).cast("string")))
+      .otherwise(concat(
+        when(id % 3 === 0, lit("http://")).otherwise(lit("https://")),
+        when(id % 2 === 0, lit("www.")).otherwise(lit("")),
+        lit("ex"), (id % 4).cast("string"), lit(".com/p/"),
+        (id % 5).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 6 === 0, lit("#s")).otherwise(lit(""))))
+    val docs = spark.read.parquet(s"$srcSf/documents.parquet")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("ts",
+        timestamp_millis(lit(1700000000000L) + col("doc_id") % 1000))
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = Feed.urlDedupStream(stream, "url")
+      .writeStream.format("memory").queryName("url_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT doc_id, url FROM url_stream")
+    val hasUrl = col("url").isNotNull && trim(col("url")) =!= ""
+    val streamedNorms = out.where(hasUrl)
+      .select(graft.pipeline.Dedup.urlNorm(col("url")))
+      .as[String].collect()
+    assert(streamedNorms.nonEmpty)
+    assert(streamedNorms.length == streamedNorms.toSet.size,
+      "one admission per normalized URL")
+    // the admitted URL-class SET equals the batch operator's keep set
+    // (first-arrival vs min-id elect the same classes; members may
+    // differ, the classes cannot)
+    val batchNorms = graft.pipeline.Dedup.urlDedup(docs, "doc_id", "url")
+      .where(col("keep") && col("url_norm").isNotNull)
+      .select("url_norm").as[String].collect().toSet
+    assert(streamedNorms.toSet == batchNorms)
+    // every URL-less doc (null AND blank) passes un-deduped
+    val streamedNoUrl = out.where(!hasUrl).select("doc_id")
+      .as[Long].collect().toSet
+    val batchNoUrl = docs.where(!hasUrl).select("doc_id")
+      .as[Long].collect().toSet
+    assert(streamedNoUrl == batchNoUrl && batchNoUrl.nonEmpty)
+  }
+
   test("ST11 streaming embedding near-dup gate admits one doc per signature") {
     val s = spark
     import s.implicits._
