@@ -11,9 +11,15 @@ import graft.streaming.Feed
   * bind the hyper listener): derive the event log from a testdata dir,
   * bind the embedded HTTP/WS server, serve until interrupted.
   *
-  *   sbt "runMain graft.Serve /root/testdata/sf0.001 [port]"
+  *   sbt "runMain graft.Serve /root/testdata/sf0.001 [port] [graft.ini]"
   *   curl localhost:<port>/api/ping
   *   curl 'localhost:<port>/api/json/ipv4u?filter=10.4.0.0/14&limit=5'
+  *
+  * The optional third argument is the reference binary's own .ini
+  * (GraftConfig): its `whoisjsonconfig` map feeds the `/api/whois`
+  * initial-server election (the r17 routing, Whois.loadServerMap), and
+  * its `httplisten` port applies when no explicit port argument is
+  * given — the same precedence the reference's CLI has.
   *
   * WS subscriptions run a real Structured Streaming query per client over
   * the materialized log directory (the log IS the bus): the initial dump
@@ -24,7 +30,22 @@ import graft.streaming.Feed
 object Serve {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val port = if (args.length > 1) args(1).toInt else 8080
+    val cfg = if (args.length > 2) {
+      graft.sources.GraftConfig.fromIniText(java.nio.file.Files
+        .readString(java.nio.file.Paths.get(args(2)))) match {
+        case Right(c) => Some(c)
+        case Left(e) =>
+          System.err.println(s"graft: config error: $e"); None
+      }
+    } else None
+    val whoisMap = cfg.map(_.whoisJsonConfig).flatMap { p =>
+      try Some(graft.enrich.Whois.loadServerMap(p))
+      catch { case e: Exception =>
+        System.err.println(s"graft: whoisjsonconfig unreadable: $e"); None }
+    }
+    val port =
+      if (args.length > 1) args(1).toInt
+      else cfg.map(_.httpListen.port).getOrElse(8080)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
@@ -47,7 +68,8 @@ object Serve {
           .option("maxFilesPerTrigger", "8").parquet(logDir)
         val q = Feed.subscribeJson(stream, rib, filter)(_.foreach(push)).start()
         () => q.stop()
-      })
+      },
+      whoisServers = whoisMap)
     val server = new GraftServer(routes, port = port)
     println(s"graft: serving $sfDir on http://127.0.0.1:${server.boundPort}")
     // serve until the JVM is interrupted (the acceptor is a daemon thread)
