@@ -125,25 +125,45 @@ object Whois {
   final case class WhoisServerMap(suffixes: Map[String, WhoisServer],
       default: Option[WhoisServer], ip: Option[WhoisServer]) {
 
-    private val V4 = """[0-9]{1,3}(\.[0-9]{1,3}){3}""".r
-
     /** Initial-server election for `target` (the routing the reference
-      * delegates to the whois-rust crate): an address literal (dotted
-      * v4 or colon-bearing v6) routes to the `_`.`ip` entry; a domain
-      * walks its suffixes LONGEST-FIRST (`a.b.org` tries `a.b.org`,
-      * `b.org`, `org`) against the map, falling back to the `""`
-      * default. None = no route (the reference's invalid-query
-      * response). */
+      * delegates to the whois-rust crate): an address literal (a REAL
+      * v4/v6 parse, matching the crate's `IpAddr::from_str` validation —
+      * `999.999.999.999` or `host:port` are NOT addresses and take the
+      * suffix walk) routes to the `_`.`ip` entry; a domain walks its
+      * suffixes LONGEST-FIRST (`a.b.org` tries `a.b.org`, `b.org`,
+      * `org`) against the map, falling back to the `""` default.
+      * None = no route (the reference's invalid-query response). */
     def serverFor(target: String): Option[WhoisServer] = {
       val t = target.trim.toLowerCase
-      val isAddr = V4.pattern.matcher(t).matches() || t.contains(':')
-      if (isAddr) ip.orElse(default)
+      if (WhoisServerMap.isIpLiteral(t)) ip.orElse(default)
       else {
         val labels = t.split('.').toSeq
         labels.indices
           .flatMap(i => suffixes.get(labels.drop(i).mkString(".")))
           .headOption.orElse(default)
       }
+    }
+  }
+
+  object WhoisServerMap {
+    private val V4 = """([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})""".r
+
+    /** Strict address-literal test matching whois-rust's
+      * `IpAddr::from_str` gate: dotted quads must have every octet
+      * ≤ 255; colon-bearing strings must be a parseable v6 literal
+      * (so `host:port` falls through to the domain path). */
+    def isIpLiteral(t: String): Boolean = t match {
+      case V4(a, b, c, d) =>
+        Seq(a, b, c, d).forall(o => o.toInt <= 255 && (o == "0" || !o.startsWith("0")))
+      case _ if t.contains(':') =>
+        // v6 literal: hex groups / '::' only — java's getByName would
+        // resolve hostnames, so gate on the character set first
+        t.forall(ch => ch == ':' || ch == '.' ||
+          (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f')) &&
+        (try {
+          java.net.InetAddress.getByName(t).isInstanceOf[java.net.Inet6Address]
+        } catch { case _: Exception => false })
+      case _ => false
     }
   }
 
@@ -193,19 +213,23 @@ object Whois {
     * [[WhoisServerMap]] (closing the config loop: the reference parses
     * `whoisjsonconfig` and routes the FIRST query through the map; the
     * referral walk after that is [[chaseWhois]]'s own). `fetch` here is
-    * (query-string, server-host) → response — the map's query template
-    * is applied to whichever server is being asked (referral servers
-    * inherit the elected entry's template; the shipped map's templates
-    * are per-routing-class, not per-hop). None = no route for the
-    * target (the reference's `Invalid WHOIS query`). */
+    * (query-string, server-host) → response. The elected entry's query
+    * template applies ONLY to the initial hop: whois-rust builds
+    * referral servers via `WhoIsServerValue::from_string`, which carries
+    * no query, so every referral hop gets the crate's default
+    * `"$addr\r\n"` form (an ARIN `n + $addr` template must NOT be sent
+    * to a referred RIPE server). None = no route for the target (the
+    * reference's `Invalid WHOIS query`). */
   def chaseWhoisWithMap(target: String,
       checkitem: Option[scala.util.matching.Regex], map: WhoisServerMap,
       fetch: (String, String) => String, maxDepth: Int = 16)
       : Option[String] =
     map.serverFor(target).flatMap { srv =>
       chaseWhois(target, checkitem,
-        (t, serverOpt) =>
-          fetch(srv.queryString(t), serverOpt.getOrElse(srv.host)),
+        (t, serverOpt) => serverOpt match {
+          case None         => fetch(srv.queryString(t), srv.host)
+          case Some(refSrv) => fetch(s"$t\r\n", refSrv)
+        },
         maxDepth)
     }
 

@@ -119,7 +119,8 @@ object Curate {
       qualityKeepPermille: Int = 600,
       mixTargets: Map[String, Int] = Map.empty,
       salt: String = "cur3",
-      repetitionGate: Boolean = false): Seq[(String, DataFrame)] = {
+      repetitionGate: Boolean = false,
+      materializeStages: Boolean = false): Seq[(String, DataFrame)] = {
     val unrepetitive =
       if (!repetitionGate) docs
       else {
@@ -137,8 +138,16 @@ object Curate {
       .where(col("keep_flag") === 1).select(col("id"))
     // drop by REFERENCE: drop("id") removes every matching column, so a
     // caller whose idCol is literally "id" would lose the corpus id too
-    val survivors = norm.join(kept, norm(idCol) === kept("id"))
+    val joined = norm.join(kept, norm(idCol) === kept("id"))
       .drop(kept("id"))
+    // the neardup boundary is the chain's expensive subtree (shingle
+    // self-join + cluster fixpoint); with materializeStages every
+    // downstream consumer — the quality/mixture stages AND each
+    // per-stage count job in attritionModern — reads the checkpointed
+    // rows instead of replaying it (the keepTopByScore
+    // materializeInput precedent; localCheckpoint lifetime discipline:
+    // the frame stays referenced by every returned stage plan)
+    val survivors = if (materializeStages) joined.localCheckpoint() else joined
     val m = TextAnalysis.qualityMetrics(col(textCol)).toMap
     val withScore = survivors.select(col(idCol), col(sourceCol),
       (m("alpha_x1000") + m("stopword_x1000")).as("score"),
@@ -155,19 +164,24 @@ object Curate {
   }
 
   /** Per-stage survivor counts of the MODERN chain — (stage_idx, stage,
-    * n_docs) in [[curateModernStages]] order. Stage frames shrink
-    * monotonically, so the count-per-stage jobs are each strictly
-    * cheaper than the chain itself; unlike the classic [[attrition]]
-    * there is no single-pass flag form — three of the four gates are
-    * aggregate-shaped (cluster election, histogram threshold, mixture
-    * sizing), not row-local predicates. */
+    * n_docs) in [[curateModernStages]] order. Unlike the classic
+    * [[attrition]] there is no single-pass flag form — three of the
+    * four gates are aggregate-shaped (cluster election, histogram
+    * threshold, mixture sizing), not row-local predicates — so each
+    * count job would otherwise REPLAY the chain prefix up to its
+    * boundary (the shingle self-join and the cluster fixpoint ~3×
+    * extra across the five counts). `materializeStages` defaults TRUE
+    * here: the neardup boundary is checkpointed once and every count
+    * after it is a scan of the materialized rows. */
   def attritionModern(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, jaccardPermille: Int = 600, shingleK: Int = 3,
       qualityKeepPermille: Int = 600,
       mixTargets: Map[String, Int] = Map.empty,
-      salt: String = "cur3", repetitionGate: Boolean = false): DataFrame =
+      salt: String = "cur3", repetitionGate: Boolean = false,
+      materializeStages: Boolean = true): DataFrame =
     curateModernStages(docs, idCol, textCol, sourceCol, jaccardPermille,
-      shingleK, qualityKeepPermille, mixTargets, salt, repetitionGate)
+      shingleK, qualityKeepPermille, mixTargets, salt, repetitionGate,
+      materializeStages)
       .zipWithIndex.map { case ((nm, df), i) =>
         df.agg(count(lit(1)).cast("long").as("n_docs"))
           .select(lit(i.toLong).as("stage_idx"), lit(nm).as("stage"),

@@ -179,15 +179,25 @@ object Dedup {
   }
 
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    df.select(col(idCol).as("id"), urlNorm(col(urlCol)).as("url_norm"))
+    // NULL/blank-URL docs never consult the window (keep=true, dup_of
+    // null by contract), so route them AROUND the url_norm exchange:
+    // on a crawl corpus where URL-less docs are common, hashing them
+    // all to the single NULL partition is exactly the skew the keyed
+    // path is designed to avoid (mirrors urlDedupStream's NULL gate).
+    val normed = df.select(col(idCol).as("id"),
+      urlNorm(col(urlCol)).as("url_norm"))
+    val keyed = normed.where(col("url_norm").isNotNull)
       .withColumn("keep_id",
         min(col("id")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("url_norm"))))
       .select(col("id"), col("url_norm"),
-        (col("url_norm").isNull || col("id") === col("keep_id"))
-          .as("keep"),
-        when(col("url_norm").isNotNull && col("id") =!= col("keep_id"),
-          col("keep_id")).cast("long").as("dup_of"))
+        (col("id") === col("keep_id")).as("keep"),
+        when(col("id") =!= col("keep_id"), col("keep_id"))
+          .cast("long").as("dup_of"))
+    val unkeyed = normed.where(col("url_norm").isNull)
+      .select(col("id"), col("url_norm"), lit(true).as("keep"),
+        lit(null).cast("long").as("dup_of"))
+    keyed.unionAll(unkeyed)
   }
 
   /** Cross-source duplicate overlap matrix — the dataset-provenance

@@ -203,10 +203,14 @@ final class GraftServer(routes: ServerRoutes, host: String = "127.0.0.1",
       val chased = routes.whoisServers match {
         case Some(map) =>
           map.serverFor(query) match {
-            case None => // no route in the map: the reference's
-              // invalid-query response (whoissvc.rs INVALID_WHOIS)
-              return HttpWire.response(200,
-                "Invalid WHOIS query".getBytes(UTF_8))
+            case None =>
+              // no route in the map: whois-rust's MapError propagates out
+              // of query_whois and the reference handler answers 500 with
+              // an Error body (whoissvc.rs:567-574); the 200
+              // "Invalid WHOIS query" form is reserved for a missing or
+              // empty query param.
+              return HttpWire.response(500,
+                s"Error: no whois route for target".getBytes(UTF_8), plain)
             case Some(_) =>
               Whois.chaseWhoisWithMap(query, checkitem, map,
                 (q, srv) => routes.whoisFetch(q, Some(srv)))

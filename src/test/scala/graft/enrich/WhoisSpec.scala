@@ -165,6 +165,44 @@ class WhoisSpec extends AnyFunSuite {
       (_, _) => fail("must not fetch")).isEmpty)
   }
 
+  test("chaseWhoisWithMap: referral hops get the crate default template") {
+    // whois-rust builds referral servers via WhoIsServerValue::from_string
+    // (no query), so the ARIN-specific "n + $addr" form is sent ONLY to
+    // the initial elected server; the referred RIPE hop gets "$addr\r\n"
+    val map = Whois.loadServerMap("/root/reference/whois.json")
+    val seen = scala.collection.mutable.Buffer[(String, String)]()
+    val got = Whois.chaseWhoisWithMap("8.8.8.8", Some("route:".r), map,
+      (q, srv) => {
+        seen += ((q, srv))
+        if (srv == "whois.arin.net")
+          "ReferralServer: whois://whois.ripe.net\n"
+        else "route: 8.8.8.0/24\n"
+      })
+    assert(got.contains("route: 8.8.8.0/24\n"))
+    assert(seen.toSeq == Seq(
+      ("n + 8.8.8.8\r\n", "whois.arin.net"),
+      ("8.8.8.8\r\n", "whois.ripe.net")))
+  }
+
+  test("serverFor: only a real IP parse elects the ip entry") {
+    // whois-rust gates on IpAddr::from_str — invalid quads and
+    // host:port strings are NOT addresses and take the suffix walk
+    val map = Whois.parseServerMap(
+      """{"net": "whois.verisign-grs.com",
+        |  "": "whois.ripe.net",
+        |  "_": {"ip": {"host": "whois.arin.net"}}}""".stripMargin)
+    def host(t: String) = map.serverFor(t).map(_.host)
+    assert(host("8.8.8.8").contains("whois.arin.net"))
+    assert(host("2001:db8::1").contains("whois.arin.net"))
+    // invalid quad → default (suffix walk misses "999")
+    assert(host("999.999.999.999").contains("whois.ripe.net"))
+    // leading-zero octet is rejected by IpAddr::from_str
+    assert(host("010.1.1.1").contains("whois.ripe.net"))
+    // colon-bearing non-v6 (host:port) → suffix walk wins
+    assert(host("example.net:43").contains("whois.ripe.net"))
+    assert(host("a.example.net").contains("whois.verisign-grs.com"))
+  }
+
   test("origin-AS enrichment derives the last ASN and a deterministic org") {
     val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
     val enriched = Whois.enrichOriginAs(

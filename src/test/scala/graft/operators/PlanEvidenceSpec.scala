@@ -490,9 +490,12 @@ class PlanEvidenceSpec extends AnyFunSuite {
   test("urlDedup: one URL-keyed exchange, no join, scan-local normalization") {
     // the operator's whole cost claim: normalization is codegen'd regex
     // in the scan, the ONLY exchange is the min-window on url_norm —
-    // no join anywhere, no second shuffle
+    // no join anywhere, no second shuffle. NULL-URL docs are routed
+    // AROUND the exchange (union of a scan-local branch), so a crawl
+    // corpus heavy in URL-less docs can never skew the NULL partition.
     import spark.implicits._
-    val d = (0 until 50).map(i => (i.toLong, s"https://ex${i % 5}.com/p"))
+    val d = (0 until 50).map(i => (i.toLong,
+        if (i % 7 == 0) null else s"https://ex${i % 5}.com/p"))
       .toDF("doc_id", "url")
     val plan = graft.pipeline.Dedup.urlDedup(d, "doc_id", "url")
       .queryExecution.executedPlan.toString

@@ -1870,6 +1870,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == rows.last._3)
   }
 
+  test("attritionModern: materialized ≡ plain (checkpoint is plan-only)") {
+    // the neardup-boundary localCheckpoint must not change a single
+    // count — materializeStages is an execution strategy, not semantics
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    def run(mat: Boolean) =
+      Curate.attritionModern(d, "doc_id", "text", "source",
+          repetitionGate = true, materializeStages = mat)
+        .orderBy(col("stage_idx"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    assert(run(mat = true) == run(mat = false))
+  }
+
   test("epochDedup: index grows with admissions, drops never feed it") {
     // three epochs; the decisive rows are doc 7 (dup of an EPOCH-1
     // admission — flags index_dup only because the index grew past the

@@ -109,14 +109,17 @@ class ServerSpec extends AnyFunSuite {
       get(port, "/api/whois?query=example.org")
       assert(seen.toSeq == Seq(("example.org\r\n", Some("whois.pir.org"))))
     }
-    // a routeless map answers with the reference's invalid-query body
-    // and never fetches
+    // a routeless map is whois-rust's MapError path: the reference
+    // handler answers 500 with an Error body (whoissvc.rs:567-574) and
+    // never fetches; 200 "Invalid WHOIS query" stays reserved for a
+    // missing/empty query param
     val bare = Whois.WhoisServerMap(Map.empty, None, None)
     withServer(ServerRoutes(events = () => events,
         whoisFetch = (_, _) => fail("must not fetch"),
         whoisServers = Some(bare))) { port =>
-      assert(get(port, "/api/whois?query=example.org") ==
-        (200, "Invalid WHOIS query"))
+      val (code, body) = get(port, "/api/whois?query=example.org")
+      assert(code == 500 && body.startsWith("Error: "), s"$code $body")
+      assert(get(port, "/api/whois") == (200, "Invalid WHOIS query"))
     }
   }
 

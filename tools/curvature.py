@@ -30,6 +30,12 @@ def main():
         r10 = t1 / t01 if t01 else float("nan")
         r3 = t3 / t1 if t1 else float("nan")
         p = math.log(t3 / t1) / math.log(3) if t1 > 0 and t3 > 0 else float("nan")
+        if not math.isfinite(p):
+            # an errored/zero timing gives NaN; NaN-keyed sorts are
+            # order-unstable (every comparison False), so drop loudly
+            print(f"# dropped {n}: non-finite exponent "
+                  f"(t1={t1}, t3={t3})", file=sys.stderr)
+            continue
         rows.append((p, n, t01, t1, t3, r10, r3))
     rows.sort(reverse=True)
     print(f"{'query':34} {'sf0.1':>7} {'sf1':>7} {'sf3':>8} "
