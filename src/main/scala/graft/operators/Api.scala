@@ -87,13 +87,14 @@ object Api {
         .map(l => math.min(math.max(l, 0L), Int.MaxValue.toLong).toInt)
         .getOrElse(1000)
     }
+    def afterOf: Option[String] = parseQuery(qs).get("after")
     parts(2) match {
       case "ping" => Some(ping)
       // --- the security-report endpoints (round 17; engine extensions —
       // the reference's users run these scans by hand over /api/json):
-      case "moas" => Some(moasJson(events, limitOf))
-      case "rpki" => Some(rpkiJson(events, roas, limitOf))
-      case "leaks" => Some(leaksJson(events, limitOf))
+      case "moas" => Some(moasJson(events, limitOf, afterOf))
+      case "rpki" => Some(rpkiJson(events, roas, limitOf, afterOf))
+      case "leaks" => Some(leaksJson(events, limitOf, afterOf))
       case "bogons" => Some(bogonsJson(events))
       case "state" => Some(state.render)
       case "statistics" => Some(Statistics.statisticsJson(events))
@@ -172,22 +173,72 @@ object Api {
     try f(p) finally { p.unpersist(blocking = false); () }
   }
 
-  /** `/api/moas[?limit=<n>]` — [[RibViews.moasPrefixes]] as a JSON
-    * document: per-rib conflict counts plus up to `limit` conflicting
-    * prefixes in deterministic order. */
-  def moasJson(events: DataFrame, limit: Int): String =
+  /** Keyset continuation for the security item pages (the `/api/json`
+    * `after=` posture threaded through, VERDICT r17 ask #7): `after=`
+    * carries the order-key tuple of the LAST row of the previous page,
+    * values '|'-joined (each page emits it as `next_after` when full, so
+    * a client walks `after=<next_after>` to any depth with O(limit)
+    * result work per call — no offset skip-scan re-reading the whole
+    * report). Token fields are compared as ONE struct, matching the
+    * column-wise sort order. An unparseable/short token yields the first
+    * page — the tolerant-params posture everywhere else. `longAt` marks
+    * which token positions parse as longs (a malformed number voids the
+    * token rather than throwing). */
+  private def keysetCont(after: Option[String],
+      ordCols: Seq[org.apache.spark.sql.Column], longAt: Set[Int])
+      : org.apache.spark.sql.Column =
+    after.flatMap { t =>
+      val parts = t.split('|')
+      if (parts.length != ordCols.length) None
+      else {
+        val lits = parts.toSeq.zipWithIndex.map { case (v, i) =>
+          if (longAt(i))
+            try Some(lit(java.lang.Long.parseLong(v)))
+            catch { case _: NumberFormatException => None }
+          else Some(lit(v))
+        }
+        if (lits.exists(_.isEmpty)) None
+        else {
+          // widen numeric key positions to long on the COLUMN side so an
+          // INT column compares against the parsed long literal (order is
+          // preserved under the widening; orderBy keeps the raw columns)
+          val left = ordCols.zipWithIndex.map { case (c, i) =>
+            if (longAt(i)) c.cast("long") else c }
+          Some(struct(left: _*) > struct(lits.map(_.get): _*))
+        }
+      }
+    }.getOrElse(lit(true))
+
+  /** `next_after` field value: the '|'-joined order tuple of the last
+    * page row when the page is full (more rows may follow), else null. */
+  private def nextAfterJson(page: Array[org.apache.spark.sql.Row],
+      limit: Int, keyOf: org.apache.spark.sql.Row => Seq[Any]): String =
+    if (limit > 0 && page.length == limit)
+      "\"" + esc(keyOf(page.last).map(String.valueOf).mkString("|")) + "\""
+    else "null"
+
+  /** `/api/moas[?limit=<n>][&after=<tok>]` — [[RibViews.moasPrefixes]] as
+    * a JSON document: per-rib conflict counts plus up to `limit`
+    * conflicting prefixes in deterministic (rib, prefix) order, with
+    * keyset continuation via `after`/`next_after`. */
+  def moasJson(events: DataFrame, limit: Int,
+      after: Option[String] = None): String =
     withPersisted(RibViews.moasPrefixes(events)) { d =>
       val summary = d.groupBy(col("rib"))
         .agg(count(lit(1)).as("n")).orderBy(col("rib")).collect()
         .map(r => s"""{"rib":"${r.getString(0)}","conflicts":${r.getLong(1)}}""")
         .mkString("[", ",", "]")
-      val items = d.orderBy(col("rib"), col("prefix_str")).limit(limit)
-        .collect().map { r =>
+      val ord = Seq(col("rib"), col("prefix_str"))
+      val page = d.where(keysetCont(after, ord, Set.empty))
+        .orderBy(ord: _*).limit(limit).collect()
+      val items = page.map { r =>
           s"""{"rib":"${r.getString(0)}","prefix":"${esc(r.getString(1))}",""" +
             s""""n_origins":${r.getLong(2)},"n_routes":${r.getLong(3)},""" +
             s""""min_origin":${r.getLong(4)},"max_origin":${r.getLong(5)}}"""
         }.mkString("[", ",", "]")
-      s"""{"summary":$summary,"items":$items}"""
+      val na = nextAfterJson(page, limit,
+        r => Seq(r.getString(0), r.getString(1)))
+      s"""{"summary":$summary,"items":$items,"next_after":$na}"""
     }
 
   /** `/api/rpki[?limit=<n>]` — [[RibViews.rpkiValidate]] against the
@@ -195,7 +246,8 @@ object Api {
     * INVALID routes (the actionable page — valid/not_found rows stay in
     * the summary). No ROA table configured → an empty one, so every
     * route summarizes as `not_found` and the item page is empty. */
-  def rpkiJson(events: DataFrame, roas: Option[DataFrame], limit: Int): String = {
+  def rpkiJson(events: DataFrame, roas: Option[DataFrame], limit: Int,
+      after: Option[String] = None): String = {
     val roaTable = roas.getOrElse(
       events.sparkSession.range(0)
         .select(col("id").as("roa_ip"), col("id").as("roa_plen"),
@@ -207,15 +259,21 @@ object Api {
         .map(r => s"""{"rib":"${r.getString(0)}","validity":"${r.getString(1)}",""" +
           s""""n_routes":${r.getLong(2)}}""")
         .mkString("[", ",", "]")
-      val items = d.where(col("validity").startsWith("invalid"))
-        .orderBy(col("rib"), col("prefix_str"), col("session_id"),
-          col("path_id"))
-        .limit(limit).collect().map { r =>
+      val ord = Seq(col("rib"), col("prefix_str"), col("session_id"),
+        col("path_id"))
+      val page = d.where(col("validity").startsWith("invalid") &&
+          keysetCont(after, ord, Set(2, 3)))
+        .orderBy(ord: _*)
+        .limit(limit).collect()
+      val items = page.map { r =>
           def f(n: String) = r.get(r.fieldIndex(n))
           s"""{"rib":"${f("rib")}","prefix":"${esc(String.valueOf(f("prefix_str")))}",""" +
             s""""origin":${f("origin")},"validity":"${f("validity")}"}"""
         }.mkString("[", ",", "]")
-      s"""{"summary":$summary,"items":$items}"""
+      val na = nextAfterJson(page, limit, r => Seq(
+        r.get(r.fieldIndex("rib")), r.get(r.fieldIndex("prefix_str")),
+        r.get(r.fieldIndex("session_id")), r.get(r.fieldIndex("path_id"))))
+      s"""{"summary":$summary,"items":$items,"next_after":$na}"""
     }
   }
 
@@ -224,20 +282,26 @@ object Api {
     * deployment refreshes the inference periodically; this endpoint is
     * the self-contained form): per-rib leak counts plus up to `limit`
     * leaked paths. */
-  def leaksJson(events: DataFrame, limit: Int): String =
+  def leaksJson(events: DataFrame, limit: Int,
+      after: Option[String] = None): String =
     withPersisted(RibViews.routeLeaks(events)) { d =>
       val summary = d.groupBy(col("rib"))
         .agg(count(lit(1)).as("n")).orderBy(col("rib")).collect()
         .map(r => s"""{"rib":"${r.getString(0)}","leaks":${r.getLong(1)}}""")
         .mkString("[", ",", "]")
-      val items = d.orderBy(col("rib"), col("event_id")).limit(limit)
-        .collect().map { r =>
+      val ord = Seq(col("rib"), col("event_id"))
+      val page = d.where(keysetCont(after, ord, Set(1)))
+        .orderBy(ord: _*).limit(limit)
+        .collect()
+      val items = page.map { r =>
           def L(n: String) = r.getLong(r.fieldIndex(n))
           s"""{"event_id":${L("event_id")},"rib":"${r.getString(r.fieldIndex("rib"))}",""" +
             s""""leaker_as":${L("leaker_as")},"leak_pos":${L("leak_pos")},""" +
             s""""first_down":${L("first_down")},"unknown_edges":${L("unknown_edges")}}"""
         }.mkString("[", ",", "]")
-      s"""{"summary":$summary,"items":$items}"""
+      val na = nextAfterJson(page, limit, r => Seq(
+        r.getString(r.fieldIndex("rib")), r.getLong(r.fieldIndex("event_id"))))
+      s"""{"summary":$summary,"items":$items,"next_after":$na}"""
     }
 
   /** `/api/bogons` — [[RibViews.bogonAudit]] + [[RibViews.bogonNexthops]]

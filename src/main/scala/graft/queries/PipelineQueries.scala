@@ -427,6 +427,17 @@ object PipelineQueries {
       val ivf = Similarity.ivfTopK(e, probes, "vec_id", "embedding", 10)
       Similarity.recallAtK(bf, ivf, 10).orderBy(col("probe_id"))
     }),
+    // recall@10 of the PQ path (r17 ask #8): the coarsest quantizer's
+    // ACCURACY measured, not just its latency — oracle replays codebook
+    // assignment, ADC candidates, re-rank, brute force and the
+    // intersection independently
+    "q_sim_recall_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      val bf = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", 10)
+      val pq = Similarity.pqTopK(e, probes, "vec_id", "embedding", 10)
+      Similarity.recallAtK(bf, pq, 10).orderBy(col("probe_id"))
+    }),
 
     // int8 embedding quantization (round 11, beyond-the-reference): the
     // 4x storage/bandwidth lever. Codes are integer-exact after one
@@ -2200,6 +2211,7 @@ object PipelineQueries {
           "q_sim_ivf_auto" -> ivfOracleSql(autoCents,
             nprobe = math.max(4, autoNlist / 4)),
           "q_sim_pq" -> pqOracleSql(books),
+          "q_sim_recall_pq" -> recallPqOracleSql(books),
           "q_embed_clusters" -> clustersOracleSql(cents),
           "q_embed_cluster_sample" -> clusterSampleOracleSql(cents),
           "q_dedup_semantic" -> semanticOracleSql(pcents)))
@@ -2284,7 +2296,51 @@ object PipelineQueries {
     * ADC is Σ_s probe·centroid − reconstruction-norm cosine, then the
     * exact-cosine re-rank of the top-50 — independently of the engine's
     * lookup-table formulation. */
-  private def pqOracleSql(books: Array[Array[Array[Double]]]): String = {
+  private def pqOracleSql(books: Array[Array[Array[Double]]]): String =
+    pqCtes(books) +
+    s"""
+       |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
+       |  SELECT probe_id, id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Recall@10 replica of the PQ path (q_sim_recall_pq): the full PQ
+    * chain (codebook assignment, ADC candidates, exact re-rank) AND the
+    * brute-force ground truth re-derived over the same `v`/`pnorm`, then
+    * the per-probe intersection count — the recallOracleSql shape with
+    * the PQ top-10 as the approximate side. */
+  private def recallPqOracleSql(books: Array[Array[Array[Double]]]): String =
+    pqCtes(books) +
+    s""", ptop AS (
+       |  SELECT probe_id, id FROM (
+       |    SELECT probe_id, id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+       |    FROM scored) t WHERE rnk <= 10
+       |), bscored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+       |    SUM(p.x * c.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+       |  FROM (SELECT * FROM v WHERE vec_id IN (0, 17, 42)) p
+       |  JOIN v c ON p.i = c.i AND c.vec_id <> p.vec_id
+       |  JOIN pnorm np ON np.vec_id = p.vec_id
+       |  JOIN pnorm nc ON nc.vec_id = c.vec_id
+       |  GROUP BY 1, 2
+       |), btop AS (
+       |  SELECT probe_id, id FROM (
+       |    SELECT probe_id, id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+       |    FROM bscored) t WHERE rnk <= 10
+       |)
+       |SELECT b.probe_id,
+       |  CAST(COUNT(p.id) AS BIGINT) AS n_hit,
+       |  COUNT(*) AS k,
+       |  CAST(FLOOR(COUNT(p.id) * 1000.0 / COUNT(*)) AS BIGINT)
+       |    AS recall_x1000
+       |FROM btop b LEFT JOIN ptop p
+       |  ON p.probe_id = b.probe_id AND p.id = b.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def pqCtes(books: Array[Array[Array[Double]]]): String = {
     def fmt(x: Double): String = java.lang.Double.toString(x)
     val dsub = books(0)(0).length
     val wRows = books.zipWithIndex.flatMap { case (bk, s) =>
@@ -2349,12 +2405,7 @@ object PipelineQueries {
        |  JOIN pnorm np ON np.vec_id = cand.probe_id
        |  JOIN pnorm nc ON nc.vec_id = cand.id
        |  GROUP BY 1, 2
-       |)
-       |SELECT probe_id, id, CAST(rnk AS BIGINT) AS rank FROM (
-       |  SELECT probe_id, id,
-       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
-       |  FROM scored) t
-       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+       |)""".stripMargin
   }
 
   /** The curateModern oracle's CTE chain — recursive near-dup closure +

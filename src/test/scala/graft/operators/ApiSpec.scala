@@ -218,6 +218,84 @@ class ApiSpec extends AnyFunSuite {
       doc.contains("\"unknown_edges\":0"), doc)
   }
 
+  test("security endpoints: keyset walk ≡ one offset page (moas/rpki/leaks)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    // shared walker: follow next_after until it goes null, concatenating
+    // the raw item objects; must equal the single big-limit page
+    val ItemsRe = """"items":\[(.*?)\],"next_after"""".r
+    val NextRe = """"next_after":"([^"]*)"""".r
+    def norm(items: Seq[String]): Seq[String] =
+      items.map(_.stripPrefix("{").stripSuffix("}"))
+    def walk(call: String => String, lim: Int): Seq[String] = {
+      val out = scala.collection.mutable.Buffer[String]()
+      var after: Option[String] = None
+      var go = true
+      var guard = 0
+      while (go) {
+        guard += 1; assert(guard < 20, "runaway walk")
+        val doc = call(s"limit=$lim" + after.map(a =>
+          "&after=" + java.net.URLEncoder.encode(a, "UTF-8")).getOrElse(""))
+        val items = ItemsRe.findFirstMatchIn(doc).map(_.group(1)).get
+        if (items.nonEmpty) out ++= norm(items.split("""\},\{""").toSeq)
+        after = NextRe.findFirstMatchIn(doc).map(_.group(1))
+        go = after.isDefined
+      }
+      out.toSeq
+    }
+    def onePage(call: String => String): Seq[String] = {
+      val doc = call("limit=1000")
+      assert(doc.contains("\"next_after\":null"), doc)
+      val items = ItemsRe.findFirstMatchIn(doc).map(_.group(1)).get
+      norm(items.split("""\},\{""").toSeq)
+    }
+    def check(call: String => String, nItems: Int): Unit = {
+      val full = onePage(call)
+      assert(full.length == nItems, full)
+      assert(walk(call, 2) == full)
+      // a garbage token degrades to the first page, never throws
+      assert(norm(ItemsRe.findFirstMatchIn(call("limit=1000&after=%7Cgarbage%7C"))
+        .map(_.group(1)).get.split("""\},\{""").toSeq) == full)
+    }
+
+    // moas: three conflicting prefixes
+    def mev(sess: Int, o3: Int, origin: Long, h: Long) = {
+      val p = Model.v4(s"10.0.$o3.0", 24)
+      RouteEvent(new java.sql.Timestamp(base + h), "ipv4u", sess, 0L,
+        active = true, Some(p), Some(Model.pfxStr(p)), None, None, None,
+        None, None, None, Model.emptyAttrs.copy(as_list = Seq(7L, origin)), h)
+    }
+    val moasD = s.createDataset((1 to 3).flatMap(i => Seq(
+      mev(0, i, 100L, i * 2L), mev(1, i, 200L, i * 2L + 1L)))).toDF()
+    check(qs => Api.handle(moasD, s"/api/moas?$qs").get, 3)
+
+    // rpki: three invalid-origin routes under one covering ROA
+    val rpkiD = s.createDataset((1 to 3).map(i =>
+      mev(0, i, 999L, i.toLong)) :+ mev(0, 4, 100L, 9L)).toDF()
+    val roas = Seq((167772160L, 16L, 24L, 100L))
+      .toDF("roa_ip", "roa_plen", "roa_maxlen", "roa_origin")
+    check(qs => Api.handle(rpkiD, s"/api/rpki?$qs", roas = Some(roas)).get, 3)
+
+    // leaks: the ApiSpec leak plant replayed at three event ids
+    def lev(path: Seq[Long], h: Long) =
+      RouteEvent(new java.sql.Timestamp(base + h), "ipv4u", 0, 0L,
+        active = true, None, None, None, None, None,
+        None, None, None, Model.emptyAttrs.copy(as_list = path), h)
+    val paths = Seq(
+      Seq(10L, 1L, 11L), Seq(12L, 1L, 13L), Seq(14L, 1L, 15L),
+      Seq(20L, 2L, 21L), Seq(22L, 2L, 23L), Seq(24L, 2L, 25L)) ++
+      (40L to 45L).map(x => Seq(x, 1L, 5L)) :+ Seq(30L, 1L, 5L)
+    val votes2 = (32L to 37L).map(x => Seq(x, 2L, 5L))
+    val leaks3 = Seq(Seq(1L, 5L, 2L), Seq(1L, 5L, 2L), Seq(1L, 5L, 2L))
+    val all = (paths ++ votes2 ++ leaks3).zipWithIndex
+      .map { case (p, i) => lev(p, i + 1L) }
+    val leaksD: DataFrame = s.createDataset(all).toDF()
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.col("attrs_hash"))
+    check(qs => Api.handle(leaksD, s"/api/leaks?$qs").get, 3)
+  }
+
   test("router: /api/bogons — route classes + martian next-hops") {
     val s = spark
     import s.implicits._
