@@ -161,14 +161,19 @@ object Cbor {
     (0 until n).foldLeft(0L)((acc, _) => (acc << 8) | readByte(in))
 
   private def readBytes(in: InputStream, n: Int): Array[Byte] = {
-    val out = new Array[Byte](n)
-    var off = 0
-    while (off < n) {
-      val r = in.read(out, off, n - off)
+    // progressive chunked read: a corrupted length claim (fuzz: one
+    // flipped nibble can assert 2^31 bytes) must surface as the EOF
+    // error, not as a giant up-front allocation on a short stream
+    val chunk = math.min(n, 1 << 16)
+    val out = new java.io.ByteArrayOutputStream(chunk)
+    val buf = new Array[Byte](math.max(chunk, 1))
+    var remaining = n
+    while (remaining > 0) {
+      val r = in.read(buf, 0, math.min(remaining, buf.length))
       if (r < 0) throw new CborError("EOF in payload")
-      off += r
+      out.write(buf, 0, r); remaining -= r
     }
-    out
+    out.toByteArray
   }
 
   /** IEEE 754 half-precision → double (RFC 8949 appendix D). */

@@ -66,6 +66,63 @@ object Snapshot {
     docs.iterator.flatMap { case (rib, doc) => tableRows(name, rib, doc) }
   }
 
+  /** Fail-soft decode (import hardening, VERDICT r17 ask #9): well-formed
+    * entries stream through; each malformed node quarantines the SMALLEST
+    * enclosing unit (one reason→count tally) and decoding continues with
+    * its siblings. Unknown map keys are IGNORED, serde-style — an Attrs
+    * map may grow fields. A CBOR framing error or EOF quarantines the
+    * remaining TAIL of tables (framing loss makes later bytes unreadable
+    * by construction — there is no resync marker in the format). The
+    * strict [[decodeFile]] stays the startup default: a partial snapshot
+    * must fail loudly, not half-import; this form is for salvage/audit
+    * tooling where the question is "what survives, and why not the rest". */
+  def decodeFileLenient(name: String, bytes: Array[Byte])
+      : (Vector[SnapshotRoute], Map[String, Long]) = {
+    val in = new ByteArrayInputStream(bytes)
+    val out = Vector.newBuilder[SnapshotRoute]
+    val quar = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def q(reason: String): Unit =
+      quar(reason) = quar.getOrElse(reason, 0L) + 1L
+    var tail = false
+    ribOrder.foreach { rib =>
+      if (tail) q("truncated_table")
+      else {
+        val doc =
+          try Cbor.decode(in)
+          catch { case _: CborError => tail = true; q("cbor_framing"); None }
+        doc match {
+          case Some(d) => out ++= tableRowsLenient(name, rib, d, q)
+          case None =>
+            if (!tail) { tail = true; q("truncated_table") }
+        }
+      }
+    }
+    (out.result(), quar.toMap)
+  }
+
+  private def tableRowsLenient(name: String, rib: String, doc: Value,
+      q: String => Unit): Vector[SnapshotRoute] = doc match {
+    case CMap(routes) => routes.flatMap { case (key, sessions) =>
+      val keyStr = render(key)
+      sessions match {
+        case CMap(sess) => sess.flatMap {
+          case (CInt(sid), CMap(paths)) => paths.flatMap {
+            case (CInt(pid), CMap(hist)) => hist.flatMap {
+              case (CInt(ts), entry) =>
+                try Vector(attrEntry(name, rib, keyStr, sid, pid, ts, entry))
+                catch { case _: CborError => q("entry_malformed"); Vector.empty }
+              case _ => q("timestamp_not_int"); Vector.empty[SnapshotRoute]
+            }
+            case _ => q("paths_malformed"); Vector.empty[SnapshotRoute]
+          }
+          case _ => q("sessions_malformed"); Vector.empty[SnapshotRoute]
+        }
+        case _ => q("route_sessions_not_map"); Vector.empty[SnapshotRoute]
+      }
+    }
+    case _ => q("table_not_map"); Vector.empty
+  }
+
   private def tableRows(name: String, rib: String,
       doc: Value): Iterator[SnapshotRoute] = doc match {
     case CMap(routes) => routes.iterator.flatMap { case (key, sessions) =>

@@ -297,6 +297,85 @@ class SnapshotSpec extends AnyFunSuite {
     assert(v4keys == evKeys)
   }
 
+  test("fuzz: byte-truncation sweep — typed strict failure, lenient salvage") {
+    // every cut point: the strict path fails with the TYPED CborError
+    // (never a raw runtime exception, never an allocation blowup from a
+    // corrupted length claim), and the lenient path never throws, never
+    // invents rows, and always tallies a quarantine reason
+    val golden = goldenSnapshot
+    val goldenRows = Snapshot.decodeFile("s1", golden).toVector.toSet
+    val (cleanRows, cleanQ) = Snapshot.decodeFileLenient("s1", golden)
+    assert(cleanQ.isEmpty && cleanRows.toSet == goldenRows)
+    (0 until golden.length by 3).foreach { n =>
+      val cut = java.util.Arrays.copyOfRange(golden, 0, n)
+      val thrown = intercept[Throwable] {
+        Snapshot.decodeFile("s1", cut).toVector }
+      assert(thrown.isInstanceOf[CborError], s"cut=$n threw $thrown")
+      val (rows, quar) = Snapshot.decodeFileLenient("s1", cut)
+      assert(rows.toSet.subsetOf(goldenRows), s"cut=$n invented rows")
+      assert(quar.nonEmpty, s"cut=$n lost bytes silently")
+      assert(quar.keySet.subsetOf(Set("cbor_framing", "truncated_table")),
+        s"cut=$n: $quar")
+    }
+  }
+
+  test("fuzz: wrong minor types quarantine the smallest unit; unknown keys pass") {
+    def enc(docs: Seq[Value]): Array[Byte] = docs.flatMap(Cbor.encode).toArray
+    val good = entry(active = true, med = Some(1))
+    // Active as an int — wrong minor type inside the entry
+    val badActive = CMap(Vector(
+      CText("Active") -> CInt(1),
+      CText("Attrs") -> CMap(Vector.empty)))
+    // Attrs as an array — wrong minor type inside the entry
+    val badAttrs = CMap(Vector(
+      CText("Active") -> CBool(true),
+      CText("Attrs") -> CArr(Vector.empty)))
+    // unknown keys at entry AND attrs level: serde-style tolerance —
+    // decoded fine, known fields intact, NOT quarantined
+    val unknownKeys = CMap(Vector(
+      CText("Active") -> CBool(true),
+      CText("FutureFlag") -> CInt(9),
+      CText("Attrs") -> CMap(Vector(
+        CText("Origin") -> CText("Igp"),
+        CText("SomeNewAttr") -> CArr(Vector(CInt(1))))),
+      CText("Labels") -> CNull))
+    val ipv4u = CMap(Vector(
+      v4key(10, 0, 0, 0, 8) -> CMap(Vector(
+        (CInt(1): Value) -> CMap(Vector(
+          (CInt(0): Value) -> CMap(Vector(
+            (CInt(1000L): Value) -> good,
+            (CInt(2000L): Value) -> badActive,
+            (CInt(3000L): Value) -> badAttrs,
+            (CText("late"): Value) -> good)), // timestamp_not_int
+          (CText("pid"): Value) -> CMap(Vector.empty))), // paths_malformed
+        (CText("sid"): Value) -> CMap(Vector.empty))), // sessions_malformed
+      v4key(10, 1, 0, 0, 8) -> CArr(Vector.empty), // route_sessions_not_map
+      v4key(10, 2, 0, 0, 8) -> CMap(Vector(
+        (CInt(2): Value) -> CMap(Vector(
+          (CInt(0): Value) -> CMap(Vector(
+            (CInt(9000L): Value) -> unknownKeys))))))))
+    val ipv4m = CArr(Vector(CInt(1))) // table_not_map
+    val docs = Snapshot.ribOrder.map {
+      case "ipv4u" => ipv4u
+      case "ipv4m" => ipv4m
+      case _ => CMap(Vector.empty)
+    }
+    val (rows, quar) = Snapshot.decodeFileLenient("fz", enc(docs))
+    assert(rows.map(r => (r.route_key, r.ts_ms)).toSet ==
+      Set(("10.0.0.0/8", 1000L), ("10.2.0.0/8", 9000L)))
+    val u = rows.find(_.ts_ms == 9000L).get
+    assert(u.active && u.origin.contains("Igp") && u.labels.isEmpty)
+    assert(quar == Map(
+      "entry_malformed" -> 2L,
+      "timestamp_not_int" -> 1L,
+      "paths_malformed" -> 1L,
+      "sessions_malformed" -> 1L,
+      "route_sessions_not_map" -> 1L,
+      "table_not_map" -> 1L), quar)
+    // the strict startup path refuses the same file, typed
+    intercept[CborError] { Snapshot.decodeFile("fz", enc(docs)).toVector }
+  }
+
   test("truncated snapshot fails loudly, naming the missing table") {
     val docs = Snapshot.ribOrder.take(9).map(_ => Cbor.encode(CMap(Vector.empty)))
     val err = intercept[CborError] {
