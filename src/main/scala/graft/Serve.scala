@@ -69,7 +69,12 @@ object Serve {
         val q = Feed.subscribeJson(stream, rib, filter)(_.foreach(push)).start()
         () => q.stop()
       },
-      whoisServers = whoisMap)
+      whoisServers = whoisMap,
+      // the config's whoisdns resolver pool feeds the wire-codec path;
+      // the UDP datagram hop itself stays injectable (zero-egress
+      // sandbox — a deployment supplies the one-socket-exchange lambda)
+      dnsServers = cfg.map(_.whoisDnses.map(hp => s"${hp.host}:${hp.port}"))
+        .getOrElse(Nil))
     val server = new GraftServer(routes, port = port)
     println(s"graft: serving $sfDir on http://127.0.0.1:${server.boundPort}")
     // serve until the JVM is interrupted (the acceptor is a daemon thread)

@@ -41,6 +41,15 @@ case class ServerRoutes(
       (_, _) => throw new UnsupportedOperationException("no whois egress"),
     dnsPtr: String => String =
       _ => throw new UnsupportedOperationException("no dns egress"),
+    /** UDP datagram exchange (query packet, server) → response packet.
+      * When present, `/api/dns` runs through the in-engine wire codec
+      * ([[graft.enrich.DnsWire]]: packet build, tid/question validation,
+      * PTR rdata walk — whoissvc.rs:329-394) and ONLY this socket hop is
+      * injected; absent → the legacy whole-resolution `dnsPtr` stub. */
+    dnsTransport: Option[(Array[Byte], String) => Array[Byte]] = None,
+    /** Resolver pool for [[DnsWire.electServer]] (the reference's
+      * `whoisdnses` config list, src/config.rs). */
+    dnsServers: Seq[String] = Nil,
     httpRoot: Option[Path] = None,
     roas: () => Option[DataFrame] = () => None,
     /** parsed whois.json routing map ([[Whois.loadServerMap]] over the
@@ -182,7 +191,18 @@ final class GraftServer(routes: ServerRoutes, host: String = "127.0.0.1",
     val plain = Some("text/plain")
     if (parts.length > 3 && parts(2) == "dns") {
       return try {
-        HttpWire.response(200, routes.dnsPtr(parts(3)).getBytes(UTF_8), plain)
+        val resolved = routes.dnsTransport match {
+          case Some(tr) =>
+            // the codec path: reverse the target (whoissvc.rs:253-301),
+            // then the full wire exchange with only the socket injected
+            val name = graft.enrich.Whois.ptrQueryName(parts(3)).getOrElse(
+              throw new graft.enrich.DnsWire.DnsError("Invalid IP"))
+            graft.enrich.DnsWire.queryPtr(
+              java.util.concurrent.ThreadLocalRandom.current().nextInt(0x10000),
+              name, routes.dnsServers, tr)
+          case None => routes.dnsPtr(parts(3))
+        }
+        HttpWire.response(200, resolved.getBytes(UTF_8), plain)
       } catch {
         case e: Exception =>
           HttpWire.response(500, s"Error: $e".getBytes(UTF_8), plain)

@@ -181,6 +181,37 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("/api/dns through the wire codec: only the UDP socket is stubbed") {
+    import graft.enrich.DnsWire
+    val servers = scala.collection.mutable.Buffer[String]()
+    // the stub socket: decode the engine's real query packet, echo it as
+    // a response with one PTR answer (owner name compressed to the
+    // question) — everything around this hop is the in-engine codec
+    val transport: (Array[Byte], String) => Array[Byte] = (pkt, srv) => {
+      servers += srv
+      val q = DnsWire.decode(pkt)
+      assert(q.questions.head.qtype == DnsWire.TypePtr)
+      val head = pkt.clone()
+      head(2) = 0x81.toByte; head(3) = 0x80.toByte; head(7) = 1
+      val rdata = DnsWire.encodeName("resolved.example.com.")
+      head ++ Array(0xc0.toByte, 0x0c.toByte) ++
+        Array[Byte](0, 12, 0, 1, 0, 0, 0, 60) ++
+        Array(((rdata.length >> 8) & 0xff).toByte, (rdata.length & 0xff).toByte) ++
+        rdata
+    }
+    val routes = ServerRoutes(events = () => events,
+      dnsTransport = Some(transport), dnsServers = Seq("9.9.9.9", "8.8.8.8"))
+    withServer(routes) { port =>
+      assert(get(port, "/api/dns/192.168.1.200") ==
+        (200, "resolved.example.com."))
+      // '2' of "200.1.168..." = 50; 50 % 2 = 0 → first resolver
+      assert(servers.toSeq == Seq("9.9.9.9"))
+      // un-reversible target → the reference's Invalid IP error, 500
+      val (code, body) = get(port, "/api/dns/not-an-ip")
+      assert(code == 500 && body.startsWith("Error: "), s"$code $body")
+    }
+  }
+
   test("WS: upgrade handshake, Subscribe → streamed event frames, close") {
     import graft.filter.FilterCompiler
     val filter = "10.4.0.0/14"
