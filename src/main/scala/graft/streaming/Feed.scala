@@ -134,6 +134,66 @@ object Feed {
       rows => push(rows.map(r => r.getString(r.fieldIndex("__frame"))))
     }
 
+  /** ST2 at fan-out scale (VERDICT r17 ask #6): ONE streaming query
+    * serving every WebSocket subscriber. [[subscribe]] runs a
+    * checkpointed streaming query per client — right for a handful of
+    * dashboards, but at hundreds of subscribers that is hundreds of
+    * queries re-reading the same log. A dispatcher owns the single
+    * query; clients [[FeedDispatcher.attach]]/detach (rib, filter)
+    * subscriptions at ANY moment, and each micro-batch evaluates every
+    * subscription in one codegen'd pass — a per-row array of matching
+    * client ids built from the same compiled predicates `subscribe`
+    * uses, null-compacted and exploded, so the per-batch cost is one
+    * scan plus a slim (frame, client) stream to the driver, independent
+    * of subscriber count. Frames route to each client's sink row by row
+    * (no per-client materialization — the burst-batch discipline of
+    * [[subscribe]]); a client that detaches mid-batch just stops
+    * receiving. A new client sees events from the first batch after it
+    * attaches — the reference's registration-point semantics
+    * (src/subscriber.rs:58-137). */
+  final class FeedDispatcher {
+    private val clients = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, (org.apache.spark.sql.Column, String => Unit)]()
+    private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    /** Register a subscription; the returned handle detaches it. */
+    def attach(rib: String, filter: String)(push: String => Unit)
+        : AutoCloseable = {
+      val id = java.lang.Long.valueOf(nextId.getAndIncrement())
+      val pred = col("rib") === rib && FilterCompiler.accept(filter)
+      clients.put(id, (pred, push))
+      () => { clients.remove(id); () }
+    }
+
+    /** Live subscription count (deployment wiring + specs). */
+    def clientCount: Int = clients.size()
+
+    /** The shared query over the event stream — call once, `start()` it
+      * with the caller's checkpoint options. */
+    def writer(eventStream: DataFrame): DataStreamWriter[Row] = {
+      val framed = eventStream.withColumn("__frame", eventFrame)
+      framed.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          import scala.jdk.CollectionConverters._
+          // snapshot the registry once per batch: attach/detach during
+          // the batch takes effect next batch (detach also guards below)
+          val snap = clients.entrySet().iterator().asScala
+            .map(e => e.getKey.longValue() -> e.getValue).toVector
+          if (snap.nonEmpty) {
+            val cids = array(snap.map { case (id, (pred, _)) =>
+              when(pred, lit(id)) }: _*)
+            val routed = batch.select(col("__frame"),
+              explode(filter(cids, x => x.isNotNull)).as("__cid"))
+            routed.toLocalIterator().asScala.foreach { r =>
+              val sink = clients.get(java.lang.Long.valueOf(r.getLong(1)))
+              if (sink != null) sink._2(r.getString(0))
+            }
+          }
+        }
+    }
+  }
+
   /** The inbound WebSocket command (reference ClientCmd,
     * src/subscriber.rs:15-23): `{"Subscribe":{"rib":"..","filter":".."}}`
     * → (rib, filter). Malformed input yields None — the reference warns

@@ -278,6 +278,83 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("WS: two clients share ONE dispatcher query, each gets its own set") {
+    import graft.filter.FilterCompiler
+    def wanted(rib: String, f: String): Set[String] = events
+      .where(col("rib") === rib && FilterCompiler.accept(f))
+      .select(Feed.eventFrame).collect().map(_.getString(0)).toSet
+    val wantA = wanted("ipv4u", "10.4.0.0/14")
+    val wantB = wanted("ipv6u", "")
+    assert(wantA.nonEmpty && wantB.nonEmpty && wantA != wantB)
+
+    // ONE dispatcher = ONE streaming query for every WS subscriber; the
+    // query starts lazily on the first attach and is shared after that
+    val disp = new Feed.FeedDispatcher
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var shared: org.apache.spark.sql.streaming.StreamingQuery = null
+    val routes = ServerRoutes(
+      events = () => events,
+      subscribe = (rib, f, push) => {
+        val h = disp.attach(rib, f)(push)
+        // start the one shared query once BOTH clients are attached: a
+        // dispatcher client sees events from its registration point, and
+        // this test's log is static — production wiring starts the query
+        // at boot and late clients pick up from the next batch
+        disp.synchronized {
+          if (shared == null && disp.clientCount == 2) {
+            started.incrementAndGet()
+            val stream = spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "8").parquet(logDir)
+            shared = disp.writer(stream).start()
+          }
+        }
+        h
+      })
+    withServer(routes) { port =>
+      def openWs(rib: String, f: String): (Socket, java.io.BufferedInputStream) = {
+        val sock = new Socket("127.0.0.1", port)
+        sock.setSoTimeout(120000)
+        val out = sock.getOutputStream
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        out.write(("GET /api/ws HTTP/1.1\r\nHost: 127.0.0.1\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+          "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(UTF_8))
+        out.flush()
+        val head = new StringBuilder
+        while (!head.endsWith("\r\n\r\n")) head.append(in.read().toChar)
+        assert(head.startsWith("HTTP/1.1 101 "))
+        val mask = Array[Byte](0x11, 0x22, 0x33, 0x44)
+        out.write(HttpWire.encodeClientFrame(HttpWire.OpText,
+          s"""{"Subscribe":{"rib":"$rib","filter":"$f"}}""".getBytes(UTF_8), mask))
+        out.flush()
+        (sock, in)
+      }
+      val (sockA, inA) = openWs("ipv4u", "10.4.0.0/14")
+      val (sockB, inB) = openWs("ipv6u", "")
+      try {
+        def drain(in: java.io.BufferedInputStream, n: Int): Set[String] = {
+          val got = scala.collection.mutable.Set[String]()
+          while (got.size < n) {
+            val fr = HttpWire.readServerFrame(in).getOrElse(
+              fail("connection closed early"))
+            if (fr.opcode == HttpWire.OpText) got += fr.text
+          }
+          got.toSet
+        }
+        // both clients get EXACTLY their own subscription's frame set,
+        // pushed from the one shared query
+        assert(drain(inA, wantA.size) == wantA)
+        assert(drain(inB, wantB.size) == wantB)
+        assert(started.get() == 1, "a second streaming query was started")
+        assert(disp.clientCount == 2)
+      } finally {
+        sockA.close(); sockB.close()
+        if (shared != null) shared.stop()
+      }
+    }
+  }
+
   test("WS: ping is ponged; a non-upgrade GET /api/ws is 400") {
     withServer(ServerRoutes(events = () => events)) { port =>
       assert(get(port, "/api/ws")._1 == 400) // src/main.rs:112-115

@@ -74,6 +74,51 @@ class FeedSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("shared dispatcher: N clients on ONE query ≡ N independent subscribes") {
+    val stage = tmp()
+    val events = graft.queries.Tables(spark, srcSf, "events")
+    val derived = graft.sources.RouteEventGen.fromEvents(events).localCheckpoint()
+    derived.repartition(2).write.mode("overwrite").parquet(stage)
+    def stream() = spark.readStream.schema(derived.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val subs = Seq(
+      ("ipv4u", "10.4.0.0/14"), ("ipv4u", ""), ("ipv6u", ""),
+      ("ipv4u", "10.4.0.0/14"), // duplicate subscription: independent sink
+      ("vpnv4u", "rd:101:1000"))
+    // the dispatcher: ONE streaming query, five attached clients
+    val disp = new Feed.FeedDispatcher
+    val got = subs.map(_ => scala.collection.mutable.ArrayBuffer[String]())
+    val handles = subs.zip(got).map { case ((rib, f), buf) =>
+      disp.attach(rib, f)(s => buf.synchronized { buf += s; () }) }
+    assert(disp.clientCount == 5)
+    val q = disp.writer(stream()).start()
+    q.processAllAvailable()
+    q.stop()
+    // the baseline: five independent subscribeJson queries
+    val want = subs.map { case (rib, f) =>
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      val q1 = Feed.subscribeJson(stream(), rib, f)(rows =>
+        buf.synchronized { buf ++= rows; () }).start()
+      q1.processAllAvailable(); q1.stop()
+      buf.sorted.toSeq
+    }
+    got.map(_.sorted.toSeq).zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"client $i diverged (${subs(i)})")
+    }
+    assert(want.head.nonEmpty && want(2).nonEmpty, "vacuous fixture")
+    assert(want.head == want(3).sorted) // duplicate subs see identical sets
+    // detach: a closed client receives nothing from later batches
+    handles.head.close()
+    assert(disp.clientCount == 4)
+    val before = got.head.size
+    val before1 = got(1).size
+    val q2 = disp.writer(stream()).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(got.head.size == before, "detached client kept receiving")
+    assert(got(1).size > before1, "attached clients keep receiving")
+    handles.tail.foreach(_.close())
+  }
+
   test("wire ingest: framed BGP UPDATE bytes stream into decoded route rows") {
     import graft.sources.{BgpWire, UpdateDecompose}
     val stage = tmp()
