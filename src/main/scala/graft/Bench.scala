@@ -258,10 +258,24 @@ object Bench {
       calibParStart > 2.0 * parQuiet ||
       calibParEnd > 2.0 * parAgedQuiet ||
       math.max(calibIoStart, calibIoEnd) > 2.0 * ioQuiet
+    // End-of-round PIN gate (VERDICT r17 ask #2): the cross-round trend
+    // line is only as honest as its pin, and the `contended` cut above is
+    // deliberately loose (2× aged-quiet) so mid-round iteration legs
+    // survive ambient noise without tripping it. A committed SCALEBENCH
+    // pin must clear the QUIET band instead — r16's quiet legs read
+    // calib_io 0.97-1.35 s, calib_par ≤ 0.70 s, cpu ≤ 1.13 s at 32 cpus,
+    // where r17's inflated pin read io 1.61/1.75 s (~18% prod_total
+    // ambient inflation). The band scales off the same host anchors as
+    // the contended cut. With SPARK_GRAFT_REQUIRE_QUIET set, a leg
+    // outside the band EXITS NONZERO (after writing its artifacts) so it
+    // cannot be committed as the round's scale pin by accident.
+    val quietPin = math.max(calibStart, calibEnd) <= 1.3 &&
+      math.max(calibParStart, calibParEnd) <= parAgedQuiet &&
+      math.max(calibIoStart, calibIoEnd) <= 1.4 * ioQuiet
     val calibCompact = s""""calib_sec":[${r4(calibStart)},${r4(calibEnd)}],""" +
       s""""calib_par_sec":[${r4(calibParStart)},${r4(calibParEnd)}],""" +
       s""""calib_io_sec":[${r4(calibIoStart)},${r4(calibIoEnd)}],""" +
-      s""""contended":$contended"""
+      s""""contended":$contended,"quiet_pin":$quietPin"""
     // fixture identity only on the full artifact: the compact stdout line
     // must stay under the driver's ~2 KB tail window
     val calib = calibCompact + s""","fixture":$fixtureFp"""
@@ -313,6 +327,13 @@ object Bench {
           s" (plus ${replicaErrs.size} replica: ${replicaErrs.mkString(", ")})"
         else ""))
       sys.exit(1)
+    }
+    if (sys.env.contains("SPARK_GRAFT_REQUIRE_QUIET") && !quietPin) {
+      System.err.println(f"[bench] quiet-pin gate failed: cpu=[$calibStart%.2f," +
+        f"$calibEnd%.2f] par=[$calibParStart%.2f,$calibParEnd%.2f] " +
+        f"io=[$calibIoStart%.2f,$calibIoEnd%.2f] — artifacts written, but " +
+        "re-run on a quiet machine before pinning this leg")
+      sys.exit(2)
     }
   }
 }
