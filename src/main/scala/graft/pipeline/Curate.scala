@@ -95,9 +95,11 @@ object Curate {
       sourceCol: String, jaccardPermille: Int = 600, shingleK: Int = 3,
       qualityKeepPermille: Int = 600,
       mixTargets: Map[String, Int] = Map.empty,
-      salt: String = "cur3", repetitionGate: Boolean = false): DataFrame =
+      salt: String = "cur3", repetitionGate: Boolean = false,
+      materializeStages: Boolean = false): DataFrame =
     curateModernStages(docs, idCol, textCol, sourceCol, jaccardPermille,
-      shingleK, qualityKeepPermille, mixTargets, salt, repetitionGate)
+      shingleK, qualityKeepPermille, mixTargets, salt, repetitionGate,
+      materializeStages)
       .last._2
 
   /** [[curateModern]]'s stage boundaries, in chain order — the same

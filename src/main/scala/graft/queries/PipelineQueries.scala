@@ -1239,7 +1239,7 @@ object PipelineQueries {
       Curate.curateModern(docs(s, dir), "doc_id", "text", "source",
         jaccardPermille = 600, shingleK = 3, qualityKeepPermille = 600,
         mixTargets = Map("src0" -> 500, "src1" -> 300, "src2" -> 200),
-        salt = "cur3")
+        salt = "cur3", materializeStages = true)
         .orderBy(col("doc_id"))),
     // curate4 (round 16, r14 ask #6): the modern chain with the Gopher
     // repetition gate composed in FRONT — the gate reads the RAW planted
@@ -1252,7 +1252,7 @@ object PipelineQueries {
         "source", jaccardPermille = 600, shingleK = 3,
         qualityKeepPermille = 600,
         mixTargets = Map("src0" -> 500, "src1" -> 300, "src2" -> 200),
-        salt = "cur4", repetitionGate = true)
+        salt = "cur4", repetitionGate = true, materializeStages = true)
         .orderBy(col("doc_id"))),
     // the modern chain's attrition curve with the repetition gate's row
     // visible (r14 ask #6's second half); oracle counts each CTE boundary

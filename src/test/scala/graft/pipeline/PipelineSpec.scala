@@ -1881,6 +1881,13 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
         .toSeq
     assert(run(mat = true) == run(mat = false))
+    // and the chain OUTPUT is row-identical both ways (the q_pipeline_
+    // curate3/curate4 board entries run materialized)
+    def chain(mat: Boolean) =
+      Curate.curateModern(d, "doc_id", "text", "source",
+          repetitionGate = true, materializeStages = mat)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    assert(chain(mat = true) == chain(mat = false))
   }
 
   test("epochDedup: index grows with admissions, drops never feed it") {
