@@ -1246,6 +1246,60 @@ object Dedup {
         (row_number().over(w) === 1).cast("long").as("keep_flag"))
   }
 
+  /** SoftDedup-style duplicate REWEIGHTING (the reweight-don't-remove
+    * alternative of He et al., "SoftDedup: an Efficient Data Reweighting
+    * Method for Speeding Up Language Model Pre-training", ACL 2024):
+    * instead of electing one survivor per near-dup cluster and dropping
+    * the rest, EVERY document survives with a sampling weight inversely
+    * proportional to how duplicated it is — `weight_permille =
+    * 1000 div cluster_size` (integer floor division, engine-portable) —
+    * so a 4-way near-dup family contributes ~one document's worth of
+    * expected training mass instead of four, without the information loss
+    * of hard removal. Singletons (docs in no pair) keep weight 1000.
+    *
+    * `pairs` is the near-dup candidate graph (any of the LSH /
+    * n-gram-Jaccard / SimHash producers); components resolve via
+    * [[duplicateClusters]]. Returns one row per row of `df`:
+    * (id, cluster_id, cluster_size, weight_permille) with cluster_id =
+    * the component minimum for paired docs and the doc's own id for
+    * singletons. Downstream, `samplePermille(id, salt) < weight_permille`
+    * is the deterministic soft-dedup keep gate, and `sum(weight_permille)
+    * / 1000` is the corpus's effective (deduplicated) size.
+    *
+    * Shape: the component loop dominates (see [[duplicateClusters]]);
+    * this adds one left equi-join of the corpus against the (sparse)
+    * label frame, one map-side-combined size count over cluster ids, and
+    * one keyed join back — cluster cardinality is bounded by the near-dup
+    * semantics, so no key can grow with the corpus. For several consumers
+    * over the same clusters, resolve once and use
+    * [[softDedupFromClusters]] (the materialize-once seam, as with
+    * [[keepBestFromClusters]]). */
+  def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a", bCol: String = "b", maxIters: Int = 25,
+      algorithm: String = "label"): DataFrame =
+    softDedupFromClusters(df, idCol,
+      duplicateClusters(pairs, aCol, bCol, maxIters, algorithm))
+
+  /** [[softDedupWeights]]' weighting stage over an ALREADY-RESOLVED
+    * clusters frame ((id, cluster_id, ...), the [[duplicateClusters]]
+    * contract) — the composition seam for the materialize-once pattern. */
+  def softDedupFromClusters(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val labels = clusters.select(col("id"), col("cluster_id"))
+    val labeled = df.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    // EXACT integer division (IntegralDivide): both operands non-negative,
+    // so truncation equals floor in every 64-bit engine
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        call_function("div", lit(1000L), col("cluster_size"))
+          .as("weight_permille"))
+  }
+
   /** Large-star/small-star alternation (the public two-phase connected-
     * components scheme of Kiveris et al., "Connected Components in
     * MapReduce and Beyond") — the [[duplicateClusters]] `algorithm="star"`

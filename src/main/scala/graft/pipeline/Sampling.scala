@@ -556,4 +556,88 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__ord")
   }
+
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): pick the `k` candidate documents whose hashed
+    * bag-of-words distribution best matches a small TARGET corpus, by
+    * Gumbel-top-k sampling proportional to the importance weight
+    * p_target(doc)/p_raw(doc) under two smoothed hashed-unigram models.
+    *
+    * Rows where `isTarget` holds FIT the target model and are excluded
+    * from selection; every other row is a candidate, fits the raw model,
+    * and competes. Per bucket `b` (the same engine-portable 31-bit char
+    * fold as [[graft.pipeline.TextAnalysis.classifierScore]], modulo
+    * `buckets`), with add-1 smoothing over word totals T (target) and R
+    * (raw):
+    *
+    *   llr(b) = ln((ct_b + 1)/(T + buckets)) − ln((cr_b + 1)/(R + buckets))
+    *
+    * quantized to micro-nats (`floor(1e6·llr)`, a long) so the per-doc
+    * log-weight is an exact INTEGER sum of per-bucket terms — order-free
+    * and replayable by any 64-bit engine; the only cross-engine surface
+    * is one `ln` per live bucket (the q_text_lm/ccnet posture). The
+    * Gumbel key adds `floor(1e6·(−ln(−ln(u))))` with `u = (mixCoord +
+    * 0.5)/2^32` — u is a dyadic rational, so the division is EXACT and
+    * the noise is a pure function of (salt, id): the resample is
+    * deterministic, reproducible across engines and repartitionings, and
+    * top-k by the integer key is sampling-without-replacement ∝ weight
+    * (the Gumbel-max trick).
+    *
+    * Shape at 100 TB: ONE explode pass builds the (id, bucket, cnt)
+    * feature frame (map-side-combined groupBy, ≤ docs×buckets rows,
+    * localCheckpointed — the [[graft.pipeline.TextAnalysis.perceptronTrain]]
+    * docFeats discipline); the model fit is one `buckets`-row aggregate of
+    * it; scoring joins the ≤`buckets`-row llr table back BROADCAST (no
+    * shuffle added); selection is `orderBy.limit(k)` — TakeOrderedAndProject,
+    * per-partition top-k then a k-row driver merge, never a global sort.
+    *
+    * Returns the k selected rows as (id, score_x1e6, gumbel_x1e6,
+    * key_x1e6), ordered by id. Wordless candidates score 0 and compete on
+    * noise alone — the weight-1 posture of an empty feature vector. */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, buckets: Int = 64,
+      salt: String = "dsir"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20]: $buckets")
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => w =!= "")
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      isTarget.cast("boolean").as("__tgt"), words.as("__ws"))
+    val docFeats = slim
+      .select(col("id"), col("__tgt"), explode(col("__ws")).as("w"))
+      .select(col("id"), col("__tgt"),
+        (Dedup.arithHash31(col("w")) % buckets).cast("int").as("b"))
+      .groupBy(col("id"), col("__tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val bc = docFeats.groupBy(col("b")).agg(
+      sum(when(col("__tgt"), col("cnt")).otherwise(0L)).as("ct"),
+      sum(when(col("__tgt"), 0L).otherwise(col("cnt"))).as("cr"))
+    val tot = bc.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
+    val bD = lit(buckets.toDouble)
+    val llr = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(lit(1e6) *
+          (log((col("ct") + lit(1.0)) / (col("t") + bD)) -
+            log((col("cr") + lit(1.0)) / (col("r") + bD))))
+          .cast("long").as("llr"))
+    val scores = docFeats.where(!col("__tgt"))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt") * col("llr")).as("__sc"))
+    // u in (0,1) is exact: mixCoord < 2^32 is integer-representable, +0.5
+    // exact, and division by 2^32 only shifts the exponent
+    val u = (mixCoord(col("id"), salt).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val keyed = slim.where(!col("__tgt")).select(col("id"))
+      .join(scores, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__sc"), lit(0L)).as("score_x1e6"),
+        floor(lit(1e6) * -log(-log(u))).cast("long").as("gumbel_x1e6"))
+      .withColumn("key_x1e6", col("score_x1e6") + col("gumbel_x1e6"))
+    keyed.orderBy(col("key_x1e6").desc, col("id")).limit(k)
+      .orderBy(col("id"))
+  }
 }

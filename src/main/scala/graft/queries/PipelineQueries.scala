@@ -377,6 +377,20 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("cluster_id"), col("keep_flag"))
         .orderBy(col("doc_id"))
     }),
+    // SoftDedup reweighting (round 18): same components, but nothing is
+    // dropped — every doc gets weight 1000/cluster_size (singletons 1000),
+    // the reweight-don't-remove alternative to keepBest. The oracle reuses
+    // the recursive-CTE closure and re-derives sizes and weights.
+    "q_dedup_soft" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", 3)
+        .where(col("inter") * 10 >= col("union_n") * 6)
+      Dedup.softDedupWeights(d, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("cluster_size"), col("weight_permille"))
+        .orderBy(col("doc_id"))
+    }),
 
     // --- similarity search ---------------------------------------------
     "q_sim_bruteforce" -> ((s, dir) => {
@@ -1202,6 +1216,19 @@ object PipelineQueries {
           countDistinct(col("doc_id")).cast("long").as("n_docs"),
           max(col("copy")).cast("long").as("max_copy"))
         .orderBy(col("source"))
+    }),
+
+    // DSIR importance resampling (round 18): src0 is the TARGET corpus,
+    // every other source is the raw candidate pool; hashed-unigram
+    // log-likelihood-ratio scores in micro-nats + deterministic Gumbel
+    // noise, top-k without replacement. The oracle re-derives the bucket
+    // models, the quantized llr table, the per-doc integer score and the
+    // Gumbel key, and replays the top-k cut.
+    "q_sample_dsir" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      Sampling.dsirResample(d, "doc_id", "text",
+        col("source") === "src0", k = 400, buckets = 64, salt = "dsir")
+        .withColumnRenamed("id", "doc_id")
     }),
 
     // The full curation chain as one plan: dedup → quality → repetition cap
@@ -3134,6 +3161,40 @@ object PipelineQueries {
          |SELECT doc_id, cluster_id,
          |  CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
          |FROM rnk ORDER BY doc_id""".stripMargin,
+    // Same closure, then the SoftDedup reweighting: every doc (paired or
+    // not) labels into a cluster (own id for singletons) and carries
+    // weight 1000 // cluster_size — integer floor division, both operands
+    // non-negative, so DuckDB's // and Spark's div agree exactly
+    "q_dedup_soft" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
+         |), jp AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+         |  FROM shd l JOIN shd r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a, b FROM jp
+         |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |  WHERE inter*10 >= (sa.n + sb.n - inter)*6
+         |), e AS (
+         |  SELECT a AS x, b AS y FROM cand
+         |  UNION SELECT b AS x, a AS y FROM cand
+         |), reach(x, y) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT e.x, r.y FROM e JOIN reach r ON r.x = e.y
+         |), comp AS (
+         |  SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x
+         |), lab AS (
+         |  SELECT d2.doc_id, COALESCE(comp.cluster_id, d2.doc_id) AS cluster_id
+         |  FROM documents d2 LEFT JOIN comp USING (doc_id)
+         |), sz AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY 1
+         |)
+         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+         |  CAST(1000 // sz.cluster_size AS BIGINT) AS weight_permille
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY lab.doc_id""".stripMargin,
     "q_text_redact" ->
       ("""WITH t AS (
          |  SELECT doc_id,
@@ -3717,6 +3778,47 @@ object PipelineQueries {
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_words) AS BIGINT) AS kept_words
          |FROM keep GROUP BY source ORDER BY source""".stripMargin,
+    // DSIR: hashed-unigram bucket models over target (src0) vs raw words,
+    // add-1 smoothing, micro-nat-quantized llr per bucket, integer per-doc
+    // score, Gumbel key from the exact dyadic u = (mixCoord + 0.5)/2^32,
+    // top-k without replacement. The only float surfaces are ln() and the
+    // two floor() quantizations — the established q_text_lm posture.
+    "q_sample_dsir" ->
+      s"""WITH wx AS (
+         |  SELECT doc_id, (source = 'src0') AS tgt,
+         |    unnest(string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents
+         |), wb AS (
+         |  SELECT doc_id, tgt,
+         |    (${sqlCharFold("w", 31L, 1073741789L)} % 64) AS b
+         |  FROM wx WHERE w <> ''
+         |), bc AS (
+         |  SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |    SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+         |  FROM wb GROUP BY b
+         |), tot AS (SELECT SUM(ct) AS t, SUM(cr) AS r FROM bc),
+         |llr AS (
+         |  SELECT b, CAST(floor(1000000 * (ln((ct + 1.0) / (t + 64.0))
+         |    - ln((cr + 1.0) / (r + 64.0)))) AS BIGINT) AS llr
+         |  FROM bc, tot
+         |), sc AS (
+         |  SELECT doc_id, CAST(SUM(llr) AS BIGINT) AS score
+         |  FROM wb JOIN llr USING (b) WHERE NOT tgt GROUP BY doc_id
+         |), keyed AS (
+         |  SELECT c.doc_id, COALESCE(sc.score, 0) AS score_x1e6,
+         |    CAST(floor(1000000 * -ln(-ln(
+         |      (${mixCoordSql("dsir", "c.doc_id")} + 0.5) / 4294967296.0)))
+         |      AS BIGINT) AS gumbel_x1e6
+         |  FROM (SELECT doc_id FROM documents WHERE NOT (source = 'src0')) c
+         |  LEFT JOIN sc USING (doc_id)
+         |), sel AS (
+         |  SELECT doc_id, score_x1e6, gumbel_x1e6,
+         |    score_x1e6 + gumbel_x1e6 AS key_x1e6
+         |  FROM keyed ORDER BY key_x1e6 DESC, doc_id LIMIT 400
+         |)
+         |SELECT doc_id, score_x1e6, gumbel_x1e6, key_x1e6
+         |FROM sel ORDER BY doc_id""".stripMargin,
     // Temperature mixture α = 1/2: exact integer isqrt via float seed plus
     // the two ±1 corrections (s0 can be off by at most one after FLOOR on
     // a sub-2^53 total), then the same min-ratio rate form as the

@@ -3053,4 +3053,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.filter(_._2 == "en").map(_._4).distinct.sorted.toSeq ==
       Seq("head", "middle", "tail"))
   }
+
+  test("softDedupWeights: 1000/cluster_size per doc, singletons keep 1000") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val got = Dedup.softDedupWeights(d, "doc_id", pairs)
+      .select("id", "cluster_id", "cluster_size", "weight_permille")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> (1L, 3L, 333L), 2L -> (1L, 3L, 333L), 3L -> (1L, 3L, 333L),
+      4L -> (4L, 1L, 1000L),
+      5L -> (5L, 2L, 500L), 6L -> (5L, 2L, 500L),
+      7L -> (7L, 1L, 1000L)))
+    // every doc survives (reweight, don't remove), and the effective mass
+    // of each cluster is ~1 doc (integer floor: 999 for the 3-cluster)
+    assert(got.size == 7)
+    val massByCluster = got.values.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(massByCluster == Map(1L -> 999L, 4L -> 1000L, 5L -> 1000L,
+      7L -> 1000L))
+  }
+
+  test("dsirResample equals an independent importance-resampling model") {
+    // target (tgt=true) speaks the {alpha..delta} vocabulary; candidates
+    // split between target-like and off-distribution {zulu..xray} docs.
+    // 24-word docs make the llr score dominate the Gumbel noise, but the
+    // spec does NOT rely on that: the reference model below recomputes
+    // score, noise and the top-k cut from scratch.
+    val tWords = Seq("alpha", "beta", "gamma", "delta")
+    val oWords = Seq("zulu", "yankee", "xray", "whiskey")
+    def doc(ws: Seq[String], seed: Int): String =
+      (0 until 24).map(i => ws((i * 7 + seed) % ws.size)).mkString(" ")
+    val rows =
+      (0L until 6L).map(i => (i, doc(tWords, i.toInt), true)) ++
+        (10L until 18L).map(i => (i, doc(tWords, i.toInt), false)) ++
+        (20L until 28L).map(i => (i, doc(oWords, i.toInt), false)) ++
+        Seq((30L, "   ", false)) // wordless candidate: score 0, noise only
+    val d = rows.toDF("doc_id", "text", "tgt")
+    val k = 9
+    val got = Sampling.dsirResample(d, "doc_id", "text", col("tgt"),
+      k = k, buckets = 64, salt = "dsp")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // independent model: fold-hash buckets, add-1 smoothed llr in
+    // micro-nats, integer doc scores, fullMix-based Gumbel keys, top-k
+    def words(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bucket(w: String): Int =
+      (w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1073741789L) % 64).toInt
+    val tgtCnt = rows.filter(_._3).flatMap(r => words(r._2)).groupBy(bucket)
+      .view.mapValues(_.size.toLong).toMap
+    val rawCnt = rows.filterNot(_._3).flatMap(r => words(r._2)).groupBy(bucket)
+      .view.mapValues(_.size.toLong).toMap
+    val tTot = tgtCnt.values.sum
+    val rTot = rawCnt.values.sum
+    def llr(b: Int): Long =
+      math.floor(1e6 * (math.log((tgtCnt.getOrElse(b, 0L) + 1.0) / (tTot + 64.0))
+        - math.log((rawCnt.getOrElse(b, 0L) + 1.0) / (rTot + 64.0)))).toLong
+    def gumbel(id: Long): Long = {
+      val u = (fullMix("dsp", id) + 0.5) / 4294967296.0
+      math.floor(1e6 * -math.log(-math.log(u))).toLong
+    }
+    val refAll = rows.filterNot(_._3).map { case (id, t, _) =>
+      val score = words(t).map(w => llr(bucket(w))).sum
+      (id, score, gumbel(id), score + gumbel(id))
+    }
+    val refSel = refAll.sortBy(r => (-r._4, r._1)).take(k).sortBy(_._1)
+    assert(got == refSel)
+    // targets never selected; the wordless candidate scored exactly 0 in
+    // the model (so its fate rode on noise alone)
+    assert(got.forall(r => r._1 >= 10L))
+    assert(refAll.find(_._1 == 30L).get._2 == 0L)
+    // with this signal strength the selected set is exactly the
+    // target-like candidates (8 of them) plus one noise-elected outlier
+    assert(got.count(r => r._1 >= 10L && r._1 < 18L) == 8)
+    // deterministic and partitioning-invariant
+    val again = Sampling.dsirResample(d.repartition(7), "doc_id", "text",
+      col("tgt"), k = k, buckets = 64, salt = "dsp")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }
