@@ -452,6 +452,23 @@ object PipelineQueries {
       val pq = Similarity.pqTopK(e, probes, "vec_id", "embedding", 10)
       Similarity.recallAtK(bf, pq, 10).orderBy(col("probe_id"))
     }),
+    // recall@10 of the remaining two quantizers (round 18): every
+    // quantized index now has a measured accuracy row beside its latency
+    // row — int8 scalar quantization and the sign-bit Hamming prefilter.
+    "q_sim_recall_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      val bf = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", 10)
+      val i8 = Similarity.int8TopK(e, probes, "vec_id", "embedding", 10)
+      Similarity.recallAtK(bf, i8, 10).orderBy(col("probe_id"))
+    }),
+    "q_sim_recall_binary" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id").isin(0L, 17L, 42L))
+      val bf = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", 10)
+      val bin = Similarity.binaryTopK(e, probes, "vec_id", "embedding", 10)
+      Similarity.recallAtK(bf, bin, 10).orderBy(col("probe_id"))
+    }),
 
     // int8 embedding quantization (round 11, beyond-the-reference): the
     // 4x storage/bandwidth lever. Codes are integer-exact after one
@@ -3001,6 +3018,124 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
         |  FROM rescored) t
         |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    // int8 recall@10: the q_sim_int8 chain to its top-10 (atop), the
+    // brute-force real-valued top-10 (btop), then the recall rollup —
+    // truth LEFT JOIN approx, floor-permille, the recallAtK contract
+    "q_sim_recall_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, MAX(abs(x)) AS scale FROM v GROUP BY vec_id
+        |), q AS (
+        |  SELECT v.vec_id, v.i,
+        |    CASE WHEN s.scale = 0 THEN 0
+        |      ELSE CAST(round(x * 127.0 / s.scale) AS INT) END AS qv
+        |  FROM v JOIN s ON s.vec_id = v.vec_id
+        |), qnorms AS (
+        |  SELECT vec_id, sqrt(CAST(SUM(qv*qv) AS DOUBLE)) AS qn FROM q GROUP BY vec_id
+        |), qprobes AS (SELECT * FROM q WHERE vec_id IN (0, 17, 42)),
+        |qscored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+        |    CAST(SUM(p.qv * c.qv) AS DOUBLE) / (MAX(np.qn) * MAX(nc.qn)) AS qcos
+        |  FROM qprobes p
+        |  JOIN q c ON p.i = c.i AND c.vec_id <> p.vec_id
+        |  JOIN qnorms np ON np.vec_id = p.vec_id
+        |  JOIN qnorms nc ON nc.vec_id = c.vec_id
+        |  GROUP BY 1, 2
+        |), atop AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qcos DESC, id) AS rnk
+        |    FROM qscored) t WHERE rnk <= 10
+        |), bnorms AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
+        |), bscored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+        |    SUM(p.x * c.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+        |  FROM (SELECT * FROM v WHERE vec_id IN (0, 17, 42)) p
+        |  JOIN v c ON p.i = c.i AND c.vec_id <> p.vec_id
+        |  JOIN bnorms np ON np.vec_id = p.vec_id
+        |  JOIN bnorms nc ON nc.vec_id = c.vec_id
+        |  GROUP BY 1, 2
+        |), btop AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+        |    FROM bscored) t WHERE rnk <= 10
+        |)
+        |SELECT b.probe_id,
+        |  CAST(COUNT(p.id) AS BIGINT) AS n_hit,
+        |  COUNT(*) AS k,
+        |  CAST(FLOOR(COUNT(p.id) * 1000.0 / COUNT(*)) AS BIGINT)
+        |    AS recall_x1000
+        |FROM btop b LEFT JOIN atop p
+        |  ON p.probe_id = b.probe_id AND p.id = b.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // binary (sign-bit Hamming prefilter) recall@10: same rollup over the
+    // q_sim_binary chain's top-10 vs the brute-force top-10
+    "q_sim_recall_binary" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), code AS (
+        |  SELECT vec_id, (i - 1) // 32 AS w,
+        |    SUM(CASE WHEN x > 0 THEN 1::BIGINT << CAST((i - 1) % 32 AS INT)
+        |      ELSE 0 END) AS word
+        |  FROM v GROUP BY vec_id, (i - 1) // 32
+        |), probes AS (SELECT * FROM code WHERE vec_id IN (0, 17, 42)),
+        |hams AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+        |    SUM(bit_count(xor(p.word, c.word))) AS ham
+        |  FROM probes p
+        |  JOIN code c ON p.w = c.w AND c.vec_id <> p.vec_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ham, id) AS crnk
+        |    FROM hams) t
+        |  WHERE crnk <= 30
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM v GROUP BY vec_id
+        |), rescored AS (
+        |  SELECT cd.probe_id, cd.id,
+        |    SUM(p.x * c.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+        |  FROM cand cd
+        |  JOIN v p ON p.vec_id = cd.probe_id
+        |  JOIN v c ON c.vec_id = cd.id AND c.i = p.i
+        |  JOIN norms np ON np.vec_id = cd.probe_id
+        |  JOIN norms nc ON nc.vec_id = cd.id
+        |  GROUP BY 1, 2
+        |), atop AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+        |    FROM rescored) t WHERE rnk <= 10
+        |), bscored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+        |    SUM(p.x * c.x) / (MAX(np.nrm) * MAX(nc.nrm)) AS cosine
+        |  FROM (SELECT * FROM v WHERE vec_id IN (0, 17, 42)) p
+        |  JOIN v c ON p.i = c.i AND c.vec_id <> p.vec_id
+        |  JOIN norms np ON np.vec_id = p.vec_id
+        |  JOIN norms nc ON nc.vec_id = c.vec_id
+        |  GROUP BY 1, 2
+        |), btop AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
+        |    FROM bscored) t WHERE rnk <= 10
+        |)
+        |SELECT b.probe_id,
+        |  CAST(COUNT(p.id) AS BIGINT) AS n_hit,
+        |  COUNT(*) AS k,
+        |  CAST(FLOOR(COUNT(p.id) * 1000.0 / COUNT(*)) AS BIGINT)
+        |    AS recall_x1000
+        |FROM btop b LEFT JOIN atop p
+        |  ON p.probe_id = b.probe_id AND p.id = b.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // mrlEmb damping → truncated scoring → top-cand cut → exact full-dim
     // re-rank, all re-derived; ints-and-rank output like the other ANN
     // oracles. The damping weights are exact halvings (1 << k), so the
