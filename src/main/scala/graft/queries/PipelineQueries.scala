@@ -1068,6 +1068,28 @@ object PipelineQueries {
           sum(col("n_bpe_tokens")).cast("long").as("sum_bpe"))
         .orderBy(col("source"))
     }),
+    // Tokenizer fertility by language (round 18): BPE tokens per word per
+    // langId bucket — the multilingual tokenizer-audit readout that drives
+    // mixture/budget decisions (a language with high fertility consumes
+    // disproportionate context window per word). Composes the trained BPE
+    // encode with the n-gram language id; fertility is integer permille
+    // via the exact `div`. The oracle splices both established chains.
+    "q_text_fertility" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val lang = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      val (_, encoded) = Tokenizer.bpeTrainTable(d, "text", 2)
+      Tokenizer.tokenCountsFor(d, "doc_id", "text", encoded)
+        .join(lang, col("id") === col("doc_id"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("sum_words"),
+          sum(col("n_bpe_tokens")).cast("long").as("sum_bpe"),
+          call_function("div", sum(col("n_bpe_tokens")) * 1000L,
+            greatest(sum(col("n_words")), lit(1L))).as("fertility_x1000"))
+        .orderBy(col("lang_pred"))
+    }),
     // cross-document boilerplate: per-doc share of corpus-common 3-shingles
     // (appearing in >= 3 distinct docs), rolled up per source. The oracle
     // path keeps shingle strings (engine-portable identity); the hashed
@@ -2579,6 +2601,56 @@ object PipelineQueries {
        |  FROM w${e - 1} LEFT JOIN u$e USING (b)
        |)""".stripMargin
 
+  /** Shared BPE-encode oracle chain (two trained merges, word table,
+    * per-doc word/token counts) — the replica of Tokenizer.bpeTrainTable +
+    * tokenCountsFor spliced by q_text_bpe_encode and q_text_fertility,
+    * ending at the per-doc `per(doc_id, n_words, n_bpe)` CTE. */
+  private val bpePerCte: String =
+    s"""WITH w0 AS (
+       |  SELECT doc_id, lower(w) AS w
+       |  FROM (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
+       |        FROM documents) t
+       |  WHERE regexp_matches(lower(w), '^[a-z]+$$') AND length(w) >= 2
+       |), wc AS (
+       |  SELECT w, COUNT(*) AS freq FROM w0 GROUP BY 1
+       |), p1 AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), 1) || ' ' ||
+       |    substr(w, CAST(i + 1 AS INTEGER), 1) AS pair, freq
+       |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wc)
+       |), top1 AS (
+       |  SELECT replace(pair, ' ', '') AS m FROM (
+       |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+       |    FROM p1 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+       |), tw AS (
+       |  SELECT w, replace(w, (SELECT m FROM top1), chr(1)) AS w2, freq
+       |  FROM wc
+       |), p2 AS (
+       |  SELECT replace(substr(w2, CAST(i AS INTEGER), 1), chr(1),
+       |      (SELECT m FROM top1)) || ' ' ||
+       |    replace(substr(w2, CAST(i + 1 AS INTEGER), 1), chr(1),
+       |      (SELECT m FROM top1)) AS pair, freq
+       |  FROM (SELECT w2, freq, unnest(range(1, length(w2))) AS i
+       |        FROM tw WHERE length(w2) >= 2)
+       |), top2 AS (
+       |  SELECT pair FROM (
+       |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+       |    FROM p2 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+       |), pat2 AS (
+       |  SELECT replace(string_split(pair, ' ')[1], (SELECT m FROM top1),
+       |      chr(1)) ||
+       |    replace(string_split(pair, ' ')[2], (SELECT m FROM top1),
+       |      chr(1)) AS p
+       |  FROM top2
+       |), enc AS (
+       |  SELECT w, CAST(length(replace(w2, (SELECT p FROM pat2), chr(2)))
+       |    AS BIGINT) AS n_tok
+       |  FROM tw
+       |), per AS (
+       |  SELECT w0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(enc.n_tok) AS BIGINT) AS n_bpe
+       |  FROM w0 JOIN enc USING (w) GROUP BY 1
+       |)""".stripMargin
+
   /** Shared bigram-LM oracle chain (add-k smoothing, micro-nat floor) —
     * the replica of TextAnalysis.bigramLmScore spliced by q_text_lm and
     * q_text_ccnet, ending at the per-doc `agg(doc_id, nb, mn)` CTE. */
@@ -3597,55 +3669,47 @@ object PipelineQueries {
     // round-1 merge chars -> chr(1), then the round-2 pattern (components
     // mapped into w2-space) -> chr(2); length(w3) IS the token count
     "q_text_bpe_encode" ->
-      s"""WITH w0 AS (
-         |  SELECT doc_id, lower(w) AS w
-         |  FROM (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
-         |        FROM documents) t
-         |  WHERE regexp_matches(lower(w), '^[a-z]+$$') AND length(w) >= 2
-         |), wc AS (
-         |  SELECT w, COUNT(*) AS freq FROM w0 GROUP BY 1
-         |), p1 AS (
-         |  SELECT substr(w, CAST(i AS INTEGER), 1) || ' ' ||
-         |    substr(w, CAST(i + 1 AS INTEGER), 1) AS pair, freq
-         |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wc)
-         |), top1 AS (
-         |  SELECT replace(pair, ' ', '') AS m FROM (
-         |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
-         |    FROM p1 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
-         |), tw AS (
-         |  SELECT w, replace(w, (SELECT m FROM top1), chr(1)) AS w2, freq
-         |  FROM wc
-         |), p2 AS (
-         |  SELECT replace(substr(w2, CAST(i AS INTEGER), 1), chr(1),
-         |      (SELECT m FROM top1)) || ' ' ||
-         |    replace(substr(w2, CAST(i + 1 AS INTEGER), 1), chr(1),
-         |      (SELECT m FROM top1)) AS pair, freq
-         |  FROM (SELECT w2, freq, unnest(range(1, length(w2))) AS i
-         |        FROM tw WHERE length(w2) >= 2)
-         |), top2 AS (
-         |  SELECT pair FROM (
-         |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
-         |    FROM p2 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
-         |), pat2 AS (
-         |  SELECT replace(string_split(pair, ' ')[1], (SELECT m FROM top1),
-         |      chr(1)) ||
-         |    replace(string_split(pair, ' ')[2], (SELECT m FROM top1),
-         |      chr(1)) AS p
-         |  FROM top2
-         |), enc AS (
-         |  SELECT w, CAST(length(replace(w2, (SELECT p FROM pat2), chr(2)))
-         |    AS BIGINT) AS n_tok
-         |  FROM tw
-         |), per AS (
-         |  SELECT w0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |    CAST(SUM(enc.n_tok) AS BIGINT) AS n_bpe
-         |  FROM w0 JOIN enc USING (w) GROUP BY 1
-         |)
+      (bpePerCte + """
          |SELECT d.source, COUNT(*) AS n_docs,
          |  CAST(SUM(per.n_words) AS BIGINT) AS sum_words,
          |  CAST(SUM(per.n_bpe) AS BIGINT) AS sum_bpe
          |FROM per JOIN documents d USING (doc_id)
-         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    // Same encode chain, rolled up by the langId bucket instead of the
+    // source column; fertility_x1000 = tokens-per-word permille by exact
+    // integer division (both operands non-negative)
+    "q_text_fertility" ->
+      (bpePerCte + """, lang AS (
+         |  SELECT doc_id, CASE
+         |    WHEN s_en=0 AND s_de=0 AND s_fr=0 AND s_es=0 THEN 'und'
+         |    WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |    WHEN s_en >= s_de THEN 'en'
+         |    ELSE 'de' END AS lang_pred
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(regexp_extract_all(text,'\bthe\b'))+len(regexp_extract_all(text,'\band\b'))
+         |        +len(regexp_extract_all(text,'\bof\b'))+len(regexp_extract_all(text,'\bto\b'))
+         |        +len(regexp_extract_all(text,'\bin\b')) AS s_en,
+         |      len(regexp_extract_all(text,'\bder\b'))+len(regexp_extract_all(text,'\bdie\b'))
+         |        +len(regexp_extract_all(text,'\bund\b'))+len(regexp_extract_all(text,'\bdas\b'))
+         |        +len(regexp_extract_all(text,'\bist\b')) AS s_de,
+         |      len(regexp_extract_all(text,'\ble\b'))+len(regexp_extract_all(text,'\bla\b'))
+         |        +len(regexp_extract_all(text,'\bet\b'))+len(regexp_extract_all(text,'\bles\b'))
+         |        +len(regexp_extract_all(text,'\bdes\b')) AS s_fr,
+         |      len(regexp_extract_all(text,'\bel\b'))+len(regexp_extract_all(text,'\bla\b'))
+         |        +len(regexp_extract_all(text,'\blos\b'))+len(regexp_extract_all(text,'\bque\b'))
+         |        +len(regexp_extract_all(text,'\bde\b')) AS s_es
+         |    FROM documents) t
+         |)
+         |SELECT l.lang_pred, COUNT(*) AS n_docs,
+         |  CAST(SUM(per.n_words) AS BIGINT) AS sum_words,
+         |  CAST(SUM(per.n_bpe) AS BIGINT) AS sum_bpe,
+         |  CAST(CAST(SUM(per.n_bpe) AS BIGINT) * 1000
+         |    // greatest(CAST(SUM(per.n_words) AS BIGINT), 1) AS BIGINT)
+         |    AS fertility_x1000
+         |FROM per JOIN lang l USING (doc_id)
+         |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin),
     // grams fold through the same portable 31-bit hash; coverage is the
     // distinct-token union of repeated spans, permille by integer division
     "q_dedup_spans" ->
