@@ -240,7 +240,15 @@ object Bench {
     // host's fresh quiet floor so a smaller host (whose parQuiet already
     // scales with 32/cpus) gets a proportionally larger aged allowance
     // instead of being flagged by a 32-cpu constant.
-    val parAgedQuiet = parQuiet * (0.70 / 0.30)
+    // Anchor RE-MEASURED round 18 on the grown surface: the 0.70 point
+    // was taken at ~357 query runs (r12/r13, ~120-query boards); the
+    // board is now 190 queries × 3 reps = 570 runs, and four 32-cpu legs
+    // this round read par-end 0.76-0.83 with cpu AND io probes quiet
+    // (0.99 only on the one leg whose io probes were also inflated) —
+    // the same old-gen/code-cache mechanism, one surface-growth step
+    // later, deterministic across ambient states. 0.85 is the quiet
+    // ceiling measured at 570 runs; same ratio-over-fresh form.
+    val parAgedQuiet = parQuiet * (0.85 / 0.30)
     // io-probe quiet anchor: measured on this host at 32 cpus — a quiet
     // leg reads 0.80 s at run start and up to ~1.1 s at run end (the same
     // JVM-aging drift the parallel probe carries, despite the System.gc).
