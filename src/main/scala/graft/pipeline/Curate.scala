@@ -299,4 +299,32 @@ object Curate {
           .otherwise("changed"))
       .select(col("id"), col("status"))
   }
+
+  /** k-anonymity suppression audit — the release-gate privacy check next
+    * to [[TextAnalysis.redactPii]]: redaction scrubs direct identifiers,
+    * this measures RE-identification risk from quasi-identifier
+    * combinations (the metadata columns a release ships alongside the
+    * text). A document whose quasi-identifier tuple is shared by fewer
+    * than `k` documents corpus-wide is suppressed in a k-anonymous
+    * release; the audit marks each doc with its equivalence-class size
+    * and the suppression verdict so the caller can either drop the rows
+    * or coarsen the quasi columns and re-run.
+    *
+    * Shape: ONE aggregation keyed on the quasi tuple (map-side combined,
+    * |distinct tuples| rows out — tiny) broadcast back onto the scan; no
+    * row-level shuffle of the corpus. Skewed tuples are exactly the ones
+    * that are NOT suppressed, and they never concentrate: the join is
+    * broadcast, not key-partitioned. */
+  def kAnonymity(docs: DataFrame, quasiCols: Seq[Column], k: Long)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1L, s"k must be >= 1: $k")
+    val names = quasiCols.indices.map(i => s"__qi$i")
+    val keyed = docs.withColumns(names.zip(quasiCols).toMap)
+    val classes = keyed.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("class_size"))
+    keyed.join(broadcast(classes), names)
+      .withColumn("suppress", col("class_size") < k)
+      .drop(names: _*)
+  }
 }

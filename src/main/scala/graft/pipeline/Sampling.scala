@@ -640,4 +640,53 @@ object Sampling {
     keyed.orderBy(col("key_x1e6").desc, col("id")).limit(k)
       .orderBy(col("id"))
   }
+
+  /** DoReMi-style domain reweighting, one multiplicative-weights step
+    * (Xie et al. 2023: Domain Reweighting with Minimax Optimization):
+    * starting from uniform domain weights, each domain's weight is scaled
+    * by `exp(η · excess_d)` where `excess_d` is the domain's mean
+    * per-document score minus the corpus mean — domains the proxy signal
+    * says are under-served gain mass, over-served domains shed it — then
+    * renormalized to a permille mixture that [[targetMixture]] /
+    * [[mixtureRates]] can consume directly.
+    *
+    * `scoreCol` is any integer per-document signal (classifier margin,
+    * micro-nat LM excess loss, quality score). Determinism discipline:
+    * means are integer `div`s; the exp argument is `excess / 2048` — a
+    * power-of-two divide, so the double is EXACT on both engines — and
+    * the weight is quantized `floor(10⁴·exp(·))` before any further
+    * arithmetic, putting all downstream normalization back in integer
+    * space (ulp drift on `exp` would need to land within ~10⁻¹⁰ of a
+    * floor boundary to show — the micro-nat `ln` posture). η is therefore
+    * fixed at 1/2048 per score unit; callers tune by scaling `scoreCol`.
+    *
+    * Clamp: |excess/2048| is capped at 16 (exp ≤ 8.9·10⁶ fits the 10⁴
+    * quantization comfortably; e¹⁶ overflow would need |excess| > 32768,
+    * i.e. a degenerate proxy). Shape: one map-side-combined aggregation
+    * to |domains| rows, then driver-free broadcast arithmetic — the
+    * corpus is scanned exactly once. */
+  def doremiStep(df: DataFrame, domainCol: String, scoreCol: String)
+      : DataFrame = {
+    val perDom = df.select(col(domainCol).as("d"),
+        col(scoreCol).cast("long").as("s"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"))
+    val tot = perDom.agg(sum(col("n_docs")).as("nt"), sum(col("ssum")).as("st"))
+    val meanD = call_function("div", col("ssum"), col("n_docs"))
+    val meanAll = call_function("div", col("st"), col("nt"))
+    val weighted = perDom.crossJoin(broadcast(tot))
+      .withColumn("mean_score", meanD)
+      .withColumn("excess", meanD - meanAll)
+      .withColumn("w_x1e4",
+        floor(lit(1e4) * exp(
+          greatest(lit(-16.0), least(lit(16.0),
+            col("excess").cast("double") / lit(2048.0)))))
+          .cast("long"))
+    val wsum = weighted.agg(sum(col("w_x1e4")).as("wt"))
+    weighted.crossJoin(broadcast(wsum))
+      .select(col("d").as(domainCol), col("n_docs"), col("mean_score"),
+        col("excess"),
+        call_function("div", col("w_x1e4") * 1000L, col("wt"))
+          .as("weight_permille"))
+  }
 }

@@ -695,4 +695,62 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix criterion): mined (src, tgt) pairs are mutual nearest
+    * neighbors whose cosine clears a RATIO margin over each side's
+    * top-`k` neighborhood mean — absolute-threshold mining fails because
+    * hubness inflates some vectors' cosines globally; the margin divides
+    * that hub mass out.
+    *
+    *   margin(x,y) = cos(x,y) / (½·(avgTopK(x→tgt) + avgTopK(y→src)))
+    *
+    * mined iff y = argmax over tgt for x, x = argmax over src for y
+    * (forward-backward "intersection" strategy) AND margin >
+    * `marginX1000/1000`. The margin test is evaluated cross-multiplied —
+    * `2000·cos·cntX·cntY > m·(sumX·cntY + sumY·cntX)` — so no division
+    * touches the doubles and an external engine replays the identical
+    * arithmetic.
+    *
+    * `blockCol` is the blocking stage (same posture as cosineNearDup's
+    * label blocks: length bucket, domain, LSH band — at corpus scale the
+    * caller blocks, this operator never goes all-pairs). Per block the
+    * candidate table is |src|·|tgt| rows reduced immediately by two
+    * partial-top-k windows (WindowGroupLimit — no full sort); the two
+    * directions each aggregate to one row per vector before the final
+    * (small) mutual join. The pair subtree is evaluated once per
+    * direction — recompute beats materializing a block² frame. */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, blockCol: String, k: Int = 4,
+      marginX1000: Long = 1200L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val s = src.select(col(blockCol).as("blk"), col(idCol).as("sid"),
+        asDouble(col(vecCol)).as("sv"))
+      .withColumn("sn", norm(col("sv")))
+    val t = tgt.select(col(blockCol).as("blk"), col(idCol).as("tid"),
+        asDouble(col(vecCol)).as("tv"))
+      .withColumn("tn", norm(col("tv")))
+    val scored = s.join(t, "blk")
+      .select(col("sid"), col("tid"),
+        (dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cosine"))
+    def topkAgg(part: String, other: String) = {
+      val w = Window.partitionBy(col(part))
+        .orderBy(col("cosine").desc, col(other))
+      scored.withColumn("r", row_number().over(w)).where(col("r") <= k)
+        .groupBy(col(part))
+        .agg(sum(when(col("r") === 1, col(other))).as(s"${part}_top1"),
+          sum(when(col("r") === 1, col("cosine"))).as(s"${part}_cos"),
+          sum(col("cosine")).as(s"${part}_sum"),
+          count(lit(1)).as(s"${part}_cnt"))
+    }
+    val fwd = topkAgg("sid", "tid")
+    val bwd = topkAgg("tid", "sid")
+    fwd.join(bwd,
+        col("sid_top1") === col("tid") && col("tid_top1") === col("sid"))
+      .where(col("sid_cos") * lit(2000.0) * col("sid_cnt") * col("tid_cnt") >
+        lit(marginX1000.toDouble) *
+          (col("sid_sum") * col("tid_cnt") + col("tid_sum") * col("sid_cnt")))
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"))
+  }
 }

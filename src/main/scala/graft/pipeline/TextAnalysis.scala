@@ -995,4 +995,93 @@ object TextAnalysis {
     * replacement order. */
   def redactionCount(text: Column): Column =
     regexp_count(redactPii(text), lit("<URL>|<EMAIL>|<IP>")).cast("long")
+
+  /** Zipf-law head fit per group: the slope of ln(freq) over ln(rank) for
+    * the `topR` most frequent words (freq ≥ `minFreq`), the corpus-health
+    * readout next to [[typeTokenRatio]] — natural text sits near −1;
+    * templated or synthetic corpora drift toward 0 (flat head) or below
+    * −2 (a few tokens dominating).
+    *
+    * Engine-portable integer least squares: each (rank, freq) point is
+    * quantized to milli-nats (`floor(1000·ln(·))` — ln over exact small
+    * integers, the established micro-nat discipline at 1/1000 the scale),
+    * and the OLS slope is computed from the four integer power sums, so
+    * accumulation order cannot drift the result. freq is non-increasing
+    * in rank, hence the slope is ≤ 0; the output is its magnitude
+    * `zipf_x1000 = floor(1000·(n·Σxy−ΣxΣy) / (ΣxΣx−n·Σxx))` via integer
+    * `div` on a non-negative numerator (sidestepping trunc-vs-floor
+    * divergence on negative integer division across engines).
+    *
+    * Overflow audit (why milli- not micro-nats): with topR ≤ 256,
+    * x ≤ 1000·ln(256) < 5546 and y ≤ 1000·ln(freq); even at freq = 10¹⁵,
+    * |n·Σxy| and |Σx·Σy| stay ≤ ~1.3·10¹³ and the ×1000 numerator
+    * ≤ ~2.6·10¹⁶ ≪ 2⁶³. Shape: one word-frequency aggregation (map-side
+    * combined), a per-group top-R window over |vocab| rows (tiny next to
+    * the corpus), then a per-group fold — no all-corpus sort. */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+      topR: Int = 256, minFreq: Long = 2L): DataFrame = {
+    require(topR > 0 && topR <= 4096, s"topR must be in [1, 4096]: $topR")
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")
+    val wf = df.select(col(groupCol).as("g"), explode(words).as("w"))
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("freq"))
+    val byFreq = Window.partitionBy(col("g"))
+      .orderBy(col("freq").desc, col("w"))
+    val nTypes = wf.groupBy(col("g")).agg(count(lit(1)).as("n_types"))
+    val fit = wf.withColumn("rank", row_number().over(byFreq))
+      .where(col("rank") <= topR && col("freq") >= minFreq)
+      .select(col("g"),
+        floor(lit(1000.0) * log(col("rank").cast("double")))
+          .cast("long").as("x"),
+        floor(lit(1000.0) * log(col("freq").cast("double")))
+          .cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_fit"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    fit.join(nTypes, Seq("g"))
+      .where(col("n_fit") >= 2L)
+      .select(col("g").as(groupCol), col("n_types"), col("n_fit"),
+        call_function("div",
+          (col("sx") * col("sy") - col("n_fit") * col("sxy")) * 1000L,
+          col("n_fit") * col("sxx") - col("sx") * col("sx"))
+          .as("zipf_x1000"))
+  }
+
+  /** Rank-based ROC-AUC per group — the standard eval for a quality
+    * classifier's scores against a binary label, computed exactly on
+    * integer scores via the tie-aware Mann–Whitney statistic (the ANN
+    * indexes got recall@k in rounds 14-18; this is the scorer's
+    * counterpart).
+    *
+    * Per distinct score s: p(s) positives, q(s) negatives, cq(s) the
+    * negatives strictly below s. Doubling to keep ties integer-exact,
+    * U·2 = Σ p(s)·(2·cq(s) + q(s)), and
+    * `auc_x1e6 = (U·2 · 10⁶) div (2·n_pos·n_neg)`. Everything after the
+    * grouping is integer arithmetic — no doubles anywhere, so the oracle
+    * comparison is exact, not ulp-lucky. Groups with a single class are
+    * dropped (AUC undefined). Overflow: U·2 ≤ 2·n_pos·n_neg, so the ×10⁶
+    * numerator needs n_pos·n_neg < ~4.6·10¹² — per-GROUP sizes to millions
+    * of rows; shard the group key before calling at larger strata.
+    * Shape: one aggregation to |distinct scores| rows per group, a
+    * per-group cumulative window over that (tiny) table, one fold. */
+  def rankAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val byScore = df.select(col(groupCol).as("g"),
+        col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("boolean").as("l"))
+      .groupBy(col("g"), col("s"))
+      .agg(sum(when(col("l"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("l"), 0L).otherwise(1L)).as("q"))
+    val cumW = Window.partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore.withColumn("cq", sum(col("q")).over(cumW) - col("q"))
+      .groupBy(col("g"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("p") * (col("cq") * 2L + col("q"))).as("u2"))
+      .where(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        call_function("div", col("u2") * 1000000L,
+          col("n_pos") * col("n_neg") * 2L).as("auc_x1e6"))
+  }
 }

@@ -469,6 +469,31 @@ object PipelineQueries {
       val bin = Similarity.binaryTopK(e, probes, "vec_id", "embedding", 10)
       Similarity.recallAtK(bf, bin, 10).orderBy(col("probe_id"))
     }),
+    // Margin-based bitext mining (round 18): mutual-nearest-neighbor pairs
+    // under the LASER/CCMatrix ratio margin, label-blocked. The fixture
+    // has no cross-side pairs (max same-label cosine ~0.48), so the target
+    // side is planted: vec_id%3==0 → an exact 0.5-scaled copy (cosine 1),
+    // vec_id%3==1 → one dimension damped 0.25x (cosine ~0.96+, margin
+    // ~1.7 vs unmined ~1.07 — both far from the 1.2 threshold), %3==2 →
+    // no counterpart (must NOT be mined: mutual argmax + margin kill it).
+    // All perturbations are exact binary-FP scalings, so the oracle
+    // rebuilds the corpus bit-for-bit and replays both top-k directions.
+    "q_sim_bitext" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val scaled = base.where(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"), col("label"),
+          transform(col("v"), x => x * lit(0.5d)).as("v"))
+      val bumped = base.where(col("vec_id") % 3 === 1)
+        .withColumn("__dim", (col("vec_id") % 64).cast("int"))
+        .select((col("vec_id") + 200000).as("vec_id"), col("label"),
+          zip_with(col("v"), sequence(lit(0), lit(63)),
+            (x, i) => when(i === col("__dim"), x * lit(0.25d)).otherwise(x))
+            .as("v"))
+      Similarity.bitextMine(base, scaled.unionByName(bumped), "vec_id", "v",
+        "label", k = 4, marginX1000 = 1200L)
+        .orderBy(col("src_id"))
+    }),
 
     // int8 embedding quantization (round 11, beyond-the-reference): the
     // 4x storage/bandwidth lever. Codes are integer-exact after one
@@ -782,6 +807,18 @@ object PipelineQueries {
       Curate.datacard(planted, "text")
         .orderBy(col("lang"), col("source"))
     }),
+    // k-anonymity suppression audit (round 18): every document marked with
+    // its (lang, n_chars-bucket) equivalence-class size and the k=5
+    // suppression verdict — the release-gate privacy check beside PII
+    // redaction. One tuple-keyed aggregation broadcast back; the oracle
+    // re-derives classes and flags independently.
+    "q_pipeline_kanon" -> ((s, dir) =>
+      Curate.kAnonymity(docs(s, dir),
+        Seq(col("lang"), call_function("div", col("n_chars"), lit(64L))),
+        k = 5L)
+        .select(col("doc_id"), col("class_size"),
+          col("suppress").cast("long").as("suppress_flag"))
+        .orderBy(col("doc_id"))),
     // Bloom-prefiltered decontamination (round 12): tiny 4096-bit table to
     // force real false positives through the prefilter — the exact verify
     // join must remove every one of them, so the oracle is the SAME exact
@@ -1090,6 +1127,31 @@ object PipelineQueries {
             greatest(sum(col("n_words")), lit(1L))).as("fertility_x1000"))
         .orderBy(col("lang_pred"))
     }),
+    // Zipf-law head fit (round 18): per-source slope of ln(freq) over
+    // ln(rank) for the 256 most frequent words — integer milli-nat least
+    // squares (zipfSlope doc), output the slope MAGNITUDE so the integer
+    // division never sees a negative numerator. The oracle re-derives the
+    // rank table, the quantization and the OLS fold independently.
+    "q_text_zipf" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      TextAnalysis.zipfSlope(d, "source", "text", topR = 256, minFreq = 2L)
+        .orderBy(col("source"))
+    }),
+    // Classifier ROC-AUC (round 18): the tie-aware integer Mann-Whitney
+    // AUC of the hashed-linear margin against the stored lang=='en' label,
+    // per source — the scorer eval beside the ANN recall rows. Margins
+    // replicate q_text_classifier's chain; everything after is integer.
+    "q_text_classifier_auc" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("lang"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val scored = d.select(col("source"),
+        TextAnalysis.classifierMargin(col("text"), classifierWeights)
+          .as("margin"),
+        (col("lang") === "en").as("is_en"))
+      TextAnalysis.rankAuc(scored, "source", "margin", "is_en")
+        .orderBy(col("source"))
+    }),
     // cross-document boilerplate: per-doc share of corpus-common 3-shingles
     // (appearing in >= 3 distinct docs), rolled up per source. The oracle
     // path keeps shingle strings (engine-portable identity); the hashed
@@ -1268,6 +1330,21 @@ object PipelineQueries {
       Sampling.dsirResample(d, "doc_id", "text",
         col("source") === "src0", k = 400, buckets = 64, salt = "dsir")
         .withColumnRenamed("id", "doc_id")
+    }),
+    // DoReMi one-step domain reweighting (round 18): multiplicative-weights
+    // update of uniform domain weights from per-domain mean classifier
+    // margin excess (exp argument is excess/2048 — an exact power-of-two
+    // divide — and the weight is floor-quantized at 1e4 before the integer
+    // renormalization; doremiStep doc). The oracle replays margins, means,
+    // the clamped exp and the permille normalization independently.
+    "q_sample_doremi" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val scored = d.select(col("source"),
+        TextAnalysis.classifierMargin(col("text"), classifierWeights)
+          .as("margin"))
+      Sampling.doremiStep(scored, "source", "margin")
+        .orderBy(col("source"))
     }),
 
     // The full curation chain as one plan: dedup → quality → repetition cap
@@ -3253,6 +3330,59 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, id) AS rnk
         |  FROM rescored) t
         |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    // Bitext-mining replica: the planted target side rebuilt bit-for-bit
+    // (exact 0.5 / per-dim 0.25 scalings — Spark's 0-based dim ==
+    // generate_subscripts − 1), label-blocked all-pairs cosine, BOTH
+    // top-4 directions via windows, mutual-argmax join and the
+    // cross-multiplied margin test (no division over the doubles; the
+    // planted margins sit ~0.5 away from the 1.2 threshold so ulp-order
+    // drift in the sums cannot flip a verdict).
+    "q_sim_bitext" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), tgt AS (
+        |  SELECT vec_id + 200000 AS tid, label, i, x * 0.5 AS x
+        |  FROM base WHERE vec_id % 3 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS tid, label, i,
+        |    CASE WHEN i - 1 = vec_id % 64 THEN x * 0.25 ELSE x END AS x
+        |  FROM base WHERE vec_id % 3 = 1
+        |), snorm AS (
+        |  SELECT vec_id AS sid, sqrt(SUM(x*x)) AS sn FROM base GROUP BY 1
+        |), tnorm AS (
+        |  SELECT tid, sqrt(SUM(x*x)) AS tn FROM tgt GROUP BY 1
+        |), scored AS (
+        |  SELECT s.vec_id AS sid, t.tid,
+        |    SUM(s.x * t.x) / (MAX(sn.sn) * MAX(tn.tn)) AS cosine
+        |  FROM base s JOIN tgt t ON s.i = t.i AND s.label = t.label
+        |  JOIN snorm sn ON sn.sid = s.vec_id
+        |  JOIN tnorm tn ON tn.tid = t.tid
+        |  GROUP BY 1, 2
+        |), fwd AS (
+        |  SELECT sid, tid, cosine, ROW_NUMBER() OVER
+        |    (PARTITION BY sid ORDER BY cosine DESC, tid) AS r
+        |  FROM scored
+        |), fa AS (
+        |  SELECT sid, SUM(CASE WHEN r = 1 THEN tid END) AS sid_top1,
+        |    SUM(CASE WHEN r = 1 THEN cosine END) AS sid_cos,
+        |    SUM(cosine) AS sid_sum, CAST(COUNT(*) AS BIGINT) AS sid_cnt
+        |  FROM fwd WHERE r <= 4 GROUP BY sid
+        |), bwd AS (
+        |  SELECT sid, tid, cosine, ROW_NUMBER() OVER
+        |    (PARTITION BY tid ORDER BY cosine DESC, sid) AS r
+        |  FROM scored
+        |), ba AS (
+        |  SELECT tid, SUM(CASE WHEN r = 1 THEN sid END) AS tid_top1,
+        |    SUM(cosine) AS tid_sum, CAST(COUNT(*) AS BIGINT) AS tid_cnt
+        |  FROM bwd WHERE r <= 4 GROUP BY tid
+        |)
+        |SELECT fa.sid AS src_id, ba.tid AS tgt_id
+        |FROM fa JOIN ba ON fa.sid_top1 = ba.tid AND ba.tid_top1 = fa.sid
+        |WHERE fa.sid_cos * 2000.0 * fa.sid_cnt * ba.tid_cnt >
+        |  1200.0 * (fa.sid_sum * ba.tid_cnt + ba.tid_sum * fa.sid_cnt)
+        |ORDER BY src_id""".stripMargin,
     "q_sim_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -3675,6 +3805,81 @@ object PipelineQueries {
          |  CAST(SUM(per.n_bpe) AS BIGINT) AS sum_bpe
          |FROM per JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    // Zipf head fit replica: rank table (freq desc, word asc), milli-nat
+    // floor quantization, the four integer power sums and the OLS division
+    // — numerator written (ΣxΣy − n·Σxy) so it is the non-negative slope
+    // MAGNITUDE (freq non-increasing in rank) and `//` vs `div` can't
+    // diverge on sign. DuckDB SUM(BIGINT) is HUGEINT — every output column
+    // cast back to BIGINT (the round-12 escape).
+    "q_text_zipf" ->
+      s"""WITH words AS (
+         |  SELECT source AS g, lower(w) AS w
+         |  FROM (SELECT source, unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE w <> ''
+         |), wf AS (
+         |  SELECT g, w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM words GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT g, freq, ROW_NUMBER() OVER
+         |    (PARTITION BY g ORDER BY freq DESC, w) AS rank
+         |  FROM wf
+         |), ntypes AS (
+         |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_types FROM wf GROUP BY g
+         |), pts AS (
+         |  SELECT g, CAST(floor(1000.0 * ln(rank)) AS BIGINT) AS x,
+         |    CAST(floor(1000.0 * ln(freq)) AS BIGINT) AS y
+         |  FROM ranked WHERE rank <= 256 AND freq >= 2
+         |), fit AS (
+         |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_fit,
+         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+         |  FROM pts GROUP BY g
+         |)
+         |SELECT g AS source, n_types, n_fit,
+         |  CAST(((sx*sy - n_fit*sxy) * 1000) // (n_fit*sxx - sx*sx)
+         |    AS BIGINT) AS zipf_x1000
+         |FROM fit JOIN ntypes USING (g)
+         |WHERE n_fit >= 2 ORDER BY source""".stripMargin,
+    // Classifier AUC replica: the q_text_classifier margin chain verbatim,
+    // then the tie-aware Mann-Whitney fold — per distinct margin the
+    // positive/negative counts, a cumulative window for negatives strictly
+    // below, U·2 = Σ p·(2·cq + q), integer division at 1e6. No doubles
+    // anywhere past the grouping.
+    "q_text_classifier_auc" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, lower(w) AS w
+         |  FROM (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE w <> ''
+         |), scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(([${classifierWeights.mkString(", ")}])
+         |      [(${sqlCharFold("w", 31L, 1073741789L)} % 64) + 1]) AS BIGINT)
+         |      AS raw
+         |  FROM words GROUP BY doc_id
+         |), margins AS (
+         |  SELECT d.source, d.lang = 'en' AS l,
+         |    COALESCE((scored.raw * 1000) // scored.n_words, 0) AS s
+         |  FROM documents d LEFT JOIN scored USING (doc_id)
+         |), byscore AS (
+         |  SELECT source, s,
+         |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |    CAST(SUM(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS q
+         |  FROM margins GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, p, q,
+         |    SUM(q) OVER (PARTITION BY source ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - q AS cq
+         |  FROM byscore
+         |), agg AS (
+         |  SELECT source, SUM(p) AS n_pos, SUM(q) AS n_neg,
+         |    SUM(p * (cq*2 + q)) AS u2
+         |  FROM cum GROUP BY source
+         |)
+         |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST((u2 * 1000000) // (n_pos * n_neg * 2) AS BIGINT) AS auc_x1e6
+         |FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin,
     // Same encode chain, rolled up by the langId bucket instead of the
     // source column; fertility_x1000 = tokens-per-word permille by exact
     // integer division (both operands non-negative)
@@ -3977,6 +4182,51 @@ object PipelineQueries {
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_words) AS BIGINT) AS kept_words
          |FROM keep GROUP BY source ORDER BY source""".stripMargin,
+    // DoReMi one-step replica: the classifier-margin chain, per-domain
+    // integer means, the clamped exp((mean_d − mean_all)/2048) weight
+    // floor-quantized at 1e4, and the integer permille renormalization.
+    // The exp argument is a power-of-two divide of an integer (exact
+    // double), so the only float surface is exp itself at 1e4 quantization
+    // — the micro-nat ln posture. All divisions are positive // positive.
+    "q_sample_doremi" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, lower(w) AS w
+         |  FROM (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE w <> ''
+         |), scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(([${classifierWeights.mkString(", ")}])
+         |      [(${sqlCharFold("w", 31L, 1073741789L)} % 64) + 1]) AS BIGINT)
+         |      AS raw
+         |  FROM words GROUP BY doc_id
+         |), margins AS (
+         |  SELECT d.source,
+         |    COALESCE((scored.raw * 1000) // scored.n_words, 0) AS m
+         |  FROM documents d LEFT JOIN scored USING (doc_id)
+         |), perdom AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(m) AS BIGINT) AS ssum
+         |  FROM margins GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(SUM(ssum) AS BIGINT) // CAST(SUM(n_docs) AS BIGINT)
+         |    AS mean_all
+         |  FROM perdom
+         |), wtd AS (
+         |  SELECT source, n_docs, ssum // n_docs AS mean_score,
+         |    (ssum // n_docs) - (SELECT mean_all FROM tot) AS excess
+         |  FROM perdom
+         |), ww AS (
+         |  SELECT *, CAST(floor(10000.0 * exp(
+         |      LEAST(16.0, GREATEST(-16.0, CAST(excess AS DOUBLE) / 2048.0))
+         |    )) AS BIGINT) AS w
+         |  FROM wtd
+         |)
+         |SELECT source, n_docs, CAST(mean_score AS BIGINT) AS mean_score,
+         |  CAST(excess AS BIGINT) AS excess,
+         |  CAST((w * 1000) // (SELECT SUM(w) FROM ww) AS BIGINT)
+         |    AS weight_permille
+         |FROM ww ORDER BY source""".stripMargin,
     // DSIR: hashed-unigram bucket models over target (src0) vs raw words,
     // add-1 smoothing, micro-nat-quantized llr per bucket, integer per-doc
     // score, Gumbel key from the exact dyadic u = (mixCoord + 0.5)/2^32,
@@ -4505,6 +4755,21 @@ object PipelineQueries {
          |SELECT p AS phrase, CAST(c AS BIGINT) AS n FROM g
          |WHERE c * 10000 >= (SELECT n FROM tot) * 5
          |ORDER BY phrase""".stripMargin,
+    // k-anonymity replica: equivalence classes over the (lang,
+    // n_chars-bucket) quasi tuple re-counted independently, k=5 verdict
+    // per doc. n_chars is non-negative so `//` vs `div` agree.
+    "q_pipeline_kanon" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS bucket FROM documents
+        |), classes AS (
+        |  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS class_size
+        |  FROM keyed GROUP BY 1, 2
+        |)
+        |SELECT k.doc_id, c.class_size,
+        |  CAST(CASE WHEN c.class_size < 5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS suppress_flag
+        |FROM keyed k JOIN classes c USING (lang, bucket)
+        |ORDER BY doc_id""".stripMargin,
     // Histogram-threshold replica of Sampling.keepTopByScore: same score
     // arithmetic as q_text_quality, then histogram → desc running sum →
     // k = max(1, n·250 div 1000) → largest score with cum ≥ k → the ≥ cut

@@ -3134,4 +3134,136 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(again == got)
   }
+
+  test("zipfSlope equals the integer-OLS Scala model on the fixture corpus") {
+    val d = docs.withColumn("g", lit("all"))
+    val got = TextAnalysis.zipfSlope(d, "g", "text", topR = 64, minFreq = 2L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // independent model: word frequencies, the (freq desc, word asc) rank,
+    // milli-nat floors, the four power sums and the magnitude division
+    val freq = docs.as[(Long, String)].collect()
+      .flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val ranked = freq.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+      .map { case ((_, f), i) => (i + 1L, f) }
+      .filter { case (r, f) => r <= 64 && f >= 2 }
+    val pts = ranked.map { case (r, f) =>
+      (math.floor(1000.0 * math.log(r.toDouble)).toLong,
+        math.floor(1000.0 * math.log(f.toDouble)).toLong) }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = ((sx * sy - n * sxy) * 1000L) / (n * sxx - sx * sx)
+    assert(got == Seq(("all", freq.size.toLong, n, slope)))
+    // a genuinely Zipfian corpus reads ~1000: plant freq ∝ 1/rank
+    val zipfy = (1 to 50).flatMap(r => Seq.fill(600 / r)(s"w$r"))
+    val zd = Seq((1L, zipfy.mkString(" "))).toDF("doc_id", "text")
+      .withColumn("g", lit("z"))
+    val zg = TextAnalysis.zipfSlope(zd, "g", "text", topR = 64, minFreq = 2L)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(math.abs(zg._4 - 1000L) < 60,
+      s"planted 1/rank corpus should fit near 1000, got ${zg._4}")
+    // partitioning-invariant
+    val again = TextAnalysis.zipfSlope(d.repartition(7), "g", "text",
+      topR = 64, minFreq = 2L).as[(String, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("rankAuc: brute-force pair model, ties, and the degenerate cases") {
+    // mixed scores WITH ties across labels; expected AUC from the O(n²)
+    // Mann-Whitney definition (1 per win, ½ per tie)
+    val rows = Seq((10L, true), (10L, false), (8L, true), (6L, false),
+      (6L, true), (4L, false), (2L, false), (12L, true))
+    val d = rows.zipWithIndex.map { case ((s, l), i) => (s"g", s, l) }
+      .toDF("g", "s", "l")
+    val got = TextAnalysis.rankAuc(d, "g", "s", "l")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; q <- neg) yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val auc = u2 * 1000000L / (2L * pos.size * neg.size)
+    assert(got == Seq(("g", pos.size.toLong, neg.size.toLong, auc)))
+    // perfect separation → 1e6; inverted → 0; identical scores → exactly ½
+    def auc1(rows: Seq[(Long, Boolean)]): Seq[Long] =
+      TextAnalysis.rankAuc(rows.map(r => ("g", r._1, r._2)).toDF("g", "s", "l"),
+        "g", "s", "l").as[(String, Long, Long, Long)].collect().map(_._4).toSeq
+    assert(auc1(Seq((5L, true), (6L, true), (1L, false))) == Seq(1000000L))
+    assert(auc1(Seq((1L, true), (5L, false), (6L, false))) == Seq(0L))
+    assert(auc1(Seq((7L, true), (7L, false), (7L, true))) == Seq(500000L))
+    // single-class groups are dropped, multi-group independence holds
+    val multi = Seq(("a", 3L, true), ("a", 1L, false),
+      ("b", 9L, true), ("c", 2L, false)).toDF("g", "s", "l")
+    val m = TextAnalysis.rankAuc(multi, "g", "s", "l")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(m == Seq(("a", 1L, 1L, 1000000L)))
+  }
+
+  test("doremiStep: hand-built excesses, the exp clamp, uniform fixpoint") {
+    // A mean 2048, B mean 0 → mean_all 1024, excesses ±1024 → exp(±½)
+    val d = Seq(("A", 3072L), ("A", 1024L), ("B", 0L), ("B", 0L))
+      .toDF("dom", "sc")
+    val got = Sampling.doremiStep(d, "dom", "sc")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val wA = math.floor(1e4 * math.exp(0.5)).toLong   // 16487
+    val wB = math.floor(1e4 * math.exp(-0.5)).toLong  //  6065
+    assert(got == Seq(
+      ("A", 2L, 2048L, 1024L, wA * 1000L / (wA + wB)),
+      ("B", 2L, 0L, -1024L, wB * 1000L / (wA + wB))))
+    // uniform scores → uniform mixture (the DoReMi fixpoint)
+    val u = Seq(("A", 7L), ("B", 7L), ("C", 7L), ("A", 7L)).toDF("dom", "sc")
+    val ug = Sampling.doremiStep(u, "dom", "sc")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(ug.forall(r => r._4 == 0L && r._5 == 333L))
+    // a runaway excess hits the ±16 clamp instead of overflowing
+    val big = Seq(("A", 10000000L), ("B", 0L), ("B", 0L)).toDF("dom", "sc")
+    val bg = Sampling.doremiStep(big, "dom", "sc")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val wHi = math.floor(1e4 * math.exp(16.0)).toLong
+    val wLo = math.floor(1e4 * math.exp(-16.0)).toLong // floor → 0
+    assert(wLo == 0L && bg.map(_._5) ==
+      Seq(wHi * 1000L / (wHi + wLo), wLo * 1000L / (wHi + wLo)))
+  }
+
+  test("kAnonymity: class sizes, the k verdict, columns survive") {
+    val d = Seq(
+      (1L, "en", 10L, "x"), (2L, "en", 12L, "y"), (3L, "en", 70L, "z"),
+      (4L, "de", 10L, "w"), (5L, "en", 11L, "v")
+    ).toDF("id", "lang", "n", "payload")
+    val got = Curate.kAnonymity(d,
+        Seq(col("lang"), call_function("div", col("n"), lit(64L))), k = 3L)
+      .select(col("id"), col("payload"), col("class_size"), col("suppress"))
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // (en, 0) has ids 1,2,5 → size 3, kept; (en, 1) and (de, 0) singletons
+    assert(got == Seq((1L, "x", 3L, false), (2L, "y", 3L, false),
+      (3L, "z", 1L, true), (4L, "w", 1L, true), (5L, "v", 3L, false)))
+  }
+
+  test("bitextMine: mutual argmax + ratio margin on hand-built geometry") {
+    // s1↔t11 (cos 1, margin 1.2095), s2↔t21 (cos 1, margin 1.4776),
+    // s3 has no counterpart: its argmax t11 points back to s1 → not mutual
+    val src = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (3L, Array(0.6, 0.0, 0.8, 0.0))
+    ).toDF("vec_id", "v").withColumn("blk", lit(0))
+    val tgt = Seq(
+      (11L, Array(2.0, 0.0, 0.0, 0.0)),   // s1 scaled
+      (12L, Array(0.5, 0.5, 0.0, 0.0)),   // equidistant distractor
+      (21L, Array(0.0, 3.0, 0.0, 0.0))    // s2 scaled
+    ).toDF("vec_id", "v").withColumn("blk", lit(0))
+    def mine(m: Long) = Similarity.bitextMine(src, tgt, "vec_id", "v",
+      "blk", k = 2, marginX1000 = m).as[(Long, Long)].collect().sorted.toSeq
+    assert(mine(1100L) == Seq((1L, 11L), (2L, 21L)))
+    // raising the margin bar drops the hubbier pair first (s1's top-2
+    // neighborhood is denser → smaller margin), never the cleaner one
+    assert(mine(1300L) == Seq((2L, 21L)))
+    assert(mine(3000L) == Seq())
+    // partitioning-invariant
+    val again = Similarity.bitextMine(src.repartition(5), tgt.repartition(3),
+      "vec_id", "v", "blk", k = 2, marginX1000 = 1100L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(again == Seq((1L, 11L), (2L, 21L)))
+  }
 }
