@@ -523,6 +523,45 @@ object Dedup {
       .where(col("n_shared_shingles") >= minShared)
   }
 
+  /** Per-EVAL-doc contamination fraction — the partial-overlap criterion
+    * of the GPT-3/PaLM decontamination appendices (an eval example is
+    * "dirty" when a high fraction of its n-grams occurs ANYWHERE in the
+    * training corpus — PaLM drew the line at 70% of 8-grams). This is the
+    * eval-side complement of [[decontaminate]]'s train-side report: that
+    * answers "which training docs leak eval content", this answers "which
+    * eval items are compromised, and how badly" — the number an eval
+    * integrity review actually quotes, and partial overlap catches the
+    * paraphrased/truncated leaks an exact-match gate misses.
+    *
+    * One row per eval doc: (id, n_grams, n_in_train, dirty_permille =
+    * 1000·n_in_train div n_grams, dirty). Shingles are distinct per doc
+    * (the [[decontaminate]] identity: hash-distinct ≡ string-distinct
+    * modulo 64-bit collisions).
+    *
+    * Scale shape: the eval set is tiny next to the corpus, so its shingle
+    * hashes BROADCAST and the train side — the 100 TB stream — is cut at
+    * scan level by the broadcast equi-join and never shuffles; the
+    * distinct that follows runs over a stream already bounded by the eval
+    * shingle domain (map-side combine collapses repeats before the
+    * exchange), and the final rollup joins two eval-sized frames. */
+  def contaminationFraction(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, k: Int = 8, dirtyPermille: Int = 700): DataFrame = {
+    val evalSh = explodedShingleHashes(df.where(isEval), idCol, textCol, k)
+      .distinct()
+    val evalHashes = evalSh.select(col("h")).distinct()
+    val inTrain = explodedShingleHashes(df.where(!isEval), idCol, textCol, k)
+      .join(broadcast(evalHashes), "h")
+      .select(col("h")).distinct()
+      .withColumn("in_train", lit(1L))
+    evalSh.join(inTrain, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("in_train"), lit(0L))).as("n_in_train"))
+      .withColumn("dirty_permille",
+        call_function("div", col("n_in_train") * 1000L, col("n_grams")))
+      .withColumn("dirty", col("dirty_permille") >= dirtyPermille)
+  }
+
   /** Bloom-prefiltered decontamination — the 100 TB form of
     * [[decontaminate]], with the IDENTICAL result: the eval n-gram set
     * folds into a two-probe Bloom bit table (a plan-constant long-array

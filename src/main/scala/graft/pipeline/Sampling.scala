@@ -111,13 +111,49 @@ object Sampling {
       s"split weights must be non-negative: $splits")
     require(splits.map(_._2).sum <= 1000,
       s"split weights exceed 1000 permille: $splits")
-    val coord = samplePermille(col(idCol), salt)
+    df.withColumn(outCol, splitLabel(samplePermille(col(idCol), salt), splits))
+  }
+
+  /** The cumulative-band CASE chain shared by [[assignSplit]] and
+    * [[groupAwareSplit]]: label = the half-open permille band the
+    * coordinate lands in; weights-sum remainder books as NULL. */
+  private def splitLabel(coord: Column, splits: Seq[(String, Int)]): Column = {
     val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }
-    val label = splits.zip(bounds.zip(bounds.tail))
+    splits.zip(bounds.zip(bounds.tail))
       .foldLeft(lit(null).cast("string")) { case (acc, ((name, _), (lo, hi))) =>
         when(coord >= lo && coord < hi, lit(name)).otherwise(acc)
       }
-    df.withColumn(outCol, label)
+  }
+
+  /** Group-aware n-way split (scikit's GroupShuffleSplit discipline, made
+    * deterministic): every row sharing a non-NULL `groupCol` value lands
+    * in the SAME split, because the sample coordinate is computed from the
+    * group key instead of the row id — the leakage guard for
+    * near-duplicate-rich corpora (two crawls of one site, many docs of one
+    * author or host), where an id-keyed split puts one copy in train and
+    * its twin in test and quietly inflates every eval number. NULL groups
+    * carry no identity, so those rows fall back to the id coordinate
+    * (independent assignment — the urlDedup no-key posture), under a
+    * DIFFERENT salt suffix so a group literally equal to some id string
+    * cannot correlate the two coordinate spaces.
+    *
+    * Same guarantees as [[assignSplit]]: a pure function of (salt, key) —
+    * stable under reruns, engines, repartitioning, and corpus growth —
+    * and the same execution shape: a scan-level CASE chain, no shuffle,
+    * no group materialization (the group's rows agree because they
+    * compute the same coordinate, not because they were brought
+    * together). */
+  def groupAwareSplit(df: DataFrame, idCol: String, groupCol: String,
+      splits: Seq[(String, Int)], salt: String = "gsplit",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      s"split weights must be non-negative: $splits")
+    require(splits.map(_._2).sum <= 1000,
+      s"split weights exceed 1000 permille: $splits")
+    val coord = when(col(groupCol).isNotNull,
+        samplePermille(col(groupCol), salt + ":g"))
+      .otherwise(samplePermille(col(idCol), salt + ":i"))
+    df.withColumn(outCol, splitLabel(coord, splits))
   }
 
   /** Keep rates that hit a per-stratum token BUDGET: rate = min(1000,

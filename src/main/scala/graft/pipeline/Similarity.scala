@@ -753,4 +753,39 @@ object Similarity {
           (col("sid_sum") * col("tid_cnt") + col("tid_sum") * col("sid_cnt")))
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"))
   }
+
+  /** [[bitextMine]] behind corpus-sized random-hyperplane blocking — the
+    * production entry point when no bounded natural blocking key exists.
+    * A fixed-cardinality block column is quadratic per block BY SEMANTICS,
+    * so on a growing corpus it degrades toward all-pairs (the
+    * q_dedup_cosine lesson, SCALE.md round 10); here BOTH sides compute
+    * the same integer-exact [[rhpSignature]] and block on its low
+    * `bandBits` sign bits, and the band count GROWS with the corpus:
+    * bandBits defaults to clamp(ceil(log2((|src|+|tgt|)/targetOccupancy)),
+    * 4, planes−1) — the [[graft.pipeline.Dedup.lshParamsFor]] sizing rule
+    * — holding expected band occupancy near `targetOccupancy` and total
+    * candidate volume ~linear in the corpus. The cost is recall at the
+    * band boundary: a pair with angle θ agrees on each sign bit with
+    * probability 1−θ/π (the standard RHP trade — exact-duplicate
+    * directions agree on every bit and are never lost), and both margin
+    * neighborhoods are band-scoped. Sizing is one count job; because the
+    * signature is an integer sum, the whole pipeline — sizing rule
+    * included — replays exactly in an external engine. */
+  def bitextMineLsh(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, marginX1000: Long = 1200L,
+      planes: Int = 32, targetOccupancy: Int = 64,
+      bandBits: Option[Int] = None): DataFrame = {
+    require(planes >= 5 && planes <= 63, s"planes must be in [5, 63]: $planes")
+    val bits = bandBits.getOrElse {
+      val n = src.count() + tgt.count()
+      val wanted = math.ceil(math.log(math.max(1L, n).toDouble /
+        math.max(1, targetOccupancy)) / math.log(2.0)).toInt
+      math.min(planes - 1, math.max(4, wanted))
+    }
+    val mask = (1L << bits) - 1L
+    def banded(f: DataFrame) = f.withColumn("__band",
+      rhpSignature(col(vecCol), planes).bitwiseAND(lit(mask)))
+    bitextMine(banded(src), banded(tgt), idCol, vecCol, "__band",
+      k, marginX1000)
+  }
 }

@@ -1084,4 +1084,145 @@ object TextAnalysis {
         call_function("div", col("u2") * 1000000L,
           col("n_pos") * col("n_neg") * 2L).as("auc_x1e6"))
   }
+
+  /** Vocabulary-distribution KL divergence between two document sets —
+    * the content-drift measure `datasetDiff` cannot see (that op is
+    * id/fingerprint-keyed; this one compares corpora with NO shared ids:
+    * last month's crawl vs this month's, one source vs the rest, the
+    * domain-shift gate of a refresh pipeline). KL(ref‖cmp) over the
+    * reference side's `topK` case-folded words (count desc, word asc
+    * tie-break — the [[vocabCoverage]] vocabulary discipline), add-1
+    * smoothed on BOTH sides over that closed vocabulary:
+    * `p_i = (na_i+1)/(ta+K)`, `q_i = (nb_i+1)/(tb+K)`,
+    * `KL = Σ p_i·ln(p_i/q_i)`.
+    *
+    * Determinism: per-term `llr_micro = floor(10⁶·ln((na+1)(tb+K) /
+    * ((ta+K)(nb+1))))` — each factor is an integer exact in a double
+    * (< 2⁵³ up to ~9·10¹⁵ corpus words), the multiply/divide are IEEE
+    * exact-rounded, so `ln`+`floor` are the only float surfaces (the
+    * q_text_lm posture) — then `kl_x1e6 = max(0, Σ(na_i+1)·llr_micro)
+    * div (ta+K)`: the weighted sum runs in Decimal(38,0) (the tfidf
+    * headroom discipline), and the max(0,·) clamp restores Gibbs'
+    * KL ≥ 0 when per-term floors push a near-zero divergence a hair
+    * negative — keeping the final integer division on a non-negative
+    * numerator (trunc ≡ floor in every engine).
+    *
+    * Shape: two word-count aggregates (map-side combined, vocab-sized),
+    * one top-K window over the reference vocab table, a broadcast join,
+    * one fold — the corpus is scanned once per side and never shuffles
+    * on a word key. Output is ONE row: (n_terms, tot_ref, tot_cmp,
+    * kl_x1e6). */
+  def vocabKlDivergence(refDf: DataFrame, cmpDf: DataFrame, textCol: String,
+      topK: Int = 256): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w0"))
+      .select(lower(col("w0")).as("w")).where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val vocab = counts(refDf).orderBy(col("n").desc, col("w")).limit(topK)
+      .select(col("w"), col("n").as("na"))
+    // vocab is the K-row side but also the PRESERVED side, and Spark
+    // cannot broadcast the preserved side of an outer join — so the
+    // outer decomposes into a broadcast inner join (build = vocab) plus
+    // a K-row anti-join recovering the vocab terms the cmp corpus never
+    // uses; the cmp word table streams, never shuffles
+    val matched = counts(cmpDf).withColumnRenamed("n", "nb")
+      .join(broadcast(vocab), Seq("w"))
+      .select(col("w"), col("na"), col("nb"))
+    val missing = vocab
+      .join(broadcast(matched.select(col("w"))), Seq("w"), "left_anti")
+      .select(col("w"), col("na"), lit(0L).as("nb"))
+    val joined = matched.unionByName(missing)
+    val totals = joined.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+      count(lit(1)).cast("long").as("k"))
+    val llr = floor(lit(1e6) * log(
+      ((col("na") + 1L).cast("double") * (col("tb") + col("k")).cast("double")) /
+      ((col("ta") + col("k")).cast("double") * (col("nb") + 1L).cast("double"))))
+      .cast("long")
+    joined.crossJoin(broadcast(totals))
+      .withColumn("llr_micro", llr)
+      .agg(max(col("k")).as("n_terms"), max(col("ta")).as("tot_ref"),
+        max(col("tb")).as("tot_cmp"),
+        sum(((col("na") + 1L) * col("llr_micro")).cast("decimal(38,0)"))
+          .as("wsum"))
+      .select(col("n_terms"), col("tot_ref"), col("tot_cmp"),
+        call_function("div",
+          greatest(lit(0L).cast("decimal(38,0)"), col("wsum")),
+          (col("tot_ref") + col("n_terms")).cast("decimal(38,0)"))
+          .cast("long").as("kl_x1e6"))
+  }
+
+  /** Reliability-diagram calibration bins for an integer classifier score
+    * against a binary label — the CALIBRATION axis beside [[rankAuc]]'s
+    * discrimination axis (a scorer can rank perfectly yet be wildly
+    * miscalibrated; gating thresholds chosen on one corpus transfer to
+    * another only as far as calibration holds). Scores are fixed-width
+    * binned over [0, scaleMax] (`bin = min(bins−1, score·bins div
+    * (scaleMax+1))`; negatives clamp into bin 0, overshoots into the top
+    * bin), and each occupied bin reports (n, n_pos, pos_permille,
+    * mean_score) — a calibrated permille-probability scorer has
+    * pos_permille tracking mean_score down the diagonal. All integer
+    * arithmetic after the scan; shape: one map-side-combined rollup to
+    * ≤ bins rows. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10, scaleMax: Long = 1000L): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    require(scaleMax >= 1, s"scaleMax must be >= 1: $scaleMax")
+    val s = col("__s")
+    val b = least(lit(bins - 1L),
+      call_function("div", greatest(s, lit(0L)) * bins, lit(scaleMax + 1L)))
+    df.select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("boolean").as("__l"))
+      .select(b.as("bin"), s, col("__l"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(s).as("__ssum"))
+      .withColumn("pos_permille",
+        call_function("div", col("n_pos") * 1000L, col("n")))
+      .withColumn("mean_score", call_function("div", col("__ssum"), col("n")))
+      .drop("__ssum")
+  }
+
+  /** Exact empirical-CDF rank fusion of several integer quality signals —
+    * the ensemble form of model-based filtering (production pipelines
+    * combine length, lexical, LM and classifier signals; averaging RAW
+    * values is meaningless across their scales, averaging RANKS is the
+    * classical Borda fusion): each signal maps to its exact corpus CDF
+    * permille, `cdf(v) = 1000·|{rows: value ≤ v}| div N` — the integer
+    * empirical distribution, so equal values share one rank and the
+    * output is engine-exact, never ulp-lucky — and `fused_x1000` is the
+    * integer mean of the per-signal CDFs. Gate downstream with a plain
+    * threshold or [[Sampling]]'s quantile machinery.
+    *
+    * Scale shape — the [[rankAuc]] discipline: each signal aggregates to
+    * its |distinct values| rows (map-side combined), the cumulative sum
+    * runs as a window over THAT tiny table, and the CDF broadcast-joins
+    * back onto the scan — the corpus never sorts and never shuffles on a
+    * signal key. Contract: signals are LOW-CARDINALITY non-NULL integers
+    * (permille-scale scores; bucket unbounded raw values first — each
+    * per-signal value table must stay broadcast-small). A NULL signal
+    * value is a caller bug: its rows drop out of the equi-join. */
+  def fuseSignals(df: DataFrame, idCol: String,
+      signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.nonEmpty, "fuseSignals needs at least one signal")
+    val names = signals.map(_._1)
+    require(names.distinct == names, s"duplicate signal names: $names")
+    val base = df.select(col(idCol) +:
+      signals.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val cumW = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy()
+    val withCdfs = names.foldLeft(base) { (acc, n) =>
+      val cdf = base.groupBy(col(n).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .select(col("__v"),
+          call_function("div", sum(col("__c")).over(cumW) * 1000L,
+            sum(col("__c")).over(totW)).as(s"${n}_cdf_x1000"))
+      acc.join(broadcast(cdf), acc(n) === cdf("__v")).drop("__v")
+    }
+    withCdfs.withColumn("fused_x1000",
+      call_function("div",
+        names.map(n => col(s"${n}_cdf_x1000")).reduce(_ + _),
+        lit(names.size.toLong)))
+  }
 }

@@ -494,6 +494,29 @@ object PipelineQueries {
         "label", k = 4, marginX1000 = 1200L)
         .orderBy(col("src_id"))
     }),
+    // Corpus-sized LSH-blocked bitext mining (round 18): the PRODUCTION
+    // twin of q_sim_bitext — same planted geometry, but blocking by the
+    // low sign bits of the 32-plane RHP signature with bandBits derived
+    // from the corpus count (the lshParamsFor rule), so candidate volume
+    // stays ~linear as the corpus grows; recall at the band boundary is
+    // the deterministic trade and the oracle replays the integer
+    // signature, the sizing rule and both band-scoped top-k directions.
+    "q_sim_bitext_lsh" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val scaled = base.where(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"), col("label"),
+          transform(col("v"), x => x * lit(0.5d)).as("v"))
+      val bumped = base.where(col("vec_id") % 3 === 1)
+        .withColumn("__dim", (col("vec_id") % 64).cast("int"))
+        .select((col("vec_id") + 200000).as("vec_id"), col("label"),
+          zip_with(col("v"), sequence(lit(0), lit(63)),
+            (x, i) => when(i === col("__dim"), x * lit(0.25d)).otherwise(x))
+            .as("v"))
+      Similarity.bitextMineLsh(base, scaled.unionByName(bumped),
+        "vec_id", "v", k = 4, marginX1000 = 1200L)
+        .orderBy(col("src_id"))
+    }),
 
     // int8 embedding quantization (round 11, beyond-the-reference): the
     // 4x storage/bandwidth lever. Codes are integer-exact after one
@@ -1345,6 +1368,75 @@ object PipelineQueries {
           .as("margin"))
       Sampling.doremiStep(scored, "source", "margin")
         .orderBy(col("source"))
+    }),
+    // Per-EVAL-doc contamination fraction (round 18): the PaLM-style
+    // partial-overlap criterion — permille of each eval doc's distinct
+    // 3-shingles present anywhere in the training corpus, dirty at ≥500.
+    // Eval side broadcasts; the train stream never shuffles.
+    "q_decontam_fraction" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      Dedup.contaminationFraction(d, "doc_id", "text",
+        col("doc_id") % 97 === 0, k = 3, dirtyPermille = 500)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("dirty_flag", col("dirty").cast("long")).drop("dirty")
+        .orderBy(col("doc_id"))
+    }),
+    // Group-aware split (round 18): rows sharing a host group land in the
+    // SAME split (leakage-safe eval holdout); NULL-group rows fall back to
+    // the id coordinate. Groups from the url_hosts plant arithmetic so the
+    // oracle predicts every assignment in closed form.
+    "q_sample_group_split" -> ((s, dir) => {
+      val grouped = docs(s, dir).withColumn("host",
+        when(col("doc_id") % 5 === 0,
+          concat(lit("h"), (col("doc_id") % 9).cast("string")))
+          .otherwise(lit(null).cast("string")))
+      Sampling.groupAwareSplit(grouped, "doc_id", "host",
+        Seq("train" -> 800, "val" -> 100, "test" -> 50), salt = "gs1")
+        .select(col("doc_id"), col("host"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    // Exact-CDF rank fusion (round 18): length, lexical-diversity and
+    // classifier signals fused by integer empirical-CDF averaging (Borda);
+    // the oracle re-derives all three signals, each CDF and the mean.
+    "q_text_fuse" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.fuseSignals(d, "doc_id", Seq(
+        "len" -> col("n_chars"),
+        "ttr" -> TextAnalysis.typeTokenRatio(col("text")),
+        "margin" -> TextAnalysis.classifierMargin(
+          regexp_replace(trim(col("text")), "\\s+", " "), classifierWeights)))
+        .select(col("doc_id"), col("len_cdf_x1000"), col("ttr_cdf_x1000"),
+          col("margin_cdf_x1000"), col("fused_x1000"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary-KL drift (round 18): KL(ref‖cmp) between the even- and
+    // odd-id halves of the corpus over the reference top-256 vocabulary,
+    // add-1 smoothed, micro-nat quantized — the no-shared-ids dataset
+    // drift gate. The oracle replays vocab election, smoothing, the
+    // ln/floor quantization and the clamped division.
+    "q_text_kl" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      TextAnalysis.vocabKlDivergence(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "text", topK = 256)
+    }),
+    // Calibration bins (round 18): the reliability diagram of the hashed
+    // classifier margin against the stored lang=='en' label — 10 bins
+    // over [0, 6000] (the margin's range under the 0..6 weight table),
+    // per-bin count / positives / pos_permille / mean_score, all integer.
+    "q_text_calibration" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      val scored = d.select(
+        TextAnalysis.classifierMargin(col("text"), classifierWeights)
+          .as("margin"),
+        (col("lang") === "en").as("is_en"))
+      TextAnalysis.calibrationBins(scored, "margin", "is_en",
+        bins = 10, scaleMax = 6000L)
+        .orderBy(col("bin"))
     }),
 
     // The full curation chain as one plan: dedup → quality → repetition cap
@@ -3383,6 +3475,108 @@ object PipelineQueries {
         |WHERE fa.sid_cos * 2000.0 * fa.sid_cnt * ba.tid_cnt >
         |  1200.0 * (fa.sid_sum * ba.tid_cnt + ba.tid_sum * fa.sid_cnt)
         |ORDER BY src_id""".stripMargin,
+    // LSH-blocked bitext replica: the same planted corpus and margin tail,
+    // with the 32-plane integer RHP signature (the q_dedup_cosine_lsh
+    // weight grid), bandBits = clamp(ceil(log2(n/64)), 4, 31) derived from
+    // the corpus count exactly as the Scala side derives it, and the
+    // candidate join scoped to band agreement instead of the label
+    "q_sim_bitext_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), tgt AS (
+        |  SELECT vec_id + 200000 AS tid, label, i, x * 0.5 AS x
+        |  FROM base WHERE vec_id % 3 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS tid, label, i,
+        |    CASE WHEN i - 1 = vec_id % 64 THEN x * 0.25 ELSE x END AS x
+        |  FROM base WHERE vec_id % 3 = 1
+        |), params AS (
+        |  SELECT LEAST(31, GREATEST(4,
+        |      CAST(ceil(log2(GREATEST(1, n) / 64.0)) AS BIGINT))) AS bits
+        |  FROM (SELECT
+        |    (SELECT COUNT(DISTINCT vec_id) FROM base)
+        |    + (SELECT COUNT(DISTINCT tid) FROM tgt) AS n) t0
+        |), w1 AS (
+        |  SELECT pp.p AS p, dd.i AS i,
+        |    ((pp.p*1000003 + dd.i)*1103515245 + 12345) % 2147483648 AS h1
+        |  FROM (SELECT unnest(range(32)) AS p) pp,
+        |       (SELECT unnest(range(64)) AS i) dd
+        |), w2 AS (
+        |  SELECT p, i,
+        |    (xor(h1, h1 // 65536)*747796405 + 2891336453) % 2147483648 AS h2
+        |  FROM w1
+        |), wt AS (
+        |  SELECT p, i,
+        |    ((xor(h2, h2 // 65536)*277803737 + 12345) % 2147483648) // 2048
+        |      - 524288 AS w
+        |  FROM w2
+        |), qs AS (
+        |  SELECT vec_id, i, CAST(floor(x*1048576.0) AS BIGINT) AS xq
+        |  FROM base
+        |), qt AS (
+        |  SELECT tid, i, CAST(floor(x*1048576.0) AS BIGINT) AS xq FROM tgt
+        |), sig_s AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+        |      AS sg
+        |  FROM (SELECT vec_id, wt.p AS p, SUM(xq * wt.w) AS pr
+        |        FROM qs JOIN wt ON wt.i = qs.i - 1 GROUP BY 1, 2) t
+        |  GROUP BY 1
+        |), sig_t AS (
+        |  SELECT tid,
+        |    SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+        |      AS sg
+        |  FROM (SELECT tid, wt.p AS p, SUM(xq * wt.w) AS pr
+        |        FROM qt JOIN wt ON wt.i = qt.i - 1 GROUP BY 1, 2) t
+        |  GROUP BY 1
+        |), band_s AS (
+        |  SELECT vec_id, sg &
+        |    ((CAST(1 AS BIGINT) << CAST((SELECT bits FROM params) AS INTEGER))
+        |      - 1) AS band
+        |  FROM sig_s
+        |), band_t AS (
+        |  SELECT tid, sg &
+        |    ((CAST(1 AS BIGINT) << CAST((SELECT bits FROM params) AS INTEGER))
+        |      - 1) AS band
+        |  FROM sig_t
+        |), snorm AS (
+        |  SELECT vec_id AS sid, sqrt(SUM(x*x)) AS sn FROM base GROUP BY 1
+        |), tnorm AS (
+        |  SELECT tid, sqrt(SUM(x*x)) AS tn FROM tgt GROUP BY 1
+        |), scored AS (
+        |  SELECT s.vec_id AS sid, t.tid,
+        |    SUM(s.x * t.x) / (MAX(sn.sn) * MAX(tn.tn)) AS cosine
+        |  FROM base s JOIN tgt t ON s.i = t.i
+        |  JOIN band_s bs ON bs.vec_id = s.vec_id
+        |  JOIN band_t bt ON bt.tid = t.tid AND bt.band = bs.band
+        |  JOIN snorm sn ON sn.sid = s.vec_id
+        |  JOIN tnorm tn ON tn.tid = t.tid
+        |  GROUP BY 1, 2
+        |), fwd AS (
+        |  SELECT sid, tid, cosine, ROW_NUMBER() OVER
+        |    (PARTITION BY sid ORDER BY cosine DESC, tid) AS r
+        |  FROM scored
+        |), fa AS (
+        |  SELECT sid, SUM(CASE WHEN r = 1 THEN tid END) AS sid_top1,
+        |    SUM(CASE WHEN r = 1 THEN cosine END) AS sid_cos,
+        |    SUM(cosine) AS sid_sum, CAST(COUNT(*) AS BIGINT) AS sid_cnt
+        |  FROM fwd WHERE r <= 4 GROUP BY sid
+        |), bwd AS (
+        |  SELECT sid, tid, cosine, ROW_NUMBER() OVER
+        |    (PARTITION BY tid ORDER BY cosine DESC, sid) AS r
+        |  FROM scored
+        |), ba AS (
+        |  SELECT tid, SUM(CASE WHEN r = 1 THEN sid END) AS tid_top1,
+        |    SUM(cosine) AS tid_sum, CAST(COUNT(*) AS BIGINT) AS tid_cnt
+        |  FROM bwd WHERE r <= 4 GROUP BY tid
+        |)
+        |SELECT fa.sid AS src_id, ba.tid AS tgt_id
+        |FROM fa JOIN ba ON fa.sid_top1 = ba.tid AND ba.tid_top1 = fa.sid
+        |WHERE fa.sid_cos * 2000.0 * fa.sid_cnt * ba.tid_cnt >
+        |  1200.0 * (fa.sid_sum * ba.tid_cnt + ba.tid_sum * fa.sid_cnt)
+        |ORDER BY src_id""".stripMargin,
     "q_sim_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -4227,6 +4421,162 @@ object PipelineQueries {
          |  CAST((w * 1000) // (SELECT SUM(w) FROM ww) AS BIGINT)
          |    AS weight_permille
          |FROM ww ORDER BY source""".stripMargin,
+    // Vocabulary-KL drift: vocab election (count desc, word asc, top 256)
+    // over the even half, add-1 smoothing on the closed vocab, per-term
+    // micro-nat llr via ln over exact-in-double integer factors, weighted
+    // sum clamped at 0 (Gibbs) before the integer division
+    "q_text_kl" ->
+      s"""WITH wa AS (
+         |  SELECT lower(w) AS w
+         |  FROM (SELECT unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents WHERE doc_id % 2 = 0) t
+         |  WHERE w <> ''
+         |), vocab AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS na
+         |  FROM wa GROUP BY w
+         |  ORDER BY na DESC, w LIMIT 256
+         |), cb AS (
+         |  SELECT lower(w) AS w2, CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM (SELECT unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents WHERE doc_id % 2 = 1) t
+         |  WHERE lower(w) <> '' GROUP BY 1
+         |), j AS (
+         |  SELECT v.w, v.na, COALESCE(cb.nb, 0) AS nb
+         |  FROM vocab v LEFT JOIN cb ON cb.w2 = v.w
+         |), tot AS (
+         |  SELECT CAST(SUM(na) AS BIGINT) AS ta,
+         |    CAST(SUM(nb) AS BIGINT) AS tb,
+         |    CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM j
+         |), llr AS (
+         |  SELECT na, CAST(floor(1e6 * ln(
+         |      (CAST(na + 1 AS DOUBLE) * CAST(tb + k AS DOUBLE)) /
+         |      (CAST(ta + k AS DOUBLE) * CAST(nb + 1 AS DOUBLE))))
+         |    AS BIGINT) AS l
+         |  FROM j, tot
+         |)
+         |SELECT (SELECT k FROM tot) AS n_terms,
+         |  (SELECT ta FROM tot) AS tot_ref,
+         |  (SELECT tb FROM tot) AS tot_cmp,
+         |  CAST(GREATEST(0, CAST(SUM((na + 1) * l) AS BIGINT))
+         |    // (SELECT ta + k FROM tot) AS BIGINT) AS kl_x1e6
+         |FROM llr""".stripMargin,
+    // Calibration bins: the q_text_classifier margin chain binned
+    // fixed-width over [0, 6000], integer rollup per bin
+    "q_text_calibration" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, lower(w) AS w
+         |  FROM (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE w <> ''
+         |), scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(([${classifierWeights.mkString(", ")}])
+         |      [(${sqlCharFold("w", 31L, 1073741789L)} % 64) + 1]) AS BIGINT)
+         |      AS raw
+         |  FROM words GROUP BY doc_id
+         |), margins AS (
+         |  SELECT COALESCE((scored.raw * 1000) // scored.n_words, 0) AS m,
+         |    (d.lang = 'en') AS is_en
+         |  FROM documents d LEFT JOIN scored USING (doc_id)
+         |)
+         |SELECT LEAST(9, (GREATEST(m, 0) * 10) // 6001) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST((SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000) // COUNT(*)
+         |    AS BIGINT) AS pos_permille,
+         |  CAST(SUM(m) // COUNT(*) AS BIGINT) AS mean_score
+         |FROM margins GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Contamination fraction: the same shingle identity as q_decontam
+    // (hash-distinct ≡ string-distinct), flipped to the EVAL side — per
+    // eval doc the permille of its distinct 3-shingles present anywhere
+    // in the train partition, dirty at >= 500
+    "q_decontam_fraction" ->
+      s"""$shingleCte, tr AS (
+         |  SELECT DISTINCT s FROM shd WHERE doc_id % 97 <> 0
+         |), per AS (
+         |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_in_train
+         |  FROM shd e LEFT JOIN tr ON e.s = tr.s
+         |  WHERE e.doc_id % 97 = 0
+         |  GROUP BY e.doc_id
+         |)
+         |SELECT doc_id, n_grams, n_in_train,
+         |  CAST((n_in_train * 1000) // n_grams AS BIGINT) AS dirty_permille,
+         |  CAST(CASE WHEN (n_in_train * 1000) // n_grams >= 500
+         |    THEN 1 ELSE 0 END AS BIGINT) AS dirty_flag
+         |FROM per ORDER BY doc_id""".stripMargin,
+    // Group-aware split: the host plant (every %5 doc carries group
+    // h<id%9>, others NULL) and BOTH coordinate spaces replayed — group
+    // rows on the 'gs1:g' salt over the host string, NULL-group rows on
+    // 'gs1:i' over the id
+    "q_sample_group_split" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN 'h' || CAST(doc_id % 9 AS VARCHAR) END AS host
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, host,
+         |    CASE WHEN host IS NOT NULL
+         |      THEN ${samplePermilleSql("gs1:g", "host")}
+         |      ELSE ${samplePermilleSql("gs1:i", "doc_id")} END AS coord
+         |  FROM g
+         |)
+         |SELECT doc_id, host,
+         |  CASE WHEN coord < 800 THEN 'train'
+         |       WHEN coord < 900 THEN 'val'
+         |       WHEN coord < 950 THEN 'test' END AS split
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // CDF rank fusion: the three signals re-derived (stored n_chars, the
+    // q_text_ttr per-doc form, the q_text_classifier margin chain), each
+    // signal's exact empirical CDF permille via a cumulative window over
+    // its value-count table, fused by integer mean — everything after the
+    // signal derivations is integer arithmetic
+    "q_text_fuse" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, lower(w) AS w
+         |  FROM (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE w <> ''
+         |), scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(([${classifierWeights.mkString(", ")}])
+         |      [(${sqlCharFold("w", 31L, 1073741789L)} % 64) + 1]) AS BIGINT)
+         |      AS raw
+         |  FROM words GROUP BY doc_id
+         |), sig AS (
+         |  SELECT d.doc_id, d.n_chars AS len,
+         |    CAST(FLOOR(len(list_distinct(list_transform(
+         |        string_split($docNorm, ' '), w -> lower(w)))) * 1000.0
+         |      / greatest(len(string_split($docNorm, ' ')), 1)) AS BIGINT)
+         |      AS ttr,
+         |    COALESCE((scored.raw * 1000) // scored.n_words, 0) AS margin
+         |  FROM documents d LEFT JOIN scored USING (doc_id)
+         |), cdf_len AS (
+         |  SELECT len AS v, CAST((SUM(COUNT(*)) OVER
+         |      (ORDER BY len ROWS UNBOUNDED PRECEDING) * 1000)
+         |    // SUM(COUNT(*)) OVER () AS BIGINT) AS c
+         |  FROM sig GROUP BY len
+         |), cdf_ttr AS (
+         |  SELECT ttr AS v, CAST((SUM(COUNT(*)) OVER
+         |      (ORDER BY ttr ROWS UNBOUNDED PRECEDING) * 1000)
+         |    // SUM(COUNT(*)) OVER () AS BIGINT) AS c
+         |  FROM sig GROUP BY ttr
+         |), cdf_margin AS (
+         |  SELECT margin AS v, CAST((SUM(COUNT(*)) OVER
+         |      (ORDER BY margin ROWS UNBOUNDED PRECEDING) * 1000)
+         |    // SUM(COUNT(*)) OVER () AS BIGINT) AS c
+         |  FROM sig GROUP BY margin
+         |)
+         |SELECT s.doc_id, cl.c AS len_cdf_x1000, ct.c AS ttr_cdf_x1000,
+         |  cm.c AS margin_cdf_x1000,
+         |  CAST((cl.c + ct.c + cm.c) // 3 AS BIGINT) AS fused_x1000
+         |FROM sig s JOIN cdf_len cl ON s.len = cl.v
+         |JOIN cdf_ttr ct ON s.ttr = ct.v
+         |JOIN cdf_margin cm ON s.margin = cm.v
+         |ORDER BY s.doc_id""".stripMargin,
     // DSIR: hashed-unigram bucket models over target (src0) vs raw words,
     // add-1 smoothing, micro-nat-quantized llr per bucket, integer per-doc
     // score, Gumbel key from the exact dyadic u = (mixCoord + 0.5)/2^32,

@@ -3266,4 +3266,171 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sorted.toSeq
     assert(again == Seq((1L, 11L), (2L, 21L)))
   }
+
+  test("contaminationFraction: partial overlap, the dirty cut, short docs") {
+    // eval ids are odd. E1 "a b c d" has shingles {a b c, b c d}; train T2
+    // carries "a b c" only → 1/2 in train → 500‰, dirty at threshold 500.
+    // E3 shares nothing → 0‰. E5 is a sub-3-word doc whose WHOLE-TEXT
+    // shingle matches train T6 verbatim → 1/1 → 1000‰.
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c x y"), (3L, "p q r s"),
+      (4L, "u v w"), (5L, "zz yy"), (6L, "zz yy")
+    ).toDF("id", "text")
+    val got = Dedup.contaminationFraction(d, "id", "text",
+        col("id") % 2 === 1, k = 3, dirtyPermille = 500)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 500L, true),
+      (3L, 2L, 0L, 0L, false),
+      (5L, 1L, 1L, 1000L, true)))
+    // repeated shingles in one doc count once (distinct identity), and a
+    // train-side repeat cannot double-count either
+    val rep = Seq((1L, "m n o m n o"), (2L, "m n o m n o m n o"))
+      .toDF("id", "text")
+    val r = Dedup.contaminationFraction(rep, "id", "text",
+        col("id") === 1, k = 3, dirtyPermille = 700)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // "m n o m n o" → distinct shingles {m n o, n o m, o m n, m n o} = 3;
+    // the longer train doc contains all three
+    assert(r == Seq((1L, 3L, 3L, 1000L, true)))
+  }
+
+  test("groupAwareSplit: co-assignment, null fallback, the excluded band") {
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 50)
+    val rows = (1L to 400L).map(i =>
+      (i, if (i % 5 == 0) s"h${i % 9}" else null))
+    val d = rows.toDF("id", "grp")
+    val got = Sampling.groupAwareSplit(d, "id", "grp", splits, salt = "t")
+      .select(col("id"), col("grp"), col("split"))
+      .as[(Long, String, String)].collect().toSeq
+    // every non-null group maps to exactly ONE split (possibly null for
+    // the excluded 950..999 band)
+    val perGroup = got.filter(_._2 != null).groupBy(_._2)
+      .view.mapValues(_.map(_._3).distinct).toMap
+    assert(perGroup.nonEmpty && perGroup.values.forall(_.size == 1))
+    // group rows follow the group coordinate under salt "t:g": the same
+    // assignment as splitting the GROUP KEYS themselves by id
+    val keyed = Sampling.assignSplit(
+        got.filter(_._2 != null).map(_._2).distinct.toDF("id"),
+        "id", splits, salt = "t:g")
+      .as[(String, String)].collect().toMap
+    assert(got.filter(_._2 != null).forall(r => keyed(r._2) == r._3))
+    // null-group rows follow the id coordinate under salt "t:i"
+    val ids = Sampling.assignSplit(d.where(col("grp").isNull), "id",
+        splits, salt = "t:i")
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    assert(got.filter(_._2 == null).forall(r => ids(r._1) == r._3))
+    // 400 rows with a 5% excluded band: expect some null assignments and
+    // a dominant train share (sanity that the bands actually spread)
+    assert(got.exists(_._3 == null))
+    assert(got.count(_._3 == "train") > got.count(_._3 == "test"))
+  }
+
+  test("fuseSignals: exact CDFs, the integer mean, duplicate-name guard") {
+    val d = Seq(
+      (1L, 10L, 1L), (2L, 10L, 2L), (3L, 20L, 2L), (4L, 30L, 4L)
+    ).toDF("id", "a", "b")
+    val got = TextAnalysis.fuseSignals(d, "id",
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .select(col("id"), col("a_cdf_x1000"), col("b_cdf_x1000"),
+        col("fused_x1000"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // a: cdf(10)=500, cdf(20)=750, cdf(30)=1000
+    // b: cdf(1)=250, cdf(2)=750, cdf(4)=1000
+    assert(got == Seq(
+      (1L, 500L, 250L, 375L),
+      (2L, 500L, 750L, 625L),
+      (3L, 750L, 750L, 750L),
+      (4L, 1000L, 1000L, 1000L)))
+    // ties share one rank on BOTH sides of the fusion; partitioning-
+    // invariant like every deterministic operator here
+    val again = TextAnalysis.fuseSignals(d.repartition(7), "id",
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .select(col("id"), col("a_cdf_x1000"), col("b_cdf_x1000"),
+        col("fused_x1000"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.fuseSignals(d, "id", Seq("a" -> col("a"), "a" -> col("b")))
+    }
+  }
+
+  test("vocabKlDivergence: zero on identity, integer model, vocab cutoff") {
+    // identical corpora: every term has na = nb and ta = tb → every llr
+    // ratio is exactly 1 → ln 0 → KL exactly 0 (no float residue at all)
+    val same = Seq((1L, "a a b c"), (2L, "b c d")).toDF("id", "text")
+    val self = TextAnalysis.vocabKlDivergence(same, same, "text", topK = 10)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(self == ((4L, 7L, 7L, 0L)))
+    // drifted pair vs the independent integer model (same quantization)
+    val ref = Seq((1L, "a a b")).toDF("id", "text")
+    val cmp = Seq((1L, "a b b b")).toDF("id", "text")
+    val got = TextAnalysis.vocabKlDivergence(ref, cmp, "text", topK = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    def llr(na: Long, nb: Long, ta: Long, tb: Long, k: Long): Long =
+      math.floor(1e6 * math.log(
+        ((na + 1).toDouble * (tb + k)) / ((ta + k).toDouble * (nb + 1)))).toLong
+    val wsum = 3L * llr(2, 1, 3, 4, 2) + 2L * llr(1, 3, 3, 4, 2)
+    assert(got == ((2L, 3L, 4L, math.max(0L, wsum) / 5L)))
+    // words beyond topK never enter the vocabulary (count desc, word asc):
+    // ref has {x:2, a:1, b:1} → top-2 = [x, a]; c on the cmp side only is
+    // invisible; KL is still >= 0 by the Gibbs clamp
+    val r2 = Seq((1L, "x x a b")).toDF("id", "text")
+    val c2 = Seq((1L, "c c c x")).toDF("id", "text")
+    val g2 = TextAnalysis.vocabKlDivergence(r2, c2, "text", topK = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(g2._1 == 2L && g2._2 == 3L && g2._3 == 1L && g2._4 >= 0L)
+  }
+
+  test("calibrationBins: bin edges, clamps, integer rollup") {
+    val rows = Seq((0L, false), (50L, true), (100L, false), (950L, true),
+      (1001L, true), (-5L, false))
+    val d = rows.toDF("s", "l")
+    val got = TextAnalysis.calibrationBins(d, "s", "l",
+        bins = 10, scaleMax = 1000L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // bin 0 holds {0, 50, 100, -5} (100·10 div 1001 = 0; negatives clamp
+    // in), bin 9 holds {950, 1001} (the overshoot clamps down)
+    assert(got == Seq(
+      (0L, 4L, 1L, 250L, 36L),     // mean = (0+50+100-5) div 4 = 36
+      (9L, 2L, 2L, 1000L, 975L)))  // mean = (950+1001) div 2 = 975
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrationBins(d, "s", "l", bins = 1)
+    }
+  }
+
+  test("bitextMineLsh: wiring ≡ explicit banding, true pairs survive, sizing") {
+    // 400 distinct pseudo-random directions (prime modulus 409 > id range,
+    // so no period structure can alias two ids onto one direction);
+    // exact copies planted on the target side for even ids — identical
+    // quantized projections → identical signature → same band, never lost
+    val vecs = (0 until 400).map(i => (i.toLong, Array.tabulate(64)(d =>
+      (((i * 37 + d * 53 + i * d * 11) % 409) - 204).toDouble)))
+    val src = vecs.toDF("vec_id", "v")
+    val tgt = vecs.filter(_._1 % 2 == 0)
+      .map { case (i, v) => (i + 1000L, v) }.toDF("vec_id", "v")
+    val got = Similarity.bitextMineLsh(src, tgt, "vec_id", "v",
+        k = 4, marginX1000 = 1200L, bandBits = Some(4))
+      .as[(Long, Long)].collect().sorted.toSeq
+    // every mined pair is a true planted copy (unrelated directions sit
+    // near cosine 0 and cannot pass mutual argmax against an exact copy),
+    // and most copies survive banding — a copy drops only when its band
+    // is too thin to feed the margin denominator (a singleton-target band
+    // yields margin exactly 1 < the 1.2 bar, by construction)
+    assert(got.forall(p => p._2 == p._1 + 1000L && p._1 % 2 == 0))
+    assert(got.size >= 160, s"only ${got.size} of 200 planted pairs mined")
+    // the LSH form is EXACTLY bitextMine over the precomputed band column
+    def band(f: org.apache.spark.sql.DataFrame) = f.withColumn("band",
+      Similarity.rhpSignature(col("v"), 32).bitwiseAND(lit(15L)))
+    val explicit = Similarity.bitextMine(band(src), band(tgt), "vec_id", "v",
+        "band", k = 4, marginX1000 = 1200L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == explicit)
+    // default sizing follows the lshParamsFor rule: n = 600 →
+    // ceil(log2(600/64)) = 4 → same banding as above
+    val auto = Similarity.bitextMineLsh(src, tgt, "vec_id", "v",
+        k = 4, marginX1000 = 1200L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(auto == got)
+  }
 }
