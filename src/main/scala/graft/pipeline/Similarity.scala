@@ -788,4 +788,62 @@ object Similarity {
     bitextMine(banded(src), banded(tgt), idCol, vecCol, "__band",
       k, marginX1000)
   }
+
+  /** Farthest-point (k-center greedy) coreset selection over an embedding
+    * column — the diversity-maximizing counterpart of
+    * [[graft.pipeline.Sampling]]'s rate samplers (active-learning seed
+    * sets, dataset-distillation coresets, k-center/k-means++ style
+    * initialization): starting from the minimum-id row, each round adds
+    * the point FARTHEST from the selected set (max over rows of min over
+    * centers), the classical 2-approximation to the k-center cover.
+    *
+    * Returns k driver-built rows (sel_rank, id, dist_sq) where dist_sq is
+    * the squared quantized distance from the selected point to the
+    * prior set at selection time — a non-increasing sequence that IS the
+    * coreset's coverage-radius curve (read it to choose k). The seed row
+    * carries NULL.
+    *
+    * Exactness: vectors are quantized once to `floor(x·2^20)` longs (the
+    * [[rhpSignature]] fixed-point — exact on float-cast-to-double
+    * inputs), so every distance is an INTEGER sum of squares (≤ 2^48 at
+    * 64 dims — no overflow, no ulp), argmax ties break on minimum id,
+    * and an external engine unrolling the same k rounds reproduces the
+    * selection bit-for-bit. A duplicate of a selected center has
+    * dist 0 and is never re-selected.
+    *
+    * Scale shape: ONE materialization of the 2-column (id, q) projection
+    * (localCheckpoint — the perceptron docFeats discipline), then k
+    * stateless scans: round r evaluates `least` over r broadcast-literal
+    * center distances (no per-round re-materialization, no growing
+    * lineage) and takes the argmax as `orderBy(...).limit(1)` =
+    * TakeOrderedAndProject — per-partition top-1, a 1-row driver merge.
+    * k corpus scans is the ALGORITHM's shape (greedy k-center is
+    * inherently sequential); keep k modest (≤ ~64) or block the corpus
+    * first. */
+  def farthestPointSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("id"),
+        transform(transform(col(vecCol), _.cast("double")),
+          x => floor(x * lit(1048576.0d)).cast("long")).as("q"))
+      .localCheckpoint()
+    val seed = q.orderBy(col("id")).limit(1).collect().head
+    def distTo(c: Array[Long]): Column = aggregate(
+      zip_with(col("q"), typedlit(c), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    var centers = Vector(seed.getSeq[Long](1).toArray)
+    val out = Seq.newBuilder[(Long, Long, Option[Long])]
+    out += ((1L, seed.getLong(0), None))
+    for (r <- 2 to k) {
+      val dmin = centers.map(distTo).reduce(least(_, _))
+      val next = q.withColumn("dmin", dmin)
+        .orderBy(col("dmin").desc, col("id")).limit(1)
+        .collect().head
+      out += ((r.toLong, next.getLong(0), Some(next.getLong(2))))
+      centers :+= next.getSeq[Long](1).toArray
+    }
+    out.result().toDF("sel_rank", "id", "dist_sq")
+  }
 }

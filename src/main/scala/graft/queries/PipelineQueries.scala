@@ -517,6 +517,15 @@ object PipelineQueries {
         "vec_id", "v", k = 4, marginX1000 = 1200L)
         .orderBy(col("src_id"))
     }),
+    // Farthest-point coreset (round 18): greedy k-center selection over
+    // the embeddings — 6 rounds, integer-quantized distances, min-id
+    // seed. The oracle unrolls all six rounds (the perceptron template
+    // discipline) and must reproduce the selection bit-for-bit.
+    "q_sim_coreset" -> ((s, dir) =>
+      Similarity.farthestPointSample(
+        emb(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 6)
+        .orderBy(col("sel_rank"))),
 
     // int8 embedding quantization (round 11, beyond-the-reference): the
     // 4x storage/bandwidth lever. Codes are integer-exact after one
@@ -1860,6 +1869,48 @@ object PipelineQueries {
        |)""".stripMargin
 
   private val shingleCte = "WITH " + shingleCtes("documents")
+
+  /** k-round unrolled farthest-point replica (the perceptron unroll
+    * discipline): quantize once, then per round a distance CTE against
+    * the previous argmax center, a running LEAST, and a 1-row argmax
+    * CTE with the (dmin DESC, vec_id) tie-break. */
+  private def coresetSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH qv AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+       |      AS BIGINT) AS xq
+       |  FROM embeddings
+       |), c1 AS (SELECT MIN(vec_id) AS id FROM qv)""".stripMargin
+    for (r <- 2 to k) {
+      val p = r - 1
+      val dmin =
+        if (p == 1) s"d$p.d"
+        else s"LEAST(m${p - 1}.dmin, d$p.d)"
+      val mJoin =
+        if (p == 1) ""
+        else s" JOIN m${p - 1} ON m${p - 1}.vec_id = d$p.vec_id"
+      sb ++= s""", d$p AS (
+         |  SELECT a.vec_id,
+         |    CAST(SUM((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS d
+         |  FROM qv a JOIN qv b ON b.vec_id = (SELECT id FROM c$p)
+         |    AND b.i = a.i
+         |  GROUP BY 1
+         |), m$p AS (
+         |  SELECT d$p.vec_id AS vec_id, $dmin AS dmin FROM d$p$mJoin
+         |), c$r AS (
+         |  SELECT vec_id AS id, dmin FROM m$p
+         |  ORDER BY dmin DESC, vec_id LIMIT 1
+         |)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT CAST(1 AS BIGINT) AS sel_rank, (SELECT id FROM c1) AS id,
+       |  CAST(NULL AS BIGINT) AS dist_sq
+       |${(2 to k).map(r => s"UNION ALL SELECT $r, (SELECT id FROM c$r), " +
+          s"(SELECT dmin FROM c$r)").mkString("\n")}
+       |ORDER BY sel_rank""".stripMargin
+    sb.toString
+  }
 
   /** [[plantedRepetitionDocs]] as a SQL CTE body — (doc_id, t). */
   private val repPlantsSql: String =
@@ -3577,6 +3628,9 @@ object PipelineQueries {
         |WHERE fa.sid_cos * 2000.0 * fa.sid_cnt * ba.tid_cnt >
         |  1200.0 * (fa.sid_sum * ba.tid_cnt + ba.tid_sum * fa.sid_cnt)
         |ORDER BY src_id""".stripMargin,
+    // Farthest-point coreset: six unrolled greedy rounds, integer
+    // quantized distances — selection must match bit-for-bit
+    "q_sim_coreset" -> coresetSql(6),
     "q_sim_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

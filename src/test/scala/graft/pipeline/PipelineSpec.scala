@@ -3355,6 +3355,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("farthestPointSample: greedy geometry, radius curve, duplicate") {
+    // 2-D geometry with a hand-traceable greedy order; id 6 duplicates
+    // the seed (dist 0 — never selected while anything else remains)
+    val pts = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(10.0, 0.0)), (3L, Array(0.0, 6.0)),
+      (4L, Array(5.0, 5.0)), (5L, Array(10.0, 1.0)), (6L, Array(0.0, 0.0)))
+    val d = pts.toDF("id", "v")
+    val got = Similarity.farthestPointSample(d, "id", "v", k = 5)
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val s = 1L << 40 // (2^20)^2: quantized squared-unit scale
+    // seed 1 @(0,0); then 5 (101), 4 (min(50,41)=41), 3 (min(36,26)=26),
+    // 2 (min(100,1,50,...)=1); the dup id 6 (dist 0) never wins
+    assert(got == Seq((1L, 1L, None), (2L, 5L, Some(101L * s)),
+      (3L, 4L, Some(41L * s)), (4L, 3L, Some(26L * s)),
+      (5L, 2L, Some(1L * s))))
+    // the radius curve is non-increasing (the k-center invariant)
+    val radii = got.flatMap(_._3)
+    assert(radii == radii.sorted.reverse)
+    // partitioning-invariant
+    val again = Similarity.farthestPointSample(d.repartition(5), "id", "v",
+        k = 5).as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
   test("vocabKlDivergence: zero on identity, integer model, vocab cutoff") {
     // identical corpora: every term has na = nb and ta = tb → every llr
     // ratio is exactly 1 → ln 0 → KL exactly 0 (no float residue at all)
