@@ -329,6 +329,29 @@ object TextAnalysis {
           x => x("line"))).as("kept_text"))
   }
 
+  /** INTRA-document repeated-line removal — the scan-local complement of
+    * [[lineDedup]] (that op is corpus-global: keep the FIRST occurrence
+    * across all docs, one fingerprint-keyed shuffle; this one removes
+    * repeats WITHIN each document — nav bars, repeated footers, chat-log
+    * echoes — and touches nothing across documents). Keeps each line's
+    * first occurrence in place, preserving order:
+    * `keep(line, i) ⇔ array_position(lines, line) = i+1` — pure
+    * array-HOF arithmetic, so the whole operator is a projection: NO
+    * shuffle, no explode, no join at any corpus size (per-doc cost is
+    * O(lines²) string compares, bounded by document length).
+    * Returns (id, clean_text, n_lines, n_kept). */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val ls = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    df.withColumn("__ls", ls)
+      .withColumn("__kept", filter(col("__ls"),
+        (x, i) => array_position(col("__ls"), x) === (i + 1).cast("long")))
+      .select(col(idCol).as("id"),
+        concat_ws(sep, col("__kept")).as("clean_text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** Gopher/C4-style per-document repetition signals — the standard
     * pre-training quality suite next to [[withRepetition]] (shingle
     * dup ratio) and [[boilerplateRatio]] (cross-doc): duplicate-LINE and
@@ -1201,14 +1224,23 @@ object TextAnalysis {
     * signal key. Contract: signals are LOW-CARDINALITY non-NULL integers
     * (permille-scale scores; bucket unbounded raw values first — each
     * per-signal value table must stay broadcast-small). A NULL signal
-    * value is a caller bug: its rows drop out of the equi-join. */
+    * value is a caller bug: its rows drop out of the equi-join.
+    *
+    * `materializeInput` (default true) localCheckpoints the projected
+    * signal frame: the N per-signal value tables and the join spine all
+    * re-execute the signal expressions otherwise — with text-derived
+    * signals that is 1+N full text scans instead of one (the
+    * `keepTopByScore(materializeInput)` precedent). Pass false when the
+    * input is already materialized. */
   def fuseSignals(df: DataFrame, idCol: String,
-      signals: Seq[(String, Column)]): DataFrame = {
+      signals: Seq[(String, Column)],
+      materializeInput: Boolean = true): DataFrame = {
     require(signals.nonEmpty, "fuseSignals needs at least one signal")
     val names = signals.map(_._1)
     require(names.distinct == names, s"duplicate signal names: $names")
-    val base = df.select(col(idCol) +:
+    val base0 = df.select(col(idCol) +:
       signals.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val base = if (materializeInput) base0.localCheckpoint() else base0
     val cumW = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy()

@@ -1448,6 +1448,22 @@ object PipelineQueries {
         .orderBy(col("bin"))
     }),
 
+    // Intra-doc repeated-line removal (round 18): the scan-local
+    // complement of q_text_linededup's corpus-global pass — planted
+    // duplicated footers removed within each doc, cross-doc repeats
+    // untouched. Pure projection: no shuffle, no explode, no join.
+    "q_text_linewithin" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nfollow us\nbody "), (col("doc_id") % 7).cast("string"),
+          lit("\nfollow us"),
+          when(col("doc_id") % 3 === 0, lit("\nbody 0"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.dedupLinesWithinDoc(planted, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // The full curation chain as one plan: dedup → quality → repetition cap
     // → redact → sample (planted PII so the redaction stage is falsifiable)
     "q_pipeline_curate" -> ((s, dir) => {
@@ -4515,6 +4531,30 @@ object PipelineQueries {
          |  CAST(GREATEST(0, CAST(SUM((na + 1) * l) AS BIGINT))
          |    // (SELECT ta + k FROM tot) AS BIGINT) AS kl_x1e6
          |FROM llr""".stripMargin,
+    // Intra-doc line dedup: the plant replayed, first occurrence per
+    // (doc, line) kept in place via a per-doc window, order preserved
+    "q_text_linewithin" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || chr(10) || 'follow us' || chr(10)
+        |    || 'body ' || CAST(doc_id % 7 AS VARCHAR)
+        |    || chr(10) || 'follow us'
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'body 0'
+        |       ELSE '' END AS t
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM planted) x
+        |), kept AS (
+        |  SELECT doc_id, i, line,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
+        |  FROM ln
+        |)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY i) FILTER (WHERE rn = 1)
+        |    AS clean_text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Calibration bins: the q_text_classifier margin chain binned
     // fixed-width over [0, 6000], integer rollup per bin
     "q_text_calibration" ->

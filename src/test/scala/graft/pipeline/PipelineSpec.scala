@@ -3353,6 +3353,34 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.fuseSignals(d, "id", Seq("a" -> col("a"), "a" -> col("b")))
     }
+    // the opt-out path (no localCheckpoint) computes the identical result
+    val plain = TextAnalysis.fuseSignals(d, "id",
+        Seq("a" -> col("a"), "b" -> col("b")), materializeInput = false)
+      .select(col("id"), col("a_cdf_x1000"), col("b_cdf_x1000"),
+        col("fused_x1000"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(plain == got)
+  }
+
+  test("dedupLinesWithinDoc: in-place first-keep, intra-only, blanks") {
+    val d = Seq(
+      (1L, "a\nb\na\nc\nb"),     // repeats of a and b removed in place
+      (2L, "x\n\ny\n\nx"),       // blank lines dedup like any line
+      (3L, "solo"),              // no separator → untouched
+      (4L, "k\nk"), (5L, "k")    // cross-doc repeats NOT touched
+    ).toDF("id", "text")
+    val got = TextAnalysis.dedupLinesWithinDoc(d, "id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a\nb\nc", 5L, 3L),
+      (2L, "x\n\ny", 5L, 3L),
+      (3L, "solo", 1L, 1L),
+      (4L, "k", 2L, 1L),
+      (5L, "k", 1L, 1L)))
+    // scan-local: the plan has no Exchange at all
+    val plan = TextAnalysis.dedupLinesWithinDoc(d, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
   }
 
   test("farthestPointSample: greedy geometry, radius curve, duplicate") {
