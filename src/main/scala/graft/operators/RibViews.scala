@@ -337,12 +337,19 @@ object RibViews {
           .when((col("e.u") < col("e.v") && col("rel") === "p2c") ||
             (col("e.u") > col("e.v") && col("rel") === "c2p"), "down")
           .otherwise("up").as("dir"))
-    val firstDown = dirs.groupBy(col("event_id"))
-      .agg(min(when(col("dir") === "down", col("i"))).as("fd"),
-        sum(when(col("unknown"), 1L).otherwise(0L)).as("unk"))
-      .where(col("fd").isNotNull)
-    dirs.join(firstDown, "event_id")
-      .where(col("dir") === "up" && col("i") > col("fd"))
+    // first-down + unknown-count as WINDOW aggregates over event_id, not
+    // a groupBy re-joined onto dirs: the join form read `dirs` (a full
+    // log explode + broadcast join) twice and paid two extra exchanges;
+    // the window form is ONE pass over one event_id exchange, and the
+    // final rollup reuses that partitioning (r18 opt round, guide §2.4).
+    val byEvent = Window.partitionBy(col("event_id"))
+    dirs
+      .withColumn("fd", min(when(col("dir") === "down", col("i")))
+        .over(byEvent))
+      .withColumn("unk", sum(when(col("unknown"), 1L).otherwise(0L))
+        .over(byEvent))
+      .where(col("fd").isNotNull &&
+        col("dir") === "up" && col("i") > col("fd"))
       .groupBy(col("event_id"), col("rib"))
       .agg(min(col("fd")).cast("long").as("first_down"),
         min(col("i")).cast("long").as("leak_pos"),
@@ -501,12 +508,20 @@ object RibViews {
     * discipline). `maxIters` is a cycle backstop only — a p2c cycle
     * saturates the reach sets and the count fixpoint exits. */
   def customerCones(rels: DataFrame, maxIters: Int = 64): DataFrame = {
-    val down = rels.where(col("rel") === "p2c")
+    // Materialize the relationship table ONCE before the fixpoint: `rels`
+    // is usually a LIVE asRelationships plan (a full event-log inference),
+    // and it is read four times building `down`/`asns` plus TWICE MORE per
+    // expansion round through the un-truncated `down` lineage — before the
+    // r18 cut q_rib_as_cone replayed the whole inference ~8× (4.4 s; the
+    // duplicateClusters `base` checkpoint discipline, applied here).
+    val relsM = rels.select(col("as_lo"), col("as_hi"), col("rel"))
+      .localCheckpoint()
+    val down = relsM.where(col("rel") === "p2c")
       .select(col("as_lo").as("p"), col("as_hi").as("c"))
-      .unionByName(rels.where(col("rel") === "c2p")
+      .unionByName(relsM.where(col("rel") === "c2p")
         .select(col("as_hi").as("p"), col("as_lo").as("c")))
-    val asns = rels.select(col("as_lo").as("asn"))
-      .unionByName(rels.select(col("as_hi").as("asn"))).distinct()
+    val asns = relsM.select(col("as_lo").as("asn"))
+      .unionByName(relsM.select(col("as_hi").as("asn"))).distinct()
     var reach = asns.select(col("asn"), col("asn").as("m"))
       .localCheckpoint()
     var prev = -1L
@@ -710,6 +725,7 @@ object RibViews {
     * fixpoint discipline). The per-round driver count is the fixpoint
     * test, not a data fetch. */
   def aggregateRoutes(routes: DataFrame, maxIters: Int = 32): DataFrame = {
+    val free = org.apache.spark.sql.GraftBridge.freeCheckpoint _
     var w = routes.select(col("rib"), col("ip"), col("plen"),
       col("attr_key")).distinct().localCheckpoint()
     var merged = true
@@ -721,10 +737,15 @@ object RibViews {
         pmod(call_function("shiftright", col("ip"),
           lit(32) - col("plen").cast("int")), lit(2L)))
         .withColumn("__parent", col("ip") - col("__cb") * sib)
+      // materialize the round's merge set ONCE: `m` is read three times
+      // (the fixpoint test, the anti-join build side, the parent rows) and
+      // each un-materialized read re-ran the sibling aggregation over `w`
+      // (r18 opt round — the duplicateClusters per-round discipline)
       val m = t.where(col("plen") >= 1)
         .groupBy(col("rib"), col("__parent"), col("plen"), col("attr_key"))
         .agg(countDistinct(col("__cb")).as("__nc"))
         .where(col("__nc") === 2).drop("__nc")
+        .localCheckpoint()
       if (m.isEmpty) merged = false
       else {
         val keep = t.join(m,
@@ -732,8 +753,11 @@ object RibViews {
           .select(col("rib"), col("ip"), col("plen"), col("attr_key"))
         val up = m.select(col("rib"), col("__parent").as("ip"),
           (col("plen") - 1).as("plen"), col("attr_key"))
+        val prev = w
         w = keep.union(up).distinct().localCheckpoint()
+        free(prev) // superseded round — the new frame is materialized
       }
+      free(m) // consumed by the fixpoint test and (if any) the new round
       i += 1
     }
     w

@@ -779,19 +779,42 @@ object Dedup {
       maxDf: Int = 1000, arithmeticHash: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     require(maxDf > 1, s"maxDf must be > 1: $maxDf")
+    // The candidate stage reads the fingerprint set three times (df count
+    // + both self-join sides) — left LAZY deliberately: AQE's runtime
+    // exchange reuse collapses the identical fingerprint subtrees inside
+    // the one query execution, and an eager localCheckpoint here measured
+    // SLOWER at sf0.1 (extra job barriers outweigh the reuse it
+    // duplicates; r18 opt round, tried both).
     val fps = winnowFingerprints(df, idCol, textCol, k, w, arithmeticHash)
       .select(col("id"), col("fp_hash")).distinct()
+    val cand = winnowCandidatesFromFps(fps, maxDf)
+    val inv = explodedShingleHashes(df, idCol, textCol, k).distinct()
+    verifyJaccardPairs(cand, inv, threshold)
+  }
+
+  /** Candidate pairs sharing ≥1 rare winnowing fingerprint, from a
+    * PRECOMPUTED (id, fp_hash) set — pass a MATERIALIZED frame: `fps` is
+    * read three times (the df count and both self-join sides). */
+  private[graft] def winnowCandidatesFromFps(fps: DataFrame,
+      maxDf: Int): DataFrame = {
     val rare = fps.groupBy(col("fp_hash"))
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf && col("__df") >= 2)
       .select(col("fp_hash"))
     val slim = fps.join(rare, "fp_hash")
-    val cand = slim.as("l").join(slim.as("r"),
+    slim.as("l").join(slim.as("r"),
         col("l.fp_hash") === col("r.fp_hash") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    // candidate-driven exact verify: each pair pulls only its own two
-    // shingle sets through the equi-joins (no all-pairs index join)
-    val inv = explodedShingleHashes(df, idCol, textCol, k).distinct()
+  }
+
+  /** Candidate-driven exact word-shingle Jaccard verify over a
+    * PRECOMPUTED exploded-distinct (id, h) shingle set: each pair pulls
+    * only its own two shingle sets through the equi-joins (no all-pairs
+    * index join). `cand` is read three times — pass a materialized
+    * frame; `inv` must cover every candidate doc id (a superset is fine:
+    * per-doc sizes and intersections only read candidate ids). */
+  private[graft] def verifyJaccardPairs(cand: DataFrame, inv: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val thNum = math.round(threshold * 1000)
     cand
@@ -836,6 +859,11 @@ object Dedup {
       maxDf: Int = 1000, arithmeticHash: Boolean = false,
       pairs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // All fingerprint reads (the span joins' two + the verified-pair
+    // source's three) stay LAZY inside the one query execution — AQE's
+    // runtime exchange reuse collapses the identical subtrees, and an
+    // eager localCheckpoint of the fingerprint frame measured SLOWER at
+    // sf0.1 (r18 opt round, tried both).
     val vp = pairs.getOrElse(
         winnowNearDup(df, idCol, textCol, k, w, threshold, maxDf,
           arithmeticHash))
@@ -906,32 +934,79 @@ object Dedup {
       threshold, maxDf)._1
 
   /** [[epochDedup]] plus the loop's final internal state — (ledger,
-    * index, baseText) — so specs can pin that BOTH accumulators are
+    * index, baseShingles) — so specs can pin that BOTH accumulators are
     * lineage-truncated: after E epochs each must be a single
     * materialized-RDD scan, not an E-deep union replaying earlier
-    * epochs' derivations. */
+    * epochs' derivations.
+    *
+    * r18 optimization-round shape: each epoch computes its fingerprint
+    * set and its exploded shingle set EXACTLY ONCE (materialized), and
+    * every consumer — the index probe's candidates, the intra-epoch
+    * candidates, both exact verifies, and the index append — reads the
+    * materialized frames. The pre-r18 form recomputed the winnow window
+    * up to 3× per epoch (probe fingerprints, intra fingerprints,
+    * admitted-doc fingerprints) and the shingle explode twice (intra
+    * verify, probe verify), which dominated the query's wall
+    * (q_dedup_epoch 18.4 s baseline). The standing corpus is likewise
+    * accumulated as its SHINGLE set (id, h) instead of raw text — the
+    * probe verify needs exactly that, and filtering a materialized frame
+    * by admitted id replaces a per-epoch re-shingling of admitted text.
+    * Selection is per-document, so epoch- or admission-filtered
+    * fingerprints equal fingerprints of the filtered corpus. */
   private[graft] def epochDedupWithState(df: DataFrame, idCol: String,
       textCol: String, epochCol: String, epochs: Seq[Long], k: Int = 3,
       w: Int = 8, threshold: Double = 0.6, maxDf: Int = 1000)
       : (DataFrame, DataFrame, DataFrame) = {
     require(epochs.nonEmpty, "epochs must be non-empty")
     require(epochs.distinct == epochs, s"epochs must be distinct: $epochs")
-    var index: Option[DataFrame] = None
-    var baseText: Option[DataFrame] = None
+    // ONE materialization job per accumulator step: fingerprint rows
+    // (kind 0, v = fp_hash) and shingle rows (kind 1, v = h) ride the
+    // SAME tagged frame, so each epoch pays exactly three checkpoint
+    // jobs — its signature pass, its ledger, its accumulator append —
+    // instead of seven. Within each job the repeated reads of the
+    // materialized inputs are collapsed by AQE's runtime exchange reuse.
+    var acc: Option[DataFrame] = None // admitted (id, kind, v), all epochs
     val ledgers = epochs.map { e =>
       val de = df.where(col(epochCol) === lit(e))
-      val idxDups = (index, baseText) match {
-        case (Some(ix), Some(bt)) =>
-          dedupAgainstIndex(de, bt, ix, idCol, textCol, k, w, threshold,
-            maxDf)
-            .groupBy(col("new_id").as("id"))
-            .agg(min(col("base_id")).as("__dup_idx"))
+      val sig = winnowFingerprints(de, idCol, textCol, k, w)
+        .select(col("id"), lit(0).as("kind"), col("fp_hash").as("v"))
+        .distinct()
+        .unionByName(explodedShingleHashes(de, idCol, textCol, k)
+          .select(col("id"), lit(1).as("kind"), col("h").as("v"))
+          .distinct())
+        .localCheckpoint()
+      val deFps = sig.where(col("kind") === 0)
+        .select(col("id"), col("v").as("fp_hash"))
+      val deSh = sig.where(col("kind") === 1)
+        .select(col("id"), col("v").as("h"))
+      val idxDups = acc match {
+        case Some(a) =>
+          val ix = a.where(col("kind") === 0)
+            .select(col("id"), col("v").as("fp_hash"))
+          val bsh = a.where(col("kind") === 1)
+            .select(col("id"), col("v").as("h"))
+          // candidate stage: increment fps × standing index, maxDf
+          // stop-cap on the index-side posting lists (the
+          // dedupAgainstIndex contract — no df >= 2 floor cross-epoch)
+          val ok = ix.groupBy(col("fp_hash"))
+            .agg(count(lit(1)).as("__df"))
+            .where(col("__df") <= maxDf).select(col("fp_hash"))
+          val cand = deFps.select(col("id").as("a"), col("fp_hash"))
+            .join(ix.select(col("id").as("b"), col("fp_hash"))
+              .join(ok, "fp_hash"), "fp_hash")
+            .select(col("a"), col("b")).distinct()
+          // exact verify against the materialized shingle frames: the
+          // increment side joins its own epoch's frame, the base side
+          // the standing accumulator — both candidate-driven
+          verifyJaccardPairs(cand, deSh.unionByName(bsh), threshold)
+            .groupBy(col("a").as("id"))
+            .agg(min(col("b")).as("__dup_idx"))
         case _ =>
           de.select(col(idCol).as("id"), lit(null).cast("long")
             .as("__dup_idx")).limit(0)
       }
-      val intraDups = winnowNearDup(de, idCol, textCol, k, w, threshold,
-          maxDf)
+      val intraDups = verifyJaccardPairs(
+          winnowCandidatesFromFps(deFps, maxDf), deSh, threshold)
         .groupBy(col("b").as("id"))
         .agg(min(col("a")).as("__dup_intra"))
       val ledger = de.select(col(idCol).as("id"))
@@ -945,25 +1020,23 @@ object Dedup {
             .as("dup_of"))
         .localCheckpoint()
       val admitted = ledger.where(col("status") === "kept")
-        .select(col("id").as(idCol))
-      val admittedText = de.join(admitted, Seq(idCol), "left_semi")
-      val admittedFps = winnowFingerprints(admittedText, idCol, textCol,
-        k, w).select(col("id"), col("fp_hash")).distinct()
-      index = Some(index match {
-        case Some(ix) => ix.unionByName(admittedFps).localCheckpoint()
-        case None => admittedFps.localCheckpoint()
-      })
-      // the admitted-TEXT union is lineage-truncated like the index: a
-      // checkpoint-free chain would re-scan epoch-1 text through an
-      // E-deep union (each leg re-running its ledger semi-join) on
+        .select(col("id"))
+      // the admitted union is lineage-truncated per epoch: a
+      // checkpoint-free chain would re-derive epoch-1 signatures through
+      // an E-deep union (each leg re-running its ledger semi-join) on
       // every downstream reference of a later epoch's probe
-      baseText = Some(baseText match {
-        case Some(bt) => bt.unionByName(admittedText).localCheckpoint()
-        case None => admittedText.localCheckpoint()
+      val admittedSig = sig.join(admitted, Seq("id"), "left_semi")
+      acc = Some(acc match {
+        case Some(a) => a.unionByName(admittedSig).localCheckpoint()
+        case None => admittedSig.localCheckpoint()
       })
       ledger
     }
-    (ledgers.reduce(_.unionByName(_)), index.get, baseText.get)
+    val accF = acc.get
+    (ledgers.reduce(_.unionByName(_)),
+      accF.where(col("kind") === 0)
+        .select(col("id"), col("v").as("fp_hash")),
+      accF.where(col("kind") === 1).select(col("id"), col("v").as("h")))
   }
 
   /** 64-bit SimHash over word shingles, one projection: bit j is set when
@@ -1014,8 +1087,14 @@ object Dedup {
     val ok = idxFps.groupBy(col("fp_hash"))
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf).select(col("fp_hash"))
+    // materialize the candidate set ONCE: it is read four times (both
+    // text prunes, the verify join, and — through them — the sizes), and
+    // every un-materialized read replays the increment fingerprint window
+    // plus the index distinct (r18 opt round: the q_dedup_incremental
+    // initial plan carried 182 Exchanges — the same fingerprint subtree
+    // replicated under each consumer)
     val cand = incFps.join(idxFps.join(ok, "fp_hash"), "fp_hash")
-      .select(col("new_id"), col("base_id")).distinct()
+      .select(col("new_id"), col("base_id")).distinct().localCheckpoint()
     // prune BOTH text sides to candidate docs before any shingle explode:
     // the candidate id sets are small (near-dup density), so these are
     // broadcast semi-joins and the exact-verify explode touches only the

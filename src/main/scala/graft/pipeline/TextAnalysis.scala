@@ -229,8 +229,13 @@ object TextAnalysis {
     * division (`div`) so it is exact in any engine. */
   def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minDocs: Int = 3, hashed: Boolean = true): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      explode(Dedup.shingles(col(textCol), k)).as("s"))
+    // shingle via the exploded posexplode+lead discipline, NOT the
+    // array-lambda Dedup.shingles form: the lambda's slice(split(text))
+    // re-splits the document per shingle (the O(words²·k) trap — r18 opt
+    // round measured the swap at 4.25 s → linear). The shingle STRING is
+    // preserved (hashed=true hashes the string) so the hash identity and
+    // the DuckDB oracle replay are unchanged.
+    val base = Dedup.explodedShingleStrings(df, idCol, textCol, k)
     val pairs = (if (hashed) base.select(col("id"), xxhash64(col("s")).as("s"))
       else base).distinct()
     // join input is the FILTERED common set, not full dfreq: the build side

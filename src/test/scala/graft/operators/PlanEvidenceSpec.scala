@@ -506,20 +506,22 @@ class PlanEvidenceSpec extends AnyFunSuite {
   }
 
   test("epochDedup accumulators are lineage-truncated after 5 epochs") {
-    // VERDICT r16 watch item #1: the admitted-text union must be
+    // VERDICT r16 watch item #1: the admitted-shingle union must be
     // localCheckpointed like the index — otherwise a later epoch's probe
-    // re-scans epoch-1 text through an E-deep union plan. After 5 epochs
-    // BOTH accumulators must optimize to a single materialized-RDD scan:
-    // no Union, no Join, no re-derivation of any earlier epoch.
+    // re-derives epoch-1 shingles through an E-deep union plan. After 5
+    // epochs BOTH accumulators must optimize to a single materialized-RDD
+    // scan: no Union, no Join, no re-derivation of any earlier epoch.
+    // (r18 opt round: the standing-corpus accumulator is the SHINGLE set
+    // (id, h) instead of raw text — same lineage discipline applies.)
     import spark.implicits._
     def txt(seed: String) = (0 until 20).map(i => s"$seed$i").mkString(" ")
     val d = (0 until 5).flatMap { e =>
       Seq((e * 10L + 1L, e.toLong, txt(s"e${e}a")),
         (e * 10L + 2L, e.toLong, txt(s"e${e}b")))
     }.toDF("doc_id", "epoch", "text")
-    val (_, index, baseText) = graft.pipeline.Dedup.epochDedupWithState(
+    val (_, index, baseSh) = graft.pipeline.Dedup.epochDedupWithState(
       d, "doc_id", "text", "epoch", Seq(0L, 1L, 2L, 3L, 4L))
-    for ((nm, df) <- Seq("index" -> index, "baseText" -> baseText)) {
+    for ((nm, df) <- Seq("index" -> index, "baseShingles" -> baseSh)) {
       val plan = df.queryExecution.optimizedPlan.toString
       assert(plan.contains("LogicalRDD"), s"$nm: ${plan.take(2000)}")
       assert(!plan.contains("Union"), s"$nm: ${plan.take(2000)}")
