@@ -51,9 +51,21 @@ object Dedup {
     * array-lambda shingling re-evaluates `split` per element (O(words²)
     * work per document). Multiset semantics (duplicates kept) —
     * `.distinct()` downstream where sets are needed. */
-  private def explodedShingleCols(df: DataFrame, idCol: String,
+  private def explodedShingleCols(df0: DataFrame, idCol: String,
       textCol: String, k: Int, out: String)(mk: Seq[Column] => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // id-keyed spread BEFORE the words explode (r18 opt round): the lead
+    // window below requires hashpartitioning(id) anyway, so pre-spreading
+    // a small/unsplittable input moves the exchange from AFTER the
+    // explode (word rows, single-task explode) to BEFORE it (compact doc
+    // rows, parallel explode) — same exchange count, less shuffled bytes,
+    // and the explode+hash work runs at full parallelism. At production
+    // scan sizes the spread is a no-op by condition. k = 1 has NO lead
+    // window (no exchange to replace), so the spread would be a pure
+    // extra exchange there — skipped.
+    val df =
+      if (k > 1) graft.queries.Tables.spread(df0.sparkSession, df0, idCol)
+      else df0
     val words = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "w")))
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -674,10 +686,13 @@ object Dedup {
     * notes below for the two traps). The output is the index you then
     * bucket-join on fp_hash, where each posting list is winnow-sparse
     * rather than shingle-dense. */
-  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+  def winnowFingerprints(df0: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 8, arithmeticHash: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(w > 0, s"w must be positive: $w")
+    // same id-keyed pre-explode spread as explodedShingleCols: the two
+    // per-doc windows below need hashpartitioning(id) anyway
+    val df = graft.queries.Tables.spread(df0.sparkSession, df0, idCol)
     // Shingle rows come from the explodedShingleCols discipline — explode
     // WORDS once, form each shingle from window `lead`s — never from an
     // array-lambda pipeline: the first cut built a per-doc hash ARRAY with
@@ -1225,10 +1240,11 @@ object Dedup {
       s"algorithm must be 'label' or 'star', got '$algorithm'")
     // Materialize the candidate pairs ONCE before fanning them out: the
     // undirected union reads `pairs` twice and the edges union reads THAT
-    // twice, so without this checkpoint the upstream pair producer (an
-    // LSH/shingle self-join — the dominant cost at corpus scale) would be
-    // re-evaluated up to 4× inside the edges materialization (measured:
-    // the round-12 curate3 chain spent most of its sf1 wall here).
+    // twice. AQE's runtime exchange reuse only collapses the shared
+    // EXCHANGE subtree — the post-exchange work (the verify aggregate and
+    // size joins of an ngramJaccard producer) re-runs per union branch,
+    // measured ~2× on the cluster family when this checkpoint was
+    // dropped (r18 opt round — tried, reverted; same lesson as r12).
     val base = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .localCheckpoint()
@@ -1252,12 +1268,16 @@ object Dedup {
       .unionByName(undirected.select(col("x"), col("x").as("y")).distinct())
       .localCheckpoint()
     free(base) // edges is materialized; base is never read again
+    // labels init stays lazy over the edges checkpoint (both hop reads of
+    // round 1 share its exchange), and the initial label sum is replaced
+    // by a sentinel: the init state cannot be the fixpoint while any real
+    // edge exists, so the up-front full-scan action bought nothing
     var labels = edges.select(col("x").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+      .select(col("id"), col("id").as("lbl"))
     def lblSum(df: DataFrame): Long =
       Option(df.agg(sum(col("lbl"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var prev = lblSum(labels)
+    var prev = Long.MinValue // sentinel — no real label sum before round 1
     var done = false
     var it = 0
     def hop(lbl: DataFrame): DataFrame =

@@ -18,8 +18,52 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * through here: a silent driver-side regeneration then surfaces as one
   * named schema change in this seam, not N scattered analysis errors. */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+    // No table is spread blanket-style at this seam (r18 opt round,
+    // measured three ways): relational tables' scans are cheap columnar
+    // decode + partial aggregates (+0.7-1.5 s each when spread);
+    // embeddings netted +2.2 s across its family; documents netted ~zero
+    // (single-heavy-job queries won what many-job chains lost re-paying
+    // the exchange per scan); and blanket events spread taxed the light
+    // events queries (~+0.3 s each). The spread is applied surgically at
+    // the expression-heavy seams instead: Dedup.explodedShingleCols /
+    // winnowFingerprints (where it REPLACES the per-doc window exchange)
+    // and UpdateDecompose.messages / RouteEventGen.fromEvents (ahead of
+    // the wire codec and event-derivation expression work).
+    df
+  }
+
+  /** Scan-parallelism floor (r18 optimization round, guide §2.5 "input
+    * skew: one huge unsplittable file … repartition immediately after the
+    * read"): each fixture table is ONE small parquet file with one row
+    * group, so every scan-stage computation — codec `mapPartitions`,
+    * shingle explodes, display rendering — otherwise runs in a SINGLE
+    * task regardless of core count. When the scan yields fewer partitions
+    * than the cluster's default parallelism, round-robin repartition up
+    * to it; at production scale the scan already has more splits than
+    * cores and this is a no-op (the condition, not a tuned constant, is
+    * what adapts — nothing here is local[32]-specific). Predicate
+    * pushdown and column pruning pass through Repartition, so
+    * PushedFilters/ReadSchema at the scan are unchanged. */
+  def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    // Partition COUNT is the wrong test: byte-range splitting gives a tiny
+    // file `want` splits, but with ONE row group every split except the
+    // one holding the row-group start is empty — the work still lands on
+    // a single task. Spread by SIZE instead: a table smaller than ~4 MB
+    // per core cannot fill the cores at row-group granularity, while its
+    // exchange costs microseconds. Production-scale tables blow past the
+    // threshold and are untouched (the CONDITION adapts, not a tuned
+    // constant — nothing here is local[32]-specific). ANALYZED-plan stats,
+    // not optimized: the decision only needs the source-relation size
+    // estimate, and running the optimizer on a deep chain's prefix per
+    // spread call measurably taxed plan-build time on the composed
+    // curation chains.
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+    if (bytes >= BigInt(want) * (4L << 20)) df
+    else df.repartition(want, col(key))
+  }
 
   /** Normalize a `ts` column of either legacy shape to `TimestampType`.
     * Exposed for callers that read fixture-derived parquet directly. */

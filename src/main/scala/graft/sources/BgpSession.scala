@@ -607,16 +607,25 @@ object BgpSession {
     * uses an ASN above 65535 so the AS_TRANS + 4-octet-capability path
     * (RFC 6793) must roundtrip for the oracle to hash. */
   def bmpStream(events: DataFrame): DataFrame = {
-    val frames = BgpWire.encodeUpdates(UpdateDecompose.messages(events))
+    val msgs = UpdateDecompose.messages(events)
     val schema = StructType(Seq(StructField("bytes", BinaryType, nullable = false)))
     val enc = RowEncoder.encoderFor(schema)
-    val rm = frames.select(col("session_id"), col("ts"), col("bytes"))
+    // UPDATE encode + BMP wrap FUSED into one mapPartitions (r18 opt
+    // round): the two-stage encodeUpdates → wrap form paid a full
+    // serialize/deserialize object boundary for the intermediate frame
+    // rows; the bytes produced are identical (same encodeUpdate over the
+    // same updateSchema-aligned row, same encodeBmpRouteMonitoring args)
+    val cols = BgpWire.updateSchema.fields.map { f =>
+      if (msgs.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val rm = msgs.select(cols.toIndexedSeq: _*)
       .mapPartitions { it =>
         it.map { row =>
-          val s = row.getInt(0).toLong
-          val tsSec = if (row.isNullAt(1)) 0L else row.getTimestamp(1).getTime / 1000
+          val s = row.getInt(1).toLong
+          val tsSec = if (row.isNullAt(2)) 0L else row.getTimestamp(2).getTime / 1000
           Row(BgpWire.encodeBmpRouteMonitoring(s, 100 + s, (10L << 24) + s,
-            65000 + s, 1000 + s, tsSec, 0L, row.getAs[Array[Byte]](2)))
+            65000 + s, 1000 + s, tsSec, 0L, BgpWire.encodeUpdate(row)))
         }
       }(enc)
     // session set from the PRE-ENCODE message stream: the byte encoder is

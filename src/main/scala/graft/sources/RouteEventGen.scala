@@ -44,24 +44,32 @@ object RouteEventGen {
   def routeEvents(spark: SparkSession, sfDir: String): DataFrame =
     cache.computeIfAbsent(sfDir, { _ =>
       val dir = s"$snapshotRoot/${java.lang.Integer.toHexString(sfDir.hashCode)}"
-      // No shuffle: sort within the scan partitions by (rib, prefix) and
-      // let the dynamic-partition writer split per rib. With the native
-      // display kernel, shuffled vs unshuffled writes are within noise at
-      // sf0.1 (IngestProfile: 2.7 s vs 3.2 s) — no-shuffle + coalesce
-      // stays fastest and saves an exchange; the within-file prefix sort
-      // keeps parquet ROW-GROUP min/max stats tight,
-      // which is the granularity the reader actually skips at. Coalesce
-      // bounds the writer fan-out: task-count × rib-count files and writer
-      // buffers otherwise dominate the write at high core counts (measured
-      // 12.5 s → 7.9 s at local[32]); 16 tasks keep the derivation fully
-      // parallel while the downstream read stays row-group-splittable. On a
-      // real cluster at 100 TB the same pipeline would add a
-      // (rib, prefix-range) exchange to bound file counts — see SCALE.md.
+      // ONE rib-keyed exchange between the derivation and the writer (r18
+      // optimization round): the derivation — the expression-heavy half,
+      // display rendering included — runs at full scan parallelism (the
+      // Tables.spread floor), and the dynamic-partition writer sees rows
+      // already clustered by rib, so each task writes ONE file into one
+      // rib directory instead of task-count × rib-count fragments (the
+      // coalesce(16) form measured 12.2 s under the spread scan — 240
+      // writer buffers — vs 2.4 s for this shape; the pre-spread
+      // no-shuffle form was 5.2 s, derivation single-threaded). The
+      // within-file prefix sort keeps parquet ROW-GROUP min/max stats
+      // tight, which is the granularity the reader actually skips at. At
+      // 100 TB the same exchange becomes (rib, prefix-range) to bound
+      // per-task output size — see SCALE.md.
+      // the partition count is PINNED (repartition-by-col alone lets AQE
+      // coalesce the ~30 MB exchange to ONE writer task); ≤ |ribs|
+      // partitions are non-empty, so the pin costs nothing beyond them
       fromEvents(Tables(spark, sfDir, "events"))
-        .coalesce(math.min(16, spark.sparkContext.defaultParallelism))
+        .repartition(spark.sparkContext.defaultParallelism, col("rib"))
         .sortWithinPartitions(col("rib"), col("prefix.ip_hi"), col("prefix.ip_lo"),
           col("prefix.prefix_len"), col("ts"))
         .write.mode("overwrite").partitionBy("rib").parquet(dir)
+      // deliberately NOT wrapped in Tables.spread: rib queries' first
+      // operation is a key-partitioned window/aggregate exchange, so a
+      // round-robin exchange ahead of it is pure overhead (measured
+      // +0.5-1 s across the rib board when tried r18); the scan stage
+      // here is columnar decode + filter, not expression-heavy work
       spark.read.parquet(dir)
     })
 
@@ -112,7 +120,13 @@ object RouteEventGen {
   val evpnType = s"struct<etype:int,rd:$rdType,ip:$pfxType,gw_ip:$pfxType," +
     "esi:string,eth_tag:bigint,mac:string>"
 
-  def fromEvents(events: DataFrame): DataFrame = {
+  def fromEvents(events0: DataFrame): DataFrame = {
+    // id-keyed spread ahead of the derivation expressions (r18 opt round,
+    // Tables.spread doc): the events fixture is one small one-row-group
+    // file, so the expression-heavy derivation — display rendering
+    // included — otherwise runs in a single task
+    val events = graft.queries.Tables.spread(
+      events0.sparkSession, events0, "event_id")
     val eid = col("event_id")
     val uid = col("user_id")
     val m16 = eid % 16

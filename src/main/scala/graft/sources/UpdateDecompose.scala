@@ -22,7 +22,13 @@ object UpdateDecompose {
     * through real RFC 4271 bytes; q_ingest_decompose and q_wire_decompose
     * share one events-arithmetic oracle, so the two paths are pinned to
     * agree. */
-  def messages(events: DataFrame): DataFrame = {
+  def messages(events0: DataFrame): DataFrame = {
+    // id-keyed spread ahead of the message-derivation expressions and the
+    // wire-codec mapPartitions chain downstream (r18 opt round,
+    // Tables.spread doc): the events fixture is one small one-row-group
+    // file — single-task codec work otherwise
+    val events = graft.queries.Tables.spread(
+      events0.sparkSession, events0, "event_id")
     val eid = col("event_id")
     val uid = col("user_id")
     def pfx(j: Int) = {
