@@ -154,8 +154,14 @@ object Curate {
     val withScore = survivors.select(col(idCol), col(sourceCol),
       (m("alpha_x1000") + m("stopword_x1000")).as("score"),
       m("n_words").as("n_words"))
+    // materializeInput rides the same flag as the stage boundary (r18 opt
+    // round): the regex-composite score projection is otherwise evaluated
+    // once per downstream reference — the gate's histogram AND probe
+    // branches, the mixture's sizing aggregate, and every attritionModern
+    // count job — where the materialized form is a 4-narrow-column frame
+    // written once (the q_text_quality_gate precedent, r12 verdict item)
     val gated = Sampling.keepTopByScore(withScore, "score",
-      qualityKeepPermille)
+      qualityKeepPermille, materializeInput = materializeStages)
     val mixed =
       if (mixTargets.isEmpty) gated
       else Sampling.targetMixture(gated, idCol, sourceCol, "n_words",
