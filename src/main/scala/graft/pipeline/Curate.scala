@@ -128,7 +128,14 @@ object Curate {
       else {
         val ok = TextAnalysis.repetitionSignals(docs, idCol, textCol)
           .where(col("repetition_ok")).select(col("id").as("__rp_id"))
-        docs.join(ok, docs(idCol) === col("__rp_id"), "left_semi")
+        val gated = docs.join(ok, docs(idCol) === col("__rp_id"), "left_semi")
+        // the gate boundary is materialized with the same flag as the
+        // neardup boundary (r18 opt round): the repetitionSignals
+        // aggregate (lines/paragraphs/gram windows) is otherwise
+        // re-evaluated by every job that scans the gated corpus — the
+        // pair-producer checkpoint, the post-election join, and the
+        // attritionModern repetition-stage count
+        if (materializeStages) gated.localCheckpoint() else gated
       }
     val norm = unrepetitive.select(col(idCol), col(sourceCol),
       TextAnalysis.normalizeText(col(textCol)).as(textCol))

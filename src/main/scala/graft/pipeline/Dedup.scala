@@ -803,6 +803,12 @@ object Dedup {
     val fps = winnowFingerprints(df, idCol, textCol, k, w, arithmeticHash)
       .select(col("id"), col("fp_hash")).distinct()
     val cand = winnowCandidatesFromFps(fps, maxDf)
+    // verify over the UNPRUNED corpus shingles, deliberately: a broadcast
+    // semi-prune of the text to candidate ids (the dedupAgainstIndex
+    // shape) re-evaluates the candidate self-join for the broadcast and
+    // measured ~2× slower here in BOTH eager and lazy forms (r18 opt
+    // round, tried twice) — within this one job the unpruned explode is
+    // a single parallel pass the prune cannot beat at sf0.1
     val inv = explodedShingleHashes(df, idCol, textCol, k).distinct()
     verifyJaccardPairs(cand, inv, threshold)
   }
