@@ -511,8 +511,13 @@ object RibQueries {
     // it — unregistered sessions must DROP (src/bmppeer.rs:32-58) — and the
     // per-session sums replicate in pure events arithmetic
     "q_wire_sessions" -> ((s, dir) => {
+      // decoded frames materialized ONCE (r18 opt round): the frame is
+      // read by the registry broadcast build AND the dispatch stream —
+      // the codec chain (encode → BMP wrap → decode) has no shuffle for
+      // exchange reuse to share, so each un-materialized read re-ran it
       val bmp = graft.sources.BgpWire.decodeBmpFrames(
         graft.sources.BgpSession.bmpStream(Tables(s, dir, "events")))
+        .localCheckpoint()
       val reg = graft.sources.BgpSession.sessionRegistry(bmp)
       graft.sources.BgpSession.dispatchUpdates(bmp, reg)
         .groupBy(col("session_id").cast("long").as("session_id"))
