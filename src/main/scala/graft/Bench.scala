@@ -163,6 +163,15 @@ object Bench {
       .filter(kv => only.forall(_.contains(kv._1)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // Between-pass contention probes (r18 verdict ask #2): the start/end
+    // calib probes bracket ~12 minutes of wall — a mid-run host-contention
+    // episode (the r18 driver leg read q_decontam at 18.3 s where five
+    // other runs read 1.1–1.7 s, with quiet START/END probes; the spiked
+    // queries were alphabetically CONTIGUOUS, i.e. a time-localized
+    // episode) is invisible to them. One parallel-shape probe after each
+    // pass timestamps the episode so a spiked median can be adjudicated
+    // against the probe series instead of being booked as a regression.
+    val passProbes = scala.collection.mutable.ListBuffer.empty[Double]
     for (pass <- 1 to reps) {
       System.gc() // start each pass from a comparable heap
       names.foreach { case (name, fn) =>
@@ -172,6 +181,7 @@ object Bench {
           samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable => errors.getOrElseUpdate(name, errMsg(e)) }
       }
+      if (pass < reps) passProbes += calibratePar()
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -282,6 +292,7 @@ object Bench {
       math.max(calibIoStart, calibIoEnd) <= 1.4 * ioQuiet
     val calibCompact = s""""calib_sec":[${r4(calibStart)},${r4(calibEnd)}],""" +
       s""""calib_par_sec":[${r4(calibParStart)},${r4(calibParEnd)}],""" +
+      s""""calib_pass_sec":${passProbes.map(r4).mkString("[", ",", "]")},""" +
       s""""calib_io_sec":[${r4(calibIoStart)},${r4(calibIoEnd)}],""" +
       s""""contended":$contended,"quiet_pin":$quietPin"""
     // fixture identity only on the full artifact: the compact stdout line
@@ -315,12 +326,24 @@ object Bench {
     // spark.stop()'s shutdown chatter): headline totals + the slowest
     // production queries, well under the tail window even with sbt's
     // trailing [success] banner.
-    val slowestProd = results.toSeq.filterNot(kv => isReplica(kv._1))
+    val slowest = results.toSeq.filterNot(kv => isReplica(kv._1))
       .sortBy(-_._2).take(20).sortBy(_._1)
+    val slowestProd = slowest
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // min-of-reps alongside the medians (r18 verdict ask #2, additions
+    // only): a host-contention episode inflates a query's median when it
+    // covers 2 of 3 round-robin samples, but almost never all three — the
+    // min is the episode-robust reading. `queries` stays the median (the
+    // cross-round comparable), `queries_min` is the adjudication column.
+    val slowestProdMin = slowest
+      .map { case (k, _) =>
+        s"\"" + k + "\":" + spread.get(k).map(_._1).getOrElse(results(k)) }
+      .mkString("{", ",", "}")
+    val prodTotalMin = r4(results.collect { case (k, v) if !isReplica(k) =>
+      spread.get(k).map(_._1).getOrElse(v) }.sum)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowestProd,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"replica_total":$replicaTotal,$calibCompact,"n_errors":${errors.size},"n_errors_prod":${errors.keys.count(k => !isReplica(k))},"n_queries":${results.size},"queries_shown":"slowest 20 of ${results.size} production; full map in BENCH_full.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowestProd,"sf":"$sfDir","reps":$reps,"prod_total":$prodTotal,"prod_total_min":$prodTotalMin,"queries_min":$slowestProdMin,"replica_total":$replicaTotal,$calibCompact,"n_errors":${errors.size},"n_errors_prod":${errors.keys.count(k => !isReplica(k))},"n_queries":${results.size},"queries_shown":"slowest 20 of ${results.size} production; full map in BENCH_full.json"}""")
     // a broken production query means the bench artifact is incomplete:
     // fail the step rather than let an N-queries-short total read as a win
     // the exit condition counts only PRODUCTION errors (incl. ingest);

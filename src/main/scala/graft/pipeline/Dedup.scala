@@ -687,9 +687,23 @@ object Dedup {
     * bucket-join on fp_hash, where each posting list is winnow-sparse
     * rather than shingle-dense. */
   def winnowFingerprints(df0: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 8, arithmeticHash: Boolean = false): DataFrame = {
+      k: Int = 3, w: Int = 8, arithmeticHash: Boolean = false): DataFrame =
+    winnowPick(shingleBase(df0, idCol, textCol, k, arithmeticHash), w)
+
+  /** The winnow-tokenized exploded shingle-hash MULTISET with positions —
+    * (id, __nsh, pos, h), one row per shingle occurrence, `__nsh` the
+    * doc's shingle count (1 for sub-k-word docs, which carry their
+    * whole-text hash at pos 0). [[winnowFingerprints]] is the w-window
+    * minimum over this frame; `select(id, h)` (+ distinct) is the exact
+    * verify's shingle set. Split out (r19 opt round) so operators that
+    * need BOTH — the epoch loop materializes fingerprints and shingles
+    * per epoch — pay the explode+lead-window pass once instead of twice.
+    * Tokenization is the winnow discipline (trim + drop empty tokens);
+    * [[explodedShingleHashes]] keeps raw-split tokenization for its
+    * public contract. */
+  private[graft] def shingleBase(df0: DataFrame, idCol: String,
+      textCol: String, k: Int, arithmeticHash: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    require(w > 0, s"w must be positive: $w")
     // same id-keyed pre-explode spread as explodedShingleCols: the two
     // per-doc windows below need hashpartitioning(id) anyway
     val df = graft.queries.Tables.spread(df0.sparkSession, df0, idCol)
@@ -727,6 +741,15 @@ object Dedup {
     val short = df.where(size(wordsArr) < k)
       .select(col(idCol).as("id"), lit(1).as("__nsh"), lit(0).as("pos"),
         hashOf(Seq(concat_ws(" ", wordsArr))).as("h"))
+    long.unionByName(short)
+  }
+
+  /** The winnow SELECTION over a [[shingleBase]] frame — pass a
+    * materialized frame when several consumers need both the selection
+    * and the underlying shingle set (the epoch loop). */
+  private[graft] def winnowPick(base: DataFrame, w: Int): DataFrame = {
+    require(w > 0, s"w must be positive: $w")
+    import org.apache.spark.sql.expressions.Window
     // rightmost minimum of each w-frame as ONE primitive long min: pack
     // (hash masked to 43 bits) above (2^20-1 - pos), so the smaller hash
     // wins and, at equal hash, the LARGER position (latest index) does —
@@ -741,7 +764,7 @@ object Dedup {
       (lit(posMask) - col("pos"))
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    long.unionByName(short)
+    base
       .withColumn("__pick", min(ord).over(win))
       .where(col("pos") <= greatest(col("__nsh") - w, lit(0)))
       .select(col("id"),
@@ -808,8 +831,11 @@ object Dedup {
     // shape) re-evaluates the candidate self-join for the broadcast and
     // measured ~2× slower here in BOTH eager and lazy forms (r18 opt
     // round, tried twice) — within this one job the unpruned explode is
-    // a single parallel pass the prune cannot beat at sf0.1
-    val inv = explodedShingleHashes(df, idCol, textCol, k).distinct()
+    // a single parallel pass the prune cannot beat at sf0.1. No
+    // `.distinct()` ahead of the verify: its per-doc collect_set is
+    // set-semantics already, so the (id, h) pre-dedup exchange was a
+    // pure extra stage (r19).
+    val inv = explodedShingleHashes(df, idCol, textCol, k)
     verifyJaccardPairs(cand, inv, threshold)
   }
 
@@ -831,23 +857,38 @@ object Dedup {
   /** Candidate-driven exact word-shingle Jaccard verify over a
     * PRECOMPUTED exploded-distinct (id, h) shingle set: each pair pulls
     * only its own two shingle sets through the equi-joins (no all-pairs
-    * index join). `cand` is read three times — pass a materialized
+    * index join). `cand` is read twice — pass a materialized
     * frame; `inv` must cover every candidate doc id (a superset is fine:
-    * per-doc sizes and intersections only read candidate ids). */
+    * per-doc sizes and intersections only read candidate ids) and MAY
+    * carry duplicate (id, h) rows — the per-doc collect_set is set
+    * semantics, so callers need no pre-distinct.
+    *
+    * Shape (r19 opt round, guide §2.3 "shuffle fewer bytes"): the shingle
+    * sets ride as per-doc ARRAYS attached to each candidate pair, and the
+    * intersection is `array_intersect` in whole-stage codegen. The r18
+    * exploded form — join candidates to the (id, h) rows twice and
+    * count — pushed |cand| × |shingles-per-doc| rows through the shuffle
+    * (measured 8.7 M intermediate rows for 167 k candidates at sf0.1, and
+    * the verify stage was the single biggest piece of q_dedup_winnow at
+    * 2.0–2.15 s with BOTH inputs pre-materialized); the array form ships
+    * each pair as ONE row (~25× fewer shuffled rows, 2.04 → 0.42 s same
+    * harness). Arrays are bounded by per-doc shingle counts (≤ words), so
+    * no row can grow with the corpus; results are bit-identical — same
+    * distinct-set intersection/union counts, same threshold gate. */
   private[graft] def verifyJaccardPairs(cand: DataFrame, inv: DataFrame,
       threshold: Double): DataFrame = {
-    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sets = inv.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
     val thNum = math.round(threshold * 1000)
     cand
-      .join(inv.select(col("id").as("a"), col("h")), "a")
-      .join(inv.select(col("id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
-      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .join(sets.select(col("id").as("a"), col("hs").as("__ha")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("__hb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long")
+          .as("inter"),
+        (size(col("__ha")) + size(col("__hb"))).cast("long").as("__nab"))
+      .withColumn("union_n", col("__nab") - col("inter"))
       .where(col("inter") * 1000 >= col("union_n") * thNum)
-      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
-        col("union_n").cast("long").as("union_n"))
+      .select(col("a"), col("b"), col("inter"), col("union_n"))
   }
 
   /** Shared-span report for winnow-verified near-dup pairs — the
@@ -879,17 +920,32 @@ object Dedup {
       k: Int = 3, w: Int = 8, threshold: Double = 0.6,
       maxDf: Int = 1000, arithmeticHash: Boolean = false,
       pairs: Option[DataFrame] = None): DataFrame = {
+    // winnowNearDup's guards, restated: the default-pairs path now
+    // derives candidates inline from the materialized fingerprint frame
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(maxDf > 1, s"maxDf must be > 1: $maxDf")
     import org.apache.spark.sql.expressions.Window
-    // All fingerprint reads (the span joins' two + the verified-pair
-    // source's three) stay LAZY inside the one query execution — AQE's
-    // runtime exchange reuse collapses the identical subtrees, and an
-    // eager localCheckpoint of the fingerprint frame measured SLOWER at
-    // sf0.1 (r18 opt round, tried both).
-    val vp = pairs.getOrElse(
-        winnowNearDup(df, idCol, textCol, k, w, threshold, maxDf,
-          arithmeticHash))
-      .select(col("a"), col("b"))
+    // The fingerprint frame is materialized ONCE and feeds BOTH halves
+    // (r18 verdict ask #4): the verified-pair derivation (df count +
+    // both candidate self-join sides, via the slim projection) and the
+    // two span joins — five references to the winnow window that the
+    // final adaptive plan previously re-executed per consumer (the
+    // distinct exchanges above it differ per projection, so stage reuse
+    // never matched them). r18's "eager checkpoint measured slower"
+    // negative was re-tested this round under the size-capped spread and
+    // INVERTED: 5.12 s bench median → ~3.1 s (JobProfile warm reps and
+    // the full-board quiet pin agree). When `pairs` is supplied the
+    // caller already ran winnowNearDup — only the span-side frame is
+    // materialized then.
     val fps = winnowFingerprints(df, idCol, textCol, k, w, arithmeticHash)
+      .localCheckpoint()
+    val vp = pairs.getOrElse {
+        val slim = fps.select(col("id"), col("fp_hash")).distinct()
+        val inv = explodedShingleHashes(df, idCol, textCol, k)
+        verifyJaccardPairs(winnowCandidatesFromFps(slim, maxDf), inv,
+          threshold)
+      }
+      .select(col("a"), col("b"))
     val mt = vp
       .join(fps.select(col("id").as("a"), col("fp_pos").as("pa"),
         col("fp_hash").as("h")), "a")
@@ -942,8 +998,8 @@ object Dedup {
     * Scale shape: each epoch step is the [[dedupAgainstIndex]] probe
     * (bucketed candidate join + candidate-pruned verify) plus one
     * intra-epoch [[winnowNearDup]]; the index grows by admitted-survivor
-    * fingerprints only. The per-epoch index/ledger/admitted-text frames
-    * are ALL localCheckpointed — each epoch is a separate batch in production
+    * fingerprints only. The per-epoch signature and ledger frames are
+    * localCheckpointed — each epoch is a separate batch in production
     * (the index lives in storage between crawls), and without the cut
     * the epoch-e plan would re-derive every predecessor epoch's verify
     * once per downstream reference. The driver-side loop is over the
@@ -973,29 +1029,73 @@ object Dedup {
     * probe verify needs exactly that, and filtering a materialized frame
     * by admitted id replaces a per-epoch re-shingling of admitted text.
     * Selection is per-document, so epoch- or admission-filtered
-    * fingerprints equal fingerprints of the filtered corpus. */
+    * fingerprints equal fingerprints of the filtered corpus.
+    *
+    * Doc ids must be GLOBALLY unique across epochs (r18 advice): the
+    * cross-epoch verify unions the increment's and the standing corpus's
+    * shingle sets by id, so an id recurring in a later epoch (a re-crawl
+    * reusing ids) would double-count that id's shingles in the Jaccard
+    * sizes. Epoch membership is a partition of the corpus here
+    * (`epochCol` is a column of `df`), which guarantees it as long as
+    * `idCol` itself is unique — the fixture's primary-key contract. */
   private[graft] def epochDedupWithState(df: DataFrame, idCol: String,
       textCol: String, epochCol: String, epochs: Seq[Long], k: Int = 3,
       w: Int = 8, threshold: Double = 0.6, maxDf: Int = 1000)
       : (DataFrame, DataFrame, DataFrame) = {
     require(epochs.nonEmpty, "epochs must be non-empty")
     require(epochs.distinct == epochs, s"epochs must be distinct: $epochs")
-    // ONE materialization job per accumulator step: fingerprint rows
-    // (kind 0, v = fp_hash) and shingle rows (kind 1, v = h) ride the
-    // SAME tagged frame, so each epoch pays exactly three checkpoint
-    // jobs — its signature pass, its ledger, its accumulator append —
-    // instead of seven. Within each job the repeated reads of the
+    // the winnowNearDup/dedupAgainstIndex guards, restated here (r18
+    // advice): the epoch loop no longer routes through either entry
+    // point, and an out-of-range threshold would mis-gate silently
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(maxDf > 1, s"maxDf must be > 1: $maxDf")
+    // ONE materialization job per accumulator step (the r18 shape,
+    // re-validated by measurement this round): fingerprint rows (kind 0,
+    // v = fp_hash) and shingle rows (kind 1, v = h) ride the SAME tagged
+    // frame, so each epoch pays three checkpoint jobs — signature,
+    // ledger, accumulator append. Three r19 restructures toward the
+    // 2-jobs-per-epoch form the r18 verdict sketched ALL measured worse
+    // at 32 cpus (JobProfile, warm reps, equal spread): (a) accumulator
+    // pieces as lazy semi-joins of sig × kept-ids — 87 → 114 jobs, warm
+    // 8.3–9.5 → 9.7–10.3 s (every probe read re-ran E broadcast
+    // builds); (b) ledger + admitted-sig folded into one tagged
+    // checkpoint — 94 jobs, 10.2 s (the ledger subtree re-ran above its
+    // exchanges per union branch); (c) materializing the shingle-hash
+    // multiset (shingleBase) instead of the distinct sig and deriving
+    // fingerprints/shingles lazily — 96 jobs, 11.3–12.9 s (the winnow
+    // window re-ran per consumer job). The driver-paced job COUNT is not
+    // the lever at this shape; overlapping the independent signature
+    // jobs is (below). Within each job the repeated reads of the
     // materialized inputs are collapsed by AQE's runtime exchange reuse.
+    //
+    // The per-epoch SIGNATURE checkpoints are mutually independent
+    // (sig_e reads only epoch e's documents), so they are submitted
+    // CONCURRENTLY up front from a small thread pool (guide §2.6 —
+    // later jobs back-fill executors freed by an earlier job's straggler
+    // tail; each sig's window stage ends in few busy tasks at 32 cpus).
+    // Only the ledger → accumulator chain is inherently sequential.
+    val sigPool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, epochs.size))
+    val sigs: Seq[DataFrame] =
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(sigPool)
+        Await.result(Future.sequence(epochs.map { e => Future {
+          val de = df.where(col(epochCol) === lit(e))
+          winnowFingerprints(de, idCol, textCol, k, w)
+            .select(col("id"), lit(0).as("kind"), col("fp_hash").as("v"))
+            .distinct()
+            .unionByName(explodedShingleHashes(de, idCol, textCol, k)
+              .select(col("id"), lit(1).as("kind"), col("h").as("v"))
+              .distinct())
+            .localCheckpoint()
+        }}), Duration.Inf)
+      } finally sigPool.shutdown()
     var acc: Option[DataFrame] = None // admitted (id, kind, v), all epochs
-    val ledgers = epochs.map { e =>
+    val ledgers = epochs.zip(sigs).map { case (e, sig) =>
       val de = df.where(col(epochCol) === lit(e))
-      val sig = winnowFingerprints(de, idCol, textCol, k, w)
-        .select(col("id"), lit(0).as("kind"), col("fp_hash").as("v"))
-        .distinct()
-        .unionByName(explodedShingleHashes(de, idCol, textCol, k)
-          .select(col("id"), lit(1).as("kind"), col("h").as("v"))
-          .distinct())
-        .localCheckpoint()
       val deFps = sig.where(col("kind") === 0)
         .select(col("id"), col("v").as("fp_hash"))
       val deSh = sig.where(col("kind") === 1)
@@ -1047,10 +1147,18 @@ object Dedup {
       // an E-deep union (each leg re-running its ledger semi-join) on
       // every downstream reference of a later epoch's probe
       val admittedSig = sig.join(admitted, Seq("id"), "left_semi")
-      acc = Some(acc match {
+      val prev = acc
+      acc = Some(prev match {
         case Some(a) => a.unionByName(admittedSig).localCheckpoint()
         case None => admittedSig.localCheckpoint()
       })
+      // superseded frames are never read again once the new accumulator
+      // is materialized (r18 advice item #4): the epoch's sig feeds only
+      // admittedSig (now folded into acc), and the old acc is wholly
+      // contained in the new one — free both eagerly instead of letting
+      // their blocks squat in the block manager for the rest of the run
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(sig)
+      prev.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
       ledger
     }
     val accF = acc.get
@@ -1126,24 +1234,29 @@ object Dedup {
     val incPruned = incDf.join(
       broadcast(cand.select(col("new_id").as(idCol)).distinct()),
       Seq(idCol), "left_semi")
-    val incSh = explodedShingleHashes(incPruned, idCol, textCol, k).distinct()
-    val baseSh = explodedShingleHashes(basePruned, idCol, textCol, k).distinct()
-    val incSizes = incSh.groupBy(col("id")).agg(count(lit(1)).as("na"))
-    val baseSizes = baseSh.groupBy(col("id")).agg(count(lit(1)).as("nb"))
+    // per-doc shingle-hash ARRAYS + array_intersect (the
+    // verifyJaccardPairs r19 shape, guide §2.3): the candidate pairs ride
+    // the joins as one row each instead of fanning out to
+    // |cand| × |shingles-per-doc| exploded rows; collect_set is set
+    // semantics, so no pre-distinct pass either. Same exact
+    // intersection/union counts, bit-identical output.
+    val incSets = explodedShingleHashes(incPruned, idCol, textCol, k)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
+    val baseSets = explodedShingleHashes(basePruned, idCol, textCol, k)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
     val thNum = math.round(threshold * 1000)
     cand
-      .join(incSh.select(col("id").as("new_id"), col("h")), "new_id")
-      .join(baseSh.select(col("id").as("base_id"), col("h")),
-        Seq("base_id", "h"))
-      .groupBy(col("new_id"), col("base_id"))
-      .agg(count(lit(1)).as("inter"))
-      .join(incSizes.select(col("id").as("new_id"), col("na")), "new_id")
-      .join(baseSizes.select(col("id").as("base_id"), col("nb")), "base_id")
-      .withColumn("union_n", col("na") + col("nb") - col("inter"))
-      .where(col("inter") * 1000 >= col("union_n") * thNum)
+      .join(incSets.select(col("id").as("new_id"), col("hs").as("__ha")),
+        "new_id")
+      .join(baseSets.select(col("id").as("base_id"), col("hs").as("__hb")),
+        "base_id")
       .select(col("new_id"), col("base_id"),
-        col("inter").cast("long").as("inter"),
-        col("union_n").cast("long").as("union_n"))
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long")
+          .as("inter"),
+        (size(col("__ha")) + size(col("__hb"))).cast("long").as("__nab"))
+      .withColumn("union_n", col("__nab") - col("inter"))
+      .where(col("inter") * 1000 >= col("union_n") * thNum)
+      .select(col("new_id"), col("base_id"), col("inter"), col("union_n"))
   }
 
   def simhash(text: Column, k: Int): Column = {

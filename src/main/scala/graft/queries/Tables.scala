@@ -39,12 +39,15 @@ object Tables {
     * read"): each fixture table is ONE small parquet file with one row
     * group, so every scan-stage computation — codec `mapPartitions`,
     * shingle explodes, display rendering — otherwise runs in a SINGLE
-    * task regardless of core count. When the scan yields fewer partitions
-    * than the cluster's default parallelism, round-robin repartition up
-    * to it; at production scale the scan already has more splits than
-    * cores and this is a no-op (the condition, not a tuned constant, is
-    * what adapts — nothing here is local[32]-specific). Predicate
-    * pushdown and column pruning pass through Repartition, so
+    * task regardless of core count. When the scan is too small to fill
+    * the cores at row-group granularity, repartition KEYED ON `key` (not
+    * round-robin — the callers' per-doc windows/aggregates need
+    * hashpartitioning(key), so the keyed exchange REPLACES their window
+    * exchange instead of adding one; the round-robin form was A/B'd in
+    * r18 and measured worse); at production scale the scan already has
+    * more splits than cores and this is a no-op (the condition, not a
+    * tuned constant, is what adapts — nothing here is local[32]-specific).
+    * Predicate pushdown and column pruning pass through Repartition, so
     * PushedFilters/ReadSchema at the scan are unchanged. */
   def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val want = spark.sparkContext.defaultParallelism
@@ -62,7 +65,27 @@ object Tables {
     // curation chains.
     val bytes = df.queryExecution.analyzed.stats.sizeInBytes
     if (bytes >= BigInt(want) * (4L << 20)) df
-    else df.repartition(want, col(key))
+    else {
+      // Size-capped partition count (r18 verdict ask #3): always jumping
+      // to defaultParallelism gives a tiny frame `cores` near-empty
+      // partitions, and the per-task overhead then EXCEEDS the parallel
+      // gain at high core counts (the r18 scaling block's sub-1 ratios).
+      // Derive the count from the frame's size instead, at an
+      // EXPRESSION-HEAVY quantum: these seams sit ahead of shingle
+      // explodes / wire codecs where compute per compressed input byte is
+      // 2-3 orders above a columnar scan's, so the per-task byte quantum
+      // must be far below the 128 MB scan default — 64 KB/task measured
+      // best on the dedup family at both 8 and 32 cores (A/B'd against
+      // 16/256 KB and the uncapped form, OPTIMIZATION_r19.md). Override
+      // via SPARK_GRAFT_SPREAD_QUANTUM_KB for other hardware; the count
+      // still caps at defaultParallelism, so production scans are
+      // unaffected either way.
+      val quantumKb = sys.env.getOrElse("SPARK_GRAFT_SPREAD_QUANTUM_KB", "64")
+        .toLong
+      val n = ((bytes + (quantumKb << 10) - 1) / (quantumKb << 10))
+        .min(BigInt(want)).max(BigInt(1)).toInt
+      df.repartition(n, col(key))
+    }
   }
 
   /** Normalize a `ts` column of either legacy shape to `TimestampType`.
